@@ -1,0 +1,300 @@
+"""Arrow/pandas-vectorized header parsing: mask-cascade of synthesized
+regexes + vectorized typed conversion + timestamp assembly.
+
+One ``Series.str.extract`` per header rule per batch, evaluated only on
+rows still unmatched (first-match-wins exactly as the reference cascade,
+``/root/reference/log2seq/_common.py:85-116``, but batched). Timestamp
+assembly mirrors ``header.py:73-114`` with static per-rule branching:
+which date/time sources a rule has is known at compile time, so each
+branch is a straight vectorized pandas expression.
+
+Timestamps are produced as *wall-clock* ``datetime64`` plus a nullable
+``tz_sec`` offset column — Spark timestamps are zone-less instants, so the
+reference's aware datetimes round-trip as (wall time, offset) pairs
+(SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+
+from ..rules.spec import HeaderField, HeaderRule, MONTH_ABBREVIATIONS
+from ..rules.synthesis import CompiledHeaderRule, compile_header_rule
+
+# value names consumed by timestamp assembly — never emitted as attrs
+TIME_VALUE_NAMES = frozenset(
+    {"timestamp", "date", "time", "year", "month", "day", "hour", "minute",
+     "second", "microsecond", "tzinfo"})
+
+_MONTH_INDEX = {name: i + 1 for i, name in enumerate(MONTH_ABBREVIATIONS)}
+
+
+def attr_fields_of(rules) -> List[Tuple[str, str]]:
+    """Static output attr schema for a set of rules: ordered unique
+    (name, dtype) pairs where dtype is 'str' or 'int'. Dynamic dict keys
+    of the reference become static struct fields here."""
+    out: List[Tuple[str, str]] = []
+    seen = set()
+    for rule in rules:
+        cr = compile_header_rule(rule)
+        for f in cr.picked:
+            vn = f.value_name
+            if vn in TIME_VALUE_NAMES or vn == "message" or vn in seen:
+                continue
+            seen.add(vn)
+            out.append((vn, "int" if f.kind in ("digit", "year2") else "str"))
+    return out
+
+
+def _usec_from_fraction(col: pd.Series) -> pd.Series:
+    """Vectorized fraction→microseconds: pad/truncate to six digits,
+    integer-only (oracle: fraction_to_microseconds)."""
+    s = col.astype("string")
+    return pd.to_numeric((s + "000000").str.slice(0, 6), errors="coerce")
+
+
+def _tz_offset_seconds(col: pd.Series) -> pd.Series:
+    """Vectorized tz token → signed offset seconds ('Z' → 0)."""
+    s = col.astype("string")
+    sign = s.str.startswith("-").map({True: -1, False: 1}, na_action="ignore")
+    digits = s.str.replace(":", "", regex=False).str.lstrip("+-")
+    hh = pd.to_numeric(digits.str.slice(0, 2), errors="coerce")
+    mm = pd.to_numeric(digits.str.slice(2, 4), errors="coerce")
+    off = sign * (hh * 3600 + mm * 60)
+    return off.mask((s == "Z").fillna(False), 0)
+
+
+def _num(ext: pd.DataFrame, name: str) -> pd.Series:
+    if name in ext.columns:
+        return pd.to_numeric(ext[name], errors="coerce")
+    return pd.Series(np.nan, index=ext.index)
+
+
+class _RulePlan:
+    """Per-rule vectorized conversion plan, derived statically."""
+
+    def __init__(self, cr: CompiledHeaderRule):
+        self.cr = cr
+        kinds = {f.kind for f in cr.picked}
+        by_kind: Dict[str, HeaderField] = {f.kind: f for f in cr.picked}
+        self.field_by_value: Dict[str, HeaderField] = {
+            f.value_name: f for f in cr.picked}
+        self.direct_kind = ("iso_datetime" if "iso_datetime" in kinds
+                            else "unixtime" if "unixtime" in kinds else None)
+        self.date_kind = ("date" if "date" in kinds
+                          else "date_concat" if "date_concat" in kinds else None)
+        self.time_kind = ("time" if "time" in kinds
+                          else "time_concat" if "time_concat" in kinds else None)
+        self.by_kind = by_kind
+        self.defaults = cr.rule.defaults_dict()
+
+    # ------------------------------------------------------------------
+    def timestamp_parts(self, ext: pd.DataFrame,
+                        default_year: Optional[pd.Series]):
+        """→ (wall datetime64[ns] Series, tz_sec Float series, ok mask)."""
+        idx = ext.index
+        n = len(ext)
+        nan = pd.Series(np.nan, index=idx)
+        tz_sec = nan.copy()
+
+        if self.direct_kind == "unixtime":
+            f = self.by_kind["unixtime"]
+            epoch = _num(ext, "unixtime")
+            wall = (pd.to_datetime(epoch, unit="s", errors="coerce")
+                    + pd.to_timedelta(f.tz_offset_sec, unit="s"))
+            tz_sec[:] = float(f.tz_offset_sec)
+            return wall, tz_sec, wall.notna()
+
+        if self.direct_kind == "iso_datetime":
+            year = _num(ext, "year")
+            month = _num(ext, "month")
+            day = _num(ext, "day")
+            hour, minute, second = (_num(ext, k) for k in
+                                    ("hour", "minute", "second"))
+            usec = _usec_from_fraction(ext["dsecond"]) if "dsecond" in ext else nan
+            if "tz" in ext:
+                tz_sec = _tz_offset_seconds(ext["tz"]).astype("float")
+        else:
+            # date side
+            if self.date_kind == "date":
+                year, month, day = (_num(ext, k) for k in ("year", "month", "day"))
+            elif self.date_kind == "date_concat":
+                f = self.by_kind["date_concat"]
+                s = ext["date_concat"].astype("string")
+                if f.no_century:
+                    year = f.century * 100 + pd.to_numeric(s.str.slice(0, 2),
+                                                           errors="coerce")
+                    month = pd.to_numeric(s.str.slice(2, 4), errors="coerce")
+                    day = pd.to_numeric(s.str.slice(4, 6), errors="coerce")
+                else:
+                    year = pd.to_numeric(s.str.slice(0, 4), errors="coerce")
+                    month = pd.to_numeric(s.str.slice(4, 6), errors="coerce")
+                    day = pd.to_numeric(s.str.slice(6, 8), errors="coerce")
+            else:
+                # loose year/month/day value fields (digit / year2 / month_abbr)
+                yf = self.field_by_value.get("year")
+                if yf is not None and yf.kind == "year2":
+                    year = yf.century * 100 + _num(ext, yf.match_name)
+                elif yf is not None:
+                    year = _num(ext, yf.match_name)
+                else:
+                    year = nan.copy()
+                mf = self.field_by_value.get("month")
+                if mf is not None and mf.kind == "month_abbr":
+                    month = ext[mf.match_name].map(_MONTH_INDEX)
+                elif mf is not None:
+                    month = _num(ext, mf.match_name)
+                else:
+                    month = nan.copy()
+                df_ = self.field_by_value.get("day")
+                day = _num(ext, df_.match_name) if df_ is not None else nan.copy()
+
+            # defaults (incl. the year-from-row-ts policy)
+            if "year" in self.defaults:
+                year = year.fillna(self.defaults["year"])
+            if self.cr.rule.year_from_ts and default_year is not None:
+                year = year.fillna(default_year)
+            for key, series in (("month", month), ("day", day)):
+                if key in self.defaults:
+                    series.fillna(self.defaults[key], inplace=True)
+
+            # time side
+            if self.time_kind == "time":
+                hour, minute, second = (_num(ext, k) for k in
+                                        ("hour", "minute", "second"))
+                usec = (_usec_from_fraction(ext["dsecond"])
+                        if "dsecond" in ext else nan)
+                if "tz" in ext:
+                    tz_sec = _tz_offset_seconds(ext["tz"]).astype("float")
+            elif self.time_kind == "time_concat":
+                s = ext["time_concat"].astype("string")
+                hour = pd.to_numeric(s.str.slice(0, 2), errors="coerce")
+                minute = pd.to_numeric(s.str.slice(2, 4), errors="coerce")
+                second = pd.to_numeric(s.str.slice(4, 6), errors="coerce")
+                usec = nan
+            else:
+                hour = _num(ext, "hour") if "hour" in ext else nan
+                minute = _num(ext, "minute") if "minute" in ext else nan
+                second = _num(ext, "second") if "second" in ext else nan
+                usec = nan
+                dsf = self.field_by_value.get("microsecond")
+                if dsf is not None:
+                    usec = _usec_from_fraction(ext[dsf.match_name])
+                # missing time-of-day parts default to 0 (datetime.time(**kw))
+                hour = hour.fillna(0)
+                minute = minute.fillna(0)
+                second = second.fillna(0)
+
+            # standalone tzone item applies only where the time itself
+            # carried no tz (reference header.py:96-99)
+            tzf = self.field_by_value.get("tzinfo")
+            if tzf is not None:
+                standalone = _tz_offset_seconds(ext[tzf.match_name]).astype("float")
+                tz_sec = tz_sec.where(tz_sec.notna(), standalone)
+
+        frame = pd.DataFrame({"year": year, "month": month, "day": day,
+                              "hour": hour.fillna(0), "minute": minute.fillna(0),
+                              "second": second.fillna(0)}, index=idx)
+        ok = frame[["year", "month", "day"]].notna().all(axis=1)
+        wall = pd.to_datetime(frame.where(ok), errors="coerce")
+        usec = usec.fillna(0)
+        wall = wall + pd.to_timedelta(usec, unit="us")
+        return wall, tz_sec, wall.notna()
+
+    # ------------------------------------------------------------------
+    def attr_columns(self, ext: pd.DataFrame) -> Dict[str, pd.Series]:
+        """Typed non-time attr columns for this rule's matched rows."""
+        out: Dict[str, pd.Series] = {}
+        for f in self.cr.picked:
+            vn = f.value_name
+            if vn in TIME_VALUE_NAMES or vn == "message":
+                continue
+            col = ext[f.match_name]
+            if f.kind in ("digit", "year2"):
+                val = pd.to_numeric(col, errors="coerce")
+                if f.kind == "year2":
+                    val = val + f.century * 100
+            elif f.kind == "user" and f.strip is not None:
+                val = col.str.strip(f.strip)
+            else:
+                val = col
+            out[vn] = val
+        return out
+
+
+class VectorHeaderParser:
+    """Batch header parser: ordered rules, first-match-wins mask cascade."""
+
+    def __init__(self, rules):
+        self.compiled = [compile_header_rule(r) for r in rules]
+        self.plans = [_RulePlan(cr) for cr in self.compiled]
+        self.attr_schema = attr_fields_of(rules)
+
+    def run(self, lines: pd.Series,
+            default_year: Optional[pd.Series] = None) -> pd.DataFrame:
+        """→ DataFrame indexed like ``lines`` with columns: rule_id (int16,
+        -1 = no match, -2 = empty), message (object), ts (datetime64),
+        tz_sec (float, NaN = naive), error (object), plus one typed column
+        per attr in ``attr_schema``."""
+        n = len(lines)
+        lines = lines.reset_index(drop=True)
+        stripped = lines.fillna("").str.rstrip("\r\n")
+        if default_year is not None:
+            default_year = pd.Series(
+                np.asarray(default_year, dtype="float64"))
+
+        rule_id = np.full(n, -1, dtype=np.int16)
+        message = pd.Series([None] * n, dtype=object)
+        ts = pd.Series(pd.NaT, index=range(n))
+        tz_sec = pd.Series(np.nan, index=range(n))
+        error = pd.Series([None] * n, dtype=object)
+        attrs: Dict[str, pd.Series] = {
+            name: pd.Series([None] * n,
+                            dtype="object" if dt == "str" else "float64")
+            for name, dt in self.attr_schema}
+
+        empty = stripped == ""
+        rule_id[np.flatnonzero(empty)] = -2
+        pending = ~empty
+
+        for rid, (cr, plan) in enumerate(zip(self.compiled, self.plans)):
+            if not pending.any():
+                break
+            sub = stripped[pending]
+            ext = sub.str.extract(cr.pattern)
+            matched = ext["message"].notna()
+            if not matched.any():
+                continue
+            mext = ext[matched]
+            midx = mext.index  # positions in the batch
+
+            if cr.rule.reformat_timestamp:
+                dy = default_year[midx] if default_year is not None else None
+                wall, off, ok = plan.timestamp_parts(mext, dy)
+                ts[midx] = wall
+                tz_sec[midx] = off
+                bad = midx[~ok.to_numpy(dtype=bool)]
+                if len(bad):
+                    error[bad] = "timestamp part missing"
+            message[midx] = mext["message"]
+            for name, col in plan.attr_columns(mext).items():
+                attrs[name][midx] = col
+            rule_id[midx] = rid
+            pending = pending.copy()
+            pending[midx] = False
+
+        fail_idx = np.flatnonzero(pending.to_numpy() if hasattr(pending, "to_numpy")
+                                  else pending)
+        if len(fail_idx):
+            error[fail_idx] = ("header format mismatch: "
+                               + stripped[fail_idx].str.slice(0, 50))
+
+        out = pd.DataFrame({"rule_id": rule_id, "message": message,
+                            "ts": pd.to_datetime(ts), "tz_sec": tz_sec,
+                            "error": error})
+        for name, _ in self.attr_schema:
+            out[name] = attrs[name]
+        return out
