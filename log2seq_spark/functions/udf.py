@@ -1,0 +1,111 @@
+"""Spark bindings: one Arrow-vectorized pandas UDF per rule program.
+
+The whole parse (header cascade + tokenize + separate) runs inside a
+single scalar pandas UDF returning one struct column, so raw text crosses
+the JVM↔Python boundary exactly once and downstream field accesses are
+plain columnar ``select``s. The BatchParser is compiled lazily once per
+executor process and cached by program identity (the specs are frozen /
+hashable dataclasses).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (ArrayType, IntegerType, LongType, StringType,
+                               StructField, StructType, TimestampNTZType)
+
+from ..rules.spec import RuleProgram
+from .header import attr_fields_of
+from .parse import BatchParser
+
+# executor-side compiled-program cache (one compile per process)
+_PARSER_CACHE: dict = {}
+
+
+def _parser_for(program: RuleProgram) -> BatchParser:
+    bp = _PARSER_CACHE.get(program)
+    if bp is None:
+        bp = BatchParser(program)
+        _PARSER_CACHE[program] = bp
+    return bp
+
+
+def parsed_schema(program: RuleProgram) -> StructType:
+    """Static struct schema for a program: universal fields + one typed
+    field per attr the program's rules can produce."""
+    fields = [
+        StructField("rule_id", IntegerType()),
+        StructField("ts", TimestampNTZType()),
+        StructField("tz_sec", IntegerType()),
+        StructField("message", StringType()),
+        StructField("words", ArrayType(StringType())),
+        StructField("symbols", ArrayType(StringType())),
+        StructField("error", StringType()),
+    ]
+    for name, dtype in attr_fields_of(program.header_rules):
+        fields.append(StructField(
+            name, LongType() if dtype == "int" else StringType()))
+    return StructType(fields)
+
+
+def _to_struct_frame(out: pd.DataFrame, attr_schema) -> pd.DataFrame:
+    """Cast the BatchParser frame to Arrow-friendly dtypes."""
+    res = pd.DataFrame(index=out.index)
+    res["rule_id"] = out["rule_id"].astype("int32")
+    res["ts"] = out["ts"]
+    res["tz_sec"] = out["tz_sec"].astype("Int64")
+    res["message"] = out["message"]
+    res["words"] = out["words"]
+    res["symbols"] = out["symbols"]
+    res["error"] = out["error"]
+    for name, dtype in attr_schema:
+        col = out[name]
+        res[name] = col.astype("Int64") if dtype == "int" else col
+    return res
+
+
+def parse_udf(program: RuleProgram):
+    """UDF of (text) → parsed struct, for programs with fully static
+    defaults (no per-row year fill)."""
+    schema = parsed_schema(program)
+    attr_schema = attr_fields_of(program.header_rules)
+
+    @pandas_udf(returnType=schema)
+    def _parse(text: pd.Series) -> pd.DataFrame:
+        bp = _parser_for(program)
+        return _to_struct_frame(bp.parse(text), attr_schema)
+
+    return _parse
+
+
+def parse_udf_with_year(program: RuleProgram):
+    """UDF of (text, year) → parsed struct; ``year`` feeds rules with the
+    year_from_ts policy (year taken from the row's own ts column, the
+    deterministic replacement for the reference's now().year default)."""
+    schema = parsed_schema(program)
+    attr_schema = attr_fields_of(program.header_rules)
+
+    @pandas_udf(returnType=schema)
+    def _parse(text: pd.Series, year: pd.Series) -> pd.DataFrame:
+        bp = _parser_for(program)
+        return _to_struct_frame(bp.parse(text, default_year=year), attr_schema)
+
+    return _parse
+
+
+def with_parsed(df: DataFrame, program: RuleProgram, text_col: str = "text",
+                ts_col: Optional[str] = "ts",
+                out_col: str = "parsed") -> DataFrame:
+    """Attach the parsed struct column to a DataFrame of raw lines."""
+    needs_year = any(r.year_from_ts for r in program.header_rules)
+    if needs_year and ts_col is not None:
+        udf = parse_udf_with_year(program)
+        return df.withColumn(out_col, udf(F.col(text_col), F.year(ts_col)))
+    udf = parse_udf(program)
+    return df.withColumn(out_col, udf(F.col(text_col)))
