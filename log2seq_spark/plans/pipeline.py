@@ -1,0 +1,171 @@
+"""The parse → enrich → route → aggregate pipeline (the engine's flagship
+plan; north rule of BASELINE.json).
+
+Plan shape (all DataFrame ops; the parse UDF is the only Python):
+
+1. bucket turns by ``pmod(xxhash64(conv_id), n_buckets)`` (checkpoint /
+   resume granularity) and drop buckets already in the manifest;
+2. salted repartition on ``(conv_id, turn_idx div chunk)`` — long
+   conversations split across partitions so one 10k-turn conversation
+   cannot stall a whole executor — then ``sortWithinPartitions(conv_id,
+   turn_idx)`` for stable turn order (per-turn checks are keyed, so the
+   chunk salt never breaks correctness);
+3. one Arrow-vectorized parse UDF → struct column (text crosses the
+   JVM↔Python boundary once);
+4. broadcast hash joins against the tiny role/tool/severity dictionaries
+   (no shuffle);
+5. routing: ``sink = severity_band + '-' + sink_hint`` (quarantine for
+   parse failures / empties) — fan-out is ONE scan writing
+   ``partitionBy(sink, bucket)`` with dynamic partition overwrite, never
+   one scan per sink;
+6. aggregates per bucket (sink counts, token counts, template counts) off
+   the same persisted frame;
+7. per-bucket manifest records appended last (commit point).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..rules.presets import default_program
+from ..rules.spec import RuleProgram
+from ..functions.udf import with_parsed
+from ..sources.transcripts import role_dim, tool_dim, severity_dim
+from . import manifest as mf
+
+ROUTED = "routed"
+AGG_SINK = "agg_sink_counts"
+AGG_TOKEN = "agg_token_counts"
+AGG_TEMPLATE = "agg_template_counts"
+
+# variable masking for template ids: IPs / hex runs / numbers → placeholders
+_MASK = ("transform(parsed.words, w -> "
+         " CASE WHEN w rlike '^(\\\\d{1,3}\\\\.){3}\\\\d{1,3}$' THEN '<ip>'"
+         "      WHEN w rlike '^[0-9a-fA-F:]*:[0-9a-fA-F:]+$' THEN '<ip6>'"
+         "      WHEN w rlike '^[0-9a-fA-F]{2}(:[0-9a-fA-F]{2})+$' THEN '<hex>'"
+         "      WHEN w rlike '^[0-9]+$' THEN '<num>'"
+         "      WHEN w rlike '^[0-9]+(\\\\.[0-9]+)+$' THEN '<ver>'"
+         "      ELSE w END)")
+
+
+@dataclass
+class PipelineConfig:
+    out_dir: str
+    n_buckets: int = 64
+    turn_chunk: int = 4096       # skew salt: split convs into chunks this long
+    partitions: Optional[int] = None
+    program: RuleProgram = field(default_factory=default_program)
+    input_id: str = "transcripts"
+    write_tokens: bool = True
+    write_templates: bool = True
+
+
+@dataclass
+class PipelineResult:
+    lineage_id: str
+    buckets_processed: List[int]
+    buckets_skipped: List[int]
+    metrics: Dict
+
+
+def enriched_turns(spark: SparkSession, turns: DataFrame,
+                   cfg: PipelineConfig) -> DataFrame:
+    """parse + enrich + route; no writes. The returned frame carries
+    bucket, sink, severity and the flattened parsed fields."""
+    p = cfg.partitions or spark.sparkContext.defaultParallelism
+    df = turns.withColumn(
+        "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(cfg.n_buckets)).cast("int"))
+    # salted repartition + stable within-partition turn order
+    df = (df.repartition(p, "conv_id",
+                         (F.col("turn_idx") / cfg.turn_chunk).cast("int"))
+            .sortWithinPartitions("conv_id", "turn_idx"))
+    df = with_parsed(df, cfg.program, text_col="text", ts_col="ts")
+
+    ok = F.col("parsed.message").isNotNull()
+    severity = F.when(ok, F.element_at("parsed.words", 3)).otherwise(F.lit(None))
+    df = df.withColumn("severity", severity)
+    df = (df.join(F.broadcast(role_dim(spark)), "role", "left")
+            .join(F.broadcast(tool_dim(spark)), "tool", "left")
+            .join(F.broadcast(severity_dim(spark)), "severity", "left"))
+    sink = (F.when(~ok, F.lit("quarantine"))
+             .when(F.col("severity_band").isNull(), F.lit("unrouted"))
+             .otherwise(F.concat_ws("-", "severity_band",
+                                    F.coalesce("sink_hint", F.lit("chat")))))
+    return df.withColumn("sink", sink)
+
+
+def run_pipeline(spark: SparkSession, turns: DataFrame,
+                 cfg: PipelineConfig, resume: bool = True) -> PipelineResult:
+    lineage = mf.lineage_id(cfg.program, cfg.input_id, cfg.n_buckets)
+    done = mf.completed_buckets(cfg.out_dir, lineage) if resume else set()
+
+    df = enriched_turns(spark, turns, cfg)
+    if done:
+        df = df.filter(~F.col("bucket").isin(sorted(done)))
+    df = df.persist()
+
+    # partial writes from a crashed run are healed by dynamic overwrite
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    routed_cols = ["conv_id", "turn_idx", "role", "tool", "ts",
+                   F.col("parsed.ts").alias("parsed_ts"),
+                   F.col("parsed.tz_sec").alias("tz_sec"),
+                   F.col("parsed.host").alias("host"),
+                   F.col("parsed.message").alias("message"),
+                   F.col("parsed.words").alias("words"),
+                   F.col("parsed.symbols").alias("symbols"),
+                   F.col("parsed.rule_id").alias("rule_id"),
+                   F.col("parsed.error").alias("error"),
+                   "severity", "role_group", "tool_family",
+                   "sink", "bucket"]
+    (df.select(*routed_cols)
+       .write.mode("overwrite").partitionBy("sink", "bucket")
+       .parquet(os.path.join(cfg.out_dir, ROUTED)))
+
+    (df.groupBy("bucket", "sink").agg(F.count("*").alias("n_rows"))
+       .write.mode("overwrite").partitionBy("bucket")
+       .parquet(os.path.join(cfg.out_dir, AGG_SINK)))
+
+    if cfg.write_tokens:
+        (df.filter(F.col("parsed.message").isNotNull())
+           .select("bucket", "sink", F.explode("parsed.words").alias("token"))
+           .groupBy("bucket", "sink", "token").agg(F.count("*").alias("n"))
+           .write.mode("overwrite").partitionBy("bucket")
+           .parquet(os.path.join(cfg.out_dir, AGG_TOKEN)))
+
+    if cfg.write_templates:
+        tid = F.md5(F.concat_ws("\x1e", F.expr(_MASK)))
+        (df.filter(F.col("parsed.message").isNotNull())
+           .withColumn("template_id", tid)
+           .groupBy("bucket", "template_id")
+           .agg(F.count("*").alias("n"),
+                F.min(F.concat_ws(" ", F.expr(_MASK))).alias("template"))
+           .write.mode("overwrite").partitionBy("bucket")
+           .parquet(os.path.join(cfg.out_dir, AGG_TEMPLATE)))
+
+    # per-bucket metrics → manifest (the commit point, written LAST)
+    stats = (df.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("parsed.message").isNotNull(), 1).otherwise(0)).alias("n_ok"),
+        F.sum(F.when(F.col("parsed.error").isNotNull(), 1).otherwise(0)).alias("n_fail"),
+        F.sum(F.when(F.col("parsed.rule_id") == -2, 1).otherwise(0)).alias("n_empty"),
+        F.sum(F.coalesce(F.size("parsed.words"), F.lit(0))).alias("n_tokens"),
+    ).collect())
+    df.unpersist()
+
+    records = [{"bucket": r["bucket"], "n_rows": r["n_rows"], "n_ok": r["n_ok"],
+                "n_fail": r["n_fail"], "n_empty": r["n_empty"],
+                "n_tokens": r["n_tokens"]} for r in stats]
+    mf.append_bucket_records(cfg.out_dir, lineage, records)
+
+    totals = {k: int(sum(r[k] for r in records))
+              for k in ("n_rows", "n_ok", "n_fail", "n_empty", "n_tokens")}
+    return PipelineResult(lineage_id=lineage,
+                          buckets_processed=sorted(r["bucket"] for r in records),
+                          buckets_skipped=sorted(done),
+                          metrics=totals)

@@ -1,0 +1,141 @@
+"""End-to-end Spark pipeline tests on the deterministic synthetic
+transcripts: per-turn byte-exact equality vs the pure oracle, routing /
+aggregate counts vs an independent oracle computation, and the
+checkpoint-manifest resume contract."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from log2seq_spark.rules import LineEngine, ParseFailure
+from log2seq_spark.rules.presets import default_program
+from log2seq_spark.sources.transcripts import transcripts
+from log2seq_spark.plans.pipeline import (PipelineConfig, run_pipeline,
+                                          enriched_turns)
+from log2seq_spark.plans import manifest as mf
+
+N_CONVS = 120  # ≈ 1.3k turns with the skewed length mix
+
+
+@pytest.fixture(scope="module")
+def turns(spark):
+    df = transcripts(spark, N_CONVS, seed=42, partitions=8).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def _oracle_rows(turns_df):
+    """Single-process reimplementation over the collected turns."""
+    program = default_program()
+    rows = turns_df.select("conv_id", "turn_idx", "text", "ts").collect()
+    engines = {}
+    out = {}
+    for r in rows:
+        year = r["ts"].year
+        eng = engines.get(year)
+        if eng is None:
+            eng = LineEngine(program, default_year=year)
+            engines[year] = eng
+        try:
+            parsed = eng.parse_line(r["text"])
+        except ParseFailure:
+            parsed = {"error": "fail"}
+        out[(r["conv_id"], r["turn_idx"])] = (r["text"], parsed)
+    return out
+
+
+class TestPipelineEquality:
+    def test_generator_shape(self, turns):
+        n = turns.count()
+        assert n > 500
+        assert turns.columns == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+        assert turns.select("conv_id").distinct().count() == N_CONVS
+
+    def test_per_turn_equality_vs_oracle(self, spark, turns):
+        oracle = _oracle_rows(turns)
+        got = enriched_turns(spark, turns, PipelineConfig(out_dir="unused")) \
+            .select("conv_id", "turn_idx", "parsed.*").collect()
+        assert len(got) == len(oracle)
+        n_ok = 0
+        for row in got:
+            text, exp = oracle[(row["conv_id"], row["turn_idx"])]
+            if exp is None:               # empty line
+                assert row["rule_id"] == -2
+                continue
+            if "error" in exp and "words" not in exp:
+                assert row["error"] is not None
+                continue
+            assert row["message"] == exp["message"], text
+            assert row["words"] == exp["words"], text
+            assert row["symbols"] == exp["symbols"], text
+            assert row["host"] == exp.get("host"), text
+            # byte-exact reconstruction per turn
+            w, s = row["words"], row["symbols"]
+            assert len(s) == len(w) + 1
+            rebuilt = s[0] + "".join(a + b for a, b in zip(w, s[1:]))
+            assert rebuilt == row["message"]
+            wall = exp["timestamp"].replace(tzinfo=None)
+            assert row["ts"] == wall, text
+            n_ok += 1
+        assert n_ok > 0.9 * len(got)
+
+    def test_routing_and_aggregates(self, spark, turns, tmpdir_path):
+        cfg = PipelineConfig(out_dir=tmpdir_path, n_buckets=8, partitions=8)
+        res = run_pipeline(spark, turns, cfg, resume=False)
+        n = turns.count()
+        assert res.metrics["n_rows"] == n
+        assert res.metrics["n_ok"] + res.metrics["n_fail"] + res.metrics["n_empty"] == n
+
+        routed = spark.read.parquet(os.path.join(tmpdir_path, "routed"))
+        assert routed.count() == n
+        # quarantine = failures + empties
+        nq = routed.filter(F.col("sink") == "quarantine").count()
+        assert nq == res.metrics["n_fail"] + res.metrics["n_empty"]
+        # sink counts table agrees with routed data
+        sc = spark.read.parquet(os.path.join(tmpdir_path, "agg_sink_counts"))
+        lhs = {(r["sink"], r["bucket"]): r["n_rows"] for r in sc.collect()}
+        rhs = {(r["sink"], r["bucket"]): r["cnt"]
+               for r in routed.groupBy("sink", "bucket")
+                              .agg(F.count("*").alias("cnt")).collect()}
+        assert lhs == rhs
+        # token counts: total equals sum over words
+        tc = spark.read.parquet(os.path.join(tmpdir_path, "agg_token_counts"))
+        assert tc.agg(F.sum("n")).first()[0] == res.metrics["n_tokens"]
+        # oracle cross-check of ok/fail counters
+        oracle = _oracle_rows(turns)
+        exp_ok = sum(1 for _, (t, p) in oracle.items()
+                     if p is not None and "words" in p)
+        assert res.metrics["n_ok"] == exp_ok
+
+    def test_resume_skips_completed_buckets(self, spark, turns, tmpdir_path):
+        cfg = PipelineConfig(out_dir=tmpdir_path, n_buckets=8, partitions=8)
+        # simulate a prior partial run: only buckets {0..3} committed
+        first = turns.withColumn(
+            "bucket", F.pmod(F.xxhash64("conv_id"), F.lit(8)).cast("int"))
+        subset = first.filter("bucket < 4").drop("bucket")
+        res1 = run_pipeline(spark, subset, cfg, resume=True)
+        assert set(res1.buckets_processed) <= set(range(4))
+
+        # full rerun resumes: completed buckets skipped, rest processed
+        res2 = run_pipeline(spark, turns, cfg, resume=True)
+        assert set(res2.buckets_skipped) == set(res1.buckets_processed)
+        assert not (set(res2.buckets_processed) & set(res1.buckets_processed))
+
+        # final state identical to a one-shot run in a fresh dir
+        fresh = tmpdir_path + "_fresh"
+        run_pipeline(spark, turns,
+                     PipelineConfig(out_dir=fresh, n_buckets=8, partitions=8),
+                     resume=False)
+        a = spark.read.parquet(os.path.join(tmpdir_path, "routed"))
+        b = spark.read.parquet(os.path.join(fresh, "routed"))
+        assert a.count() == b.count()
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+
+        # manifest carries per-bucket lineage + metrics
+        recs = mf.read_manifest(tmpdir_path)
+        assert all("lineage_id" in r and "n_rows" in r for r in recs)
+        total = sum(r["n_rows"] for r in recs)
+        assert total == turns.count()
