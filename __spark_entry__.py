@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship parse query on sf0.001;
+``queries()`` exposes one callable per implemented operator (SURVEY.md §2
++ the training-data operator set); ``oracle_sql()`` gives the DuckDB
+replay of each SQL-expressible query. Column names/aliases match between
+both sides; aggregates use exact decimal arithmetic before a final cast
+to double so cross-engine value hashes agree bit-for-bit.
 """
 
 from __future__ import annotations
@@ -12,27 +13,424 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from log2seq_spark.rules.presets import default_program, default_actions
+from log2seq_spark.functions.udf import with_parsed, tokenize_words_udf
+from log2seq_spark.operators import dedup, similarity, textstats
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# parse / tokenize / route (the log2seq core, over driver tables)
+# ---------------------------------------------------------------------------
+
+def _synth_line(ev: DataFrame):
+    """Deterministic syslog-shaped line from events columns (so a SQL
+    oracle can predict every parsed field)."""
+    return F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"), F.lit(" host-"),
+        F.pmod("user_id", F.lit(50)).cast("string"), F.lit(".example.org "),
+        F.col("event_type"), F.lit("["), F.col("event_id").cast("string"),
+        F.lit("]: INFO checkpoint "),
+        F.pmod("event_id", F.lit(97)).cast("string"), F.lit(" written"))
+
+
+def q_parse_syslog_extract(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select("event_id", _synth_line(ev).alias("text"), "ts")
+    parsed = with_parsed(lines, default_program(), text_col="text", ts_col="ts")
+    return parsed.select(
+        "event_id",
+        F.col("parsed.host").alias("host"),
+        F.col("parsed.message").alias("message"),
+        F.date_format("parsed.ts", "yyyy-MM-dd HH:mm:ss").alias("parsed_ts"),
+        F.array_join("parsed.words", " ").alias("words_joined"),
+        F.array_join("parsed.symbols", "|").alias("symbols_joined"))
+
+
+_SQL_PARSE = """
+SELECT event_id,
+       'host-' || (user_id % 50) || '.example.org' AS host,
+       event_type || '[' || event_id || ']: INFO checkpoint '
+                  || (event_id % 97) || ' written' AS message,
+       strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS parsed_ts,
+       event_type || ' ' || event_id || ' INFO checkpoint '
+                  || (event_id % 97) || ' written' AS words_joined,
+       '|[|]: | | | |' AS symbols_joined
+FROM events
+"""
+
+
+def q_tokenize_token_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    tok = tokenize_words_udf(default_actions())
+    return (docs.select(F.explode(tok(F.col("text"))).alias("token"))
+                .groupBy("token").agg(F.count("*").alias("n")))
+
+
+_SQL_TOKENIZE = """
+SELECT t AS token, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+WHERE t <> '' GROUP BY 1
+"""
+
+
+def q_route_severity_counts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [("error", "high"), ("purchase", "mid"), ("signup", "mid"),
+         ("click", "low"), ("view", "low")],
+        "event_type string, band string")
+    return (ev.join(F.broadcast(dim), "event_type", "left")
+              .groupBy("band")
+              .agg(F.count("*").alias("n_events"),
+                   F.sum(F.col("value").cast("decimal(18,2)"))
+                    .cast("double").alias("total_value")))
+
+
+_SQL_ROUTE = """
+SELECT CASE event_type WHEN 'error' THEN 'high'
+                       WHEN 'purchase' THEN 'mid' WHEN 'signup' THEN 'mid'
+                       ELSE 'low' END AS band,
+       count(*) AS n_events,
+       cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational core: aggregate / join / window / sort-limit
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+              .groupBy("l_returnflag", "l_linestatus")
+              .agg(F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+                   F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+                   F.sum(dec("l_extendedprice")
+                         * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
+                    .cast("double").alias("sum_disc_price"),
+                   F.count("*").alias("count_order")))
+
+
+_SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       cast(sum(cast(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
+       cast(sum(cast(l_extendedprice AS decimal(18,2))) AS double) AS sum_base_price,
+       cast(sum(cast(l_extendedprice AS decimal(18,2))
+                * cast(1 - l_discount AS decimal(18,2))) AS double) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= timestamp '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_topk(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+              .groupBy("o_orderkey")
+              .agg(F.sum(rev).cast("double").alias("revenue"))
+              .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+              .limit(10))
+
+
+_SQL_REVENUE = """
+SELECT o_orderkey,
+       cast(sum(cast(l_extendedprice AS decimal(18,2))
+                * cast(1 - l_discount AS decimal(18,2))) AS double) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6)
+    gap = epoch - F.lag(epoch).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0)
+    return (ev.withColumn("new_session", new_session)
+              .groupBy("user_id")
+              .agg(F.sum("new_session").alias("n_sessions"),
+                   F.count("*").alias("n_events")))
+
+
+_SQL_SESSIONIZE = """
+SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+FROM (
+  SELECT user_id,
+         CASE WHEN lag(epoch(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) IS NULL
+                OR epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) > 1800.0
+              THEN 1 ELSE 0 END AS new_session
+  FROM events)
+GROUP BY user_id
+"""
+
+
+def q_enrich_events_customers(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    cust = _t(spark, sf_dir, "customer")
+    return (ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey, "left")
+              .groupBy("c_mktsegment")
+              .agg(F.count("*").alias("n_events"),
+                   F.countDistinct("user_id").alias("n_users"),
+                   F.sum(F.col("value").cast("decimal(18,2)"))
+                    .cast("double").alias("total_value")))
+
+
+_SQL_ENRICH = """
+SELECT c_mktsegment,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value
+FROM events LEFT JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup / similarity / text analysis (training-data operators)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
+
+
+_SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+"""
+
+_NORM = ("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
+         " ' +', ' ', 'g'))")
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_near_duplicates(
+        _t(spark, sf_dir, "documents"), n_hashes=8, bands=4, shingle_n=3)
+
+
+_SQL_MINHASH = f"""
+WITH norm AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         [array_to_string(w[i:i+2], ' ')
+          for i in generate_series(1, greatest(len(w) - 2, 1))] AS shingles
+  FROM norm
+), sig AS (
+  SELECT doc_id,
+         [list_aggregate([md5(s || '#' || x) for x in shingles], 'min')
+          for s in generate_series(1, 8)] AS sig
+  FROM sh WHERE len(shingles) > 0
+), banded AS (
+  SELECT doc_id, band,
+         md5(array_to_string(sig[band * 2 + 1 : band * 2 + 2], '|')) AS band_hash
+  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band)
+)
+SELECT band, band_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+FROM banded GROUP BY band, band_hash HAVING count(*) > 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return (dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
+                                      shingle_n=3, threshold=0.35)
+            .withColumn("jaccard", F.round("jaccard", 6)))
+
+
+_SQL_JACCARD = f"""
+WITH norm AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(w[i:i+2], ' ')
+                        for i in generate_series(1, greatest(len(w) - 2, 1))]) AS shingles
+  FROM norm
+), posts AS (
+  SELECT doc_id, len(shingles) AS n, unnest(shingles) AS shingle
+  FROM sh WHERE len(shingles) > 0
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
+         count(*) AS n_common
+  FROM posts a JOIN posts b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       round(n_common / (n_a + n_b - n_common), 6) AS jaccard
+FROM pairs
+WHERE n_common / (n_a + n_b - n_common) >= 0.35
+"""
+
+
+def q_simhash(spark, sf_dir):
+    """64-bit simhash per doc (no SQL oracle: base-16 conv is not
+    portable ANSI SQL → driver records rows-only)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.with_simhash(docs, "text").select("doc_id", "simhash")
+
+
+def q_knn_brute(spark, sf_dir):
+    embs = _t(spark, sf_dir, "embeddings")
+    qvec = embs.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = similarity.cosine_topk(embs, qvec, k=20)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+_SQL_KNN = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], qv::DOUBLE[])
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))), 6) AS cosine
+FROM embeddings, q
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 20
+"""
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    out = dedup.embedding_near_duplicates(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+_SQL_EMB_NEAR_DUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+             6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.35
+"""
+
+
+def q_textstats_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.quality_features(docs, "text").select(
+        "doc_id", "n_tokens", "mean_token_len", "punct_ratio",
+        "stopword_ratio", "quality_score")
+
+
+_SQL_QUALITY = """
+WITH base AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+         len(list_filter(string_split(text, ' '),
+             t -> list_contains(['the','and','of','to','a','in','is','that'],
+                                lower(t)))) AS stop_hits
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       round((n_chars - (n_tokens - 1)) / greatest(n_tokens, 1), 4) AS mean_token_len,
+       round(n_punct / greatest(n_chars, 1), 4) AS punct_ratio,
+       round(stop_hits / greatest(n_tokens, 1), 4) AS stopword_ratio,
+       (CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 0.25 ELSE 0.0 END
+        + CASE WHEN (n_chars - (n_tokens - 1)) / greatest(n_tokens, 1)
+                    BETWEEN 2 AND 12 THEN 0.25 ELSE 0.0 END
+        + CASE WHEN n_punct / greatest(n_chars, 1) <= 0.2 THEN 0.25 ELSE 0.0 END
+        + CASE WHEN stop_hits / greatest(n_tokens, 1) >= 0.05
+               THEN 0.25 ELSE 0.0 END) AS quality_score
+FROM base
+"""
+
+
+def q_lang_id_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (textstats.lang_id(docs, "text")
+            .groupBy("lang", "predicted_lang")
+            .agg(F.count("*").alias("n")))
+
+
+def q_fingerprint_sources(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (textstats.fingerprint(docs, "text")
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("fingerprint").alias("n_distinct_fp")))
+
+
+_SQL_FINGERPRINT = f"""
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT md5({_NORM})) AS n_distinct_fp
+FROM documents GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# the contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full header-parse + tokenize of syslog-shaped lines."""
+    return q_parse_syslog_extract(spark, SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "parse_syslog_extract": q_parse_syslog_extract,
+        "tokenize_token_counts": q_tokenize_token_counts,
+        "route_severity_counts": q_route_severity_counts,
+        "pricing_summary": q_pricing_summary,
+        "revenue_topk": q_revenue_topk,
+        "sessionize": q_sessionize,
+        "enrich_events_customers": q_enrich_events_customers,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "simhash": q_simhash,
+        "knn_brute": q_knn_brute,
+        "embedding_near_dup": q_embedding_near_dup,
+        "textstats_quality": q_textstats_quality,
+        "lang_id_counts": q_lang_id_counts,
+        "fingerprint_sources": q_fingerprint_sources,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "parse_syslog_extract": _SQL_PARSE,
+        "tokenize_token_counts": _SQL_TOKENIZE,
+        "route_severity_counts": _SQL_ROUTE,
+        "pricing_summary": _SQL_PRICING,
+        "revenue_topk": _SQL_REVENUE,
+        "sessionize": _SQL_SESSIONIZE,
+        "enrich_events_customers": _SQL_ENRICH,
+        "dedup_exact": _SQL_DEDUP_EXACT,
+        "dedup_minhash_lsh": _SQL_MINHASH,
+        "dedup_ngram_jaccard": _SQL_JACCARD,
+        # simhash: rows-only (base-16 conv not portable to ANSI SQL)
+        "knn_brute": _SQL_KNN,
+        "embedding_near_dup": _SQL_EMB_NEAR_DUP,
+        "textstats_quality": _SQL_QUALITY,
+        # lang_id_counts: rows-only for now (argmax tie-break replication)
+        "fingerprint_sources": _SQL_FINGERPRINT,
+    }

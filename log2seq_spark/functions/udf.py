@@ -99,6 +99,29 @@ def parse_udf_with_year(program: RuleProgram):
     return _parse
 
 
+_TOKENIZER_CACHE: dict = {}
+
+
+def tokenize_words_udf(actions: tuple):
+    """UDF of (statement) → array<string> words, running only the
+    statement-action pipeline (no header cascade). ``actions`` must be the
+    hashable tuple of Action specs."""
+    from .tokenizer import VectorTokenizer
+
+    @pandas_udf(returnType=ArrayType(StringType()))
+    def _tok(statements: pd.Series) -> pd.Series:
+        vt = _TOKENIZER_CACHE.get(actions)
+        if vt is None:
+            vt = VectorTokenizer(actions)
+            _TOKENIZER_CACHE[actions] = vt
+        words, _ = vt.run(statements)
+        out = pd.Series(words, dtype=object)
+        out[statements.isna().to_numpy()] = None
+        return out
+
+    return _tok
+
+
 def with_parsed(df: DataFrame, program: RuleProgram, text_col: str = "text",
                 ts_col: Optional[str] = "ts",
                 out_col: str = "parsed") -> DataFrame:

@@ -1,0 +1,84 @@
+"""Text analysis operators: token counting, quality scoring, language-ID
+heuristic, document fingerprinting. All built-in-function DataFrame plans
+(ANSI-SQL-expressible, so DuckDB oracles replay them exactly)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalized_text
+
+# tiny stopword inventories for the n-gram/lexicon language heuristic
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "une", "pas"],
+    "es": ["el", "la", "los", "y", "es", "una", "que"],
+}
+
+EN_STOPWORDS = LANG_MARKERS["en"]
+
+
+def tokens_expr(text_col):
+    """Whitespace tokens of the raw text (empties dropped)."""
+    return F.filter(F.split(text_col, r"\s+"), lambda t: t != "")
+
+
+def bpe_ish_token_count(text_col):
+    """Sub-word-ish token estimate: count of maximal runs matching a
+    BPE-flavored regex (letters | digits | single non-space symbol)."""
+    runs = F.filter(
+        F.split(text_col, r"(?<=[A-Za-z0-9])(?=[^A-Za-z0-9])"
+                          r"|(?<=[^A-Za-z0-9])(?=[A-Za-z0-9])|\s+"),
+        lambda t: t != "")
+    return F.size(runs)
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc quality features + a composite score in [0, 1]:
+    length band, mean token length sanity, punctuation ratio, stopword
+    ratio. One narrow projection, no shuffle."""
+    toks = tokens_expr(F.col(text_col))
+    n_tokens = F.size(toks)
+    n_chars = F.length(text_col)
+    mean_tok_len = (n_chars - (n_tokens - 1)) / F.greatest(n_tokens, F.lit(1))
+    n_punct = F.length(F.regexp_replace(text_col, r"[A-Za-z0-9\s]", ""))
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    stop_hits = F.size(F.filter(
+        toks, lambda t: F.lower(t).isin(EN_STOPWORDS)))
+    stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1))
+    score = (F.when((n_tokens >= 5) & (n_tokens <= 100000), 0.25).otherwise(0.0)
+             + F.when((mean_tok_len >= 2) & (mean_tok_len <= 12), 0.25).otherwise(0.0)
+             + F.when(punct_ratio <= 0.2, 0.25).otherwise(0.0)
+             + F.when(stop_ratio >= 0.05, 0.25).otherwise(0.0))
+    return docs.select(
+        "*",
+        n_tokens.alias("n_tokens"),
+        F.round(mean_tok_len, 4).alias("mean_token_len"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        score.alias("quality_score"))
+
+
+def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-word language heuristic: argmax of per-language marker hits
+    (ties + zero hits → 'und'). Deterministic, vectorized, shuffle-free."""
+    toks = F.transform(tokens_expr(F.col(text_col)), F.lower)
+    hit_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        hits = F.size(F.filter(toks, lambda t: t.isin(markers)))
+        hit_cols.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    # array_max picks (max hits, then lexicographically greatest lang) —
+    # make ordering deterministic by sorting input order. For a strict
+    # tie-break on lang name keep struct order (hits, lang).
+    best = F.array_max(F.array(*hit_cols))
+    pred = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return docs.select("*", pred.alias("predicted_lang"))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical content fingerprint: md5 of the normalized text (the
+    rolling-hash analog for exact-after-normalization identity)."""
+    return docs.select(
+        "*", F.md5(normalized_text(F.col(text_col))).alias("fingerprint"))
