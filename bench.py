@@ -1,0 +1,100 @@
+"""Per-round benchmark harness.
+
+Times (a) the flagship parse→enrich→route→aggregate pipeline over a
+cached deterministic transcripts table and (b) every driver query at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1), on
+``local[$SPARK_GRAFT_CPUS]``. Prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ...,
+     "pipeline": {...turns/s details...}}
+
+Generation of the transcripts input is cached on disk and excluded from
+timing (BASELINE.md protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+BENCH_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", 1_500_000))
+DATA_DIR = os.path.join(REPO, ".data")
+
+# mean conversation length under the FIXTURES.md skew mix ≈ 82 turns
+MEAN_CONV_LEN = 82
+
+
+def ensure_turns(spark, n_turns: int) -> str:
+    from log2seq_spark.sources.transcripts import write_transcripts
+    n_convs = max(200, n_turns // MEAN_CONV_LEN)
+    path = os.path.join(DATA_DIR, f"bench_turns_{n_convs}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_transcripts(spark, path, n_convs, seed=42,
+                          partitions=CPUS * 2)
+    return path
+
+
+def time_pipeline(spark, turns_path: str) -> dict:
+    from log2seq_spark.plans.pipeline import PipelineConfig, run_pipeline
+    out_dir = os.path.join(DATA_DIR, "bench_out")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    turns = spark.read.parquet(turns_path)
+    n = turns.count()
+    cfg = PipelineConfig(out_dir=out_dir, n_buckets=64, partitions=CPUS * 2,
+                         input_id=turns_path)
+    t0 = time.monotonic()
+    res = run_pipeline(spark, turns, cfg, resume=False)
+    wall = time.monotonic() - t0
+    return {"rows": n, "seconds": round(wall, 3),
+            "turns_per_sec": round(n / wall, 1),
+            "n_ok": res.metrics["n_ok"], "n_fail": res.metrics["n_fail"]}
+
+
+def time_queries(spark) -> dict:
+    import __spark_entry__ as entrymod
+    out = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.monotonic()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def main():
+    from log2seq_spark.session import get_spark
+    spark = get_spark(app_name="log2seq-spark-bench",
+                      master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS * 2)
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        turns_path = ensure_turns(spark, BENCH_TURNS)
+        pipe = time_pipeline(spark, turns_path)
+        queries = time_queries(spark)
+        total = round(pipe["seconds"] + sum(queries.values()), 3)
+        line = {
+            "metric": "pipeline+queries wall seconds (parse->enrich->route->aggregate "
+                      f"over {pipe['rows']} turns + all driver queries)",
+            "value": total,
+            "unit": "sec",
+            "queries": {"pipeline": pipe["seconds"], **queries},
+            "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+            "pipeline": pipe,
+            "cpus": CPUS,
+        }
+        print(json.dumps(line))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -39,24 +39,28 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text",
 
 
 def word_shingles(text_col, n: int = 3):
-    """Array of word n-gram shingles of the normalized text."""
+    """Array of word n-gram shingles of the normalized text. NOTE: prefer
+    :func:`shingle_rows` in plans — array-expression shingling inlines the
+    split per reference and blows up codegen when reused (e.g. once per
+    MinHash seed)."""
     words = F.split(normalized_text(text_col), " ")
-    return F.expr(
-        f"transform(sequence(1, greatest(size(split(trim(regexp_replace("
-        f"regexp_replace(lower({text_col}), '[^a-z0-9 ]', ' '), ' +', ' ')), ' ')) - {n} + 1, 1)), "
-        f"i -> array_join(slice(split(trim(regexp_replace(regexp_replace("
-        f"lower({text_col}), '[^a-z0-9 ]', ' '), ' +', ' ')), ' '), i, {n}), ' '))")
-
-
-def minhash_signature(text_col, n_hashes: int = 8, shingle_n: int = 3):
-    """Array of ``n_hashes`` MinHash values: for seed s, the minimum of
-    ``md5(s || '#' || shingle)`` over the document's shingles. md5-based so
-    an ANSI-SQL oracle reproduces it bit-for-bit."""
-    sh = word_shingles(text_col, shingle_n)
     return F.transform(
-        F.sequence(F.lit(1), F.lit(n_hashes)),
-        lambda s: F.array_min(F.transform(
-            sh, lambda x: F.md5(F.concat(s.cast("string"), F.lit("#"), x)))))
+        F.sequence(F.lit(1), F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(words, i, n), " "))
+
+
+def shingle_rows(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", shingle_n: int = 3) -> DataFrame:
+    """(_id, pos, shingle) rows — shingles materialized ONCE per doc, the
+    scalable base for MinHash / Jaccard (aggregation-shaped, not
+    nested-array-expression-shaped)."""
+    words = F.split(normalized_text(F.col(text_col)), " ")
+    sh = F.transform(
+        F.sequence(F.lit(1),
+                   F.greatest(F.size("_w") - F.lit(shingle_n - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice("_w", i, shingle_n), " "))
+    return (docs.select(F.col(id_col).alias("_id"), words.alias("_w"))
+                .select("_id", F.posexplode(sh).alias("pos", "shingle")))
 
 
 def minhash_near_duplicates(docs: DataFrame, text_col: str = "text",
@@ -64,20 +68,30 @@ def minhash_near_duplicates(docs: DataFrame, text_col: str = "text",
                             bands: int = 4, shingle_n: int = 3) -> DataFrame:
     """MinHash + LSH banding: docs sharing any band of the signature land
     in one bucket; buckets with >1 doc are near-duplicate candidates.
-    Returns (band, band_hash, n_docs, keep_id). The only shuffle is the
-    bucket groupBy — no pairwise join."""
+    Returns (band, band_hash, n_docs, keep_id).
+
+    Shaped as aggregations over exploded (doc, seed, shingle) rows — the
+    min per (doc, seed) is a map-side-combining groupBy, so cost scales
+    with total shingles, and the only other shuffle is the tiny bucket
+    groupBy. For seed s the hash is ``md5(s || '#' || shingle)``: an
+    ANSI-SQL oracle reproduces the signature bit-for-bit."""
     rows_per_band = n_hashes // bands
-    sig = minhash_signature(text_col, n_hashes, shingle_n)
-    d = docs.withColumn("_sig", sig).filter(F.size("_sig") > 0)
-    band_ix = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
-    d = d.select(id_col, "_sig", band_ix)
+    sh = shingle_rows(docs, text_col, id_col, shingle_n)
+    seeded = sh.select(
+        "_id", "shingle",
+        F.explode(F.sequence(F.lit(1), F.lit(n_hashes))).alias("seed"))
+    mh = (seeded
+          .groupBy("_id", "seed")
+          .agg(F.min(F.md5(F.concat(F.col("seed").cast("string"),
+                                    F.lit("#"), F.col("shingle")))).alias("mh"))
+          .withColumn("band", ((F.col("seed") - 1) / rows_per_band).cast("int")))
     band_hash = F.md5(F.array_join(
-        F.slice("_sig", F.col("band") * rows_per_band + 1, rows_per_band),
-        "|"))
-    return (d.withColumn("band_hash", band_hash)
-             .groupBy("band", "band_hash")
-             .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
-             .filter(F.col("n_docs") > 1))
+        F.transform(F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                    lambda x: x["mh"]), "|"))
+    return (mh.groupBy("_id", "band").agg(band_hash.alias("band_hash"))
+              .groupBy("band", "band_hash")
+              .agg(F.count("*").alias("n_docs"), F.min("_id").alias("keep_id"))
+              .filter(F.col("n_docs") > 1))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
@@ -88,13 +102,11 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     shingles (inverted-index join, never a cross join). Returns
     (id_a, id_b, jaccard). At scale, cap postings per shingle / shingles
     per doc to bound the candidate space."""
-    base = (docs.select(F.col(id_col).alias("_id"),
-                        F.slice(word_shingles(text_col, shingle_n), 1,
-                                max_shingles_per_doc).alias("_sh"))
-                .filter(F.size("_sh") > 0)
-                .withColumn("_sh", F.array_distinct("_sh"))
-                .withColumn("_n", F.size("_sh")))
-    posts = base.select("_id", "_n", F.explode("_sh").alias("shingle"))
+    sh = (shingle_rows(docs, text_col, id_col, shingle_n)
+          .filter(F.col("pos") < max_shingles_per_doc)
+          .select("_id", "shingle").distinct())
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
+    posts = sh.join(sizes, "_id")
     a = posts.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a"),
                      "shingle")
     b = posts.select(F.col("_id").alias("id_b"), F.col("_n").alias("n_b"),
@@ -137,7 +149,7 @@ def embedding_near_duplicates(embs: DataFrame, vec_col: str = "embedding",
     restricted to a random-hyperplane LSH bucket (sign of dot products with
     md5-derived pseudo-random planes); 0 = exact brute force (small data /
     verification)."""
-    from .similarity import cosine_expr
+    from .similarity import dot_expr, norm_expr
     e = embs.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
     if n_buckets > 0:
         # sign bits of projections onto hash-derived hyperplanes
@@ -153,7 +165,12 @@ def embedding_near_duplicates(embs: DataFrame, vec_col: str = "embedding",
         a = e.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
         b = e.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    cos = cosine_expr(F.col("va"), F.col("vb"))
-    return (pairs.withColumn("cosine", cos)
-                 .filter(F.col("cosine") >= threshold)
+    # normalize each side once, then one dot per pair (not cosine twice
+    # in filter + select)
+    pairs = (pairs.withColumn("na", norm_expr(F.col("va")))
+                  .withColumn("nb", norm_expr(F.col("vb")))
+                  .withColumn("cosine",
+                              dot_expr(F.col("va"), F.col("vb"))
+                              / (F.col("na") * F.col("nb"))))
+    return (pairs.filter(F.col("cosine") >= threshold)
                  .select("id_a", "id_b", "cosine"))

@@ -123,11 +123,17 @@ def run_pipeline(spark: SparkSession, turns: DataFrame,
                    F.col("parsed.error").alias("error"),
                    "severity", "role_group", "tool_family",
                    "sink", "bucket"]
+    # repartition on the partition columns BEFORE partitionBy writes:
+    # without it every task writes a file into every (sink, bucket) dir —
+    # tasks × dirs tiny files (measured 7× slower at bench scale)
+    p = cfg.partitions or spark.sparkContext.defaultParallelism
     (df.select(*routed_cols)
+       .repartition(p, "sink", "bucket")
        .write.mode("overwrite").partitionBy("sink", "bucket")
        .parquet(os.path.join(cfg.out_dir, ROUTED)))
 
     (df.groupBy("bucket", "sink").agg(F.count("*").alias("n_rows"))
+       .repartition(8, "bucket")
        .write.mode("overwrite").partitionBy("bucket")
        .parquet(os.path.join(cfg.out_dir, AGG_SINK)))
 
@@ -135,6 +141,7 @@ def run_pipeline(spark: SparkSession, turns: DataFrame,
         (df.filter(F.col("parsed.message").isNotNull())
            .select("bucket", "sink", F.explode("parsed.words").alias("token"))
            .groupBy("bucket", "sink", "token").agg(F.count("*").alias("n"))
+           .repartition(min(p, cfg.n_buckets), "bucket")
            .write.mode("overwrite").partitionBy("bucket")
            .parquet(os.path.join(cfg.out_dir, AGG_TOKEN)))
 
@@ -145,6 +152,7 @@ def run_pipeline(spark: SparkSession, turns: DataFrame,
            .groupBy("bucket", "template_id")
            .agg(F.count("*").alias("n"),
                 F.min(F.concat_ws(" ", F.expr(_MASK))).alias("template"))
+           .repartition(8, "bucket")
            .write.mode("overwrite").partitionBy("bucket")
            .parquet(os.path.join(cfg.out_dir, AGG_TEMPLATE)))
 

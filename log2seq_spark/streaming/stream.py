@@ -1,0 +1,55 @@
+"""Structured Streaming over transcript turns.
+
+The reference is batch-only (its CLI iterates files lazily,
+``/root/reference/log2seq/__main__.py:16-47``); this module is the
+north-rule-native streaming extension: the SAME compiled parse UDF runs
+over ``readStream`` micro-batches, with event-time watermarks on ``ts``
+and windowed per-sink aggregates for late data. State stays in Spark's
+streaming aggregation store — no custom state management.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..rules.presets import default_program
+from ..rules.spec import RuleProgram
+from ..functions.udf import with_parsed
+from ..sources.transcripts import severity_dim, tool_dim
+
+
+def streaming_parse(spark: SparkSession, input_dir: str,
+                    program: RuleProgram | None = None,
+                    schema=None) -> DataFrame:
+    """File-source stream of turns → parsed + routed stream. The parse
+    UDF is identical to the batch path (one compiled program, Arrow
+    batches per micro-batch)."""
+    program = program or default_program()
+    if schema is None:
+        schema = ("conv_id string, turn_idx int, role string, text string, "
+                  "tool string, ts timestamp")
+    stream = (spark.readStream.schema(schema).parquet(input_dir))
+    parsed = with_parsed(stream, program, text_col="text", ts_col="ts")
+    ok = F.col("parsed.message").isNotNull()
+    severity = F.when(ok, F.element_at("parsed.words", 3))
+    out = (parsed.withColumn("severity", severity)
+                 .join(F.broadcast(severity_dim(spark)), "severity", "left")
+                 .join(F.broadcast(tool_dim(spark)), "tool", "left"))
+    sink = (F.when(~ok, F.lit("quarantine"))
+             .when(F.col("severity_band").isNull(), F.lit("unrouted"))
+             .otherwise(F.concat_ws("-", "severity_band",
+                                    F.coalesce("sink_hint", F.lit("chat")))))
+    return out.withColumn("sink", sink)
+
+
+def streaming_sink_counts(routed: DataFrame, window: str = "10 minutes",
+                          watermark: str = "30 minutes") -> DataFrame:
+    """Event-time windowed per-sink counts with a watermark for late
+    turns; emits (window, sink, n_turns, n_tokens)."""
+    return (routed
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("win"), "sink")
+            .agg(F.count("*").alias("n_turns"),
+                 F.sum(F.coalesce(F.size("parsed.words"), F.lit(0)))
+                  .alias("n_tokens")))
