@@ -26,6 +26,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Like _t but spread across cores: the sf tables are single parquet
+    files (one scan partition), which serializes compute-heavy operators
+    locally. On a real cluster the input is already many-partitioned and
+    this repartition is a no-op choice."""
+    return _t(spark, sf_dir, name).repartition(
+        spark.sparkContext.defaultParallelism)
+
+
 # ---------------------------------------------------------------------------
 # parse / tokenize / route (the log2seq core, over driver tables)
 # ---------------------------------------------------------------------------
@@ -229,7 +238,7 @@ _NORM = ("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'
 
 def q_dedup_minhash_lsh(spark, sf_dir):
     return dedup.minhash_near_duplicates(
-        _t(spark, sf_dir, "documents"), n_hashes=8, bands=4, shingle_n=3)
+        _tp(spark, sf_dir, "documents"), n_hashes=8, bands=4, shingle_n=3)
 
 
 _SQL_MINHASH = f"""
@@ -256,7 +265,7 @@ FROM banded GROUP BY band, band_hash HAVING count(*) > 1
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    return (dedup.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"),
+    return (dedup.ngram_jaccard_pairs(_tp(spark, sf_dir, "documents"),
                                       shingle_n=3, threshold=0.35)
             .withColumn("jaccard", F.round("jaccard", 6)))
 
@@ -289,7 +298,7 @@ WHERE n_common / (n_a + n_b - n_common) >= 0.35
 def q_simhash(spark, sf_dir):
     """64-bit simhash per doc (no SQL oracle: base-16 conv is not
     portable ANSI SQL → driver records rows-only)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     return dedup.with_simhash(docs, "text").select("doc_id", "simhash")
 
 
@@ -314,7 +323,7 @@ LIMIT 20
 
 def q_embedding_near_dup(spark, sf_dir):
     out = dedup.embedding_near_duplicates(
-        _t(spark, sf_dir, "embeddings"), threshold=0.35)
+        _tp(spark, sf_dir, "embeddings"), threshold=0.35)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 

@@ -123,22 +123,29 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
 
 
 def with_simhash(df: DataFrame, text_col: str = "text",
-                 out_col: str = "simhash") -> DataFrame:
-    """60-bit SimHash over word tokens: each token's md5 prefix (15 hex
-    chars → below 2^60, exact in bigint) is a bit lattice; majority-vote
-    each bit. Pure higher-order SQL expressions — JVM-side, no UDF."""
+                 id_col: str = "doc_id", out_col: str = "simhash") -> DataFrame:
+    """60-bit SimHash keyed by ``id_col``: each token's md5 prefix
+    (15 hex chars → below 2^60, exact in bigint) is a bit lattice;
+    majority-vote each bit. Shaped as explode → one hash-aggregate with 60
+    vectorized bit-vote sums (an earlier nested higher-order-function
+    formulation ran ~50× slower — interpreted lambda aggregates, no
+    codegen). Docs with no tokens get simhash 0."""
     norm = normalized_text(F.col(text_col))
-    tok_h = F.transform(
-        F.filter(F.split(norm, " "), lambda w: w != ""),
-        lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint"))
-    df = df.withColumn("_tokh", tok_h)
-    sim = F.expr(
-        "aggregate(transform(sequence(0, 59), b -> "
-        "  shiftleft(CASE WHEN aggregate(_tokh, 0L, (acc, h) -> "
-        "    acc + CASE WHEN pmod(shiftright(h, b), 2) = 1 THEN 1 ELSE -1 END"
-        "  ) > 0 THEN 1L ELSE 0L END, b)), "
-        "0L, (acc, x) -> acc + x)")
-    return df.withColumn(out_col, sim).drop("_tokh")
+    toks = (df.select(F.col(id_col),
+                      F.explode(F.split(norm, " ")).alias("_w"))
+              .filter(F.col("_w") != "")
+              .withColumn("_h", F.conv(F.substring(F.md5("_w"), 1, 15), 16, 10)
+                                  .cast("bigint")))
+    votes = [F.sum(F.when(F.shiftright("_h", b).bitwiseAND(F.lit(1)) == 1,
+                          1).otherwise(-1)).alias(f"_b{b}")
+             for b in range(60)]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sim = sum(F.shiftleft(F.when(F.col(f"_b{b}") > 0, 1).otherwise(0)
+                          .cast("bigint"), b)
+              for b in range(60))
+    hashed = agg.select(F.col(id_col), sim.alias(out_col))
+    return (df.join(hashed, id_col, "left")
+              .withColumn(out_col, F.coalesce(out_col, F.lit(0).cast("bigint"))))
 
 
 def embedding_near_duplicates(embs: DataFrame, vec_col: str = "embedding",
@@ -150,27 +157,30 @@ def embedding_near_duplicates(embs: DataFrame, vec_col: str = "embedding",
     md5-derived pseudo-random planes); 0 = exact brute force (small data /
     verification)."""
     from .similarity import dot_expr, norm_expr
-    e = embs.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    # norm computed ONCE per vector before the pair join (per-pair norm
+    # recomputation tripled the work at bench scale)
+    e = embs.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+                    norm_expr(F.col(vec_col)).alias("_norm"))
     if n_buckets > 0:
         # sign bits of projections onto hash-derived hyperplanes
         sign = F.md5(F.concat_ws(",", F.transform(
             "_v", lambda x: F.round(x, 3).cast("string"))))
         e = e.withColumn("_b", F.pmod(F.conv(F.substring(sign, 1, 8), 16, 10)
                                       .cast("bigint"), F.lit(n_buckets)))
-        cond = ["_b"]
-        a = e.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), "_b")
-        b = e.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "_b")
-        pairs = a.join(b, cond).filter(F.col("id_a") < F.col("id_b"))
+        a = e.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"),
+                     F.col("_norm").alias("na"), "_b")
+        b = e.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"),
+                     F.col("_norm").alias("nb"), "_b")
+        pairs = a.join(b, ["_b"]).filter(F.col("id_a") < F.col("id_b"))
     else:
-        a = e.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
-        b = e.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+        a = e.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"),
+                     F.col("_norm").alias("na"))
+        b = e.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"),
+                     F.col("_norm").alias("nb"))
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    # normalize each side once, then one dot per pair (not cosine twice
-    # in filter + select)
-    pairs = (pairs.withColumn("na", norm_expr(F.col("va")))
-                  .withColumn("nb", norm_expr(F.col("vb")))
-                  .withColumn("cosine",
-                              dot_expr(F.col("va"), F.col("vb"))
-                              / (F.col("na") * F.col("nb"))))
+    # one dot product per pair; norms carried from the join inputs
+    pairs = pairs.withColumn("cosine",
+                             dot_expr(F.col("va"), F.col("vb"))
+                             / (F.col("na") * F.col("nb")))
     return (pairs.filter(F.col("cosine") >= threshold)
                  .select("id_a", "id_b", "cosine"))

@@ -30,12 +30,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (ArrayType, FloatType, IntegerType, LongType,
                                StringType, StructField, StructType)
 
-MEDIA_SCHEMA = StructType([
-    StructField("media_id", LongType()),
-    StructField("media_type", StringType()),     # image | audio | video
-    StructField("payload", StringType() if False else None) or None,
-])
-
 FEATURE_DIM = 16
 
 FEATURES_SCHEMA = StructType([

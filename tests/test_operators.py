@@ -1,0 +1,150 @@
+"""Unit tests for the training-data operators (dedup / similarity /
+textstats / multimodal) against small hand-checkable inputs."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from log2seq_spark.operators import dedup, similarity, textstats
+from log2seq_spark.operators.multimodal import (extract_features,
+                                                synthetic_media, FEATURE_DIM)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "a"),
+        (1, "the quick brown fox jumps over the lazy dog", "en", "a"),   # exact dup of 0
+        (2, "the quick brown fox leaps over the lazy dog", "en", "b"),   # near dup
+        (3, "completely different content about spark engines", "en", "b"),
+        (4, "der hund und die katze sind nicht da", "de", "b"),
+        (5, "short", "en", "a"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+
+
+class TestDedup:
+    def test_exact(self, docs):
+        out = dedup.exact_duplicates(docs).collect()
+        assert len(out) == 1
+        assert out[0]["n_docs"] == 2 and out[0]["keep_id"] == 0
+
+    def test_minhash_buckets_catch_near_dups(self, docs):
+        out = dedup.minhash_near_duplicates(docs, n_hashes=8, bands=4).collect()
+        # docs 0/1 identical → share every band; doc 2 shares most shingles
+        assert any(r["n_docs"] >= 2 and r["keep_id"] == 0 for r in out)
+
+    def test_jaccard_pairs(self, docs):
+        out = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+        assert out[(0, 1)] == 1.0
+        assert 0.3 <= out[(0, 2)] < 1.0
+        assert (0, 3) not in out
+
+    def test_simhash_close_for_near_dups(self, docs):
+        rows = {r["doc_id"]: r["simhash"]
+                for r in dedup.with_simhash(docs).collect()}
+        assert rows[0] == rows[1]
+        ham_near = bin(rows[0] ^ rows[2]).count("1")
+        ham_far = bin(rows[0] ^ rows[3]).count("1")
+        assert ham_near < ham_far
+
+    def test_embedding_near_dups(self, spark):
+        rows = [(0, [1.0, 0.0, 0.0]), (1, [0.999, 0.01, 0.0]),
+                (2, [0.0, 1.0, 0.0])]
+        embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = dedup.embedding_near_duplicates(embs, threshold=0.95).collect()
+        assert [(r["id_a"], r["id_b"]) for r in out] == [(0, 1)]
+
+
+class TestSimilarity:
+    def test_brute_topk(self, spark):
+        rows = [(i, [math.cos(i / 10.0), math.sin(i / 10.0)]) for i in range(50)]
+        embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        top = similarity.cosine_topk(embs, [1.0, 0.0], k=3).collect()
+        assert [r["vec_id"] for r in top] == [0, 1, 2]
+
+    def test_ivf_matches_brute_with_full_probe(self, spark):
+        rows = [(i, [math.cos(i / 7.0), math.sin(i / 7.0)]) for i in range(60)]
+        embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        cents = [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0], [0.0, -1.0]]
+        q = [0.6, 0.8]
+        brute = [r["vec_id"] for r in
+                 similarity.cosine_topk(embs, q, k=5).collect()]
+        full = [r["vec_id"] for r in
+                similarity.ivf_topk(embs, cents, q, k=5, n_probe=4).collect()]
+        assert full == brute
+        approx = [r["vec_id"] for r in
+                  similarity.ivf_topk(embs, cents, q, k=5, n_probe=1).collect()]
+        assert set(approx) <= set(range(60)) and len(approx) == 5
+
+
+class TestTextstats:
+    def test_quality(self, docs):
+        out = {r["doc_id"]: r for r in
+               textstats.quality_features(docs).collect()}
+        assert out[0]["n_tokens"] == 9
+        assert out[0]["stopword_ratio"] > 0.2
+        assert out[0]["quality_score"] == 1.0
+        assert out[5]["quality_score"] < 1.0   # too short
+
+    def test_lang_id(self, docs):
+        out = {r["doc_id"]: r["predicted_lang"] for r in
+               textstats.lang_id(docs).collect()}
+        assert out[0] == "en"
+        assert out[4] == "de"
+        assert out[5] == "und"   # no markers
+
+    def test_fingerprint_ignores_case_and_punct(self, spark):
+        d = spark.createDataFrame(
+            [(0, "Hello, World!"), (1, "hello   world"), (2, "other")],
+            "doc_id long, text string")
+        fp = {r["doc_id"]: r["fingerprint"] for r in
+              textstats.fingerprint(d).collect()}
+        assert fp[0] == fp[1] != fp[2]
+
+
+class TestMultimodal:
+    def test_feature_extraction_plumbing(self, spark):
+        media = synthetic_media(spark, 32)
+        out = extract_features(media).collect()
+        assert len(out) == 32
+        for r in out:
+            assert len(r["feature"]) == FEATURE_DIM
+            assert r["n_bytes"] > 0
+            assert 16 <= r["width"] < 256
+        # determinism
+        again = extract_features(synthetic_media(spark, 32)).collect()
+        assert sorted(r["content_hash"] for r in out) == \
+            sorted(r["content_hash"] for r in again)
+
+    def test_real_decode_is_gated(self, spark):
+        with pytest.raises(NotImplementedError):
+            extract_features(synthetic_media(spark, 2), decode="real")
+
+
+class TestStreaming:
+    def test_streaming_parse_available_now(self, spark, tmpdir_path):
+        import os
+        from log2seq_spark.sources.transcripts import transcripts
+        from log2seq_spark.streaming import streaming_parse, streaming_sink_counts
+
+        inp = os.path.join(tmpdir_path, "in")
+        transcripts(spark, 30, seed=7, partitions=2).write.parquet(inp)
+        routed = streaming_parse(spark, inp)
+        counts = streaming_sink_counts(routed, window="1 hour",
+                                       watermark="2 hours")
+        # complete-mode memory sink: append mode would hold back windows
+        # above the final watermark, hiding the tail of the data
+        q = (counts.writeStream.outputMode("complete")
+             .format("memory").queryName("l2s_stream_counts")
+             .option("checkpointLocation", os.path.join(tmpdir_path, "ckpt"))
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination(120)
+        res = spark.sql("select * from l2s_stream_counts")
+        n_stream = res.agg(F.sum("n_turns")).first()[0]
+        n_batch = spark.read.parquet(inp).count()
+        assert n_stream == n_batch
