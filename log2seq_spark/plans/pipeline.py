@@ -44,7 +44,7 @@ AGG_TOKEN = "agg_token_counts"
 AGG_TEMPLATE = "agg_template_counts"
 
 # variable masking for template ids: IPs / hex runs / numbers → placeholders
-_MASK = ("transform(parsed.words, w -> "
+_MASK = ("transform(words, w -> "
          " CASE WHEN w rlike '^(\\\\d{1,3}\\\\.){3}\\\\d{1,3}$' THEN '<ip>'"
          "      WHEN w rlike '^[0-9a-fA-F:]*:[0-9a-fA-F:]+$' THEN '<ip6>'"
          "      WHEN w rlike '^[0-9a-fA-F]{2}(:[0-9a-fA-F]{2})+$' THEN '<hex>'"
@@ -107,68 +107,80 @@ def run_pipeline(spark: SparkSession, turns: DataFrame,
     df = enriched_turns(spark, turns, cfg)
     if done:
         df = df.filter(~F.col("bucket").isin(sorted(done)))
-    df = df.persist()
+    # flatten + drop raw text before persist: every downstream pass reads
+    # the cache, so cache only what they need
+    df = df.select(
+        "conv_id", "turn_idx", "role", "tool", "ts",
+        F.col("parsed.ts").alias("parsed_ts"),
+        F.col("parsed.tz_sec").alias("tz_sec"),
+        F.col("parsed.host").alias("host"),
+        F.col("parsed.message").alias("message"),
+        F.col("parsed.words").alias("words"),
+        F.col("parsed.symbols").alias("symbols"),
+        F.col("parsed.rule_id").alias("rule_id"),
+        F.col("parsed.error").alias("error"),
+        "severity", "role_group", "tool_family", "sink", "bucket").persist()
 
     # partial writes from a crashed run are healed by dynamic overwrite
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-    routed_cols = ["conv_id", "turn_idx", "role", "tool", "ts",
-                   F.col("parsed.ts").alias("parsed_ts"),
-                   F.col("parsed.tz_sec").alias("tz_sec"),
-                   F.col("parsed.host").alias("host"),
-                   F.col("parsed.message").alias("message"),
-                   F.col("parsed.words").alias("words"),
-                   F.col("parsed.symbols").alias("symbols"),
-                   F.col("parsed.rule_id").alias("rule_id"),
-                   F.col("parsed.error").alias("error"),
-                   "severity", "role_group", "tool_family",
-                   "sink", "bucket"]
     # repartition on the partition columns BEFORE partitionBy writes:
     # without it every task writes a file into every (sink, bucket) dir —
     # tasks × dirs tiny files (measured 7× slower at bench scale)
     p = cfg.partitions or spark.sparkContext.defaultParallelism
-    (df.select(*routed_cols)
-       .repartition(p, "sink", "bucket")
+    (df.repartition(p, "sink", "bucket")
        .write.mode("overwrite").partitionBy("sink", "bucket")
        .parquet(os.path.join(cfg.out_dir, ROUTED)))
 
-    (df.groupBy("bucket", "sink").agg(F.count("*").alias("n_rows"))
-       .repartition(8, "bucket")
-       .write.mode("overwrite").partitionBy("bucket")
-       .parquet(os.path.join(cfg.out_dir, AGG_SINK)))
+    # ONE stats pass feeds both the sink-counts table and the manifest
+    stats = (df.groupBy("bucket", "sink").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("message").isNotNull(), 1).otherwise(0)).alias("n_ok"),
+        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_fail"),
+        F.sum(F.when(F.col("rule_id") == -2, 1).otherwise(0)).alias("n_empty"),
+        F.sum(F.coalesce(F.size("words"), F.lit(0))).alias("n_tokens"),
+    ).collect())
+    (spark.createDataFrame(stats)
+          .select("bucket", "sink", "n_rows")
+          .repartition(8, "bucket")
+          .write.mode("overwrite").partitionBy("bucket")
+          .parquet(os.path.join(cfg.out_dir, AGG_SINK)))
 
     if cfg.write_tokens:
-        (df.filter(F.col("parsed.message").isNotNull())
-           .select("bucket", "sink", F.explode("parsed.words").alias("token"))
+        (df.filter(F.col("message").isNotNull())
+           .select("bucket", "sink", F.explode("words").alias("token"))
            .groupBy("bucket", "sink", "token").agg(F.count("*").alias("n"))
            .repartition(min(p, cfg.n_buckets), "bucket")
            .write.mode("overwrite").partitionBy("bucket")
            .parquet(os.path.join(cfg.out_dir, AGG_TOKEN)))
 
     if cfg.write_templates:
-        tid = F.md5(F.concat_ws("\x1e", F.expr(_MASK)))
-        (df.filter(F.col("parsed.message").isNotNull())
-           .withColumn("template_id", tid)
-           .groupBy("bucket", "template_id")
+        # mask once into a single separator-joined key; the display form
+        # (separator → space) is derived on the few aggregated rows
+        tkey = F.concat_ws("\x1e", F.expr(_MASK))
+        (df.filter(F.col("message").isNotNull())
+           .select("bucket", tkey.alias("template_key"))
+           .groupBy("bucket", F.md5("template_key").alias("template_id"))
            .agg(F.count("*").alias("n"),
-                F.min(F.concat_ws(" ", F.expr(_MASK))).alias("template"))
+                F.min("template_key").alias("template_key"))
+           .withColumn("template",
+                       F.regexp_replace("template_key", "\x1e", " "))
+           .drop("template_key")
            .repartition(8, "bucket")
            .write.mode("overwrite").partitionBy("bucket")
            .parquet(os.path.join(cfg.out_dir, AGG_TEMPLATE)))
 
-    # per-bucket metrics → manifest (the commit point, written LAST)
-    stats = (df.groupBy("bucket").agg(
-        F.count("*").alias("n_rows"),
-        F.sum(F.when(F.col("parsed.message").isNotNull(), 1).otherwise(0)).alias("n_ok"),
-        F.sum(F.when(F.col("parsed.error").isNotNull(), 1).otherwise(0)).alias("n_fail"),
-        F.sum(F.when(F.col("parsed.rule_id") == -2, 1).otherwise(0)).alias("n_empty"),
-        F.sum(F.coalesce(F.size("parsed.words"), F.lit(0))).alias("n_tokens"),
-    ).collect())
     df.unpersist()
 
-    records = [{"bucket": r["bucket"], "n_rows": r["n_rows"], "n_ok": r["n_ok"],
-                "n_fail": r["n_fail"], "n_empty": r["n_empty"],
-                "n_tokens": r["n_tokens"]} for r in stats]
+    # per-bucket manifest records (the commit point, written LAST)
+    by_bucket: Dict[int, Dict] = {}
+    for r in stats:
+        rec = by_bucket.setdefault(
+            r["bucket"], {"bucket": r["bucket"], "n_rows": 0, "n_ok": 0,
+                          "n_fail": 0, "n_empty": 0, "n_tokens": 0})
+        for k in ("n_rows", "n_ok", "n_fail", "n_empty", "n_tokens"):
+            rec[k] += int(r[k])
+    records = sorted(by_bucket.values(), key=lambda x: x["bucket"])
     mf.append_bucket_records(cfg.out_dir, lineage, records)
 
     totals = {k: int(sum(r[k] for r in records))
