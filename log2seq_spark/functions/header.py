@@ -35,14 +35,18 @@ _MONTH_INDEX = {name: i + 1 for i, name in enumerate(MONTH_ABBREVIATIONS)}
 def attr_fields_of(rules) -> List[Tuple[str, str]]:
     """Static output attr schema for a set of rules: ordered unique
     (name, dtype) pairs where dtype is 'str' or 'int'. Dynamic dict keys
-    of the reference become static struct fields here."""
+    of the reference become static struct fields here. Time-related names
+    are consumed by timestamp assembly — except for reformat_timestamp=
+    False rules, whose time fields surface as raw matched strings."""
     out: List[Tuple[str, str]] = []
     seen = set()
     for rule in rules:
         cr = compile_header_rule(rule)
         for f in cr.picked:
             vn = f.value_name
-            if vn in TIME_VALUE_NAMES or vn == "message" or vn in seen:
+            if rule.reformat_timestamp and vn in TIME_VALUE_NAMES:
+                continue
+            if vn == "message" or vn in seen:
                 continue
             seen.add(vn)
             out.append((vn, "int" if f.kind in ("digit", "year2") else "str"))
@@ -210,7 +214,9 @@ class _RulePlan:
         out: Dict[str, pd.Series] = {}
         for f in self.cr.picked:
             vn = f.value_name
-            if vn in TIME_VALUE_NAMES or vn == "message":
+            if self.cr.rule.reformat_timestamp and vn in TIME_VALUE_NAMES:
+                continue
+            if vn == "message":
                 continue
             col = ext[f.match_name]
             if f.kind in ("digit", "year2"):
@@ -274,6 +280,12 @@ class VectorHeaderParser:
             if cr.rule.reformat_timestamp:
                 dy = default_year[midx] if default_year is not None else None
                 wall, off, ok = plan.timestamp_parts(mext, dy)
+                if cr.rule.astimezone_sec is not None:
+                    astz = float(cr.rule.astimezone_sec)
+                    # naive → UTC (documented divergence); aware → shift
+                    utc = wall - pd.to_timedelta(off.fillna(0), unit="s")
+                    wall = utc + pd.to_timedelta(astz, unit="s")
+                    off = pd.Series(astz, index=off.index)
                 ts[midx] = wall
                 tz_sec[midx] = off
                 bad = midx[~ok.to_numpy(dtype=bool)]

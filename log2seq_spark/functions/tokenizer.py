@@ -89,10 +89,17 @@ def _flatten(lists) -> Tuple[np.ndarray, np.ndarray]:
     return flat, lens
 
 
-def _run_split(tf: TokenFrame, split_rx: re.Pattern,
-               mask: np.ndarray) -> TokenFrame:
+def _run_split(tf: TokenFrame, split_rx: re.Pattern, mask: np.ndarray,
+               contains_rx: re.Pattern = None) -> TokenFrame:
     """Capture-group split: pieces alternate part / separator-run / part…
     Empty part pieces are elided (the oracle's _split_pieces)."""
+    if contains_rx is not None and mask.any():
+        # cheap vectorized prefilter: only tokens that contain a separator
+        # char can change (late Split passes, e.g. ':', touch few tokens)
+        mask = mask.copy()
+        hit = pd.Series(tf.tok[mask], dtype=object).str.contains(
+            contains_rx, regex=True).to_numpy(dtype=bool)
+        mask[mask] = hit
     if not mask.any():
         return tf
     ser = pd.Series(tf.tok[mask], dtype=object)
@@ -124,7 +131,7 @@ def _run_action(tf: TokenFrame, act: _CompiledAction) -> TokenFrame:
         return tf
 
     if kind == "split":
-        return _run_split(tf, act.split_rx, active)
+        return _run_split(tf, act.split_rx, active, act.split_contains_rx)
 
     if kind in ("fix", "remove"):
         hit = np.zeros(len(tf.tok), dtype=bool)

@@ -222,11 +222,13 @@ def _apply_partial_one(part: str, flag: int, rx: re.Pattern,
 class _CompiledAction:
     """One action with its regexes precompiled."""
 
-    __slots__ = ("spec", "split_rx", "match_rxs", "group_flags", "other_flag")
+    __slots__ = ("spec", "split_rx", "split_contains_rx", "match_rxs",
+                 "group_flags", "other_flag")
 
     def __init__(self, spec: Action):
         self.spec = spec
         self.split_rx = None
+        self.split_contains_rx = None
         self.match_rxs = []
         self.group_flags = {}
         self.other_flag = UNKNOWN
@@ -235,6 +237,9 @@ class _CompiledAction:
             # part / full-separator-run / part ...
             self.split_rx = re.compile(
                 r"([" + re.escape(spec.separators) + r"]+)")
+            # prefilter used by the vectorized path
+            self.split_contains_rx = re.compile(
+                r"[" + re.escape(spec.separators) + r"]")
         if spec.kind in ("fix", "remove", "cond_split", "partial"):
             self.match_rxs = [re.compile(p) for p in spec.patterns]
         if spec.kind == "partial":
@@ -382,6 +387,14 @@ class LineEngine:
                     record[f.value_name] = val
             if cr.rule.reformat_timestamp:
                 record = assemble_timestamp(record)
+                if cr.rule.astimezone_sec is not None:
+                    dt = record["timestamp"]
+                    if dt.tzinfo is None:
+                        # divergence: naive treated as UTC (the reference
+                        # would use the machine-local zone)
+                        dt = dt.replace(tzinfo=datetime.timezone.utc)
+                    record["timestamp"] = dt.astimezone(
+                        _tzinfo(cr.rule.astimezone_sec))
             return rule_id, record
         raise ParseFailure(f"header format mismatch: {line[:50]}")
 

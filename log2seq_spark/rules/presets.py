@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from .spec import (Action, HeaderRule, RuleProgram, statement, digit, string,
                    hostname, user_field, date, time_of_day, group, month_abbr,
+                   date_concat, time_concat, unixtime, year2,
                    split, fix, fix_ip)
 
 # self-anchored patterns used by the default statement pipeline
@@ -77,4 +78,46 @@ def apache_errorlog_program() -> RuleProgram:
                 statement()),
         separator=" []")
     return RuleProgram(header_rules=(rule_22, rule_24),
+                       actions=default_actions())
+
+
+def hdfs_program() -> RuleProgram:
+    """HDFS-style ``ddmmyy hhmmss pid LEVEL component: message`` lines
+    (mirrors the reference loghub_HDFS example parser: DateConcat with
+    no_century, TimeConcat, ':'-bearing separator)."""
+    rule = HeaderRule(
+        fields=(date_concat(no_century=True), time_concat(),
+                digit("processid"), string("level"),
+                user_field("component", r"[a-zA-Z0-9.$]+"), statement()),
+        separator=" :")
+    return RuleProgram(header_rules=(rule,), actions=default_actions())
+
+
+def hpc_program() -> RuleProgram:
+    """HPC-style lines with an epoch timestamp kept raw
+    (reformat_timestamp=False + ignore_failure, like the reference
+    loghub_HPC example parser)."""
+    rule = HeaderRule(
+        fields=(digit("logid"), string("class", optional=True),
+                user_field("node", r"[a-zA-Z0-9-]+", optional=True),
+                user_field("component", r"[a-zA-Z._-]+"),
+                user_field("state", r"[a-zA-Z._-]+"),
+                unixtime(), user_field("flag", r"[0-9-]+"), statement()),
+        reformat_timestamp=False)
+    return RuleProgram(header_rules=(rule,), actions=default_actions(),
+                       ignore_failure=True)
+
+
+def spark_log_program() -> RuleProgram:
+    """Spark-log-style ``yy/mm/dd hh:mm:ss LEVEL component: message``
+    with a catch-all fallback rule (multi-rule first-match-wins with a
+    reformat_timestamp=False tail, like the reference loghub_Spark
+    example parser)."""
+    rule1 = HeaderRule(
+        fields=(group([year2(), digit("month"), digit("day")], separator="/"),
+                time_of_day(), string("level"),
+                user_field("component", r"[a-zA-Z0-9.]+"), statement()),
+        separator=" :")
+    fallback = HeaderRule(fields=(statement(),), reformat_timestamp=False)
+    return RuleProgram(header_rules=(rule1, fallback),
                        actions=default_actions())

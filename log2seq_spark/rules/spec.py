@@ -201,6 +201,11 @@ class HeaderRule:
     # (replaces the reference preset's datetime.now().year default,
     # preset.py:51 — pinned divergence for determinism).
     year_from_ts: bool = False
+    # convert the assembled timestamp to this fixed offset (seconds), like
+    # the reference's astimezone option (header.py:109-111). Divergence:
+    # a NAIVE timestamp is treated as UTC here (the reference would use
+    # the machine's local timezone — nondeterministic).
+    astimezone_sec: Optional[int] = None
 
     def defaults_dict(self) -> dict:
         return dict(self.defaults)
