@@ -19,7 +19,7 @@ Plan shape (all DataFrame ops; the parse UDF is the only Python):
    ``partitionBy(sink, bucket)`` with dynamic partition overwrite, never
    one scan per sink;
 6. aggregates per bucket (sink counts, token counts, template counts) off
-   the same persisted frame;
+   the column-pruned read-back of the routed sink (one heavy pass total);
 7. per-bucket manifest records appended last (commit point).
 """
 

@@ -26,8 +26,16 @@ def get_spark(app_name: str = "log2seq-spark", master: str | None = None,
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
          .config("spark.sql.session.timeZone", "UTC")
+         # local-mode driver IS the executor: an 8g default heap GC-thrashes
+         # at ≥16 busy threads (measured 1.5× wall); size for the box
          .config("spark.driver.memory",
-                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")))
+                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "40g")))
+    # shuffle/spill dirs on tmpfs when available: models per-node NVMe
+    # scratch (the sandbox's virtual disk serializes shuffle I/O)
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        shm = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
+        os.makedirs(shm, exist_ok=True)
+        b = b.config("spark.local.dir", shm)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
