@@ -57,7 +57,12 @@ def cmd_parse(args) -> int:
         df = spark.read.parquet(args.input)
         ts_col = "ts" if "ts" in df.columns else None
     program = _program(args)
-    parsed = with_parsed(df, program, text_col="text", ts_col=ts_col)
+    default_year = args.year
+    if default_year is None and ts_col is None:
+        import datetime
+        default_year = datetime.datetime.now().year
+    parsed = with_parsed(df, program, text_col="text", ts_col=ts_col,
+                         default_year=default_year)
     ok = F.col("parsed.message").isNotNull()
     n_total = parsed.count()
     n_ok = parsed.filter(ok).count()
@@ -126,6 +131,9 @@ def main(argv=None) -> int:
     p.add_argument("--sample", type=int, default=10)
     p.add_argument("-p", "--parser-script", default=None)
     p.add_argument("--preset", default="default")
+    p.add_argument("--year", type=int, default=None,
+                   help="year for year-less headers (raw text inputs "
+                        "default to the current year, like the reference)")
     p.set_defaults(fn=cmd_parse)
 
     p = sub.add_parser("pipeline", help="run parse→enrich→route→aggregate")

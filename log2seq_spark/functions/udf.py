@@ -124,11 +124,21 @@ def tokenize_words_udf(actions: tuple):
 
 def with_parsed(df: DataFrame, program: RuleProgram, text_col: str = "text",
                 ts_col: Optional[str] = "ts",
+                default_year: Optional[int] = None,
                 out_col: str = "parsed") -> DataFrame:
-    """Attach the parsed struct column to a DataFrame of raw lines."""
+    """Attach the parsed struct column to a DataFrame of raw lines.
+
+    Rules with the year_from_ts policy take the year from ``ts_col``;
+    for raw-line inputs with no timestamp column pass ``default_year``
+    (the CLI defaults it to the wall-clock year, matching the reference
+    CLI's now().year behavior)."""
     needs_year = any(r.year_from_ts for r in program.header_rules)
     if needs_year and ts_col is not None:
         udf = parse_udf_with_year(program)
         return df.withColumn(out_col, udf(F.col(text_col), F.year(ts_col)))
+    if needs_year and default_year is not None:
+        udf = parse_udf_with_year(program)
+        return df.withColumn(out_col,
+                             udf(F.col(text_col), F.lit(int(default_year))))
     udf = parse_udf(program)
     return df.withColumn(out_col, udf(F.col(text_col)))

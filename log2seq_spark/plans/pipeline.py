@@ -144,6 +144,13 @@ def run_pipeline(spark: SparkSession, turns: DataFrame,
         F.sum(F.when(F.col("rule_id") == -2, 1).otherwise(0)).alias("n_empty"),
         F.sum(F.coalesce(F.size("words"), F.lit(0))).alias("n_tokens"),
     ).collect())
+    if not stats:
+        # everything was already committed (a fully-resumed rerun)
+        return PipelineResult(lineage_id=lineage, buckets_processed=[],
+                              buckets_skipped=sorted(done),
+                              metrics={k: 0 for k in ("n_rows", "n_ok",
+                                                      "n_fail", "n_empty",
+                                                      "n_tokens")})
     (spark.createDataFrame(stats)
           .select("bucket", "sink", "n_rows")
           .repartition(8, "bucket")

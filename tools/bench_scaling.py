@@ -3,18 +3,27 @@
 No multi-node cluster exists in this sandbox, so the N vs 4N
 executor-cluster criterion is evidenced by running the IDENTICAL
 parse→enrich→route→aggregate job at ``local[N]`` and ``local[4N]``
-(default N=4; the driver instruction allows any N vs 4N pair — this box
-throttles per-core clocks beyond ~16 busy cores, so 8→32 measures the
-hardware's own sublinearity, not the job's: a pure-CPU multiprocessing
-regex benchmark scales only 3.18×/0.79 from 8→32 procs here) on the
-same cached input (BASELINE.md protocol). Each run is
-a fresh subprocess (own JVM), Arrow batch size pinned, generation
-excluded from timing. Results + efficiency go to ``BENCH/scaling.json``
-and are summarized in ``BENCH/BASELINE.md``.
+(default N=4: this box throttles per-core clocks beyond ~16 busy cores —
+a pure-CPU multiprocessing regex benchmark scales only 3.18×/0.79 from
+8→32 procs — so 8 vs 32 would measure the hardware's own sublinearity,
+not the job's; the driver instruction allows any N vs 4N pair).
+
+Methodology for a noisy shared VM: measurements INTERLEAVE the two core
+counts (drift hits both), each sample is a fresh subprocess (own JVM)
+that does one warmup + one measured run, and efficiency is computed on
+best-of samples (minimum wall = least interference). Two metrics:
+
+* ``pipeline``: full parse→enrich→route→aggregate with all sinks +
+  aggregates committed (the north-rule metric);
+* ``parse``: the parse+enrich stage alone (noop sink) — the
+  compute-dominated core that must scale ~linearly.
+
+Generation is excluded from timing (BASELINE.md protocol). Results go to
+``BENCH/scaling.json``; render the markdown with tools/write_bench_md.py.
 
 Usage:
-    python tools/bench_scaling.py              # orchestrate both runs
-    python tools/bench_scaling.py --run 8      # one measured run (internal)
+    python tools/bench_scaling.py              # orchestrate
+    python tools/bench_scaling.py --run 4      # one sample (internal)
 """
 
 from __future__ import annotations
@@ -31,9 +40,9 @@ sys.path.insert(0, REPO)
 
 DATA_DIR = os.path.join(REPO, ".data")
 BENCH_DIR = os.path.join(REPO, "BENCH")
-N_TURNS = int(os.environ.get("SPARK_GRAFT_SCALING_TURNS", 3_000_000))
+N_TURNS = int(os.environ.get("SPARK_GRAFT_SCALING_TURNS", 8_000_000))
 CORES_N = int(os.environ.get("SPARK_GRAFT_SCALING_N", 4))
-REPEATS = int(os.environ.get("SPARK_GRAFT_SCALING_REPEATS", 3))
+ROUNDS = int(os.environ.get("SPARK_GRAFT_SCALING_ROUNDS", 3))
 
 
 def _turns_path() -> str:
@@ -41,34 +50,47 @@ def _turns_path() -> str:
     return os.path.join(DATA_DIR, f"bench_turns_{n_convs}")
 
 
-def measured_run(cores: int) -> None:
+def sample_run(cores: int) -> None:
+    """One warmup + one measured run of both metrics; prints one JSON."""
     from log2seq_spark.session import get_spark
-    from log2seq_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from log2seq_spark.plans.pipeline import (PipelineConfig, run_pipeline,
+                                              enriched_turns)
 
     spark = get_spark(app_name=f"l2s-scaling-{cores}",
                       master=f"local[{cores}]",
                       shuffle_partitions=cores * 2)
-    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.setLogLevel("OFF")
     turns = spark.read.parquet(_turns_path())
     n = turns.count()
-    secs = []
-    for i in range(REPEATS):
-        out_dir = os.path.join(DATA_DIR, f"scaling_out_{cores}")
+    out_dir = os.path.join(DATA_DIR, f"scaling_out_{cores}")
+
+    def one_pipeline() -> float:
         shutil.rmtree(out_dir, ignore_errors=True)
         cfg = PipelineConfig(out_dir=out_dir, n_buckets=64,
                              partitions=cores * 2, input_id="scaling")
         t0 = time.monotonic()
         run_pipeline(spark, turns, cfg, resume=False)
-        secs.append(time.monotonic() - t0)
+        return time.monotonic() - t0
+
+    def one_parse() -> float:
+        cfg = PipelineConfig(out_dir=out_dir, n_buckets=64,
+                             partitions=cores * 2)
+        t0 = time.monotonic()
+        (enriched_turns(spark, turns, cfg)
+         .select("conv_id", "turn_idx", "parsed", "sink", "bucket")
+         .write.format("noop").mode("overwrite").save())
+        return time.monotonic() - t0
+
+    one_parse()                    # warmup: codegen + python workers
+    parse_sec = one_parse()
+    one_pipeline()                 # warmup for write paths
+    pipe_sec = one_pipeline()
     spark.stop()
-    med = sorted(secs)[len(secs) // 2]
-    print(json.dumps({"cores": cores, "rows": n, "runs_sec": secs,
-                      "median_sec": med,
-                      "turns_per_sec": round(n / med, 1)}))
+    print(json.dumps({"cores": cores, "rows": n,
+                      "parse_sec": parse_sec, "pipeline_sec": pipe_sec}))
 
 
 def orchestrate() -> None:
-    # generate input once (excluded from timing)
     from log2seq_spark.session import get_spark
     from log2seq_spark.sources.transcripts import write_transcripts
     path = _turns_path()
@@ -79,29 +101,46 @@ def orchestrate() -> None:
                           partitions=64)
         spark.stop()
 
-    results = {}
-    for cores in (CORES_N, CORES_N * 4):
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--run", str(cores)],
-            capture_output=True, text=True, cwd=REPO)
-        line = [x for x in out.stdout.splitlines() if x.startswith("{")][-1]
-        results[cores] = json.loads(line)
-        print(line)
+    samples = {CORES_N: [], CORES_N * 4: []}
+    rows = None
+    for _ in range(ROUNDS):
+        for cores in (CORES_N, CORES_N * 4):   # interleaved
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--run", str(cores)],
+                capture_output=True, text=True, cwd=REPO)
+            line = [x for x in out.stdout.splitlines() if x.startswith("{")][-1]
+            rec = json.loads(line)
+            rows = rec["rows"]
+            samples[cores].append(rec)
+            print(line)
 
-    thr_n = results[CORES_N]["turns_per_sec"]
-    thr_4n = results[CORES_N * 4]["turns_per_sec"]
-    eff = (thr_4n / thr_n) / 4
-    summary = {"n": results[CORES_N], "4n": results[CORES_N * 4],
-               "scaling_efficiency": round(eff, 3),
-               "criterion": f"(thr[local{CORES_N*4}]/thr[local{CORES_N}])/4 >= 0.8"}
+    def best(cores, key):
+        return min(r[key] for r in samples[cores])
+
+    summary = {"rows": rows, "n_cores": CORES_N, "n4_cores": CORES_N * 4,
+               "samples": samples}
+    result = {}
+    for key in ("parse", "pipeline"):
+        tn = best(CORES_N, f"{key}_sec")
+        t4n = best(CORES_N * 4, f"{key}_sec")
+        result[key] = {
+            f"local[{CORES_N}]_sec": round(tn, 2),
+            f"local[{CORES_N*4}]_sec": round(t4n, 2),
+            f"local[{CORES_N}]_turns_per_sec": round(rows / tn, 1),
+            f"local[{CORES_N*4}]_turns_per_sec": round(rows / t4n, 1),
+            "scaling_efficiency": round((tn / t4n) / 4, 3),
+        }
+    summary["metrics"] = result
+    summary["criterion"] = (f"(thr[local{CORES_N*4}]/thr[local{CORES_N}])/4 "
+                            f">= 0.8, best-of-{ROUNDS} interleaved samples")
     os.makedirs(BENCH_DIR, exist_ok=True)
     with open(os.path.join(BENCH_DIR, "scaling.json"), "w") as fh:
         json.dump(summary, fh, indent=2)
-    print(json.dumps(summary))
+    print(json.dumps({"metrics": result, "criterion": summary["criterion"]}))
 
 
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--run":
-        measured_run(int(sys.argv[2]))
+        sample_run(int(sys.argv[2]))
     else:
         orchestrate()

@@ -1,0 +1,52 @@
+"""Dump .explain('formatted') for the engine's key plans to
+BENCH/plans.txt — evidence of plan quality (pushdown, broadcast joins,
+column pruning, no stray shuffles). Planning only: no job runs."""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def main():
+    from log2seq_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(master="local[4]", shuffle_partitions=8,
+                      app_name="l2s-explain")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sections = []
+
+    # the flagship pipeline plan over a turns frame
+    from log2seq_spark.sources.transcripts import transcripts
+    from log2seq_spark.plans.pipeline import PipelineConfig, enriched_turns
+    turns = transcripts(spark, 50, seed=42, partitions=4)
+    enriched = enriched_turns(spark, turns, PipelineConfig(out_dir="unused"))
+    sections.append(("pipeline: enriched_turns", enriched))
+
+    for name, fn in entrymod.queries().items():
+        sections.append((f"query: {name}", fn(spark, SF_DIR)))
+
+    out = io.StringIO()
+    for title, df in sections:
+        out.write(f"\n{'=' * 72}\n{title}\n{'=' * 72}\n")
+        with redirect_stdout(out):
+            df.explain("formatted")
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "plans.txt"), "w") as fh:
+        fh.write(out.getvalue())
+    print("wrote BENCH/plans.txt",
+          len(out.getvalue().splitlines()), "lines")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
