@@ -189,8 +189,9 @@ def _run_action(tf: TokenFrame, act: _CompiledAction) -> TokenFrame:
     raise AssertionError(f"unhandled action kind {kind}")
 
 
-def _separate_batch(tf: TokenFrame) -> Tuple[List[list], List[list]]:
-    """Vectorized terminal pass → per-row words / symbols lists.
+def _separate_batch_flat(tf: TokenFrame):
+    """Vectorized terminal pass → flat words/symbols arrays + per-row end
+    offsets (the Arrow-native shape; list-of-lists built only on demand).
 
     Mirrors the oracle's ``separate``: empty words dropped, adjacent
     separators merged, empty symbols inserted between adjacent words and
@@ -224,10 +225,17 @@ def _separate_batch(tf: TokenFrame) -> Tuple[List[list], List[list]]:
         merged = pd.Series(tok[sep], dtype=object).groupby(target).sum()
         sym_flat[merged.index.to_numpy()] = merged.to_numpy(dtype=object)
 
-    words_list = tok[is_word].tolist()
+    return tok[is_word], w_ends, sym_flat, sym_ends
+
+
+def _separate_batch(tf: TokenFrame) -> Tuple[List[list], List[list]]:
+    words_flat, w_ends, sym_flat, sym_ends = _separate_batch_flat(tf)
+    words_list = words_flat.tolist()
     syms_list = sym_flat.tolist()
+    w_starts = np.concatenate(([0], w_ends[:-1]))
+    s_starts = np.concatenate(([0], sym_ends[:-1]))
     words = [words_list[a:b] for a, b in zip(w_starts, w_ends)]
-    symbols = [syms_list[a:b] for a, b in zip(sym_starts, sym_ends)]
+    symbols = [syms_list[a:b] for a, b in zip(s_starts, sym_ends)]
     return words, symbols
 
 
@@ -245,3 +253,12 @@ class VectorTokenizer:
         for act in self.actions:
             tf = _run_action(tf, act)
         return _separate_batch(tf)
+
+    def run_flat(self, statements: pd.Series):
+        """Arrow-native output: (words_flat, words_end_offsets,
+        symbols_flat, symbols_end_offsets) — feed straight into
+        ``pa.ListArray.from_arrays`` without building python lists."""
+        tf = TokenFrame.from_statements(statements)
+        for act in self.actions:
+            tf = _run_action(tf, act)
+        return _separate_batch_flat(tf)

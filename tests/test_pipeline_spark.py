@@ -139,3 +139,16 @@ class TestPipelineEquality:
         assert all("lineage_id" in r and "n_rows" in r for r in recs)
         total = sum(r["n_rows"] for r in recs)
         assert total == turns.count()
+
+
+class TestArrowEngineParity:
+    def test_arrow_equals_pandas_udf(self, spark, turns):
+        from log2seq_spark.functions.udf import with_parsed
+        from log2seq_spark.rules.presets import default_program
+        prog = default_program()
+        cols = ["conv_id", "turn_idx", "parsed"]
+        a = (with_parsed(turns, prog, engine="pandas").select(cols)
+             .orderBy("conv_id", "turn_idx").collect())
+        b = (with_parsed(turns, prog, engine="arrow").select(cols)
+             .orderBy("conv_id", "turn_idx").collect())
+        assert a == b
