@@ -20,9 +20,61 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..rules.spec import HeaderField, HeaderRule, MONTH_ABBREVIATIONS
 from ..rules.synthesis import CompiledHeaderRule, compile_header_rule
+
+
+import re as _re
+
+
+def _rule_re2_usable(cr: CompiledHeaderRule) -> bool:
+    """RE2 extraction is safe for a rule iff (a) RE2 compiles the pattern
+    and (b) '' group values are unambiguous. RE2 reports '' for a
+    NON-participating optional group where Python re reports None; every
+    builtin fragment except the statement's ``.*`` cannot match empty, so
+    '' → null is exact for them — but a user pattern that can match empty
+    would be ambiguous, so such rules take the pandas path."""
+    for f in cr.picked:
+        if f.kind == "user" and f.user_pattern is not None:
+            if _re.compile("^(?:" + f.user_pattern + ")$").match(""):
+                return False
+    try:
+        pc.extract_regex(pa.array([], type=pa.string()), cr.pattern.pattern)
+        return True
+    except (pa.lib.ArrowInvalid, pa.lib.ArrowNotImplementedError):
+        return False
+
+
+def _extract_groups(cr: CompiledHeaderRule, re2_ok: bool,
+                    sub: pd.Series) -> pd.DataFrame:
+    """Named-group extraction for one rule over still-unmatched lines.
+
+    RE2 (pyarrow.compute.extract_regex) when the rule is RE2-usable and
+    the batch is pure ASCII (RE2 char classes are ASCII-only); pandas
+    ``str.extract`` (Python re) otherwise. Measured ~6× faster on the
+    preset rules. RE2 rows that did not match have a null struct; ''
+    values in non-message groups are absent optionals → null (see
+    _rule_re2_usable)."""
+    if re2_ok:
+        arr = pa.array(sub.to_numpy(dtype=object), type=pa.string())
+        if pc.all(pc.string_is_ascii(arr)).as_py():
+            st = pc.extract_regex(arr, cr.pattern.pattern)
+            valid = st.is_valid().to_numpy(zero_copy_only=False)
+            cols = {}
+            for i, field in enumerate(st.type):
+                arr = st.field(i).to_pandas().to_numpy(dtype=object)
+                arr[~valid] = None
+                if field.name != "message":
+                    arr[arr == ""] = None
+                cols[field.name] = arr
+            out = pd.DataFrame(cols)
+            out.index = sub.index
+            return out
+    ext = sub.str.extract(cr.pattern)
+    return ext[[g for g in cr.pattern.groupindex]]
 
 # value names consumed by timestamp assembly — never emitted as attrs
 TIME_VALUE_NAMES = frozenset(
@@ -53,22 +105,28 @@ def attr_fields_of(rules) -> List[Tuple[str, str]]:
     return out
 
 
+def _map_unique(col: pd.Series, fn) -> pd.Series:
+    """Apply an exact scalar converter once per DISTINCT value (tz and
+    fractional-second tokens have tiny cardinality), null-preserving."""
+    mask = col.notna()
+    if not mask.any():
+        return pd.Series(np.nan, index=col.index)
+    table = {u: fn(u) for u in pd.unique(col[mask])}
+    return col.map(table)
+
+
 def _usec_from_fraction(col: pd.Series) -> pd.Series:
-    """Vectorized fraction→microseconds: pad/truncate to six digits,
-    integer-only (oracle: fraction_to_microseconds)."""
-    s = col.astype("string")
-    return pd.to_numeric((s + "000000").str.slice(0, 6), errors="coerce")
+    """Fraction→microseconds: pad/truncate to six digits, integer-only —
+    the oracle's own converter, dictionary-applied."""
+    from ..rules.engine import fraction_to_microseconds
+    return _map_unique(col, fraction_to_microseconds)
 
 
 def _tz_offset_seconds(col: pd.Series) -> pd.Series:
-    """Vectorized tz token → signed offset seconds ('Z' → 0)."""
-    s = col.astype("string")
-    sign = s.str.startswith("-").map({True: -1, False: 1}, na_action="ignore")
-    digits = s.str.replace(":", "", regex=False).str.lstrip("+-")
-    hh = pd.to_numeric(digits.str.slice(0, 2), errors="coerce")
-    mm = pd.to_numeric(digits.str.slice(2, 4), errors="coerce")
-    off = sign * (hh * 3600 + mm * 60)
-    return off.mask((s == "Z").fillna(False), 0)
+    """tz token → signed offset seconds ('Z' → 0) — the oracle's own
+    converter, dictionary-applied."""
+    from ..rules.engine import tz_to_offset_seconds
+    return _map_unique(col, tz_to_offset_seconds)
 
 
 def _num(ext: pd.DataFrame, name: str) -> pd.Series:
@@ -238,6 +296,7 @@ class VectorHeaderParser:
         self.compiled = [compile_header_rule(r) for r in rules]
         self.plans = [_RulePlan(cr) for cr in self.compiled]
         self.attr_schema = attr_fields_of(rules)
+        self._re2_ok = [_rule_re2_usable(cr) for cr in self.compiled]
 
     def run(self, lines: pd.Series,
             default_year: Optional[pd.Series] = None) -> pd.DataFrame:
@@ -270,7 +329,7 @@ class VectorHeaderParser:
             if not pending.any():
                 break
             sub = stripped[pending]
-            ext = sub.str.extract(cr.pattern)
+            ext = _extract_groups(cr, self._re2_ok[rid], sub)
             matched = ext["message"].notna()
             if not matched.any():
                 continue

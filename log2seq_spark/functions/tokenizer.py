@@ -17,14 +17,81 @@ from __future__ import annotations
 
 import itertools
 import re
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..rules.spec import UNKNOWN, FIXED, SEP
 from ..rules.engine import (_CompiledAction, compile_actions, is_ip_token,
                             apply_partial_to_token)
+
+
+def _re2_compatible(pattern: str) -> bool:
+    """Can RE2 (pyarrow.compute) evaluate this pattern?"""
+    try:
+        pc.match_substring_regex(pa.array([], type=pa.string()), pattern)
+        return True
+    except pa.lib.ArrowInvalid:
+        return False
+
+
+class _MaskOps:
+    """RE2-backed mask evaluation with exact-semantics fallbacks.
+
+    re.match == RE2 search of ``^(?:p)`` — but only over ASCII input
+    (RE2 character classes like \\d are ASCII-only while Python's are
+    unicode-aware), so each batch is ascii-gated; non-ASCII batches and
+    RE2-incompatible patterns take the pandas path. Measured ~5-9×
+    faster than pandas ``.str`` on the preset workload.
+    """
+
+    def __init__(self, patterns: List[str]):
+        self.wrapped = ["^(?:" + p + ")" for p in patterns]
+        self.re2_ok = all(_re2_compatible(w) for w in self.wrapped)
+
+    @staticmethod
+    def to_arrow(tokens: np.ndarray) -> Optional[pa.StringArray]:
+        arr = pa.array(tokens, type=pa.string())
+        if not pc.all(pc.string_is_ascii(arr)).as_py():
+            return None
+        return arr
+
+    def match_any(self, tokens: np.ndarray,
+                  rxs: List[re.Pattern]) -> np.ndarray:
+        if len(tokens) == 0:
+            return np.zeros(0, dtype=bool)
+        if self.re2_ok:
+            arr = self.to_arrow(tokens)
+            if arr is not None:
+                out = np.zeros(len(tokens), dtype=bool)
+                for w in self.wrapped:
+                    out |= pc.match_substring_regex(arr, w).to_numpy(
+                        zero_copy_only=False)
+                return out
+        return _match_any_pandas(tokens, rxs)
+
+
+class _ContainsOp:
+    """RE2 'contains' prefilter with pandas fallback (search semantics —
+    identical in both engines for a plain character class)."""
+
+    def __init__(self, pattern: str):
+        self.pattern = pattern
+        self.re2_ok = _re2_compatible(pattern)
+
+    def run(self, tokens: np.ndarray) -> np.ndarray:
+        if len(tokens) == 0:
+            return np.zeros(0, dtype=bool)
+        if self.re2_ok:
+            arr = _MaskOps.to_arrow(tokens)
+            if arr is not None:
+                return pc.match_substring_regex(arr, self.pattern).to_numpy(
+                    zero_copy_only=False)
+        return pd.Series(tokens, dtype=object).str.contains(
+            self.pattern, regex=True).to_numpy(dtype=bool)
 
 
 class TokenFrame:
@@ -90,16 +157,14 @@ def _flatten(lists) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def _run_split(tf: TokenFrame, split_rx: re.Pattern, mask: np.ndarray,
-               contains_rx: re.Pattern = None) -> TokenFrame:
+               contains_op: "_ContainsOp" = None) -> TokenFrame:
     """Capture-group split: pieces alternate part / separator-run / part…
     Empty part pieces are elided (the oracle's _split_pieces)."""
-    if contains_rx is not None and mask.any():
+    if contains_op is not None and mask.any():
         # cheap vectorized prefilter: only tokens that contain a separator
         # char can change (late Split passes, e.g. ':', touch few tokens)
         mask = mask.copy()
-        hit = pd.Series(tf.tok[mask], dtype=object).str.contains(
-            contains_rx, regex=True).to_numpy(dtype=bool)
-        mask[mask] = hit
+        mask[mask] = contains_op.run(tf.tok[mask])
     if not mask.any():
         return tf
     ser = pd.Series(tf.tok[mask], dtype=object)
@@ -112,7 +177,7 @@ def _run_split(tf: TokenFrame, split_rx: re.Pattern, mask: np.ndarray,
     return _scatter(tf, mask, flat[keep], flags[keep], kept_counts)
 
 
-def _match_any(tokens: np.ndarray, rxs: List[re.Pattern]) -> np.ndarray:
+def _match_any_pandas(tokens: np.ndarray, rxs: List[re.Pattern]) -> np.ndarray:
     """Vectorized re.match-any over an object array (prefix semantics,
     like pandas ``str.match``)."""
     if len(tokens) == 0:
@@ -124,18 +189,20 @@ def _match_any(tokens: np.ndarray, rxs: List[re.Pattern]) -> np.ndarray:
     return out
 
 
-def _run_action(tf: TokenFrame, act: _CompiledAction) -> TokenFrame:
+def _run_action(tf: TokenFrame, act: _CompiledAction,
+                masks: "_MaskOps" = None,
+                contains: "_ContainsOp" = None) -> TokenFrame:
     kind = act.spec.kind
     active = _active_mask(tf)
     if not active.any():
         return tf
 
     if kind == "split":
-        return _run_split(tf, act.split_rx, active, act.split_contains_rx)
+        return _run_split(tf, act.split_rx, active, contains)
 
     if kind in ("fix", "remove"):
         hit = np.zeros(len(tf.tok), dtype=bool)
-        hit[active] = _match_any(tf.tok[active], act.match_rxs)
+        hit[active] = masks.match_any(tf.tok[active], act.match_rxs)
         new_flag = FIXED if kind == "fix" else SEP
         flag = tf.flag.copy()
         flag[hit] = new_flag
@@ -145,8 +212,7 @@ def _run_action(tf: TokenFrame, act: _CompiledAction) -> TokenFrame:
         # cheap vectorized prefilter, then stdlib validation once per
         # DISTINCT candidate token (exact ipaddress semantics)
         cand_mask = active.copy()
-        ser = pd.Series(tf.tok[active], dtype=object)
-        cand_mask[active] = ser.str.contains(r"[.:]", regex=True).to_numpy(dtype=bool)
+        cand_mask[active] = contains.run(tf.tok[active])
         if not cand_mask.any():
             return tf
         cands = tf.tok[cand_mask]
@@ -162,7 +228,7 @@ def _run_action(tf: TokenFrame, act: _CompiledAction) -> TokenFrame:
 
     if kind == "cond_split":
         hit = np.zeros(len(tf.tok), dtype=bool)
-        hit[active] = _match_any(tf.tok[active], act.match_rxs)
+        hit[active] = masks.match_any(tf.tok[active], act.match_rxs)
         return _run_split(tf, act.split_rx, hit)
 
     if kind == "partial":
@@ -244,14 +310,27 @@ class VectorTokenizer:
 
     def __init__(self, actions):
         self.actions = compile_actions(actions)
+        # per-action RE2/pandas mask evaluators (compat decided once)
+        self._aux = []
+        for act in self.actions:
+            masks = (_MaskOps(list(act.spec.patterns))
+                     if act.spec.kind in ("fix", "remove", "cond_split")
+                     else None)
+            if act.spec.kind in ("split", "cond_split"):
+                contains = _ContainsOp(act.split_contains_rx.pattern)
+            elif act.spec.kind == "fix_ip":
+                contains = _ContainsOp(r"[.:]")
+            else:
+                contains = None
+            self._aux.append((masks, contains))
 
     def run(self, statements: pd.Series) -> Tuple[List[list], List[list]]:
         """Batch of statements → (words lists, symbols lists), null-safe:
         null statements yield empty words + [''] symbols (callers mask
         them out)."""
         tf = TokenFrame.from_statements(statements)
-        for act in self.actions:
-            tf = _run_action(tf, act)
+        for act, (masks, contains) in zip(self.actions, self._aux):
+            tf = _run_action(tf, act, masks, contains)
         return _separate_batch(tf)
 
     def run_flat(self, statements: pd.Series):
@@ -259,6 +338,6 @@ class VectorTokenizer:
         symbols_flat, symbols_end_offsets) — feed straight into
         ``pa.ListArray.from_arrays`` without building python lists."""
         tf = TokenFrame.from_statements(statements)
-        for act in self.actions:
-            tf = _run_action(tf, act)
+        for act, (masks, contains) in zip(self.actions, self._aux):
+            tf = _run_action(tf, act, masks, contains)
         return _separate_batch_flat(tf)

@@ -16,9 +16,12 @@ from typing import List, Optional, Tuple
 from .spec import HeaderField, HeaderRule, RuleDefinitionError, MONTH_ABBREVIATIONS
 
 # regex fragment per field kind (reference header.py per-Item ``pattern``)
-_TZ_FRAGMENT = r"Z|([+-](\d{2})\:(\d{2}))"
+# non-capturing inner groups keep the synthesized pattern RE2-eligible
+# (pyarrow extract_regex rejects unnamed capturing groups); Python re
+# semantics are unchanged — only named groups are ever read
+_TZ_FRAGMENT = r"Z|(?:[+-](?:\d{2})\:(?:\d{2}))"
 _TIME_FRAGMENT = (r"(?P<hour>\d{2}):(?P<minute>\d{2}):(?P<second>\d{2})"
-                  r"(\.(?P<dsecond>\d+))?"
+                  r"(?:\.(?P<dsecond>\d+))?"
                   r"(?P<tz>" + _TZ_FRAGMENT + r")?")
 _DATE_FRAGMENT = r"(?P<year>\d{4})-(?P<month>\d{2})-(?P<day>\d{2})"
 
@@ -38,8 +41,8 @@ def field_fragment(f: HeaderField) -> str:
             return r"[a-zA-Z0-9" + syms + r"]+"
         return r"[a-zA-Z0-9]+"
     if k == "hostname":
-        return (r"([a-zA-Z0-9:][a-zA-Z0-9:._-]*[a-zA-Z0-9]+)"
-                r"|([a-zA-Z0-9])")
+        return (r"(?:[a-zA-Z0-9:][a-zA-Z0-9:._-]*[a-zA-Z0-9]+)"
+                r"|(?:[a-zA-Z0-9])")
     if k == "user":
         return f.user_pattern
     if k == "year2":
@@ -81,7 +84,7 @@ def field_regex(f: HeaderField) -> str:
 def build_separator_regex(fields, separator: Optional[str]) -> str:
     """Join field regexes with separator runs (reference header.py:254-290)."""
     sep = r"\s+" if separator is None else r"[" + re.escape(separator) + r"]+"
-    sep_opt = r"(" + sep + r")?"
+    sep_opt = r"(?:" + sep + r")?"
 
     mandatory = [i for i, f in enumerate(fields) if not f.optional]
     if not mandatory:
@@ -96,7 +99,7 @@ def build_separator_regex(fields, separator: Optional[str]) -> str:
         elif i > pivot:
             p = sep + p          # after the pivot: separator on the left
         if f.optional:
-            p = r"(" + p + r")?"
+            p = r"(?:" + p + r")?"
         parts.append(p)
     parts.append(sep_opt)
     return "".join(parts)
