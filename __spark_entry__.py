@@ -296,8 +296,8 @@ WHERE n_common / (n_a + n_b - n_common) >= 0.35
 
 
 def q_simhash(spark, sf_dir):
-    """64-bit simhash per doc (no SQL oracle: base-16 conv is not
-    portable ANSI SQL → driver records rows-only)."""
+    """60-bit simhash per doc; the DuckDB oracle replays the bit-vote
+    exactly (md5-prefix hex → bigint via 0x-cast, shifts, majority)."""
     docs = _tp(spark, sf_dir, "documents")
     return dedup.with_simhash(docs, "text").select("doc_id", "simhash")
 
@@ -394,6 +394,80 @@ FROM documents GROUP BY source
 """
 
 
+def q_rollup_orders(spark, sf_dir):
+    """Hierarchical aggregate (ROLLUP) over orders: subtotals + grand
+    total with exact-decimal sums cast to double."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.rollup("o_orderpriority", "o_orderstatus")
+             .agg(F.count("*").alias("n_orders"),
+                  F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                   .cast("double").alias("total_price")))
+
+
+_SQL_ROLLUP = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+       cast(sum(cast(o_totalprice AS decimal(18,2))) AS double) AS total_price
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+def q_set_ops_users(spark, sf_dir):
+    """Set operators: users with error events who also purchased, minus
+    users who ever signed up (INTERSECT + EXCEPT)."""
+    ev = _t(spark, sf_dir, "events")
+    def users(t):
+        return ev.filter(F.col("event_type") == t).select("user_id").distinct()
+    return users("error").intersect(users("purchase")).exceptAll(users("signup"))
+
+
+_SQL_SET_OPS = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+INTERSECT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+"""
+
+
+_SQL_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::UBIGINT::BIGINT AS h
+  FROM (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS t FROM documents)
+  WHERE t <> ''
+), votes AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM toks, (SELECT unnest(generate_series(0, 59)) AS b)
+  GROUP BY doc_id, b
+), sims AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
+FROM documents d LEFT JOIN sims s USING (doc_id)
+"""
+
+_SQL_LANG_ID = """
+WITH toks AS (
+  SELECT lang,
+         list_transform(list_filter(string_split_regex(text, '\\s+'),
+                                    t -> t <> ''), t -> lower(t)) AS w
+  FROM documents
+), scored AS (
+  SELECT lang, list_max([
+    {'hits': len(list_filter(w, t -> list_contains(['the','and','of','to','a','in','is','that'], t))), 'lang': 'en'},
+    {'hits': len(list_filter(w, t -> list_contains(['der','die','und','das','ist','nicht','ein'], t))), 'lang': 'de'},
+    {'hits': len(list_filter(w, t -> list_contains(['le','la','les','et','est','une','pas'], t))), 'lang': 'fr'},
+    {'hits': len(list_filter(w, t -> list_contains(['el','la','los','y','es','una','que'], t))), 'lang': 'es'}
+  ]) AS best FROM toks)
+SELECT lang,
+       CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS predicted_lang,
+       count(*) AS n
+FROM scored GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -419,6 +493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_brute": q_knn_brute,
         "embedding_near_dup": q_embedding_near_dup,
         "textstats_quality": q_textstats_quality,
+        "rollup_orders": q_rollup_orders,
+        "set_ops_users": q_set_ops_users,
         "lang_id_counts": q_lang_id_counts,
         "fingerprint_sources": q_fingerprint_sources,
     }
@@ -440,6 +516,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_brute": _SQL_KNN,
         "embedding_near_dup": _SQL_EMB_NEAR_DUP,
         "textstats_quality": _SQL_QUALITY,
-        # lang_id_counts: rows-only for now (argmax tie-break replication)
+        "lang_id_counts": _SQL_LANG_ID,
+        "rollup_orders": _SQL_ROLLUP,
+        "set_ops_users": _SQL_SET_OPS,
         "fingerprint_sources": _SQL_FINGERPRINT,
     }
