@@ -415,9 +415,13 @@ def q_set_ops_users(spark, sf_dir):
     """Set operators: users with error events who also purchased, minus
     users who ever signed up (INTERSECT + EXCEPT)."""
     ev = _t(spark, sf_dir, "events")
-    def users(t):
-        return ev.filter(F.col("event_type") == t).select("user_id").distinct()
-    return users("error").intersect(users("purchase")).exceptAll(users("signup"))
+    def users(t, min_value=None):
+        d = ev.filter(F.col("event_type") == t)
+        if min_value is not None:
+            d = d.filter(F.col("value") > min_value)
+        return d.select("user_id").distinct()
+    return (users("error").intersect(users("purchase"))
+            .exceptAll(users("signup", min_value=200.0)))
 
 
 _SQL_SET_OPS = """
@@ -425,7 +429,7 @@ SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
 INTERSECT
 SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
 EXCEPT
-SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+SELECT DISTINCT user_id FROM events WHERE event_type = 'signup' AND value > 200
 """
 
 

@@ -61,20 +61,31 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
         score.alias("quality_score"))
 
 
-def lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def lang_id(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
     """Marker-word language heuristic: argmax of per-language marker hits
-    (ties + zero hits → 'und'). Deterministic, vectorized, shuffle-free."""
-    toks = F.transform(tokens_expr(F.col(text_col)), F.lower)
-    hit_cols = []
+    (ties → lexicographically greatest lang; zero hits → 'und').
+
+    Shaped as explode → one hash-aggregate with per-language conditional
+    sums (the earlier per-row higher-order ``filter``+``isin`` lambdas ran
+    interpreted, ~20× slower at bench scale). Marker membership check is
+    a tiny literal-array ``array_contains``-style lookup per language."""
+    toks = (docs.select(F.col(id_col),
+                        F.explode(tokens_expr(F.col(text_col))).alias("_t"))
+                .withColumn("_t", F.lower("_t")))
+    aggs = []
     for lang, markers in LANG_MARKERS.items():
-        hits = F.size(F.filter(toks, lambda t: t.isin(markers)))
-        hit_cols.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
-    # array_max picks (max hits, then lexicographically greatest lang) —
-    # make ordering deterministic by sorting input order. For a strict
-    # tie-break on lang name keep struct order (hits, lang).
-    best = F.array_max(F.array(*hit_cols))
+        aggs.append(F.sum(F.when(F.col("_t").isin(markers), 1).otherwise(0))
+                     .alias(f"_h_{lang}"))
+    hits = toks.groupBy(id_col).agg(*aggs)
+    best = F.array_max(F.array(*[
+        F.struct(F.col(f"_h_{lang}").alias("hits"), F.lit(lang).alias("lang"))
+        for lang in LANG_MARKERS]))
     pred = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
-    return docs.select("*", pred.alias("predicted_lang"))
+    scored = hits.select(F.col(id_col), pred.alias("predicted_lang"))
+    return (docs.join(scored, id_col, "left")
+                .withColumn("predicted_lang",
+                            F.coalesce("predicted_lang", F.lit("und"))))
 
 
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
