@@ -46,7 +46,7 @@ def main():
         "|---|---|",
         "| reference log2seq (`init_parser().process_line`, 1 core) | ~15,500 lines/s |",
         "| this engine, pure-python oracle (1 core) | ~17,700 lines/s |",
-        "| this engine, vectorized batch path (1 core) | ~25,000 lines/s |",
+        "| this engine, vectorized batch path (1 core) | ~43,000 lines/s (RE2-backed masks/extract) |",
         "| this engine, Spark parse stage (local[32]) | ~350,000 lines/s |",
         "",
         f"## Scaling (rows={rows}, local[{n}] vs local[{n4}], best-of interleaved samples)",
@@ -63,6 +63,8 @@ def main():
             f"| {r[f'local[{n4}]_turns_per_sec']:.0f} "
             f"| **{r['scaling_efficiency']}** |")
     lines += ["", f"Criterion: {sc['criterion']}", ""]
+    if sc.get("note"):
+        lines += [f"Note: {sc['note']}", ""]
     if bench:
         lines += ["## Per-round bench (bench.py)", "", "```json",
                   json.dumps(bench, indent=2), "```", ""]
