@@ -135,6 +135,11 @@ def run_pipeline(spark: SparkSession, turns: DataFrame,
     df = spark.read.parquet(os.path.join(cfg.out_dir, ROUTED))
     if done:
         df = df.filter(~F.col("bucket").isin(sorted(done)))
+    # the three aggregate passes share one NARROW cached projection —
+    # re-scanning the many-dirs routed sink per pass serialized on file
+    # listing/opens (measured eff ~0.5 across core counts)
+    df = df.select("bucket", "sink", "message", "words", "rule_id",
+                   "error").persist()
 
     # ONE stats pass feeds both the sink-counts table and the manifest
     stats = (df.groupBy("bucket", "sink").agg(
@@ -145,6 +150,7 @@ def run_pipeline(spark: SparkSession, turns: DataFrame,
         F.sum(F.coalesce(F.size("words"), F.lit(0))).alias("n_tokens"),
     ).collect())
     if not stats:
+        df.unpersist()
         # everything was already committed (a fully-resumed rerun)
         return PipelineResult(lineage_id=lineage, buckets_processed=[],
                               buckets_skipped=sorted(done),
@@ -180,6 +186,8 @@ def run_pipeline(spark: SparkSession, turns: DataFrame,
            .repartition(8, "bucket")
            .write.mode("overwrite").partitionBy("bucket")
            .parquet(os.path.join(cfg.out_dir, AGG_TEMPLATE)))
+
+    df.unpersist()
 
     # per-bucket manifest records (the commit point, written LAST)
     by_bucket: Dict[int, Dict] = {}
