@@ -148,3 +148,35 @@ class TestStreaming:
         n_stream = res.agg(F.sum("n_turns")).first()[0]
         n_batch = spark.read.parquet(inp).count()
         assert n_stream == n_batch
+
+    def test_stateful_conversation_summaries(self, spark, tmpdir_path):
+        import os
+        from log2seq_spark.sources.transcripts import transcripts
+        from log2seq_spark.functions.udf import with_parsed
+        from log2seq_spark.rules.presets import default_program
+        from log2seq_spark.streaming.stateful import conversation_summaries
+
+        inp = os.path.join(tmpdir_path, "sin")
+        transcripts(spark, 20, seed=11, partitions=2).write.parquet(inp)
+        schema = ("conv_id string, turn_idx int, role string, text string, "
+                  "tool string, ts timestamp")
+        stream = spark.readStream.schema(schema).parquet(inp)
+        parsed = with_parsed(stream, default_program(), text_col="text",
+                             ts_col="ts", engine="pandas")
+        out = conversation_summaries(parsed, watermark="10 minutes")
+        q = (out.writeStream.outputMode("append")
+             .format("memory").queryName("l2s_conv_summaries")
+             .option("checkpointLocation", os.path.join(tmpdir_path, "sck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        res = {r["conv_id"]: r for r in
+               spark.sql("select * from l2s_conv_summaries").collect()}
+        # conversations whose last turn is older than the final watermark
+        # have been emitted with exact turn counts
+        exp = {r["conv_id"]: r["n"] for r in
+               spark.read.parquet(inp).groupBy("conv_id")
+                    .agg(F.count("*").alias("n")).collect()}
+        assert res, "no conversations emitted"
+        for cid, row in res.items():
+            assert row["n_turns"] == exp[cid], cid
+            assert row["max_turn_idx"] == row["n_turns"] - 1
