@@ -321,6 +321,19 @@ LIMIT 20
 """
 
 
+def q_ivf_topk(spark, sf_dir):
+    """Approximate nearest-neighbor: IVF cells from 4 seed centroids,
+    probe the 2 nearest cells (rows-only: the exactness guarantee is the
+    unit test ivf(n_probe=all) == brute)."""
+    embs = _tp(spark, sf_dir, "embeddings")
+    seeds = (_t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 4)
+             .orderBy("vec_id").select("embedding").collect())
+    centroids = [list(r[0]) for r in seeds]
+    qvec = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 1)         .select("embedding").first()[0]
+    out = similarity.ivf_topk(embs, centroids, qvec, k=15, n_probe=2)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
 def q_embedding_near_dup(spark, sf_dir):
     out = dedup.embedding_near_duplicates(
         _tp(spark, sf_dir, "embeddings"), threshold=0.35)
@@ -495,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "simhash": q_simhash,
         "knn_brute": q_knn_brute,
+        "ivf_topk": q_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "textstats_quality": q_textstats_quality,
         "rollup_orders": q_rollup_orders,
@@ -517,6 +531,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _SQL_MINHASH,
         "dedup_ngram_jaccard": _SQL_JACCARD,
         # simhash: rows-only (base-16 conv not portable to ANSI SQL)
+        "simhash": _SQL_SIMHASH,
         "knn_brute": _SQL_KNN,
         "embedding_near_dup": _SQL_EMB_NEAR_DUP,
         "textstats_quality": _SQL_QUALITY,
