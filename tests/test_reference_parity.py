@@ -1,0 +1,113 @@
+"""Head-to-head parity with the ACTUAL reference library on real loghub
+corpora: the same rule config, every line, byte-identical words/symbols
+and equal header fields. The strongest form of the north star's
+"matches the reference's own test suite semantics"."""
+
+import sys
+
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/reference")
+
+from log2seq_spark.rules import (RuleProgram, HeaderRule, LineEngine,
+                                 statement, digit, hostname, user_field,
+                                 time_of_day, month_abbr, string, group)
+from log2seq_spark.rules.presets import default_actions, apache_errorlog_program
+from log2seq_spark.functions import BatchParser
+
+
+def _reference_openssh_parser():
+    import datetime
+    from log2seq import LogParser
+    from log2seq import preset
+    from log2seq.header import (MonthAbbreviation, Digit, Time, Hostname,
+                                UserItem, Statement, HeaderParser)
+    rules = [MonthAbbreviation(), Digit("day"), Time(), Hostname("host"),
+             UserItem("component", r"[a-zA-Z0-9()._-]+"),
+             Digit("processid", optional=True), Statement()]
+    hp = HeaderParser(rules, separator=" :[]", defaults={"year": 2024})
+    return LogParser(hp, preset.default_statement_parser())
+
+
+def _our_openssh_program():
+    rule = HeaderRule(
+        fields=(month_abbr(), digit("day"), time_of_day(), hostname("host"),
+                user_field("component", r"[a-zA-Z0-9()._-]+"),
+                digit("processid", optional=True), statement()),
+        separator=" :[]", defaults=(("year", 2024),))
+    return RuleProgram((rule,), default_actions())
+
+
+@pytest.fixture(scope="module")
+def ssh_lines():
+    with open("/root/reference/example/loghub_OpenSSH/SSH_2k.log",
+              errors="replace") as fh:
+        return [ln.rstrip("\r\n") for ln in fh]
+
+
+class TestOpenSSHCorpusParity:
+    def test_full_corpus_identical(self, ssh_lines):
+        ref = _reference_openssh_parser()
+        bp = BatchParser(_our_openssh_program())
+        out = bp.parse(pd.Series(ssh_lines, dtype=object))
+
+        n_ok = n_fail = 0
+        for i, line in enumerate(ssh_lines):
+            row = out.iloc[i]
+            try:
+                exp = ref.process_line(line)
+            except Exception:
+                exp = None
+            if exp is None:
+                assert row["rule_id"] < 0 or row["error"] is not None, line
+                n_fail += 1
+                continue
+            assert row["message"] == exp["message"], line
+            assert list(row["words"]) == exp["words"], line
+            assert list(row["symbols"]) == exp["symbols"], line
+            assert row["host"] == exp["host"], line
+            assert row["component"] == exp["component"], line
+            if "processid" in exp:
+                assert int(row["processid"]) == exp["processid"], line
+            else:
+                assert pd.isna(row["processid"]), line
+            ets = exp["timestamp"]
+            assert pd.Timestamp(row["ts"]).to_pydatetime() == \
+                ets.replace(tzinfo=None), line
+            n_ok += 1
+        assert n_ok > 1900, (n_ok, n_fail)
+
+
+class TestApacheCorpusParity:
+    def test_apache_2k_log(self):
+        path = "/root/reference/example/loghub_Apache/Apache_2k.log"
+        try:
+            with open(path, errors="replace") as fh:
+                lines = [ln.rstrip("\r\n") for ln in fh][:500]
+        except FileNotFoundError:
+            pytest.skip("corpus not present")
+        from log2seq.preset import apache_errorlog_parser
+        ref = apache_errorlog_parser()
+        ours = LineEngine(apache_errorlog_program())
+        n_ok = 0
+        for line in lines:
+            try:
+                exp = ref.process_line(line)
+            except Exception:
+                exp = None
+            try:
+                got = ours.parse_line(line)
+            except Exception:
+                got = None
+            if exp is None:
+                assert got is None or got.get("error"), line
+                continue
+            assert got is not None, line
+            assert got["words"] == exp["words"], line
+            assert got["symbols"] == exp["symbols"], line
+            for k in ("severityname", "host", "modulename"):
+                if k in exp:
+                    assert got.get(k) == exp[k], (k, line)
+            n_ok += 1
+        assert n_ok > 100
