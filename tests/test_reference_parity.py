@@ -111,3 +111,58 @@ class TestApacheCorpusParity:
                     assert got.get(k) == exp[k], (k, line)
             n_ok += 1
         assert n_ok > 100
+
+
+def _load_ref_parser(name):
+    """Import a reference example parser module by dataset name."""
+    import importlib.util, os
+    path = f"/root/reference/example/loghub_{name}/parser.py"
+    spec = importlib.util.spec_from_file_location(f"ref_{name}", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.parser
+
+
+def _corpus(name):
+    with open(f"/root/reference/example/loghub_{name}/{name}_2k.log",
+              errors="replace") as fh:
+        return [ln.rstrip("\r\n") for ln in fh]
+
+
+class TestLoghubPresetParity:
+    """Our hdfs/hpc/spark presets vs the reference's own example parsers
+    over their full 2k-line corpora."""
+
+    @pytest.mark.parametrize("name,program_fn,keys", [
+        ("HDFS", "hdfs_program", ("processid", "level", "component")),
+        ("HPC", "hpc_program", ("logid", "node", "component", "state", "flag")),
+        ("Spark", "spark_log_program", ("level", "component")),
+    ])
+    def test_corpus(self, name, program_fn, keys):
+        from log2seq_spark.rules import presets
+        ref = _load_ref_parser(name)
+        ours = LineEngine(getattr(presets, program_fn)())
+        n_ok = 0
+        for line in _corpus(name):
+            try:
+                exp = ref.process_line(line)
+            except Exception:
+                exp = None
+            try:
+                got = ours.parse_line(line)
+            except Exception:
+                got = None
+            if exp is None:
+                assert got is None or got.get("error"), (name, line)
+                continue
+            assert got is not None, (name, line)
+            assert got["words"] == exp["words"], (name, line)
+            assert got["symbols"] == exp["symbols"], (name, line)
+            for k in keys:
+                if k in exp:
+                    assert got.get(k) == exp[k], (k, name, line)
+            if "timestamp" in exp and exp.get("timestamp") is not None \
+                    and "timestamp" in got:
+                assert got["timestamp"] == exp["timestamp"], (name, line)
+            n_ok += 1
+        assert n_ok > 1500, (name, n_ok)
