@@ -185,7 +185,8 @@ def q_sessionize(spark, sf_dir):
 
 
 _SQL_SESSIONIZE = """
-SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+SELECT user_id, cast(sum(new_session) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
 FROM (
   SELECT user_id,
          CASE WHEN lag(epoch(ts)) OVER (PARTITION BY user_id
@@ -323,8 +324,10 @@ LIMIT 20
 
 def q_ivf_topk(spark, sf_dir):
     """Approximate nearest-neighbor: IVF cells from 4 seed centroids,
-    probe the 2 nearest cells (rows-only: the exactness guarantee is the
-    unit test ivf(n_probe=all) == brute)."""
+    probe the 2 nearest cells. Fully deterministic (centroids = vec_id<4,
+    query = vec_id 1), so the DuckDB oracle replays probe selection, the
+    per-row argmax assignment (ties → higher centroid id, matching
+    ``array_max`` struct ordering) and the final top-k closed-form."""
     embs = _tp(spark, sf_dir, "embeddings")
     seeds = (_t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 4)
              .orderBy("vec_id").select("embedding").collect())
@@ -332,6 +335,45 @@ def q_ivf_topk(spark, sf_dir):
     qvec = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 1)         .select("embedding").first()[0]
     out = similarity.ivf_topk(embs, centroids, qvec, k=15, n_probe=2)
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+_SQL_IVF = """
+WITH c AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 4
+), q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 1
+), probes AS (
+  SELECT cid FROM c, q
+  ORDER BY list_dot_product(cv, qv)
+           / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)))
+           DESC, cid ASC
+  LIMIT 2
+), assigned AS (
+  SELECT vec_id, embedding FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.embedding::DOUBLE[], c.cv)
+                      / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                               e.embedding::DOUBLE[]))
+                         * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                      c.cid DESC) AS rn
+    FROM embeddings e CROSS JOIN c)
+  WHERE rn = 1 AND cid IN (SELECT cid FROM probes)
+)
+SELECT a.vec_id,
+       round(list_dot_product(a.embedding::DOUBLE[], q.qv)
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                      a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine
+FROM assigned a, q
+ORDER BY list_dot_product(a.embedding::DOUBLE[], q.qv)
+         / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                  a.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(q.qv, q.qv))) DESC, a.vec_id ASC
+LIMIT 15
+"""
 
 
 def q_embedding_near_dup(spark, sf_dir):
@@ -458,10 +500,11 @@ WITH toks AS (
   GROUP BY doc_id, b
 ), sims AS (
   SELECT doc_id,
-         sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+         cast(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)
+              AS BIGINT) AS simhash
   FROM votes GROUP BY doc_id
 )
-SELECT d.doc_id, coalesce(s.simhash, 0) AS simhash
+SELECT d.doc_id, coalesce(s.simhash, 0::BIGINT) AS simhash
 FROM documents d LEFT JOIN sims s USING (doc_id)
 """
 
@@ -533,6 +576,7 @@ def oracle_sql() -> dict[str, str]:
         # simhash: rows-only (base-16 conv not portable to ANSI SQL)
         "simhash": _SQL_SIMHASH,
         "knn_brute": _SQL_KNN,
+        "ivf_topk": _SQL_IVF,
         "embedding_near_dup": _SQL_EMB_NEAR_DUP,
         "textstats_quality": _SQL_QUALITY,
         "lang_id_counts": _SQL_LANG_ID,
