@@ -279,9 +279,14 @@ WITH norm AS (
          list_distinct([array_to_string(w[i:i+2], ' ')
                         for i in generate_series(1, greatest(len(w) - 2, 1))]) AS shingles
   FROM norm
+), allposts AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE len(shingles) > 0
+), rare AS (
+  SELECT shingle FROM allposts GROUP BY shingle HAVING count(*) <= 100
+), kept AS (
+  SELECT doc_id, shingle FROM allposts JOIN rare USING (shingle)
 ), posts AS (
-  SELECT doc_id, len(shingles) AS n, unnest(shingles) AS shingle
-  FROM sh WHERE len(shingles) > 0
+  SELECT doc_id, count(*) OVER (PARTITION BY doc_id) AS n, shingle FROM kept
 ), pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
          count(*) AS n_common
@@ -392,6 +397,50 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
       / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
          * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.35
+"""
+
+
+def q_embedding_near_dup_lsh(spark, sf_dir):
+    """Banded random-hyperplane LSH near-dup path (the 100-TB shape: no
+    cross join — candidates only from shared LSH band buckets). The
+    oracle replays the exact quantized Rademacher projections, band keys,
+    candidate join, and cosine filter."""
+    out = dedup.embedding_near_duplicates(
+        _tp(spark, sf_dir, "embeddings"), threshold=0.35,
+        n_planes=16, bands=4)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+_COS_AB = """list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(ea.embedding::DOUBLE[],
+                                      ea.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(eb.embedding::DOUBLE[],
+                                        eb.embedding::DOUBLE[])))"""
+
+_SQL_EMB_NEAR_DUP_LSH = f"""
+WITH projs AS (
+  SELECT vec_id, j,
+         list_sum([round(embedding[i]::DOUBLE * 1000000)::BIGINT
+                   * CASE WHEN ('0x' || substr(md5(j || '#' || (i - 1)),
+                                               1, 2))::INT % 2 = 1
+                          THEN 1 ELSE -1 END
+                   for i in generate_series(1, len(embedding))]) AS proj
+  FROM embeddings, (SELECT unnest(generate_series(0, 15)) AS j)
+), bandkeys AS (
+  SELECT vec_id, (j // 4) AS band,
+         md5((j // 4) || '#' ||
+             string_agg(CASE WHEN proj > 0 THEN '1' ELSE '0' END,
+                        '' ORDER BY j)) AS band_key
+  FROM projs GROUP BY vec_id, (j // 4)
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bandkeys a JOIN bandkeys b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b, round({_COS_AB}, 6) AS cosine
+FROM cand c JOIN embeddings ea ON c.id_a = ea.vec_id
+            JOIN embeddings eb ON c.id_b = eb.vec_id
+WHERE {_COS_AB} >= 0.35
 """
 
 
@@ -553,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_brute": q_knn_brute,
         "ivf_topk": q_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "textstats_quality": q_textstats_quality,
         "rollup_orders": q_rollup_orders,
         "set_ops_users": q_set_ops_users,
@@ -578,6 +628,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_brute": _SQL_KNN,
         "ivf_topk": _SQL_IVF,
         "embedding_near_dup": _SQL_EMB_NEAR_DUP,
+        "embedding_near_dup_lsh": _SQL_EMB_NEAR_DUP_LSH,
         "textstats_quality": _SQL_QUALITY,
         "lang_id_counts": _SQL_LANG_ID,
         "rollup_orders": _SQL_ROLLUP,

@@ -97,14 +97,27 @@ def minhash_near_duplicates(docs: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", shingle_n: int = 3,
                         threshold: float = 0.5,
-                        max_shingles_per_doc: int = 200) -> DataFrame:
-    """Exact n-gram Jaccard over candidate pairs discovered via shared
-    shingles (inverted-index join, never a cross join). Returns
-    (id_a, id_b, jaccard). At scale, cap postings per shingle / shingles
-    per doc to bound the candidate space."""
+                        max_shingles_per_doc: int = 200,
+                        max_docs_per_shingle: int = 100) -> DataFrame:
+    """n-gram Jaccard over candidate pairs discovered via shared shingles
+    (inverted-index join, never a cross join). Returns (id_a, id_b,
+    jaccard).
+
+    Two caps bound the candidate space at scale: ``max_shingles_per_doc``
+    truncates giant documents, and ``max_docs_per_shingle`` drops
+    stop-shingles whose document frequency exceeds the cap *before* the
+    self-join — without it, one shingle shared by 10⁶ docs materializes
+    10¹² candidate pairs. Jaccard is computed over the filtered shingle
+    vocabulary (set sizes recomputed post-filter), the standard
+    stop-shingle treatment: a shingle in >cap docs carries ~no similarity
+    signal but dominates join cost."""
     sh = (shingle_rows(docs, text_col, id_col, shingle_n)
           .filter(F.col("pos") < max_shingles_per_doc)
           .select("_id", "shingle").distinct())
+    rare = (sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+              .filter(F.col("_df") <= max_docs_per_shingle)
+              .select("shingle"))
+    sh = sh.join(rare, "shingle")
     sizes = sh.groupBy("_id").agg(F.count("*").alias("_n"))
     posts = sh.join(sizes, "_id")
     a = posts.select(F.col("_id").alias("id_a"), F.col("_n").alias("n_a"),
@@ -148,30 +161,89 @@ def with_simhash(df: DataFrame, text_col: str = "text",
               .withColumn(out_col, F.coalesce(out_col, F.lit(0).cast("bigint"))))
 
 
+def hyperplane_signatures(embs: DataFrame, vec_col: str = "embedding",
+                          id_col: str = "vec_id", n_planes: int = 16,
+                          bands: int = 4) -> DataFrame:
+    """Sign-random-projection LSH signatures: (_id, band, band_key) rows.
+
+    Plane ``j``'s component at dimension ``d`` is ±1 derived from
+    ``md5(j '#' d)`` — a Rademacher projection, the same LSH family for
+    cosine as Gaussian hyperplanes (Charikar's SimHash scheme), so vectors
+    at angle θ share a sign bit with probability 1 − θ/π and near-parallel
+    vectors collide in a band with high probability. Vector elements are
+    quantized to ``round(v·1e6)`` so each projection is an exact *integer*
+    sum: order-independent, hence bit-replayable by an ANSI-SQL oracle.
+
+    Shape: one posexplode (n·dim rows) → ONE hash aggregate with
+    ``n_planes`` conditional integer sums (map-side combining, whole-stage
+    codegen — the same shape as :func:`with_simhash`); the band keys are
+    then a narrow projection. No shuffle besides the signature groupBy,
+    so this scales linearly with total vector volume.
+    """
+    rows_per_band = n_planes // bands
+    assert rows_per_band * bands == n_planes, "bands must divide n_planes"
+    toks = embs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.transform(F.col(vec_col),
+                                 lambda x: x.cast("double")))
+         .alias("pos", "val"))
+    qval = F.round(F.col("val") * 1e6).cast("bigint")
+
+    def plane_sign(j: int):
+        key = F.md5(F.concat_ws("#", F.lit(str(j)),
+                                F.col("pos").cast("string")))
+        parity = F.conv(F.substring(key, 1, 2), 16, 10).cast("int") % 2
+        return F.when(parity == 1, F.lit(1)).otherwise(F.lit(-1))
+
+    agg = toks.groupBy("_id").agg(
+        *[F.sum(qval * plane_sign(j)).alias(f"_p{j}")
+          for j in range(n_planes)])
+    band_structs = []
+    for b in range(bands):
+        bits = F.concat(*[
+            F.when(F.col(f"_p{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for j in range(b * rows_per_band, (b + 1) * rows_per_band)])
+        band_structs.append(F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat(F.lit(f"{b}#"), bits)).alias("band_key")))
+    return (agg.select("_id", F.explode(F.array(*band_structs)).alias("_bk"))
+               .select("_id", F.col("_bk.band").alias("band"),
+                       F.col("_bk.band_key").alias("band_key")))
+
+
 def embedding_near_duplicates(embs: DataFrame, vec_col: str = "embedding",
                               id_col: str = "vec_id",
                               threshold: float = 0.95,
-                              n_buckets: int = 0) -> DataFrame:
-    """Embedding-cosine near-dup pairs. With n_buckets > 0 the pair join is
-    restricted to a random-hyperplane LSH bucket (sign of dot products with
-    md5-derived pseudo-random planes); 0 = exact brute force (small data /
-    verification)."""
+                              n_planes: int = 0,
+                              bands: int = 4) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a, id_b, cosine).
+
+    With ``n_planes > 0`` candidates come from banded random-hyperplane
+    LSH (:func:`hyperplane_signatures`): only pairs sharing a band bucket
+    are scored, so the pair space is bounded by bucket sizes — the 100-TB
+    path. ``n_planes = 0`` is the exact brute-force crossJoin baseline for
+    small data / verification. Both paths apply the exact cosine filter,
+    so LSH output ⊆ brute output (recall governed by n_planes/bands)."""
     from .similarity import dot_expr, norm_expr
     # norm computed ONCE per vector before the pair join (per-pair norm
     # recomputation tripled the work at bench scale)
     e = embs.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
                     norm_expr(F.col(vec_col)).alias("_norm"))
-    if n_buckets > 0:
-        # sign bits of projections onto hash-derived hyperplanes
-        sign = F.md5(F.concat_ws(",", F.transform(
-            "_v", lambda x: F.round(x, 3).cast("string"))))
-        e = e.withColumn("_b", F.pmod(F.conv(F.substring(sign, 1, 8), 16, 10)
-                                      .cast("bigint"), F.lit(n_buckets)))
-        a = e.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"),
-                     F.col("_norm").alias("na"), "_b")
-        b = e.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"),
-                     F.col("_norm").alias("nb"), "_b")
-        pairs = a.join(b, ["_b"]).filter(F.col("id_a") < F.col("id_b"))
+    if n_planes > 0:
+        sig = hyperplane_signatures(embs, vec_col, id_col, n_planes, bands)
+        cand = (sig.select(F.col("_id").alias("id_a"), "band", "band_key")
+                   .join(sig.select(F.col("_id").alias("id_b"),
+                                    "band", "band_key"),
+                         ["band", "band_key"])
+                   .filter(F.col("id_a") < F.col("id_b"))
+                   .select("id_a", "id_b").distinct())
+        pairs = (cand
+                 .join(e.select(F.col("_id").alias("id_a"),
+                                F.col("_v").alias("va"),
+                                F.col("_norm").alias("na")), "id_a")
+                 .join(e.select(F.col("_id").alias("id_b"),
+                                F.col("_v").alias("vb"),
+                                F.col("_norm").alias("nb")), "id_b"))
     else:
         a = e.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"),
                      F.col("_norm").alias("na"))

@@ -58,6 +58,46 @@ class TestDedup:
         out = dedup.embedding_near_duplicates(embs, threshold=0.95).collect()
         assert [(r["id_a"], r["id_b"]) for r in out] == [(0, 1)]
 
+    def test_embedding_lsh_recall(self, spark):
+        # 40 well-separated base directions (seeded), each with a slightly
+        # perturbed twin (cosine ≈ 0.999): 40 true near-dup pairs. The
+        # banded hyperplane LSH path must recover ≥90% of the brute pairs.
+        import random
+        rng = random.Random(7)
+        rows = []
+        for i in range(40):
+            base = [rng.gauss(0, 1) for _ in range(32)]
+            twin = [x + rng.gauss(0, 0.01) for x in base]
+            rows.append((2 * i, base))
+            rows.append((2 * i + 1, twin))
+        embs = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+        brute = {(r["id_a"], r["id_b"]) for r in
+                 dedup.embedding_near_duplicates(
+                     embs, threshold=0.95).collect()}
+        lsh = {(r["id_a"], r["id_b"]) for r in
+               dedup.embedding_near_duplicates(
+                   embs, threshold=0.95, n_planes=16, bands=4).collect()}
+        assert lsh <= brute          # exact cosine check: no false positives
+        assert len(brute) >= 40
+        assert len(lsh) >= 0.9 * len(brute)
+
+    def test_jaccard_stop_shingle_cap(self, spark):
+        # every doc shares one stop phrase; without the document-frequency
+        # cap that shingle alone makes all O(n²) pairs candidates.
+        n = 60
+        rows = [(i, f"unique token run {i} alpha{i} beta{i} "
+                    "the common stop phrase tail") for i in range(n)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        capped = dedup.ngram_jaccard_pairs(
+            docs, threshold=0.01, max_docs_per_shingle=10).collect()
+        uncapped = dedup.ngram_jaccard_pairs(
+            docs, threshold=0.01, max_docs_per_shingle=10_000).collect()
+        # uncapped: every pair shares the stop shingles → n*(n-1)/2 pairs
+        assert len(uncapped) == n * (n - 1) // 2
+        # capped: stop shingles dropped before the self-join → no pairs
+        assert len(capped) == 0
+
 
 class TestSimilarity:
     def test_brute_topk(self, spark):
