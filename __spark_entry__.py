@@ -328,17 +328,26 @@ LIMIT 20
 
 
 def q_ivf_topk(spark, sf_dir):
-    """Approximate nearest-neighbor: IVF cells from 4 seed centroids,
-    probe the 2 nearest cells. Fully deterministic (centroids = vec_id<4,
+    """Approximate nearest-neighbor over a centroid-partitioned IVF index:
+    cells from 4 seed centroids, probe the 2 nearest. The index is built
+    once per sf_dir (parquet partitioned by centroid, cached in /tmp) and
+    the probe reads only the 2 probed partitions — PartitionFilters at
+    scan time, the 100-TB path. Fully deterministic (centroids = vec_id<4,
     query = vec_id 1), so the DuckDB oracle replays probe selection, the
     per-row argmax assignment (ties → higher centroid id, matching
     ``array_max`` struct ordering) and the final top-k closed-form."""
-    embs = _tp(spark, sf_dir, "embeddings")
+    import os
     seeds = (_t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 4)
              .orderBy("vec_id").select("embedding").collect())
     centroids = [list(r[0]) for r in seeds]
-    qvec = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 1)         .select("embedding").first()[0]
-    out = similarity.ivf_topk(embs, centroids, qvec, k=15, n_probe=2)
+    qvec = (_t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 1)
+            .select("embedding").first()[0])
+    idx = f"/tmp/log2seq_spark_ivf_idx/{os.path.basename(os.path.normpath(sf_dir))}"
+    if not os.path.exists(os.path.join(idx, "_SUCCESS")):
+        similarity.build_ivf_index(_tp(spark, sf_dir, "embeddings"),
+                                   centroids, idx)
+    out = similarity.ivf_topk_indexed(spark, idx, centroids, qvec,
+                                      k=15, n_probe=2)
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 

@@ -62,12 +62,10 @@ def assign_centroid(embs: DataFrame, centroids: List[Sequence[float]],
     return embs.withColumn("centroid", best["c"])
 
 
-def ivf_topk(embs: DataFrame, centroids: List[Sequence[float]],
-             query_vec: Sequence[float], k: int = 10, n_probe: int = 1,
-             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """Approximate top-k: score only the ``n_probe`` cells nearest to the
-    query. At scale, write the table bucketed/partitioned by ``centroid``
-    so the probe prunes partitions at scan time."""
+def _probe_cells(centroids: List[Sequence[float]],
+                 query_vec: Sequence[float], n_probe: int) -> List[int]:
+    """Indices of the ``n_probe`` centroids nearest (cosine) to the query;
+    ties keep the lower index (stable sort)."""
     import math
     q = list(query_vec)
 
@@ -78,10 +76,78 @@ def ivf_topk(embs: DataFrame, centroids: List[Sequence[float]],
         return d / (na * nb) if na and nb else 0.0
 
     order = sorted(range(len(centroids)), key=lambda i: -cos(centroids[i], q))
-    probe = order[:n_probe]
+    return order[:n_probe]
+
+
+def ivf_topk(embs: DataFrame, centroids: List[Sequence[float]],
+             query_vec: Sequence[float], k: int = 10, n_probe: int = 1,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Approximate top-k: score only the ``n_probe`` cells nearest to the
+    query. This variant assigns cells on the fly (full scan per query) —
+    use :func:`build_ivf_index` + :func:`ivf_topk_indexed` to amortize
+    assignment into a centroid-partitioned layout whose probes prune at
+    scan time."""
+    probe = _probe_cells(centroids, query_vec, n_probe)
     assigned = assign_centroid(embs, centroids, vec_col)
+    q = list(query_vec)
     return (assigned.filter(F.col("centroid").isin(probe))
                     .select(F.col(id_col),
                             cosine_expr(F.col(vec_col), _vec_lit(q)).alias("cosine"))
                     .orderBy(F.desc("cosine"), F.asc(id_col))
                     .limit(k))
+
+
+def build_ivf_index(embs: DataFrame, centroids: List[Sequence[float]],
+                    path: str, vec_col: str = "embedding") -> None:
+    """One-time IVF build: assign every vector to its nearest centroid and
+    write parquet **partitioned by centroid**. Queries then read only the
+    probed cells — Hive partition pruning (PartitionFilters in the scan
+    node), so a probe touches n_probe/k of the data instead of all of it.
+    The pre-``repartition("centroid")`` gives one file per cell per write
+    (not one per task per cell)."""
+    assigned = assign_centroid(embs, centroids, vec_col)
+    (assigned.repartition("centroid")
+             .write.mode("overwrite").partitionBy("centroid").parquet(path))
+
+
+def ivf_topk_indexed(spark, path: str, centroids: List[Sequence[float]],
+                     query_vec: Sequence[float], k: int = 10,
+                     n_probe: int = 1, vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> DataFrame:
+    """Top-k over a :func:`build_ivf_index` layout: the centroid filter is
+    a partition predicate, so Spark lists and scans only the probed
+    directories."""
+    probe = _probe_cells(centroids, query_vec, n_probe)
+    q = list(query_vec)
+    df = spark.read.parquet(path).filter(F.col("centroid").isin(probe))
+    return (df.select(F.col(id_col),
+                      cosine_expr(F.col(vec_col), _vec_lit(q)).alias("cosine"))
+              .orderBy(F.desc("cosine"), F.asc(id_col))
+              .limit(k))
+
+
+def kmeans_centroids(embs: DataFrame, k: int = 4, n_iter: int = 3,
+                     vec_col: str = "embedding",
+                     id_col: str = "vec_id") -> List[List[float]]:
+    """Deterministic Lloyd iterations for IVF centroids: seeds are the
+    ``k`` lowest-id vectors; each round assigns (broadcast centroid
+    literals, JVM-side) and recomputes cell means via one
+    posexplode + groupBy(centroid, pos) average — k·dim rows to the
+    driver per round, never the data itself. Empty cells keep their
+    previous centroid."""
+    seeds = (embs.orderBy(id_col).limit(k)
+                 .select(vec_col).collect())
+    centroids = [[float(x) for x in r[0]] for r in seeds]
+    for _ in range(n_iter):
+        assigned = assign_centroid(embs, centroids, vec_col)
+        means = (assigned.select("centroid",
+                                 F.posexplode(_as_double(F.col(vec_col)))
+                                  .alias("pos", "val"))
+                         .groupBy("centroid", "pos")
+                         .agg(F.avg("val").alias("m"))
+                         .collect())
+        nxt = [list(c) for c in centroids]
+        for r in means:
+            nxt[r["centroid"]][r["pos"]] = float(r["m"])
+        centroids = nxt
+    return centroids

@@ -120,6 +120,40 @@ class TestSimilarity:
                   similarity.ivf_topk(embs, cents, q, k=5, n_probe=1).collect()]
         assert set(approx) <= set(range(60)) and len(approx) == 5
 
+    def test_ivf_index_prunes_partitions(self, spark, tmpdir_path):
+        rows = [(i, [math.cos(i / 7.0), math.sin(i / 7.0)]) for i in range(60)]
+        embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        cents = [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0], [0.0, -1.0]]
+        q = [0.6, 0.8]
+        idx = tmpdir_path + "/ivf"
+        similarity.build_ivf_index(embs, cents, idx)
+        # indexed results == on-the-fly results (same centroids/probes)
+        fly = [(r["vec_id"], round(r["cosine"], 9)) for r in
+               similarity.ivf_topk(embs, cents, q, k=5, n_probe=2).collect()]
+        idxed_df = similarity.ivf_topk_indexed(spark, idx, cents, q,
+                                               k=5, n_probe=2)
+        idxed = [(r["vec_id"], round(r["cosine"], 9))
+                 for r in idxed_df.collect()]
+        assert idxed == fly
+        # the centroid probe must prune at scan time, not post-scan filter
+        plan = idxed_df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "centroid" in plan
+
+    def test_kmeans_centroids_deterministic_and_clustered(self, spark):
+        # two tight clusters around +x and +y; k-means from the 2 lowest-id
+        # seeds must land one centroid near each cluster mean.
+        rows = ([(i, [1.0 + 0.01 * (i % 5), 0.01 * i]) for i in range(20)]
+                + [(100 + i, [0.01 * i, 2.0 + 0.01 * (i % 5)])
+                   for i in range(20)])
+        embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        c1 = similarity.kmeans_centroids(embs, k=2, n_iter=3)
+        c2 = similarity.kmeans_centroids(embs, k=2, n_iter=3)
+        assert c1 == c2            # fully deterministic
+        # one centroid x-dominant, the other y-dominant
+        xdom = [c for c in c1 if c[0] > c[1]]
+        ydom = [c for c in c1 if c[1] > c[0]]
+        assert len(xdom) == 1 and len(ydom) == 1
+
 
 class TestTextstats:
     def test_quality(self, docs):
