@@ -45,52 +45,164 @@ def _program(args):
     return named[args.preset]()
 
 
+# tar archives are checked before the plain .gz/.bz2 suffixes so that
+# "x.tar.gz" is read as a tar, not gzip (reference __main__.py:22-33)
+_TAR_SUFFIXES = (".tar", ".tar.gz", ".tgz", ".tar.bz2", ".tbz2",
+                 ".tar.xz", ".txz")
+
+
+def _iter_local_lines(files, encoding="utf-8"):
+    """Driver-side line iterator for the sources Spark's distributed text
+    reader can't take directly: stdin (no files given), tar-family
+    archives, and non-UTF-8 encodings (reference __main__.py:16-47).
+    Plain/gz/bz2 UTF-8 files go through ``spark.read.text`` instead."""
+    if not files:
+        for line in sys.stdin:
+            yield line.rstrip("\r\n")
+        return
+    for fp in files:
+        if fp.endswith(_TAR_SUFFIXES):
+            import tarfile
+            with tarfile.open(fp, "r") as tar:
+                for info in tar.getmembers():
+                    if info.isfile():
+                        with tar.extractfile(info) as f:
+                            for raw in f:
+                                yield raw.decode(encoding).rstrip("\r\n")
+        elif fp.endswith(".bz2"):
+            import bz2
+            with bz2.open(fp, "rt", encoding=encoding) as f:
+                for line in f:
+                    yield line.rstrip("\r\n")
+        elif fp.endswith(".gz"):
+            import gzip
+            with gzip.open(fp, "rt", encoding=encoding) as f:
+                for line in f:
+                    yield line.rstrip("\r\n")
+        else:
+            with open(fp, "rt", encoding=encoding) as f:
+                for line in f:
+                    yield line.rstrip("\r\n")
+
+
 def cmd_parse(args) -> int:
+    """Reference-parity parse: successes → stdout (or --output), failures
+    + summary → stderr; exit 0 when ≥1 line parses, 1 when nothing
+    parses, 2 on a startup error (reference __main__.py:89-148)."""
+    # -- startup validation (exit 2) before any Spark work
+    try:
+        program = _program(args)
+    except Exception as e:
+        print(f"cannot load parser script {args.parser_script}: {e}",
+              file=sys.stderr)
+        return 2
+    files = list(args.files)
+    if args.input:
+        files.append(args.input)
+    if args.input_kind == "text":
+        for fp in files:
+            if not os.path.exists(fp) and "*" not in fp:
+                print(f"cannot read input: {fp}", file=sys.stderr)
+                return 2
+
+    from pyspark.sql import SparkSession
     from .session import get_spark
-    from .functions.udf import with_parsed
+    from .functions.udf import with_parsed, tokenize_statement_udf
+    pre_existing = SparkSession.getActiveSession() is not None
     spark = get_spark(app_name="log2seq-spark-cli")
     spark.sparkContext.setLogLevel("ERROR")
-    if args.input_kind == "text":
-        df = spark.read.text(args.input).withColumnRenamed("value", "text")
-        ts_col = None
-    else:
-        df = spark.read.parquet(args.input)
-        ts_col = "ts" if "ts" in df.columns else None
-    program = _program(args)
-    default_year = args.year
-    if default_year is None and ts_col is None:
-        import datetime
-        default_year = datetime.datetime.now().year
-    parsed = with_parsed(df, program, text_col="text", ts_col=ts_col,
-                         default_year=default_year)
-    ok = F.col("parsed.message").isNotNull()
-    n_total = parsed.count()
-    n_ok = parsed.filter(ok).count()
-    n_empty = parsed.filter(F.col("parsed.rule_id") == -2).count()
-    n_fail = n_total - n_ok - n_empty
 
-    if args.output:
-        out = parsed.select("*", "parsed.*").drop("parsed")
-        if args.format == "words":
-            out = parsed.filter(ok).select(
-                F.array_join("parsed.words", " ").alias("words"))
-        out.write.mode("overwrite").parquet(args.output)
+    nonutf8 = args.encoding.lower().replace("_", "-") not in ("utf-8", "utf8")
+    ts_col = None
+    if args.input_kind == "parquet":
+        df = (spark.read.parquet(*files)
+              .withColumn("_ord", F.monotonically_increasing_id()))
+        ts_col = "ts" if "ts" in df.columns else None
+    elif not files or nonutf8 or any(fp.endswith(_TAR_SUFFIXES)
+                                     for fp in files):
+        lines = list(_iter_local_lines(files, args.encoding))
+        df = spark.createDataFrame(
+            list(enumerate(lines)), "_ord long, text string")
     else:
-        sample = parsed.filter(ok).limit(args.sample)
-        for row in sample.collect():
-            p = row["parsed"]
-            if args.format == "words":
-                print(" ".join(p["words"]))
-            else:
-                print({k: p[k] for k in p.__fields__ if p[k] is not None})
-    print(f"# processed {n_total} lines: {n_ok} ok, {n_fail} failed",
+        df = (spark.read.text(files).withColumnRenamed("value", "text")
+              .withColumn("_ord", F.monotonically_increasing_id()))
+
+    nonempty = F.col("text") != ""
+    if args.statement:
+        tok = tokenize_statement_udf(tuple(program.actions))
+        out = (df.filter(nonempty)
+                 .withColumn("_tok", tok(F.col("text")))
+                 .select("_ord", "text", F.col("_tok.words").alias("words"),
+                         F.col("_tok.symbols").alias("symbols")))
+        n_ok = out.count()
+        n_fail = 0
+        fail_rows = []
+        if args.format == "words":
+            fmt = lambda r: " ".join(r["words"])
+        else:
+            fmt = lambda r: str((list(r["words"]), list(r["symbols"])))
+        ok_rows = out.orderBy("_ord")
+    else:
+        default_year = args.year
+        if default_year is None and ts_col is None:
+            import datetime
+            default_year = datetime.datetime.now().year
+        parsed = with_parsed(df.filter(nonempty), program, text_col="text",
+                             ts_col=ts_col, default_year=default_year)
+        ok = F.col("parsed.message").isNotNull()
+        is_empty = F.col("parsed.rule_id") == -2
+        counts = parsed.agg(
+            F.sum(ok.cast("long")).alias("n_ok"),
+            F.sum((~ok & ~is_empty).cast("long")).alias("n_fail")).first()
+        n_ok = counts["n_ok"] or 0
+        n_fail = counts["n_fail"] or 0
+        failures = parsed.filter(~ok & ~is_empty).orderBy("_ord")
+        if args.max_failures > 0:
+            failures = failures.limit(args.max_failures)
+        fail_rows = [r["text"] for r in failures.select("_ord", "text")
+                     .collect()] if n_fail else []
+        if args.format == "words":
+            fmt = lambda r: " ".join(r["parsed"]["words"])
+        else:
+            fmt = lambda r: str({k: r["parsed"][k]
+                                 for k in r["parsed"].__fields__
+                                 if r["parsed"][k] is not None})
+        ok_rows = parsed.filter(ok).orderBy("_ord")
+
+    # failures + progress to stderr (reference: parse failed: {line!r})
+    for line in fail_rows:
+        print(f"parse failed: {line!r}", file=sys.stderr)
+    if 0 < args.max_failures < n_fail:
+        print("... (further failures suppressed; "
+              "use --max-failures 0 to show all)", file=sys.stderr)
+
+    # successes to stdout / --output (streamed — no full collect)
+    wrote_parquet = False
+    if args.output and args.output.endswith(".parquet"):
+        sel = ok_rows.select("*", "parsed.*").drop("parsed", "_ord") \
+            if not args.statement else ok_rows.drop("_ord")
+        sel.write.mode("overwrite").parquet(args.output)
+        wrote_parquet = True
+    if not args.failures_only and not wrote_parquet:
+        f_out = (open(args.output, "w", encoding=args.encoding)
+                 if args.output else sys.stdout)
+        try:
+            it = ok_rows.toLocalIterator()
+            for i, row in enumerate(it):
+                if args.sample is not None and i >= args.sample:
+                    break
+                if args.show_input:
+                    print(row["text"], file=f_out)
+                print(fmt(row), file=f_out)
+        finally:
+            if args.output:
+                f_out.close()
+
+    print(f"# processed {n_ok + n_fail} lines: {n_ok} ok, {n_fail} failed",
           file=sys.stderr)
-    spark.stop()
-    if n_ok == 0 and n_total > 0:
-        return 1
-    if n_fail > 0:
-        return 2
-    return 0
+    if not pre_existing:
+        spark.stop()
+    return 0 if n_ok > 0 else 1
 
 
 def cmd_pipeline(args) -> int:
@@ -124,11 +236,32 @@ def main(argv=None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("parse", help="parse raw lines or a turns table")
-    p.add_argument("--input", required=True)
+    p.add_argument("files", nargs="*",
+                   help="input files (stdin when none given and no --input);"
+                        " plain/.gz/.bz2 text read distributed, tar-family"
+                        " archives read driver-side like the reference")
+    p.add_argument("--input", default=None,
+                   help="additional input path (alias for a positional file)")
     p.add_argument("--input-kind", choices=["text", "parquet"], default="text")
-    p.add_argument("--output", default=None)
-    p.add_argument("--format", choices=["object", "words"], default="object")
-    p.add_argument("--sample", type=int, default=10)
+    p.add_argument("--encoding", default="utf-8",
+                   help="encoding to load input data (non-UTF-8 inputs are"
+                        " decoded driver-side)")
+    p.add_argument("-o", "--output", default=None,
+                   help="output filename (formatted text; *.parquet writes"
+                        " a parquet table instead)")
+    p.add_argument("-t", "--format", choices=["object", "words"],
+                   default="object")
+    p.add_argument("-s", "--statement", action="store_true",
+                   help="parse input as a statement (without header)")
+    p.add_argument("--failures-only", action="store_true",
+                   help="suppress successful results; show only failures"
+                        " and summary")
+    p.add_argument("--max-failures", type=int, default=5,
+                   help="max failed lines to report to stderr (0 unlimited)")
+    p.add_argument("-i", "--show-input", action="store_true",
+                   help="prefix each successful result with the input line")
+    p.add_argument("--sample", type=int, default=None,
+                   help="print at most N successful results (default: all)")
     p.add_argument("-p", "--parser-script", default=None)
     p.add_argument("--preset", default="default")
     p.add_argument("--year", type=int, default=None,

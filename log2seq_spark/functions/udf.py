@@ -122,6 +122,31 @@ def tokenize_words_udf(actions: tuple):
     return _tok
 
 
+def tokenize_statement_udf(actions: tuple):
+    """UDF of (statement) → struct<words, symbols> — statement-only
+    parsing, the vectorized counterpart of the reference's
+    ``process_statement`` / CLI ``--statement`` mode
+    (``/root/reference/log2seq/__main__.py:79-80``)."""
+    from .tokenizer import VectorTokenizer
+
+    schema = StructType([
+        StructField("words", ArrayType(StringType())),
+        StructField("symbols", ArrayType(StringType())),
+    ])
+
+    @pandas_udf(returnType=schema)
+    def _tok(statements: pd.Series) -> pd.DataFrame:
+        vt = _TOKENIZER_CACHE.get(actions)
+        if vt is None:
+            vt = VectorTokenizer(actions)
+            _TOKENIZER_CACHE[actions] = vt
+        words, symbols = vt.run(statements)
+        return pd.DataFrame({"words": pd.Series(words, dtype=object),
+                             "symbols": pd.Series(symbols, dtype=object)})
+
+    return _tok
+
+
 def with_parsed(df: DataFrame, program: RuleProgram, text_col: str = "text",
                 ts_col: Optional[str] = "ts",
                 default_year: Optional[int] = None,

@@ -1,0 +1,133 @@
+"""CLI golden tests — ported from the reference CLI test suite
+(``/root/reference/tests/test_main.py:24-53``) plus the archive /
+encoding / statement surfaces (reference ``__main__.py:16-47,79-84``).
+
+Runs ``main()`` in-process against the shared session-scoped Spark
+fixture (cmd_parse detects the pre-existing session and leaves it
+running)."""
+
+import gzip
+import io
+import os
+import tarfile
+
+import pytest
+
+from log2seq_spark.__main__ import main
+
+LINES = ("Jan  1 12:34:56 host system[1]: ok one\n"
+         "GARBAGE no header at all\n"
+         "Feb  2 01:02:03 host app[2]: ok two\n")
+
+
+@pytest.fixture()
+def run_cli(spark, capsys, monkeypatch):
+    def _run(args, stdin_text=""):
+        monkeypatch.setattr("sys.stdin", io.StringIO(stdin_text))
+        code = main(["parse"] + args)
+        cap = capsys.readouterr()
+        return code, cap.out, cap.err
+    return _run
+
+
+class TestReferenceParity:
+    def test_stdout_stderr_split(self, run_cli):
+        # successes go to stdout; failures + summary go to stderr.
+        code, out, err = run_cli(["-t", "words"], LINES)
+        assert code == 0
+        assert out.splitlines() == ["system 1 ok one", "app 2 ok two"]
+        assert "parse failed:" in err
+        assert "2 ok, 1 failed" in err
+
+    def test_failures_only_suppresses_stdout(self, run_cli):
+        code, out, err = run_cli(["--failures-only"], LINES)
+        assert code == 0
+        assert out == ""
+        assert "2 ok, 1 failed" in err
+
+    def test_exit_1_when_nothing_parses(self, run_cli):
+        code, out, err = run_cli([], "GARBAGE1\nGARBAGE2\n")
+        assert code == 1
+        assert "0 ok, 2 failed" in err
+
+    def test_exit_2_on_unloadable_parser(self, run_cli):
+        code, out, err = run_cli(["-p", "/no/such/parser.py"], "x\n")
+        assert code == 2
+
+    def test_exit_2_on_missing_input_file(self, run_cli):
+        code, out, err = run_cli(["/no/such/input.log"])
+        assert code == 2
+        assert "cannot read input" in err
+
+    def test_max_failures_caps_stderr_detail(self, run_cli):
+        code, out, err = run_cli(
+            ["--max-failures", "1"],
+            "G1\nG2\nG3\nJan  1 00:00:00 h a[1]: ok\n")
+        assert code == 0
+        assert err.count("parse failed:") == 1
+        assert "suppressed" in err
+        assert "1 ok, 3 failed" in err
+
+    def test_show_input_prefixes_lines(self, run_cli):
+        code, out, err = run_cli(["-t", "words", "-i"],
+                                 "Jan  1 12:34:56 host app[1]: ok one\n")
+        assert code == 0
+        assert out.splitlines() == ["Jan  1 12:34:56 host app[1]: ok one",
+                                    "app 1 ok one"]
+
+
+class TestExtendedSources:
+    def test_tar_gz_archive(self, run_cli, tmpdir_path):
+        # two member files inside a .tar.gz; must be read as tar, not gzip
+        tar_path = os.path.join(tmpdir_path, "logs.tar.gz")
+        with tarfile.open(tar_path, "w:gz") as tar:
+            for name, text in [("a.log", "Jan  1 12:34:56 h x[1]: one\n"),
+                               ("b.log", "Jan  2 12:34:56 h y[2]: two\n")]:
+                p = os.path.join(tmpdir_path, name)
+                with open(p, "w") as f:
+                    f.write(text)
+                tar.add(p, arcname=name)
+        code, out, err = run_cli(["-t", "words", tar_path])
+        assert code == 0
+        assert sorted(out.splitlines()) == ["x 1 one", "y 2 two"]
+        assert "2 ok, 0 failed" in err
+
+    def test_encoding_latin1(self, run_cli, tmpdir_path):
+        p = os.path.join(tmpdir_path, "latin.log")
+        with open(p, "w", encoding="latin-1") as f:
+            f.write("Jan  1 12:34:56 host app[1]: caf\xe9 ok\n")
+        code, out, err = run_cli(["-t", "words", "--encoding", "latin-1", p])
+        assert code == 0
+        assert "caf\xe9" in out
+        assert "1 ok, 0 failed" in err
+
+    def test_gz_file_distributed_path(self, run_cli, tmpdir_path):
+        p = os.path.join(tmpdir_path, "x.log.gz")
+        with gzip.open(p, "wt") as f:
+            f.write("Jan  1 12:34:56 host app[1]: hello\n")
+        code, out, err = run_cli(["-t", "words", p])
+        assert code == 0
+        assert out.splitlines() == ["app 1 hello"]
+
+    def test_statement_mode(self, run_cli):
+        code, out, err = run_cli(["-s", "-t", "words"],
+                                 "open ('file.txt') mode=r\n")
+        assert code == 0
+        # statement-only tokenization: no header expected, no failure
+        assert "1 ok, 0 failed" in err
+        assert out.splitlines() == ["open file.txt mode r"]
+
+    def test_statement_mode_object_format(self, run_cli):
+        code, out, err = run_cli(["-s"], "a: b\n")
+        assert code == 0
+        words = out.strip()
+        assert words.startswith("(") and "'a'" in words and "'b'" in words
+
+    def test_output_file(self, run_cli, tmpdir_path):
+        dest = os.path.join(tmpdir_path, "out.txt")
+        code, out, err = run_cli(["-t", "words", "-o", dest],
+                                 "Jan  1 12:34:56 host app[1]: ok one\n")
+        assert code == 0
+        assert out == ""
+        with open(dest) as f:
+            assert f.read().splitlines() == ["app 1 ok one"]
