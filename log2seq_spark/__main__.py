@@ -41,7 +41,18 @@ def _program(args):
              "apache": presets.apache_errorlog_program,
              "hdfs": presets.hdfs_program,
              "hpc": presets.hpc_program,
-             "spark": presets.spark_log_program}
+             "spark": presets.spark_log_program,
+             "bgl": presets.bgl_program,
+             "windows": presets.windows_program,
+             "linux": presets.linux_program,
+             "proxifier": presets.proxifier_program,
+             "android": presets.android_program,
+             "hadoop": presets.hadoop_program,
+             "healthapp": presets.healthapp_program,
+             "mac": presets.mac_program,
+             "openstack": presets.openstack_program,
+             "thunderbird": presets.thunderbird_program,
+             "zookeeper": presets.zookeeper_program}
     return named[args.preset]()
 
 

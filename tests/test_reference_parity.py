@@ -133,12 +133,28 @@ class TestLoghubPresetParity:
     """Our hdfs/hpc/spark presets vs the reference's own example parsers
     over their full 2k-line corpora."""
 
-    @pytest.mark.parametrize("name,program_fn,keys", [
-        ("HDFS", "hdfs_program", ("processid", "level", "component")),
-        ("HPC", "hpc_program", ("logid", "node", "component", "state", "flag")),
-        ("Spark", "spark_log_program", ("level", "component")),
+    @pytest.mark.parametrize("name,program_fn,keys,min_ok", [
+        ("HDFS", "hdfs_program", ("processid", "level", "component"), 1500),
+        ("HPC", "hpc_program",
+         ("logid", "node", "component", "state", "flag"), 1500),
+        ("Spark", "spark_log_program", ("level", "component"), 1500),
+        ("BGL", "bgl_program",
+         ("label", "host", "type", "component", "level"), 1500),
+        ("Windows", "windows_program", ("level", "component"), 1500),
+        ("Linux", "linux_program", ("host", "component", "processid"), 1500),
+        ("Proxifier", "proxifier_program", ("env",), 1500),
+        ("Android", "android_program",
+         ("pid", "tid", "level", "component"), 1500),
+        ("Hadoop", "hadoop_program", ("level", "process", "component"), 1500),
+        ("HealthApp", "healthapp_program", ("component", "processid"), 1500),
+        ("Mac", "mac_program", ("host", "component", "processid"), 1500),
+        ("OpenStack", "openstack_program",
+         ("processid", "level", "host", "addr"), 1500),
+        ("Thunderbird", "thunderbird_program",
+         ("label", "host", "component", "processid"), 1500),
+        ("Zookeeper", "zookeeper_program", ("level", "component"), 1500),
     ])
-    def test_corpus(self, name, program_fn, keys):
+    def test_corpus(self, name, program_fn, keys, min_ok):
         from log2seq_spark.rules import presets
         ref = _load_ref_parser(name)
         ours = LineEngine(getattr(presets, program_fn)())
@@ -165,4 +181,4 @@ class TestLoghubPresetParity:
                     and "timestamp" in got:
                 assert got["timestamp"] == exp["timestamp"], (name, line)
             n_ok += 1
-        assert n_ok > 1500, (name, n_ok)
+        assert n_ok > min_ok, (name, n_ok)
