@@ -37,6 +37,7 @@ from ..rules.spec import RuleProgram
 from ..functions.udf import with_parsed
 from ..sources.transcripts import role_dim, tool_dim, severity_dim
 from . import manifest as mf
+from .sink import write_partitioned
 
 ROUTED = "routed"
 AGG_SINK = "agg_sink_counts"
@@ -63,6 +64,9 @@ class PipelineConfig:
     input_id: str = "transcripts"
     write_tokens: bool = True
     write_templates: bool = True
+    # sink backend seam: parquet | iceberg | auto (iceberg when its
+    # runtime jar is present; see plans/sink.py)
+    sink_backend: str = "parquet"
 
 
 @dataclass
@@ -104,6 +108,16 @@ def run_pipeline(spark: SparkSession, turns: DataFrame,
     lineage = mf.lineage_id(cfg.program, cfg.input_id, cfg.n_buckets)
     done = mf.completed_buckets(cfg.out_dir, lineage) if resume else set()
 
+    # a reused out_dir holding another lineage's output (different rule
+    # program / input) would otherwise leak its stale (sink, bucket)
+    # partitions into this run's read-back aggregates: clear the data
+    # dirs when the manifest has no records for the current lineage, and
+    # belt-and-braces filter the read-back on a lineage stamp below
+    if not done:
+        import shutil
+        for sub in (ROUTED, AGG_SINK, AGG_TOKEN, AGG_TEMPLATE):
+            shutil.rmtree(os.path.join(cfg.out_dir, sub), ignore_errors=True)
+
     df = enriched_turns(spark, turns, cfg)
     if done:
         df = df.filter(~F.col("bucket").isin(sorted(done)))
@@ -117,10 +131,8 @@ def run_pipeline(spark: SparkSession, turns: DataFrame,
         F.col("parsed.symbols").alias("symbols"),
         F.col("parsed.rule_id").alias("rule_id"),
         F.col("parsed.error").alias("error"),
-        "severity", "role_group", "tool_family", "sink", "bucket")
-
-    # partial writes from a crashed run are healed by dynamic overwrite
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        "severity", "role_group", "tool_family", "sink", "bucket",
+        F.lit(lineage).alias("lineage"))
 
     # ONE heavy pass: parse + enrich + the fan-out write. Aggregates then
     # run off the column-pruned read-back of the routed sink — cheaper
@@ -128,11 +140,14 @@ def run_pipeline(spark: SparkSession, turns: DataFrame,
     # store materialization was a core-count-independent ~40% of wall).
     # The repartition on the partition columns keeps file counts at
     # one-per-dir-per-task instead of tasks × dirs (measured 7× faster).
+    # Partial writes from a crashed run are healed by dynamic partition
+    # overwrite — set per-writer so session-global conf is untouched.
     p = cfg.partitions or spark.sparkContext.defaultParallelism
-    (df.repartition(p, "sink", "bucket")
-       .write.mode("overwrite").partitionBy("sink", "bucket")
-       .parquet(os.path.join(cfg.out_dir, ROUTED)))
-    df = spark.read.parquet(os.path.join(cfg.out_dir, ROUTED))
+    write_partitioned(df.repartition(p, "sink", "bucket"),
+                      os.path.join(cfg.out_dir, ROUTED),
+                      ["sink", "bucket"], backend=cfg.sink_backend)
+    df = (spark.read.parquet(os.path.join(cfg.out_dir, ROUTED))
+               .filter(F.col("lineage") == lineage))
     if done:
         df = df.filter(~F.col("bucket").isin(sorted(done)))
     # the three aggregate passes share one NARROW cached projection —
@@ -157,35 +172,37 @@ def run_pipeline(spark: SparkSession, turns: DataFrame,
                               metrics={k: 0 for k in ("n_rows", "n_ok",
                                                       "n_fail", "n_empty",
                                                       "n_tokens")})
-    (spark.createDataFrame(stats)
-          .select("bucket", "sink", "n_rows")
-          .repartition(8, "bucket")
-          .write.mode("overwrite").partitionBy("bucket")
-          .parquet(os.path.join(cfg.out_dir, AGG_SINK)))
+    write_partitioned(spark.createDataFrame(stats)
+                      .select("bucket", "sink", "n_rows")
+                      .repartition(8, "bucket"),
+                      os.path.join(cfg.out_dir, AGG_SINK), ["bucket"],
+                      backend=cfg.sink_backend)
 
     if cfg.write_tokens:
-        (df.filter(F.col("message").isNotNull())
-           .select("bucket", "sink", F.explode("words").alias("token"))
-           .groupBy("bucket", "sink", "token").agg(F.count("*").alias("n"))
-           .repartition(min(p, cfg.n_buckets), "bucket")
-           .write.mode("overwrite").partitionBy("bucket")
-           .parquet(os.path.join(cfg.out_dir, AGG_TOKEN)))
+        write_partitioned(
+            df.filter(F.col("message").isNotNull())
+              .select("bucket", "sink", F.explode("words").alias("token"))
+              .groupBy("bucket", "sink", "token").agg(F.count("*").alias("n"))
+              .repartition(min(p, cfg.n_buckets), "bucket"),
+            os.path.join(cfg.out_dir, AGG_TOKEN), ["bucket"],
+            backend=cfg.sink_backend)
 
     if cfg.write_templates:
         # mask once into a single separator-joined key; the display form
         # (separator → space) is derived on the few aggregated rows
         tkey = F.concat_ws("\x1e", F.expr(_MASK))
-        (df.filter(F.col("message").isNotNull())
-           .select("bucket", tkey.alias("template_key"))
-           .groupBy("bucket", F.md5("template_key").alias("template_id"))
-           .agg(F.count("*").alias("n"),
-                F.min("template_key").alias("template_key"))
-           .withColumn("template",
-                       F.regexp_replace("template_key", "\x1e", " "))
-           .drop("template_key")
-           .repartition(8, "bucket")
-           .write.mode("overwrite").partitionBy("bucket")
-           .parquet(os.path.join(cfg.out_dir, AGG_TEMPLATE)))
+        write_partitioned(
+            df.filter(F.col("message").isNotNull())
+              .select("bucket", tkey.alias("template_key"))
+              .groupBy("bucket", F.md5("template_key").alias("template_id"))
+              .agg(F.count("*").alias("n"),
+                   F.min("template_key").alias("template_key"))
+              .withColumn("template",
+                          F.regexp_replace("template_key", "\x1e", " "))
+              .drop("template_key")
+              .repartition(8, "bucket"),
+            os.path.join(cfg.out_dir, AGG_TEMPLATE), ["bucket"],
+            backend=cfg.sink_backend)
 
     df.unpersist()
 

@@ -44,41 +44,61 @@ _STATE_SCHEMA = StructType([
 ])
 
 
-def _assemble(key: Tuple[str], frames: Iterable[pd.DataFrame],
-              state: GroupState) -> Iterator[pd.DataFrame]:
-    if state.hasTimedOut:
-        n_turns, n_ok, n_tokens, first_us, last_us, max_idx = state.get
-        state.remove()
-        yield pd.DataFrame({
-            "conv_id": [key[0]], "n_turns": [n_turns], "n_ok": [n_ok],
-            "n_tokens": [n_tokens],
-            "first_ts": [pd.Timestamp(first_us, unit="us")],
-            "last_ts": [pd.Timestamp(last_us, unit="us")],
-            "max_turn_idx": [max_idx]})
-        return
+_DURATION_MS = {"millisecond": 1, "second": 1000, "minute": 60_000,
+                "hour": 3_600_000, "day": 86_400_000}
 
-    n_turns, n_ok, n_tokens, first_us, last_us, max_idx = (
-        state.get if state.exists else (0, 0, 0, None, None, -1))
-    for pdf in frames:
-        n_turns += len(pdf)
-        n_ok += int(pdf["message"].notna().sum())
-        n_tokens += int(pdf["n_words"].fillna(0).sum())
-        ts_us = pd.to_datetime(pdf["ts"]).astype("int64") // 1000
-        lo, hi = int(ts_us.min()), int(ts_us.max())
-        first_us = lo if first_us is None else min(first_us, lo)
-        last_us = hi if last_us is None else max(last_us, hi)
-        max_idx = max(max_idx, int(pdf["turn_idx"].max()))
-    state.update((n_turns, n_ok, n_tokens, first_us, last_us, max_idx))
-    # close the conversation when no turn arrives for 30 event-time minutes
-    state.setTimeoutTimestamp(last_us // 1000 + 30 * 60 * 1000)
-    yield pd.DataFrame(columns=[f.name for f in CONV_SUMMARY_SCHEMA.fields])
+
+def duration_ms(spec: str) -> int:
+    """Parse a Spark-style interval string like '30 minutes' / '1 hour'."""
+    n, unit = spec.strip().split()
+    return int(n) * _DURATION_MS[unit.rstrip("s").lower()]
+
+
+def _make_assemble(timeout_ms: int):
+    """Bind the conversation-close gap (event-time ms) into the stateful
+    function — the same duration as the stream watermark, so the session
+    timeout and the late-data bound always agree."""
+
+    def _assemble(key: Tuple[str], frames: Iterable[pd.DataFrame],
+                  state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            n_turns, n_ok, n_tokens, first_us, last_us, max_idx = state.get
+            state.remove()
+            yield pd.DataFrame({
+                "conv_id": [key[0]], "n_turns": [n_turns], "n_ok": [n_ok],
+                "n_tokens": [n_tokens],
+                "first_ts": [pd.Timestamp(first_us, unit="us")],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+                "max_turn_idx": [max_idx]})
+            return
+
+        n_turns, n_ok, n_tokens, first_us, last_us, max_idx = (
+            state.get if state.exists else (0, 0, 0, None, None, -1))
+        for pdf in frames:
+            n_turns += len(pdf)
+            n_ok += int(pdf["message"].notna().sum())
+            n_tokens += int(pdf["n_words"].fillna(0).sum())
+            ts_us = pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+            lo, hi = int(ts_us.min()), int(ts_us.max())
+            first_us = lo if first_us is None else min(first_us, lo)
+            last_us = hi if last_us is None else max(last_us, hi)
+            max_idx = max(max_idx, int(pdf["turn_idx"].max()))
+        state.update((n_turns, n_ok, n_tokens, first_us, last_us, max_idx))
+        # close the conversation when no turn arrives for timeout_ms of
+        # event time
+        state.setTimeoutTimestamp(last_us // 1000 + timeout_ms)
+        yield pd.DataFrame(columns=[f.name for f in
+                                    CONV_SUMMARY_SCHEMA.fields])
+
+    return _assemble
 
 
 def conversation_summaries(parsed_stream: DataFrame,
                            watermark: str = "30 minutes") -> DataFrame:
     """Parsed turn stream → per-conversation summary rows emitted on
     event-time timeout. Input needs conv_id, turn_idx, ts and the parsed
-    struct."""
+    struct. The conversation-close gap equals ``watermark`` (one knob:
+    the state timeout and the late-data bound stay in lockstep)."""
     turns = (parsed_stream
              .withWatermark("ts", watermark)
              .select("conv_id", "turn_idx", "ts",
@@ -87,5 +107,6 @@ def conversation_summaries(parsed_stream: DataFrame,
                       .alias("n_words")))
     return (turns.groupBy("conv_id")
                  .applyInPandasWithState(
-                     _assemble, CONV_SUMMARY_SCHEMA, _STATE_SCHEMA,
+                     _make_assemble(duration_ms(watermark)),
+                     CONV_SUMMARY_SCHEMA, _STATE_SCHEMA,
                      "append", GroupStateTimeout.EventTimeTimeout))

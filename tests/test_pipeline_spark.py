@@ -140,6 +140,25 @@ class TestPipelineEquality:
         total = sum(r["n_rows"] for r in recs)
         assert total == turns.count()
 
+    def test_stale_lineage_not_counted(self, spark, turns, tmpdir_path):
+        # run lineage A over the full table, then lineage B (different
+        # input_id) over ~half the rows into the SAME out_dir: B's
+        # aggregates and routed read-back must not absorb A's leftovers.
+        cfg_a = PipelineConfig(out_dir=tmpdir_path, n_buckets=8,
+                               partitions=8, input_id="inputA")
+        run_pipeline(spark, turns, cfg_a, resume=True)
+        half = turns.filter(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0)
+        n_half = half.count()
+        assert 0 < n_half < turns.count()
+        cfg_b = PipelineConfig(out_dir=tmpdir_path, n_buckets=8,
+                               partitions=8, input_id="inputB")
+        res_b = run_pipeline(spark, half, cfg_b, resume=True)
+        assert res_b.metrics["n_rows"] == n_half
+        routed = spark.read.parquet(os.path.join(tmpdir_path, "routed"))
+        assert routed.count() == n_half
+        sc = spark.read.parquet(os.path.join(tmpdir_path, "agg_sink_counts"))
+        assert sc.agg(F.sum("n_rows")).first()[0] == n_half
+
 
 class TestArrowEngineParity:
     def test_arrow_equals_pandas_udf(self, spark, turns):
