@@ -111,6 +111,18 @@ class HeaderField:
             return fixed[self.kind]
         return self.name  # named kinds
 
+    def test(self, string: str):
+        """Debug helper mirroring the reference ``Item.test``
+        (reference header.py:390-402): anchored match of this single
+        field's synthesized pattern against ``string``. Compiles the
+        pattern per call — for debugging rule specs only.
+
+        Returns the ``re.Match`` or ``None``.
+        """
+        import re as _re
+        from .synthesis import field_regex
+        return _re.compile(r"^" + field_regex(self) + r"$").match(string)
+
 
 # factory helpers (the public spec-building API) ----------------------------
 

@@ -194,9 +194,43 @@ class TestMultimodal:
         assert sorted(r["content_hash"] for r in out) == \
             sorted(r["content_hash"] for r in again)
 
-    def test_real_decode_is_gated(self, spark):
-        with pytest.raises(NotImplementedError):
-            extract_features(synthetic_media(spark, 2), decode="real")
+    def test_real_wav_decode(self, spark):
+        # the stdlib-wave path is a REAL codec that works everywhere:
+        # build a valid 2-channel 16-bit WAV and decode it for real.
+        import io
+        import wave
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(2)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(bytes(range(256)) * 4)
+        media = spark.createDataFrame(
+            [(0, "audio", bytearray(buf.getvalue()))],
+            "media_id long, media_type string, payload binary")
+        r = extract_features(media, decode="real").collect()[0]
+        assert r["width"] == 2          # channels
+        assert r["height"] == 16        # bit depth
+        assert len(r["feature"]) == FEATURE_DIM
+        assert any(v > 0 for v in r["feature"])
+
+    def test_real_image_decode_requires_pil(self, spark):
+        from log2seq_spark.operators.multimodal import pil_available
+        media = spark.createDataFrame(
+            [(0, "image", bytearray(b"not-an-image"))],
+            "media_id long, media_type string, payload binary")
+        if pil_available():
+            pytest.skip("PIL present; import-gate not exercisable")
+        with pytest.raises(Exception, match="Pillow"):
+            extract_features(media, decode="real").collect()
+
+    def test_auto_decode_resolves_by_capability(self, spark):
+        from log2seq_spark.operators.multimodal import pil_available
+        if pil_available():
+            pytest.skip("PIL present: auto=real would reject fake payloads")
+        out = extract_features(synthetic_media(spark, 4),
+                               decode="auto").collect()
+        assert len(out) == 4   # fake fallback without PIL
 
 
 class TestStreaming:

@@ -211,6 +211,49 @@ class TestHeaderGolden:
 
 # -- item-level typed conversions (reference tests/test_header.py:94-229) ----
 
+class TestItemTestHelper:
+    """HeaderField.test — the reference's rule-debugging surface
+    (reference header.py:390-402): anchored single-field match."""
+
+    def test_matches_and_rejects(self):
+        from log2seq_spark.rules.spec import (digit, hostname, time_of_day,
+                                              month_abbr, user_field)
+        assert digit("pid").test("123")
+        assert digit("pid").test("12a") is None
+        assert hostname("host").test("a.example.org")
+        assert hostname("host").test("not a host!") is None
+        assert time_of_day().test("12:34:56")
+        assert time_of_day().test("99zz") is None
+        assert month_abbr().test("Jan")
+        assert user_field("x", r"[A-Z]+").test("ABC")
+        assert user_field("x", r"[A-Z]+").test("abc") is None
+
+    def test_named_group_like_reference(self):
+        # reference Item.test returns a match whose named group carries
+        # the field value; mirror that
+        from log2seq_spark.rules.spec import digit
+        mo = digit("pid").test("42")
+        assert mo.group("pid") == "42"
+
+    def test_parity_with_reference_item_test(self):
+        import sys
+        sys.path.insert(0, "/root/reference")
+        from log2seq.header import Digit, Hostname, Time
+        from log2seq_spark.rules.spec import digit, hostname, time_of_day
+        cases = [
+            (Digit("d"), digit("d"),
+             ["7", "0042", "x7", "", "4.2"]),
+            (Hostname("h"), hostname("h"),
+             ["example.org", "1.2.3.4", "::1", "no spaces here"]),
+            (Time(), time_of_day(),
+             ["01:02:03", "1:2:3", "01:02:03.456", "25x"]),
+        ]
+        for ref_item, our_field, inputs in cases:
+            for s in inputs:
+                assert (ref_item.test(s) is not None) == \
+                    (our_field.test(s) is not None), (our_field.kind, s)
+
+
 class TestItemConversions:
     @staticmethod
     def _pick(field_spec, text):
