@@ -485,6 +485,58 @@ FROM base
 """
 
 
+def q_token_stats(spark, sf_dir):
+    """Token counting both ways a data-pipeline budget needs: whitespace
+    tokens and a BPE-ish sub-word estimate (letter runs / ≤3-digit
+    chunks / symbol runs — leftmost-first alternation, identical under
+    Java regex and RE2)."""
+    docs = _t(spark, sf_dir, "documents")
+    return textstats.token_stats(docs).select(
+        "doc_id", "ws_tokens", "bpe_tokens")
+
+
+_SQL_TOKEN_STATS = r"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+         AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+'))
+         AS bpe_tokens
+FROM documents
+"""
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (rolling k-gram window-min) fingerprints: per-doc count
+    + min fingerprint. Oracle replays the k-gram md5 hashes and the
+    trailing-window string-min selection exactly."""
+    fps = textstats.winnow_fingerprints(
+        _tp(spark, sf_dir, "documents"), k=5, window=4)
+    return fps.groupBy("doc_id").agg(
+        F.count("*").alias("n_fp"), F.min("fp").alias("min_fp"))
+
+
+_SQL_WINNOW = f"""
+WITH norm AS (
+  SELECT doc_id, {_NORM} AS t FROM documents
+), pos AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, least(length(t) - 4, 2000))) AS p
+  FROM norm WHERE length(t) - 4 >= 1
+), hashes AS (
+  SELECT doc_id, p, md5(substr(t, p, 5)) AS fp FROM pos
+), sel AS (
+  SELECT doc_id, fp,
+         min(fp) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+  FROM hashes
+), fps AS (
+  SELECT DISTINCT doc_id, fp FROM sel WHERE fp = wmin
+)
+SELECT doc_id, count(*) AS n_fp, min(fp) AS min_fp
+FROM fps GROUP BY doc_id
+"""
+
+
 def q_lang_id_counts(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return (textstats.lang_id(docs, "text")
@@ -613,6 +665,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "textstats_quality": q_textstats_quality,
+        "token_stats": q_token_stats,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "rollup_orders": q_rollup_orders,
         "set_ops_users": q_set_ops_users,
         "lang_id_counts": q_lang_id_counts,
@@ -639,6 +693,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": _SQL_EMB_NEAR_DUP,
         "embedding_near_dup_lsh": _SQL_EMB_NEAR_DUP_LSH,
         "textstats_quality": _SQL_QUALITY,
+        "token_stats": _SQL_TOKEN_STATS,
+        "winnow_fingerprints": _SQL_WINNOW,
         "lang_id_counts": _SQL_LANG_ID,
         "rollup_orders": _SQL_ROLLUP,
         "set_ops_users": _SQL_SET_OPS,

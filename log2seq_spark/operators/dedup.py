@@ -231,12 +231,24 @@ def embedding_near_duplicates(embs: DataFrame, vec_col: str = "embedding",
                     norm_expr(F.col(vec_col)).alias("_norm"))
     if n_planes > 0:
         sig = hyperplane_signatures(embs, vec_col, id_col, n_planes, bands)
-        cand = (sig.select(F.col("_id").alias("id_a"), "band", "band_key")
-                   .join(sig.select(F.col("_id").alias("id_b"),
-                                    "band", "band_key"),
-                         ["band", "band_key"])
-                   .filter(F.col("id_a") < F.col("id_b"))
-                   .select("id_a", "id_b").distinct())
+        # pairs WITHIN each band bucket via collect_list + in-bucket
+        # expansion: the signature subtree is computed once (a self-join
+        # would evaluate it per side) and the only shuffle is the tiny
+        # bucket groupBy. The HOF pair expansion runs on one row per
+        # bucket, so interpreted evaluation is irrelevant; bucket sizes
+        # bound the quadratic term by design.
+        ids = F.array_sort(F.collect_list("_id"))
+        buckets = (sig.groupBy("band", "band_key").agg(ids.alias("ids"))
+                      .filter(F.size("ids") > 1))
+        pair_arr = F.flatten(F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")))))
+        cand = (buckets.select(F.explode(pair_arr).alias("p"))
+                       .select(F.col("p.id_a").alias("id_a"),
+                               F.col("p.id_b").alias("id_b"))
+                       .distinct())
         pairs = (cand
                  .join(e.select(F.col("_id").alias("id_a"),
                                 F.col("_v").alias("va"),

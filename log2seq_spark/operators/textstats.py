@@ -25,14 +25,29 @@ def tokens_expr(text_col):
     return F.filter(F.split(text_col, r"\s+"), lambda t: t != "")
 
 
+# BPE-flavored segmentation classes (GPT-style: letter runs, digit runs
+# chunked to <=3, symbol runs). Leftmost-first alternation with disjoint
+# classes — identical under Java regex and RE2, so a DuckDB oracle
+# replays the count exactly.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+"
+
+
 def bpe_ish_token_count(text_col):
-    """Sub-word-ish token estimate: count of maximal runs matching a
-    BPE-flavored regex (letters | digits | single non-space symbol)."""
-    runs = F.filter(
-        F.split(text_col, r"(?<=[A-Za-z0-9])(?=[^A-Za-z0-9])"
-                          r"|(?<=[^A-Za-z0-9])(?=[A-Za-z0-9])|\s+"),
-        lambda t: t != "")
-    return F.size(runs)
+    """Sub-word-ish token estimate: count of maximal runs matching
+    :data:`BPE_ISH_PATTERN` (letters | <=3-digit chunks | symbol runs),
+    whitespace skipped."""
+    return F.size(F.regexp_extract_all(text_col, F.lit(BPE_ISH_PATTERN), 0))
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc token counting, both flavors a training-data pipeline
+    budget uses: whitespace tokens and the BPE-ish sub-word estimate.
+    Narrow projection, no shuffle."""
+    c = F.col(text_col)
+    return docs.select(
+        "*",
+        F.size(tokens_expr(c)).alias("ws_tokens"),
+        bpe_ish_token_count(c).alias("bpe_tokens"))
 
 
 def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -93,3 +108,38 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     rolling-hash analog for exact-after-normalization identity)."""
     return docs.select(
         "*", F.md5(normalized_text(F.col(text_col))).alias("fingerprint"))
+
+
+def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 5,
+                        window: int = 4,
+                        max_positions: int = 2000) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the public local-fingerprinting algorithm): hash every
+    character k-gram of the normalized text, then keep one fingerprint
+    per sliding window of ``window`` consecutive hashes. Deterministic
+    variant used here: position ``p`` is selected iff its hash equals
+    the minimum of the trailing window ``[p-window+1, p]`` (string-min of
+    md5 hex — total order identical in every engine, so a SQL oracle
+    replays the selection bit-for-bit). Returns DISTINCT
+    (``id_col``, ``fp``) rows.
+
+    Shape at scale: explode to one row per k-gram position (bounded by
+    ``max_positions`` per doc), a per-doc window min (partitioned by
+    doc — no global shuffle skew), then a distinct. Cost is linear in
+    total text volume; guarantees any shared substring of length
+    ``k + window - 1`` contributes at least one shared fingerprint."""
+    from pyspark.sql import Window
+    norm = normalized_text(F.col(text_col))
+    base = docs.select(F.col(id_col), norm.alias("_t"))
+    npos = F.least(F.length("_t") - F.lit(k - 1), F.lit(max_positions))
+    positions = F.when(npos >= 1, F.sequence(F.lit(1), npos)) \
+                 .otherwise(F.array())
+    grams = (base.select(id_col, "_t", F.explode(positions).alias("pos"))
+                 .select(id_col, "pos",
+                         F.md5(F.expr(f"substring(_t, pos, {k})")).alias("fp")))
+    w = (Window.partitionBy(id_col).orderBy("pos")
+               .rowsBetween(-(window - 1), 0))
+    sel = grams.withColumn("_wmin", F.min("fp").over(w))
+    return (sel.filter(F.col("fp") == F.col("_wmin"))
+               .select(id_col, "fp").distinct())

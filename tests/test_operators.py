@@ -171,6 +171,41 @@ class TestTextstats:
         assert out[4] == "de"
         assert out[5] == "und"   # no markers
 
+    def test_token_stats(self, spark):
+        d = spark.createDataFrame(
+            [(0, "ab 12345 c!!"), (1, "hello world"), (2, "")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in textstats.token_stats(d).collect()}
+        assert out[0]["ws_tokens"] == 3
+        # bpe-ish: "ab" + "123","45" (digit chunks <=3) + "c" + "!!" = 5
+        assert out[0]["bpe_tokens"] == 5
+        assert out[1]["ws_tokens"] == out[1]["bpe_tokens"] == 2
+        assert out[2]["ws_tokens"] == out[2]["bpe_tokens"] == 0
+
+    def test_winnow_fingerprints(self, spark):
+        shared = "a quick brown fox jumped over the sleeping dog today"
+        d = spark.createDataFrame(
+            [(0, shared + " and ran away"),
+             (1, "meanwhile " + shared + " again"),
+             (2, "totally unrelated text with different character grams"),
+             (3, "x")],   # shorter than k → no fingerprints
+            "doc_id long, text string")
+        fps = textstats.winnow_fingerprints(d, k=5, window=4)
+        by_doc = {}
+        for r in fps.collect():
+            by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+        # guarantee: a shared substring of length >= k+window-1 yields
+        # at least one shared fingerprint
+        assert by_doc[0] & by_doc[1]
+        # unrelated docs share (almost) nothing: strictly fewer overlaps
+        assert len(by_doc[0] & by_doc.get(2, set())) < len(by_doc[0] & by_doc[1])
+        assert 3 not in by_doc
+        # determinism + density: selected positions are a strict subset
+        again = {(r["doc_id"], r["fp"])
+                 for r in textstats.winnow_fingerprints(
+                     d, k=5, window=4).collect()}
+        assert again == {(d_, f) for d_, s in by_doc.items() for f in s}
+
     def test_fingerprint_ignores_case_and_punct(self, spark):
         d = spark.createDataFrame(
             [(0, "Hello, World!"), (1, "hello   world"), (2, "other")],
