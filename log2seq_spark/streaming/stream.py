@@ -43,6 +43,27 @@ def streaming_parse(spark: SparkSession, input_dir: str,
     return out.withColumn("sink", sink)
 
 
+def streaming_dedup_exact(docs: DataFrame, text_col: str = "text",
+                          ts_col: str = "ts",
+                          watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exact dedup for ingest pipelines: keep the first
+    occurrence of each content hash, dropping re-deliveries and repeats
+    that arrive within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keys the streaming state store by
+    the 32-char md5 — state is partitioned across executors and evicted
+    once the event-time watermark passes, so memory is bounded by the
+    duplicate-arrival horizon rather than the stream's lifetime (the
+    property that makes exact dedup viable on an unbounded 100-TB/day
+    ingest; duplicates farther apart than the watermark are left to the
+    batch :func:`~log2seq_spark.operators.dedup.exact_duplicates`
+    compaction pass)."""
+    return (docs
+            .withColumn("text_hash", F.md5(F.col(text_col)))
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["text_hash"]))
+
+
 def streaming_sink_counts(routed: DataFrame, window: str = "10 minutes",
                           watermark: str = "30 minutes") -> DataFrame:
     """Event-time windowed per-sink counts with a watermark for late

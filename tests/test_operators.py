@@ -292,6 +292,33 @@ class TestStreaming:
         n_batch = spark.read.parquet(inp).count()
         assert n_stream == n_batch
 
+    def test_streaming_dedup_exact(self, spark, tmpdir_path):
+        import os
+        from log2seq_spark.streaming import streaming_dedup_exact
+        rows = [
+            (0, "alpha content", "2024-01-01 10:00:00"),
+            (1, "alpha content", "2024-01-01 10:05:00"),   # dup within wm
+            (2, "beta content", "2024-01-01 10:01:00"),
+            (3, "alpha content", "2024-01-01 10:07:00"),   # dup within wm
+            (4, "gamma content", "2024-01-01 10:02:00"),
+        ]
+        inp = os.path.join(tmpdir_path, "din")
+        (spark.createDataFrame(rows, "doc_id long, text string, ts_s string")
+              .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+              .write.parquet(inp))
+        stream = spark.readStream.schema(
+            "doc_id long, text string, ts timestamp").parquet(inp)
+        out = streaming_dedup_exact(stream, watermark="1 hour")
+        q = (out.writeStream.outputMode("append")
+             .format("memory").queryName("l2s_stream_dedup")
+             .option("checkpointLocation", os.path.join(tmpdir_path, "dck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        res = spark.sql("select * from l2s_stream_dedup").collect()
+        # one row per distinct content; duplicates dropped by state
+        assert sorted(r["text"] for r in res) == \
+            ["alpha content", "beta content", "gamma content"]
+
     def test_stateful_conversation_summaries(self, spark, tmpdir_path):
         import os
         from log2seq_spark.sources.transcripts import transcripts

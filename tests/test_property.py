@@ -54,6 +54,27 @@ def test_vectorized_equals_oracle_and_reconstructs(lines, acts):
         assert rebuilt == line
 
 
+@settings(max_examples=200, deadline=None)
+@given(text=st.text(alphabet=_ALPHABET + "\t\n", min_size=0, max_size=80))
+def test_bpe_pattern_identical_across_regex_engines(text):
+    """The BPE-ish token count must be identical under Python re
+    (leftmost-first, like Java regex on the Spark side) and RE2 (DuckDB,
+    the oracle side) — the cross-engine equivalence the oracle gate
+    relies on, stressed over adversarial random text incl. unicode."""
+    import re
+
+    import duckdb
+
+    from log2seq_spark.operators.textstats import BPE_ISH_PATTERN
+    n_py = len(re.compile(BPE_ISH_PATTERN).findall(text))
+    con = duckdb.connect()
+    n_duck = con.execute(
+        "SELECT len(regexp_extract_all(?, ?))",
+        [text, BPE_ISH_PATTERN]).fetchone()[0]
+    con.close()
+    assert n_py == n_duck, text
+
+
 header_lines = st.text(alphabet=_ALPHABET + "\t", min_size=0, max_size=100)
 
 
