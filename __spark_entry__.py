@@ -271,8 +271,10 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
             .withColumn("jaccard", F.round("jaccard", 6)))
 
 
-_SQL_JACCARD = f"""
-WITH norm AS (
+# shared inverted-index jaccard pipeline (3-gram shingles, per-doc cap
+# 200, document-frequency cap 100) — reused by the pair query, the
+# keep-list, and the training-selection oracle
+_JACCARD_CTES = f"""norm AS (
   SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
 ), sh AS (
   SELECT doc_id,
@@ -287,17 +289,148 @@ WITH norm AS (
   SELECT doc_id, shingle FROM allposts JOIN rare USING (shingle)
 ), posts AS (
   SELECT doc_id, count(*) OVER (PARTITION BY doc_id) AS n, shingle FROM kept
-), pairs AS (
+), jpairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS n_a, b.n AS n_b,
          count(*) AS n_common
   FROM posts a JOIN posts b USING (shingle)
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2, 3, 4
-)
+)"""
+
+_SQL_JACCARD = f"""
+WITH {_JACCARD_CTES}
 SELECT id_a, id_b,
        round(n_common / (n_a + n_b - n_common), 6) AS jaccard
-FROM pairs
+FROM jpairs
 WHERE n_common / (n_a + n_b - n_common) >= 0.35
+"""
+
+
+def q_dedup_keep_list(spark, sf_dir):
+    """Composed keep/drop policy over the documents table: exact dups
+    (non-min id) → drop_exact, higher id of any verified >=0.35-jaccard
+    pair → drop_near, else keep. The list a training pipeline actually
+    applies downstream."""
+    return dedup.dedup_decisions(_tp(spark, sf_dir, "documents"),
+                                 threshold=0.35)
+
+
+_SQL_KEEP_LIST = f"""
+WITH {_JACCARD_CTES},
+near AS (
+  SELECT DISTINCT id_b AS doc_id FROM jpairs
+  WHERE n_common / (n_a + n_b - n_common) >= 0.35
+), exact AS (
+  SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
+  FROM documents GROUP BY 1
+)
+SELECT d.doc_id,
+       CASE WHEN e.n > 1 AND d.doc_id <> e.keep_id THEN 'drop_exact'
+            WHEN nd.doc_id IS NOT NULL THEN 'drop_near'
+            ELSE 'keep' END AS decision
+FROM documents d
+JOIN exact e ON md5(d.text) = e.h
+LEFT JOIN near nd ON d.doc_id = nd.doc_id
+"""
+
+
+def q_stratified_sample_counts(spark, sf_dir):
+    """Deterministic content-addressed stratified sampling: per-language
+    keep rates over md5(seed#doc_id) buckets — reproducible across
+    engines/cluster sizes, oracle replays membership exactly."""
+    from log2seq_spark.operators import sampling
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.stratified_sample(
+        docs, "lang", {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.1},
+        default_rate=0.05)
+    return out.groupBy("lang").agg(F.count("*").alias("n_docs"))
+
+
+_SQL_STRATIFIED = """
+SELECT lang, count(*) AS n_docs FROM documents
+WHERE ('0x' || substr(md5('0#' || doc_id), 1, 4))::INT % 10000 <
+      CASE lang WHEN 'de' THEN 5000 WHEN 'en' THEN 10000
+                WHEN 'es' THEN 1000 WHEN 'fr' THEN 2500 ELSE 500 END
+GROUP BY lang
+"""
+
+
+def q_training_selection(spark, sf_dir):
+    """End-to-end training-set selection: quality gate + language gate +
+    dedup keep-list, reporting docs and token budget per decision — the
+    composition a data pipeline runs before tokenization."""
+    docs = _tp(spark, sf_dir, "documents")
+    dec = dedup.dedup_decisions(docs, threshold=0.35)
+    qual = textstats.quality_features(docs).select(
+        "doc_id", "n_tokens", "quality_score")
+    lang = textstats.lang_id(docs).select("doc_id", "predicted_lang")
+    joined = qual.join(dec, "doc_id").join(lang, "doc_id")
+    selected = ((F.col("decision") == "keep")
+                & (F.col("quality_score") >= 0.5)
+                & (F.col("predicted_lang") == "en"))
+    return (joined.withColumn("selected", selected)
+                  .groupBy("selected")
+                  .agg(F.count("*").alias("n_docs"),
+                       F.sum("n_tokens").alias("n_tokens")))
+
+
+_SQL_TRAINING_SELECTION = f"""
+WITH {_JACCARD_CTES},
+near AS (
+  SELECT DISTINCT id_b AS doc_id FROM jpairs
+  WHERE n_common / (n_a + n_b - n_common) >= 0.35
+), exact AS (
+  SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
+  FROM documents GROUP BY 1
+), dec AS (
+  SELECT d.doc_id,
+         CASE WHEN e.n > 1 AND d.doc_id <> e.keep_id THEN 'drop_exact'
+              WHEN nd.doc_id IS NOT NULL THEN 'drop_near'
+              ELSE 'keep' END AS decision
+  FROM documents d
+  JOIN exact e ON md5(d.text) = e.h
+  LEFT JOIN near nd ON d.doc_id = nd.doc_id
+), qbase AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+         len(list_filter(string_split(text, ' '),
+             t -> list_contains(['the','and','of','to','a','in','is','that'],
+                                lower(t)))) AS stop_hits
+  FROM documents
+), qual AS (
+  SELECT doc_id, n_tokens,
+         (CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 0.25 ELSE 0.0 END
+          + CASE WHEN (n_chars - (n_tokens - 1)) / greatest(n_tokens, 1)
+                      BETWEEN 2 AND 12 THEN 0.25 ELSE 0.0 END
+          + CASE WHEN n_punct / greatest(n_chars, 1) <= 0.2
+                 THEN 0.25 ELSE 0.0 END
+          + CASE WHEN stop_hits / greatest(n_tokens, 1) >= 0.05
+                 THEN 0.25 ELSE 0.0 END) AS quality_score
+  FROM qbase
+), langtoks AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(text, '\\s+'),
+                                    t -> t <> ''), t -> lower(t)) AS w
+  FROM documents
+), langpred AS (
+  SELECT doc_id,
+         CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END
+           AS predicted_lang
+  FROM (SELECT doc_id, list_max([
+    {{'hits': len(list_filter(w, t -> list_contains(['the','and','of','to','a','in','is','that'], t))), 'lang': 'en'}},
+    {{'hits': len(list_filter(w, t -> list_contains(['der','die','und','das','ist','nicht','ein'], t))), 'lang': 'de'}},
+    {{'hits': len(list_filter(w, t -> list_contains(['le','la','les','et','est','une','pas'], t))), 'lang': 'fr'}},
+    {{'hits': len(list_filter(w, t -> list_contains(['el','la','los','y','es','una','que'], t))), 'lang': 'es'}}
+  ]) AS best FROM langtoks)
+)
+SELECT (dec.decision = 'keep' AND q.quality_score >= 0.5
+        AND lp.predicted_lang = 'en') AS selected,
+       count(*) AS n_docs,
+       cast(sum(q.n_tokens) AS BIGINT) AS n_tokens
+FROM qual q JOIN dec USING (doc_id) JOIN langpred lp USING (doc_id)
+GROUP BY 1
 """
 
 
@@ -659,6 +792,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_keep_list": q_dedup_keep_list,
+        "stratified_sample_counts": q_stratified_sample_counts,
+        "training_selection": q_training_selection,
         "simhash": q_simhash,
         "knn_brute": q_knn_brute,
         "ivf_topk": q_ivf_topk,
@@ -686,7 +822,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": _SQL_MINHASH,
         "dedup_ngram_jaccard": _SQL_JACCARD,
-        # simhash: rows-only (base-16 conv not portable to ANSI SQL)
+        "dedup_keep_list": _SQL_KEEP_LIST,
+        "stratified_sample_counts": _SQL_STRATIFIED,
+        "training_selection": _SQL_TRAINING_SELECTION,
         "simhash": _SQL_SIMHASH,
         "knn_brute": _SQL_KNN,
         "ivf_topk": _SQL_IVF,

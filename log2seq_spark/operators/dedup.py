@@ -135,6 +135,39 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                  .select("id_a", "id_b", "jaccard"))
 
 
+def dedup_decisions(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", shingle_n: int = 3,
+                    threshold: float = 0.5,
+                    max_shingles_per_doc: int = 200,
+                    max_docs_per_shingle: int = 100) -> DataFrame:
+    """Composed dedup policy — the keep/drop list a training pipeline
+    actually applies. Per doc: ``drop_exact`` when its content hash has
+    an earlier (min-id) occurrence; else ``drop_near`` when it is the
+    higher id of any verified near-dup pair
+    (:func:`ngram_jaccard_pairs` at ``threshold``); else ``keep``.
+    Pairwise (non-transitive) rule: deterministic, order-free, and
+    replayable in ANSI SQL — no union-find / iterative clustering.
+    Returns (id, decision)."""
+    h = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h"))
+    exact = h.groupBy("_h").agg(F.min(id_col).alias("_keep"),
+                                F.count("*").alias("_n"))
+    ex = (h.join(exact, "_h")
+           .select(id_col,
+                   ((F.col("_n") > 1) & (F.col(id_col) != F.col("_keep")))
+                   .alias("_ex")))
+    near = (ngram_jaccard_pairs(docs, text_col, id_col, shingle_n,
+                                threshold, max_shingles_per_doc,
+                                max_docs_per_shingle)
+            .select(F.col("id_b").alias(id_col)).distinct()
+            .withColumn("_nr", F.lit(True)))
+    decision = (F.when(F.col("_ex"), F.lit("drop_exact"))
+                 .when(F.coalesce(F.col("_nr"), F.lit(False)),
+                       F.lit("drop_near"))
+                 .otherwise(F.lit("keep")))
+    return (ex.join(near, id_col, "left")
+              .select(id_col, decision.alias("decision")))
+
+
 def with_simhash(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", out_col: str = "simhash") -> DataFrame:
     """60-bit SimHash keyed by ``id_col``: each token's md5 prefix

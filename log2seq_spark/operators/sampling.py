@@ -1,0 +1,51 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Hash-based (content-addressed) sampling: membership depends only on
+``(seed, id)`` through md5, so a sample is reproducible across runs,
+engines, and cluster sizes — no RNG state, no per-partition seeds, and
+an ANSI-SQL oracle replays membership exactly (unlike ``df.sample``,
+whose RNG is engine- and partitioning-dependent).
+
+Scale shape: a narrow projection + filter evaluated at the scan — no
+shuffle, no state; stratified rates are a literal CASE over the strata
+column.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_BUCKETS = 10_000
+
+
+def hash_bucket(id_col: Column, seed: int = 0) -> Column:
+    """Stable bucket in [0, 10000) from md5(seed '#' id)."""
+    key = F.md5(F.concat_ws("#", F.lit(str(seed)), id_col.cast("string")))
+    return (F.conv(F.substring(key, 1, 4), 16, 10).cast("int")
+            % F.lit(N_BUCKETS))
+
+
+def hash_sample(df: DataFrame, rate: float, id_col: str = "doc_id",
+                seed: int = 0) -> DataFrame:
+    """Keep a deterministic ``rate`` fraction keyed by ``id_col``."""
+    thr = int(round(rate * N_BUCKETS))
+    return df.filter(hash_bucket(F.col(id_col), seed) < F.lit(thr))
+
+
+def stratified_sample(df: DataFrame, strata_col: str, rates: Dict[str, float],
+                      default_rate: float = 0.0, id_col: str = "doc_id",
+                      seed: int = 0) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. language- or
+    source-balanced training mixes): each stratum keeps its own rate of
+    rows, selected by the same content-addressed bucket."""
+    thr: Column = F.lit(int(round(default_rate * N_BUCKETS)))
+    expr = None
+    for value, rate in sorted(rates.items()):
+        cond = F.col(strata_col) == value
+        lit = F.lit(int(round(rate * N_BUCKETS)))
+        expr = F.when(cond, lit) if expr is None else expr.when(cond, lit)
+    thr = thr if expr is None else expr.otherwise(thr)
+    return df.filter(hash_bucket(F.col(id_col), seed) < thr)

@@ -43,6 +43,15 @@ class TestDedup:
         assert 0.3 <= out[(0, 2)] < 1.0
         assert (0, 3) not in out
 
+    def test_dedup_decisions(self, docs):
+        out = {r["doc_id"]: r["decision"] for r in
+               dedup.dedup_decisions(docs, threshold=0.3).collect()}
+        assert out[0] == "keep"          # min id of the exact-dup pair
+        assert out[1] == "drop_exact"    # exact dup of 0
+        assert out[2] == "drop_near"     # near dup (higher id of pair)
+        assert out[3] == "keep"
+        assert len(out) == 6             # one decision per doc
+
     def test_simhash_close_for_near_dups(self, docs):
         rows = {r["doc_id"]: r["simhash"]
                 for r in dedup.with_simhash(docs).collect()}
