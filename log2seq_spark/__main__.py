@@ -125,9 +125,12 @@ def cmd_parse(args) -> int:
 
     nonutf8 = args.encoding.lower().replace("_", "-") not in ("utf-8", "utf8")
     ts_col = None
-    if args.input_kind == "parquet":
-        df = (spark.read.parquet(*files)
-              .withColumn("_ord", F.monotonically_increasing_id()))
+    if args.input_kind in ("parquet", "table"):
+        # "table" resolves through the session catalog — an Iceberg (or
+        # any V2) table when a catalog is configured, a view otherwise
+        df = (spark.table(files[0]) if args.input_kind == "table"
+              else spark.read.parquet(*files))
+        df = df.withColumn("_ord", F.monotonically_increasing_id())
         ts_col = "ts" if "ts" in df.columns else None
     elif not files or nonutf8 or any(fp.endswith(_TAR_SUFFIXES)
                                      for fp in files):
@@ -221,7 +224,8 @@ def cmd_pipeline(args) -> int:
     from .plans.pipeline import PipelineConfig, run_pipeline
     spark = get_spark(app_name="log2seq-spark-pipeline")
     spark.sparkContext.setLogLevel("WARN")
-    turns = spark.read.parquet(args.input)
+    turns = (spark.table(args.input) if args.input_kind == "table"
+             else spark.read.parquet(args.input))
     cfg = PipelineConfig(out_dir=args.out, n_buckets=args.buckets,
                          program=_program(args), input_id=args.input)
     res = run_pipeline(spark, turns, cfg, resume=not args.no_resume)
@@ -253,7 +257,10 @@ def main(argv=None) -> int:
                         " archives read driver-side like the reference")
     p.add_argument("--input", default=None,
                    help="additional input path (alias for a positional file)")
-    p.add_argument("--input-kind", choices=["text", "parquet"], default="text")
+    p.add_argument("--input-kind", choices=["text", "parquet", "table"],
+                   default="text",
+                   help="text files, a parquet path, or a catalog table "
+                        "name (Iceberg when a catalog is configured)")
     p.add_argument("--encoding", default="utf-8",
                    help="encoding to load input data (non-UTF-8 inputs are"
                         " decoded driver-side)")
@@ -282,6 +289,10 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("pipeline", help="run parse→enrich→route→aggregate")
     p.add_argument("--input", required=True)
+    p.add_argument("--input-kind", choices=["parquet", "table"],
+                   default="parquet",
+                   help="parquet path or catalog table name (Iceberg when "
+                        "a catalog is configured)")
     p.add_argument("--out", required=True)
     p.add_argument("--buckets", type=int, default=64)
     p.add_argument("--no-resume", action="store_true")

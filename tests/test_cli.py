@@ -123,6 +123,17 @@ class TestExtendedSources:
         words = out.strip()
         assert words.startswith("(") and "'a'" in words and "'b'" in words
 
+    def test_catalog_table_input(self, spark, run_cli):
+        # --input-kind table resolves through the session catalog — the
+        # Iceberg entry point when a catalog is configured; a view here
+        spark.createDataFrame(
+            [("Jan  1 12:34:56 host app[7]: from table",)], "text string"
+        ).createOrReplaceTempView("cli_turns_view")
+        code, out, err = run_cli(["--input", "cli_turns_view",
+                                  "--input-kind", "table", "-t", "words"])
+        assert code == 0
+        assert out.splitlines() == ["app 7 from table"]
+
     def test_output_file(self, run_cli, tmpdir_path):
         dest = os.path.join(tmpdir_path, "out.txt")
         code, out, err = run_cli(["-t", "words", "-o", dest],
