@@ -222,12 +222,18 @@ def cmd_parse(args) -> int:
 def cmd_pipeline(args) -> int:
     from .session import get_spark
     from .plans.pipeline import PipelineConfig, run_pipeline
+    try:
+        program = _program(args)
+    except Exception as e:
+        print(f"cannot load parser script {args.parser_script}: {e}",
+              file=sys.stderr)
+        return 2
     spark = get_spark(app_name="log2seq-spark-pipeline")
     spark.sparkContext.setLogLevel("WARN")
     turns = (spark.table(args.input) if args.input_kind == "table"
              else spark.read.parquet(args.input))
     cfg = PipelineConfig(out_dir=args.out, n_buckets=args.buckets,
-                         program=_program(args), input_id=args.input)
+                         program=program, input_id=args.input)
     res = run_pipeline(spark, turns, cfg, resume=not args.no_resume)
     print(f"lineage={res.lineage_id} processed={res.buckets_processed} "
           f"skipped={res.buckets_skipped} metrics={res.metrics}",
