@@ -134,6 +134,12 @@ class TestExtendedSources:
         assert code == 0
         assert out.splitlines() == ["app 7 from table"]
 
+    def test_pipeline_exit_2_on_unloadable_parser(self, spark, capsys):
+        code = main(["pipeline", "--input", "/tmp/none", "--out", "/tmp/o",
+                     "-p", "/no/such/parser.py"])
+        assert code == 2
+        assert "cannot load parser script" in capsys.readouterr().err
+
     def test_output_file(self, run_cli, tmpdir_path):
         dest = os.path.join(tmpdir_path, "out.txt")
         code, out, err = run_cli(["-t", "words", "-o", dest],
