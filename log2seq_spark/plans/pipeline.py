@@ -37,7 +37,7 @@ from ..rules.spec import RuleProgram
 from ..functions.udf import with_parsed
 from ..sources.transcripts import role_dim, tool_dim, severity_dim
 from . import manifest as mf
-from .sink import write_partitioned
+from .sink import read_partitioned, write_partitioned
 
 ROUTED = "routed"
 AGG_SINK = "agg_sink_counts"
@@ -146,7 +146,8 @@ def run_pipeline(spark: SparkSession, turns: DataFrame,
     write_partitioned(df.repartition(p, "sink", "bucket"),
                       os.path.join(cfg.out_dir, ROUTED),
                       ["sink", "bucket"], backend=cfg.sink_backend)
-    df = (spark.read.parquet(os.path.join(cfg.out_dir, ROUTED))
+    df = (read_partitioned(spark, os.path.join(cfg.out_dir, ROUTED),
+                           backend=cfg.sink_backend)
                .filter(F.col("lineage") == lineage))
     if done:
         df = df.filter(~F.col("bucket").isin(sorted(done)))

@@ -61,23 +61,37 @@ def write_partitioned(df: DataFrame, dest: str,
     catalog table identifier; ``dest`` is ignored), creating the
     partitioned table on first write.
     """
-    backend = resolve_backend(df.sparkSession, backend)
+    spark = df.sparkSession
+    backend = resolve_backend(spark, backend)
     if backend == "iceberg":
         table = iceberg_table or _path_to_table(dest)
-        writer = df.writeTo(table).using("iceberg")
-        try:
-            writer.overwritePartitions()
-        except Exception:
-            # first write: create the table with the partition spec
+        if spark.catalog.tableExists(table):
+            # dynamic overwrite of only the partitions present in df;
+            # NEVER createOrReplace an existing table — a transient
+            # commit failure must surface, not silently drop the
+            # previously committed partitions
+            df.writeTo(table).overwritePartitions()
+        else:
             from pyspark.sql import functions as F
             (df.writeTo(table).using("iceberg")
                .partitionedBy(*[F.col(c) for c in partition_cols])
-               .createOrReplace())
+               .create())
         return
     (df.write.mode("overwrite")
        .option("partitionOverwriteMode", "dynamic")
        .partitionBy(*partition_cols)
        .parquet(dest))
+
+
+def read_partitioned(spark: SparkSession, dest: str,
+                     backend: str = "parquet",
+                     iceberg_table: Optional[str] = None) -> DataFrame:
+    """Read back what :func:`write_partitioned` wrote, through the same
+    backend seam (iceberg reads the catalog table, parquet the path)."""
+    backend = resolve_backend(spark, backend)
+    if backend == "iceberg":
+        return spark.table(iceberg_table or _path_to_table(dest))
+    return spark.read.parquet(dest)
 
 
 def _path_to_table(dest: str) -> str:

@@ -7,8 +7,8 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from log2seq_spark.plans.sink import (iceberg_available, resolve_backend,
-                                      write_partitioned)
+from log2seq_spark.plans.sink import (iceberg_available, read_partitioned,
+                                      resolve_backend, write_partitioned)
 
 
 class TestBackendElection:
@@ -43,3 +43,18 @@ class TestParquetWriter:
         # session conf was never mutated
         assert spark.conf.get("spark.sql.sources.partitionOverwriteMode",
                               "STATIC").upper() == "STATIC"
+
+    def test_read_partitioned_round_trips_through_seam(
+            self, spark, tmpdir_path):
+        dest = os.path.join(tmpdir_path, "rt")
+        df = spark.createDataFrame(
+            [("a", 1), ("b", 2), ("b", 3)], "k string, v int")
+        write_partitioned(df, dest, ["k"])
+        back = read_partitioned(spark, dest)
+        assert {(r["k"], r["v"]) for r in back.collect()} == \
+            {("a", 1), ("b", 2), ("b", 3)}
+        # partition column k is reconstructed, so a filter on it prunes
+        # at scan time (PartitionFilters) rather than post-scan
+        plan = back.filter(F.col("k") == "b")._jdf.queryExecution() \
+                   .executedPlan().toString()
+        assert "PartitionFilters: [" in plan and "isnotnull(k" in plan
