@@ -28,6 +28,72 @@ class TestBackendElection:
             resolve_backend(spark, "orc")
 
 
+class _FakeWriter:
+    """Records the DataFrameWriterV2 call chain write_partitioned makes."""
+
+    def __init__(self, calls):
+        self.calls = calls
+
+    def using(self, fmt):
+        self.calls.append(("using", fmt))
+        return self
+
+    def partitionedBy(self, *cols):
+        self.calls.append(("partitionedBy", len(cols)))
+        return self
+
+    def create(self):
+        self.calls.append(("create",))
+
+    def createOrReplace(self):
+        self.calls.append(("createOrReplace",))
+
+    def overwritePartitions(self):
+        self.calls.append(("overwritePartitions",))
+
+
+class TestIcebergBranch:
+    """The iceberg code path, driven without the runtime jar: backend
+    resolution and catalog lookup are monkeypatched, the writeTo chain is
+    recorded. Guards the invariant that an EXISTING table is only ever
+    dynamically overwritten (a transient commit failure must surface, not
+    be healed by createOrReplace dropping prior partitions)."""
+
+    def _run(self, spark, monkeypatch, table_exists):
+        import log2seq_spark.plans.sink as sink
+        calls = []
+        df = spark.createDataFrame([("a", 1)], "k string, v int")
+        monkeypatch.setattr(sink, "resolve_backend",
+                            lambda s, b: "iceberg")
+        monkeypatch.setattr(spark.catalog.__class__, "tableExists",
+                            lambda self, t: table_exists)
+        monkeypatch.setattr(df.__class__, "writeTo",
+                            lambda self, t: _FakeWriter(calls))
+        sink.write_partitioned(df, "/ignored", ["k"], backend="iceberg",
+                               iceberg_table="ns.t")
+        return calls
+
+    def test_first_write_creates_partitioned_table(self, spark, monkeypatch):
+        calls = self._run(spark, monkeypatch, table_exists=False)
+        assert calls == [("using", "iceberg"), ("partitionedBy", 1),
+                         ("create",)]
+
+    def test_existing_table_only_overwrites_partitions(
+            self, spark, monkeypatch):
+        calls = self._run(spark, monkeypatch, table_exists=True)
+        assert calls == [("overwritePartitions",)]
+
+    def test_read_partitioned_reads_catalog_table(self, spark, monkeypatch):
+        import log2seq_spark.plans.sink as sink
+        monkeypatch.setattr(sink, "resolve_backend", lambda s, b: "iceberg")
+        seen = []
+        monkeypatch.setattr(spark.__class__, "table",
+                            lambda self, t: seen.append(t) or "DF")
+        assert sink.read_partitioned(spark, "/x/ns/t",
+                                     backend="iceberg") == "DF"
+        assert seen == ["ns.t"]   # _path_to_table fallback
+
+
 class TestParquetWriter:
     def test_dynamic_overwrite_keeps_untouched_partitions(
             self, spark, tmpdir_path):
