@@ -306,6 +306,39 @@ WHERE n_common / (n_a + n_b - n_common) >= 0.35
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive duplicate families over the verified >=0.35-jaccard
+    pair graph: connected components (min-label propagation + pointer
+    jumping), cluster_id = min doc_id in the family, keep = canonical."""
+    pairs = dedup.ngram_jaccard_pairs(_tp(spark, sf_dir, "documents"),
+                                      shingle_n=3, threshold=0.35)
+    return (dedup.duplicate_clusters(pairs)
+            .withColumn("keep", F.col("doc_id") == F.col("cluster_id")))
+
+
+# connected components replayed in ANSI SQL: reach(id, r) enumerates, per
+# node, every node it can reach over the undirected pair graph (the
+# recursive UNION dedupes, so total rows are sum of component sizes
+# squared — fine at oracle scale); cluster id = min reachable id
+_SQL_CLUSTERS = f"""
+WITH RECURSIVE {_JACCARD_CTES},
+cpairs AS (
+  SELECT id_a, id_b FROM jpairs
+  WHERE n_common / (n_a + n_b - n_common) >= 0.35
+), cedges AS (
+  SELECT id_a AS src, id_b AS dst FROM cpairs
+  UNION
+  SELECT id_b, id_a FROM cpairs
+), reach(id, r) AS (
+  SELECT src, src FROM cedges
+  UNION
+  SELECT e.src, reach.r FROM cedges e JOIN reach ON reach.id = e.dst
+)
+SELECT id AS doc_id, min(r) AS cluster_id, id = min(r) AS keep
+FROM reach GROUP BY id
+"""
+
+
 def q_dedup_keep_list(spark, sf_dir):
     """Composed keep/drop policy over the documents table: exact dups
     (non-min id) → drop_exact, higher id of any verified >=0.35-jaccard
@@ -792,6 +825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_keep_list": q_dedup_keep_list,
         "stratified_sample_counts": q_stratified_sample_counts,
         "training_selection": q_training_selection,
@@ -822,6 +856,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": _SQL_MINHASH,
         "dedup_ngram_jaccard": _SQL_JACCARD,
+        "dedup_clusters": _SQL_CLUSTERS,
         "dedup_keep_list": _SQL_KEEP_LIST,
         "stratified_sample_counts": _SQL_STRATIFIED,
         "training_selection": _SQL_TRAINING_SELECTION,

@@ -301,3 +301,70 @@ def embedding_near_duplicates(embs: DataFrame, vec_col: str = "embedding",
                              / (F.col("na") * F.col("nb")))
     return (pairs.filter(F.col("cosine") >= threshold)
                  .select("id_a", "id_b", "cosine"))
+
+
+def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
+                       id_b: str = "id_b", out_id: str = "doc_id",
+                       max_iter: int = 25) -> DataFrame:
+    """Transitive duplicate clustering: connected components over an
+    undirected near-dup pair graph. Returns one row per node that appears
+    in any pair: ``(out_id, cluster_id)`` with ``cluster_id`` = the
+    minimum node id in the component (the canonical/keep document).
+
+    This is the step pairwise keep-lists (:func:`dedup_decisions`) skip:
+    with pairs a~b and b~c but not a~c, pairwise dropping keeps a and c
+    (both survive their own pairs) even though all three are one
+    duplicate family. Cluster-canonical selection keeps exactly one doc
+    per family.
+
+    Scale shape: iterative min-label propagation fused with pointer
+    jumping — per round, (1) every node takes the min label over its
+    neighbors (one shuffle join edges⋈labels + hash aggregate), then (2)
+    follows its label's own label one hop (one self-join), which doubles
+    the propagation distance per round, so rounds are O(log diameter)
+    rather than O(diameter). LSH/Jaccard dup graphs have tiny components,
+    so this converges in 2-3 rounds; the label table is `localCheckpoint`ed
+    each round to truncate lineage (an un-checkpointed iterative plan
+    re-executes all prior rounds every action). Labels only decrease and
+    are bounded below by the component min, and a fixed point forces
+    equal labels across every edge, so the changed-row convergence test
+    is exact, never heuristic. For adversarially long path graphs at
+    extreme scale the alternating large-star/small-star formulation
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) bounds round count the same way; the pointer-jumping step
+    here is the same doubling idea with one fewer join per round.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (e.union(e.select(F.col("dst").alias("src"),
+                              F.col("src").alias("dst")))
+              .distinct().localCheckpoint())
+    labels = (edges.groupBy("src").agg(F.min("dst").alias("_m"))
+                   .select("src", F.least("src", "_m").alias("lbl"))
+                   .localCheckpoint())
+    for _ in range(max_iter):
+        # (1) min label over neighbors
+        nb = (edges.join(labels.select(F.col("src").alias("dst"),
+                                       F.col("lbl").alias("dlbl")), "dst")
+                   .groupBy("src").agg(F.min("dlbl").alias("nlbl")))
+        cand = (labels.join(nb, "src", "left")
+                      .select("src",
+                              F.least(F.col("lbl"),
+                                      F.coalesce("nlbl", "lbl")).alias("lbl")))
+        # (2) pointer jumping: lbl <- label(lbl) (labels are node ids, so
+        # every label has its own row); doubles reach per round
+        ptr = cand.select(F.col("src").alias("lbl"),
+                          F.col("lbl").alias("plbl"))
+        new = (cand.join(ptr, "lbl", "left")
+                   .select("src",
+                           F.least(F.col("lbl"),
+                                   F.coalesce("plbl", "lbl")).alias("lbl"))
+                   .localCheckpoint())
+        changed = (new.select("src", F.col("lbl").alias("_n"))
+                      .join(labels.select("src", F.col("lbl").alias("_o")),
+                            "src")
+                      .filter(F.col("_n") != F.col("_o")).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(F.col("src").alias(out_id),
+                         F.col("lbl").alias("cluster_id"))

@@ -359,3 +359,40 @@ class TestStreaming:
         for cid, row in res.items():
             assert row["n_turns"] == exp[cid], cid
             assert row["max_turn_idx"] == row["n_turns"] - 1
+
+
+class TestDuplicateClusters:
+    def _clusters(self, spark, edges, **kw):
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        out = dedup.duplicate_clusters(pairs, **kw).collect()
+        return {r["doc_id"]: r["cluster_id"] for r in out}
+
+    def test_chain_is_transitive(self, spark):
+        # a~b, b~c, c~d: pairwise keep-lists retain a AND c; clustering
+        # must put all four in one component labeled by the min id
+        got = self._clusters(spark, [(1, 2), (2, 3), (3, 4)])
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+    def test_two_components(self, spark):
+        got = self._clusters(spark, [(5, 9), (9, 7), (20, 21)])
+        assert got == {5: 5, 9: 5, 7: 5, 20: 20, 21: 20}
+
+    def test_long_path_converges_in_log_rounds(self, spark):
+        # path of diameter 16: plain one-hop propagation needs 16 rounds;
+        # pointer jumping must finish within 6
+        edges = [(i, i + 1) for i in range(16)]
+        got = self._clusters(spark, edges, max_iter=6)
+        assert got == {i: 0 for i in range(17)}
+
+    def test_empty_pairs(self, spark):
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+        out = dedup.duplicate_clusters(pairs)
+        assert out.columns == ["doc_id", "cluster_id"]
+        assert out.count() == 0
+
+    def test_cluster_of_jaccard_pairs_on_docs(self, docs):
+        pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.35)
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in dedup.duplicate_clusters(pairs).collect()}
+        # 0/1 exact dups and 2 a near dup of both -> one family kept as 0
+        assert got[0] == 0 and got[1] == 0 and got[2] == 0
