@@ -335,19 +335,23 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     here is the same doubling idea with one fewer join per round.
     """
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # pre-partitioned on dst, the key every round's neighbor join probes,
+    # so only the (much smaller) label table shuffles per round
     edges = (e.union(e.select(F.col("dst").alias("src"),
                               F.col("src").alias("dst")))
-              .distinct().localCheckpoint())
+              .distinct().repartition("dst").localCheckpoint())
     labels = (edges.groupBy("src").agg(F.min("dst").alias("_m"))
                    .select("src", F.least("src", "_m").alias("lbl"))
                    .localCheckpoint())
     for _ in range(max_iter):
-        # (1) min label over neighbors
+        # (1) min label over neighbors; prev label carried through so the
+        # convergence test is a scan of the checkpointed round output, not
+        # a join + recompute
         nb = (edges.join(labels.select(F.col("src").alias("dst"),
                                        F.col("lbl").alias("dlbl")), "dst")
                    .groupBy("src").agg(F.min("dlbl").alias("nlbl")))
         cand = (labels.join(nb, "src", "left")
-                      .select("src",
+                      .select("src", F.col("lbl").alias("prev"),
                               F.least(F.col("lbl"),
                                       F.coalesce("nlbl", "lbl")).alias("lbl")))
         # (2) pointer jumping: lbl <- label(lbl) (labels are node ids, so
@@ -355,15 +359,12 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
         ptr = cand.select(F.col("src").alias("lbl"),
                           F.col("lbl").alias("plbl"))
         new = (cand.join(ptr, "lbl", "left")
-                   .select("src",
+                   .select("src", "prev",
                            F.least(F.col("lbl"),
                                    F.coalesce("plbl", "lbl")).alias("lbl"))
                    .localCheckpoint())
-        changed = (new.select("src", F.col("lbl").alias("_n"))
-                      .join(labels.select("src", F.col("lbl").alias("_o")),
-                            "src")
-                      .filter(F.col("_n") != F.col("_o")).count())
-        labels = new
+        changed = new.filter(F.col("lbl") != F.col("prev")).count()
+        labels = new.select("src", "lbl")
         if changed == 0:
             break
     return labels.select(F.col("src").alias(out_id),
