@@ -70,28 +70,29 @@ def minhash_near_duplicates(docs: DataFrame, text_col: str = "text",
     in one bucket; buckets with >1 doc are near-duplicate candidates.
     Returns (band, band_hash, n_docs, keep_id).
 
-    Shaped as aggregations over exploded (doc, seed, shingle) rows — the
-    min per (doc, seed) is a map-side-combining groupBy, so cost scales
-    with total shingles, and the only other shuffle is the tiny bucket
-    groupBy. For seed s the hash is ``md5(s || '#' || shingle)``: an
-    ANSI-SQL oracle reproduces the signature bit-for-bit."""
+    Shaped as ONE map-side-combining ``groupBy(_id)`` over the shingle
+    rows computing all ``n_hashes`` per-seed mins as columns (an earlier
+    formulation exploded a seed column first — ``n_hashes``× the shuffle
+    rows and an extra (doc, seed) shuffle plus a collect_list band pass,
+    for no semantic difference); the only other shuffle is the tiny
+    bucket groupBy. For seed s the hash is ``md5(s || '#' || shingle)``:
+    an ANSI-SQL oracle reproduces the signature bit-for-bit."""
     rows_per_band = n_hashes // bands
     sh = shingle_rows(docs, text_col, id_col, shingle_n)
-    seeded = sh.select(
-        "_id", "shingle",
-        F.explode(F.sequence(F.lit(1), F.lit(n_hashes))).alias("seed"))
-    mh = (seeded
-          .groupBy("_id", "seed")
-          .agg(F.min(F.md5(F.concat(F.col("seed").cast("string"),
-                                    F.lit("#"), F.col("shingle")))).alias("mh"))
-          .withColumn("band", ((F.col("seed") - 1) / rows_per_band).cast("int")))
-    band_hash = F.md5(F.array_join(
-        F.transform(F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                    lambda x: x["mh"]), "|"))
-    return (mh.groupBy("_id", "band").agg(band_hash.alias("band_hash"))
-              .groupBy("band", "band_hash")
-              .agg(F.count("*").alias("n_docs"), F.min("_id").alias("keep_id"))
-              .filter(F.col("n_docs") > 1))
+    mins = [F.min(F.md5(F.concat(F.lit(f"{s}#"), F.col("shingle"))))
+             .alias(f"_m{s}") for s in range(1, n_hashes + 1)]
+    sig = sh.groupBy("_id").agg(*mins)
+    bnds = [F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *[
+                    F.col(f"_m{b * rows_per_band + r + 1}")
+                    for r in range(rows_per_band)])).alias("band_hash"))
+            for b in range(bands)]
+    return (sig.select("_id", F.explode(F.array(*bnds)).alias("bb"))
+               .select("_id", "bb.band", "bb.band_hash")
+               .groupBy("band", "band_hash")
+               .agg(F.count("*").alias("n_docs"), F.min("_id").alias("keep_id"))
+               .filter(F.col("n_docs") > 1))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
