@@ -74,3 +74,37 @@ def streaming_sink_counts(routed: DataFrame, window: str = "10 minutes",
             .agg(F.count("*").alias("n_turns"),
                  F.sum(F.coalesce(F.size("parsed.words"), F.lit(0)))
                   .alias("n_tokens")))
+
+
+def streaming_route_to_sink(routed: DataFrame, out_dir: str,
+                            checkpoint_dir: str,
+                            partition_cols=("sink",),
+                            backend: str = "parquet"):
+    """The fan-out sink leg of the streaming pipeline: every micro-batch
+    is written through the SAME backend seam as the batch pipeline
+    (:func:`~log2seq_spark.plans.sink.write_partitioned`), partitioned by
+    ``(batch_id, *partition_cols)``.
+
+    Exactly-once without an atomic sink: the streaming checkpoint makes
+    batch ids stable across restarts, and the dynamic partition overwrite
+    keyed by ``batch_id`` makes replaying a failed/duplicate epoch
+    idempotent — a retry overwrites exactly its own partitions, never
+    appending duplicates and never touching other epochs' output. This is
+    the standard foreachBatch idempotent-sink pattern; through the seam
+    it upgrades to true snapshot-isolated commits when the Iceberg
+    runtime is present.
+
+    Returns an un-started ``DataStreamWriter`` — caller picks the trigger
+    and calls ``.start()``.
+    """
+    from ..plans.sink import write_partitioned
+
+    cols = list(partition_cols)
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        write_partitioned(
+            batch_df.withColumn("batch_id", F.lit(int(batch_id))),
+            out_dir, ["batch_id"] + cols, backend=backend)
+
+    return (routed.writeStream.foreachBatch(_write)
+                  .option("checkpointLocation", checkpoint_dir))

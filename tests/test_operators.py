@@ -396,3 +396,46 @@ class TestDuplicateClusters:
                for r in dedup.duplicate_clusters(pairs).collect()}
         # 0/1 exact dups and 2 a near dup of both -> one family kept as 0
         assert got[0] == 0 and got[1] == 0 and got[2] == 0
+
+
+class TestStreamingSink:
+    def _run(self, spark, inp, out, ckpt):
+        import os
+        from log2seq_spark.streaming import (streaming_parse,
+                                             streaming_route_to_sink)
+        routed = streaming_parse(spark, inp).select(
+            "conv_id", "turn_idx", "sink", F.col("parsed.words").alias("words"))
+        q = (streaming_route_to_sink(routed, out, ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    def test_routed_stream_matches_batch_and_replay_is_idempotent(
+            self, spark, tmpdir_path):
+        import os
+        import shutil
+        from log2seq_spark.sources.transcripts import transcripts
+
+        inp = os.path.join(tmpdir_path, "rin")
+        out = os.path.join(tmpdir_path, "rout")
+        ckpt = os.path.join(tmpdir_path, "rck")
+        transcripts(spark, 25, seed=13, partitions=2).write.parquet(inp)
+        n_in = spark.read.parquet(inp).count()
+
+        self._run(spark, inp, out, ckpt)
+        first = spark.read.parquet(out)
+        assert first.count() == n_in
+        assert set(first.select("sink").distinct().toPandas()["sink"]) >= \
+            {"quarantine"}
+        keyed = {(r["conv_id"], r["turn_idx"]) for r in first.collect()}
+
+        # no new data + intact checkpoint: nothing more is written
+        self._run(spark, inp, out, ckpt)
+        assert spark.read.parquet(out).count() == n_in
+
+        # checkpoint lost, full replay: batch ids repeat, the dynamic
+        # overwrite keyed by batch_id replaces rather than appends
+        shutil.rmtree(ckpt)
+        self._run(spark, inp, out, ckpt)
+        again = spark.read.parquet(out)
+        assert again.count() == n_in
+        assert {(r["conv_id"], r["turn_idx"]) for r in again.collect()} == keyed
