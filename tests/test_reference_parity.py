@@ -182,3 +182,61 @@ class TestLoghubPresetParity:
                 assert got["timestamp"] == exp["timestamp"], (name, line)
             n_ok += 1
         assert n_ok > min_ok, (name, n_ok)
+
+
+class TestTopLevelApiParity:
+    """The package's top-level drop-in surface (init_parser / LogParser /
+    KEY_* / exceptions) against the actual reference library, line for
+    line (reference _common.py doc example included)."""
+
+    LINES = [
+        "Jan  1 12:34:56 host-device1 system[12345]: host "
+        "2001:0db8:1234::1 (interface:eth0) disconnected",
+        "Feb 28 01:02:03 10.0.0.1 sshd[9]: Failed password for root "
+        "from 192.168.1.1 port 22 ssh2",
+        "Dec 31 23:59:59 web-3 cron: job finished in 1.5 sec",
+    ]
+
+    def test_process_line_matches_reference(self):
+        import log2seq
+        import log2seq_spark
+        ref = log2seq.init_parser()
+        ours = log2seq_spark.init_parser()
+        for line in self.LINES:
+            assert ours.process_line(line) == ref.process_line(line), line
+
+    def test_process_header_and_statement_match_reference(self):
+        import log2seq
+        import log2seq_spark
+        ref = log2seq.init_parser()
+        ours = log2seq_spark.init_parser()
+        line = self.LINES[0]
+        assert ours.process_header(line) == ref.process_header(line)
+        stmt = ref.process_header(line)[log2seq.KEY_STATEMENT]
+        assert tuple(ours.process_statement(stmt)) == \
+            tuple(ref.process_statement(stmt))
+
+    def test_empty_line_and_failure_semantics(self):
+        import log2seq_spark
+        p = log2seq_spark.init_parser()
+        assert p.process_line("") is None
+        assert p.process_line("\n") is None
+        with pytest.raises(log2seq_spark.LogParseFailure):
+            p.process_line("GARBAGE with no recognizable header")
+
+    def test_key_constants_match_reference(self):
+        import log2seq
+        import log2seq_spark
+        for k in ("KEY_TIMESTAMP", "KEY_STATEMENT", "KEY_WORDS",
+                  "KEY_SYMBOLS"):
+            assert getattr(log2seq_spark, k) == getattr(log2seq, k)
+
+    def test_load_parser_script_convention(self, tmp_path):
+        import log2seq_spark
+        script = tmp_path / "userparser.py"
+        script.write_text(
+            "from log2seq_spark.rules.presets import default_program\n"
+            "program = default_program()\n")
+        prog = log2seq_spark.load_parser_script(str(script))
+        out = log2seq_spark.init_parser(prog).process_line(self.LINES[1])
+        assert out["host"] == "10.0.0.1" and out["words"][0] == "sshd"
