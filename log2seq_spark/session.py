@@ -13,9 +13,17 @@ def get_spark(app_name: str = "log2seq-spark", master: str | None = None,
     """Local-mode session sized to the host; on a real cluster the same
     conf keys are supplied via spark-submit instead."""
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
-    master = master or f"local[{cpus}]"
+    # under spark-submit (PythonRunner exports the gateway port) the
+    # master/deploy conf comes from the submit command line; setting
+    # .master() here would silently override --master, so don't
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    if master is None and under_submit:
+        b = SparkSession.builder.appName(app_name)
+    else:
+        b = SparkSession.builder.appName(app_name).master(
+            master or f"local[{cpus}]")
     shuffle_partitions = shuffle_partitions or cpus
-    b = (SparkSession.builder.appName(app_name).master(master)
+    b = (b
          # scale shuffle width with cores; AQE coalesces the tail
          .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
          .config("spark.sql.adaptive.enabled", "true")
