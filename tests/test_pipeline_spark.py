@@ -171,3 +171,50 @@ class TestArrowEngineParity:
         b = (with_parsed(turns, prog, engine="arrow").select(cols)
              .orderBy("conv_id", "turn_idx").collect())
         assert a == b
+
+
+class TestSkewHandling:
+    def test_salted_repartition_splits_monster_conversation(
+            self, spark, tmpdir_path):
+        """North-rule skew clause: one pathologically long conversation
+        must NOT serialize onto one task. The chunk salt in
+        enriched_turns splits it across partitions, bounding the largest
+        partition, while per-turn parse results stay keyed-identical."""
+        import pandas as pd
+        monster = pd.DataFrame({
+            "conv_id": "monster", "turn_idx": range(20_000),
+            "role": "user", "tool": None,
+            "text": [f"Jan  1 12:00:{i % 60:02d} h{i % 7} app[{i}]: INFO m{i}"
+                     for i in range(20_000)]})
+        small = pd.DataFrame({
+            "conv_id": [f"c{i}" for i in range(100) for _ in range(5)],
+            "turn_idx": list(range(5)) * 100,
+            "role": "assistant", "tool": None,
+            "text": "Jan  1 12:00:00 h0 app[1]: INFO ok"})
+        pdf = pd.concat([monster, small], ignore_index=True)
+        pdf["ts"] = pd.Timestamp("2024-01-01")
+        turns = spark.createDataFrame(pdf)
+
+        cfg = PipelineConfig(out_dir=os.path.join(tmpdir_path, "skew"),
+                             n_buckets=8, turn_chunk=1024, partitions=16)
+        df = enriched_turns(spark, turns, cfg)
+        sizes = (df.groupBy(F.spark_partition_id().alias("pid"))
+                   .count().toPandas())
+        # 20k monster turns / 1024-chunk salt ≈ 20 chunks over 16
+        # partitions: the largest partition must hold well under the
+        # whole conversation (unsalted it would hold all 20_500-ish rows
+        # of its hash bucket)
+        assert int(sizes["count"].max()) < 8_000, sizes.to_dict()
+        assert int(sizes["count"].sum()) == 20_500
+        # correctness is salt-independent: keyed per-turn results equal
+        # an unsalted (single-chunk) run
+        a = {(r["conv_id"], r["turn_idx"]): r["words"]
+             for r in df.select("conv_id", "turn_idx", "parsed.words")
+                        .collect()}
+        cfg2 = PipelineConfig(out_dir=os.path.join(tmpdir_path, "skew2"),
+                              n_buckets=8, turn_chunk=10**9, partitions=16)
+        b = {(r["conv_id"], r["turn_idx"]): r["words"]
+             for r in enriched_turns(spark, turns, cfg2)
+                        .select("conv_id", "turn_idx", "parsed.words")
+                        .collect()}
+        assert a == b
