@@ -390,6 +390,32 @@ class TestDuplicateClusters:
         assert out.columns == ["doc_id", "cluster_id"]
         assert out.count() == 0
 
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_random_graphs_match_union_find(self, spark, seed):
+        import random
+        rng = random.Random(seed)
+        n = 60
+        edges = sorted({tuple(sorted(rng.sample(range(n), 2)))
+                        for _ in range(40)})
+
+        parent = list(range(n))
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        nodes = {v for e in edges for v in e}
+        comp = {}
+        for v in nodes:
+            comp.setdefault(find(v), []).append(v)
+        want = {v: min(vs) for vs in comp.values() for v in vs}
+
+        got = self._clusters(spark, [(int(a), int(b)) for a, b in edges])
+        assert got == want
+
     def test_cluster_of_jaccard_pairs_on_docs(self, docs):
         pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.35)
         got = {r["doc_id"]: r["cluster_id"]
