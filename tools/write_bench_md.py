@@ -51,6 +51,8 @@ def main():
         "",
         f"## Scaling (rows={rows}, local[{n}] vs local[{n4}], best-of interleaved samples)",
         "",
+        *(["Launched via: `" + sc["launched_via"] + "`", ""]
+          if sc.get("launched_via") else []),
         "| metric | local[{}] | local[{}] | turns/s @N | turns/s @4N | efficiency |".format(n, n4),
         "|---|---|---|---|---|---|",
     ]
@@ -68,6 +70,12 @@ def main():
     if bench:
         lines += ["## Per-round bench (bench.py)", "", "```json",
                   json.dumps(bench, indent=2), "```", ""]
+    # hand-curated round-over-round deltas and measurement caveats live in
+    # BENCH/DELTAS.md so regeneration never loses them
+    deltas = os.path.join(BENCH_DIR, "DELTAS.md")
+    if os.path.exists(deltas):
+        with open(deltas) as fh:
+            lines += [fh.read().rstrip(), ""]
     os.makedirs(BENCH_DIR, exist_ok=True)
     with open(os.path.join(BENCH_DIR, "BASELINE.md"), "w") as fh:
         fh.write("\n".join(lines))
