@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from log2seq_spark.rules.presets import default_program, default_actions
 from log2seq_spark.functions.udf import with_parsed, tokenize_words_udf
-from log2seq_spark.operators import dedup, similarity, textstats
+from log2seq_spark.operators import asof, dedup, similarity, textstats
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -223,6 +223,43 @@ GROUP BY c_mktsegment
 # ---------------------------------------------------------------------------
 # dedup / similarity / text analysis (training-data operators)
 # ---------------------------------------------------------------------------
+
+def q_asof_latest_purchase(spark, sf_dir):
+    """As-of enrichment: each view event gets the latest prior purchase
+    (value + timestamp) of the same user — one shuffle + window carry,
+    never a range join (operators/asof.py). Right side pre-aggregated
+    to unique (user_id, ts) for deterministic ties."""
+    ev = _tp(spark, sf_dir, "events")
+    views = (ev.filter(F.col("event_type") == "view")
+               .select("event_id", "user_id", "ts"))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .groupBy("user_id", "ts")
+                   .agg(F.max("value").alias("pvalue")))
+    out = asof.asof_join(views, purchases, ["user_id"],
+                         payload_cols=["pvalue"])
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("view_ts"),
+        F.col("pvalue_asof").alias("last_purchase_value"),
+        F.date_format("ts_asof", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+         .alias("last_purchase_ts"))
+
+
+# DuckDB has native ASOF JOIN with exactly our inclusive (>=) semantics
+_SQL_ASOF = """
+WITH r AS (
+  SELECT user_id, ts, max(value) AS pvalue
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+)
+SELECT l.event_id, l.user_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+       r.pvalue AS last_purchase_value,
+       strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS last_purchase_ts
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
 
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
@@ -822,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revenue_topk": q_revenue_topk,
         "sessionize": q_sessionize,
         "enrich_events_customers": q_enrich_events_customers,
+        "asof_latest_purchase": q_asof_latest_purchase,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -853,6 +891,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_topk": _SQL_REVENUE,
         "sessionize": _SQL_SESSIONIZE,
         "enrich_events_customers": _SQL_ENRICH,
+        "asof_latest_purchase": _SQL_ASOF,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": _SQL_MINHASH,
         "dedup_ngram_jaccard": _SQL_JACCARD,

@@ -465,3 +465,58 @@ class TestStreamingSink:
         again = spark.read.parquet(out)
         assert again.count() == n_in
         assert {(r["conv_id"], r["turn_idx"]) for r in again.collect()} == keyed
+
+
+class TestAsofJoin:
+    def _frames(self, spark):
+        from pyspark.sql import functions as F
+        left = spark.createDataFrame(
+            [(1, "u1", "2024-01-01 10:00:00"),
+             (2, "u1", "2024-01-01 10:05:00"),
+             (3, "u1", "2024-01-01 09:00:00"),   # before any right row
+             (4, "u2", "2024-01-01 10:00:00"),   # key with no right rows
+             (5, "u3", "2024-01-01 10:00:00")],  # exact-ts tie
+            "id long, user string, ts_s string").withColumn(
+                "ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+        right = spark.createDataFrame(
+            [("u1", "2024-01-01 09:30:00", 10.0),
+             ("u1", "2024-01-01 10:02:00", 20.0),
+             ("u3", "2024-01-01 10:00:00", 99.0)],
+            "user string, ts_s string, value double").withColumn(
+                "ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+        return left, right
+
+    def test_latest_prior_match_inclusive_ties(self, spark):
+        from log2seq_spark.operators.asof import asof_join
+        left, right = self._frames(spark)
+        out = {r["id"]: r["value_asof"]
+               for r in asof_join(left, right, ["user"]).collect()}
+        assert out == {1: 10.0,   # 09:30 is latest <= 10:00
+                       2: 20.0,   # 10:02 is latest <= 10:05
+                       3: None,   # nothing before 09:00
+                       4: None,   # no right rows for u2
+                       5: 99.0}   # equal ts matches (inclusive)
+
+    def test_tolerance_voids_stale_matches(self, spark):
+        from log2seq_spark.operators.asof import asof_join
+        left, right = self._frames(spark)
+        out = {r["id"]: r["value_asof"]
+               for r in asof_join(left, right, ["user"],
+                                  tolerance_sec=600).collect()}
+        # id=1 matched a row 30 min old -> voided; id=2 (3 min) kept
+        assert out[1] is None and out[2] == 20.0 and out[5] == 99.0
+
+    def test_matches_pandas_merge_asof(self, spark):
+        import pandas as pd
+        from log2seq_spark.operators.asof import asof_join
+        left, right = self._frames(spark)
+        got = (asof_join(left, right, ["user"])
+               .select("id", "value_asof").toPandas()
+               .sort_values("id").reset_index(drop=True))
+        want = pd.merge_asof(
+            left.toPandas().sort_values("ts"),
+            right.toPandas().sort_values("ts").rename(
+                columns={"value": "value_asof"}),
+            on="ts", by="user", direction="backward")[["id", "value_asof"]]
+        want = want.sort_values("id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want)
