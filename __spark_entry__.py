@@ -629,8 +629,8 @@ _COS_AB = """list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
                 * sqrt(list_dot_product(eb.embedding::DOUBLE[],
                                         eb.embedding::DOUBLE[])))"""
 
-_SQL_EMB_NEAR_DUP_LSH = f"""
-WITH projs AS (
+# LSH pair pipeline shared by the pair query and the cluster oracle
+_EMB_LSH_CTES = f"""projs AS (
   SELECT vec_id, j,
          list_sum([round(embedding[i]::DOUBLE * 1000000)::BIGINT
                    * CASE WHEN ('0x' || substr(md5(j || '#' || (i - 1)),
@@ -648,11 +648,43 @@ WITH projs AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
   FROM bandkeys a JOIN bandkeys b
     ON a.band = b.band AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+), epairs AS (
+  SELECT c.id_a, c.id_b, {_COS_AB} AS cosine
+  FROM cand c JOIN embeddings ea ON c.id_a = ea.vec_id
+              JOIN embeddings eb ON c.id_b = eb.vec_id
+  WHERE {_COS_AB} >= 0.35
+)"""
+
+_SQL_EMB_NEAR_DUP_LSH = f"""
+WITH {_EMB_LSH_CTES}
+SELECT id_a, id_b, round(cosine, 6) AS cosine FROM epairs
+"""
+
+
+def q_embedding_dup_clusters(spark, sf_dir):
+    """Transitive embedding duplicate families: connected components over
+    the banded-LSH near-dup pair graph (same parameters as
+    embedding_near_dup_lsh), cluster_id = min vec_id, keep = canonical."""
+    pairs = dedup.embedding_near_duplicates(
+        _tp(spark, sf_dir, "embeddings"), threshold=0.35,
+        n_planes=16, bands=4)
+    return (dedup.duplicate_clusters(pairs, out_id="vec_id")
+            .withColumn("keep", F.col("vec_id") == F.col("cluster_id")))
+
+
+_SQL_EMB_CLUSTERS = f"""
+WITH RECURSIVE {_EMB_LSH_CTES},
+cedges AS (
+  SELECT id_a AS src, id_b AS dst FROM epairs
+  UNION
+  SELECT id_b, id_a FROM epairs
+), reach(id, r) AS (
+  SELECT src, src FROM cedges
+  UNION
+  SELECT e.src, reach.r FROM cedges e JOIN reach ON reach.id = e.dst
 )
-SELECT c.id_a, c.id_b, round({_COS_AB}, 6) AS cosine
-FROM cand c JOIN embeddings ea ON c.id_a = ea.vec_id
-            JOIN embeddings eb ON c.id_b = eb.vec_id
-WHERE {_COS_AB} >= 0.35
+SELECT id AS vec_id, min(r) AS cluster_id, id = min(r) AS keep
+FROM reach GROUP BY id
 """
 
 
@@ -872,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "embedding_dup_clusters": q_embedding_dup_clusters,
         "textstats_quality": q_textstats_quality,
         "token_stats": q_token_stats,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -904,6 +937,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": _SQL_IVF,
         "embedding_near_dup": _SQL_EMB_NEAR_DUP,
         "embedding_near_dup_lsh": _SQL_EMB_NEAR_DUP_LSH,
+        "embedding_dup_clusters": _SQL_EMB_CLUSTERS,
         "textstats_quality": _SQL_QUALITY,
         "token_stats": _SQL_TOKEN_STATS,
         "winnow_fingerprints": _SQL_WINNOW,
