@@ -171,6 +171,34 @@ LIMIT 10
 """
 
 
+def q_topk_per_group(spark, sf_dir):
+    """Ranking-window family: top-3 orders by totalprice per
+    orderpriority (row_number with a unique tiebreak). At scale this is
+    one shuffle on the group key and a bounded per-partition heap — never
+    a global sort."""
+    from pyspark.sql import Window
+    orders = _tp(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (orders.withColumn("rk", F.row_number().over(w))
+                  .filter(F.col("rk") <= 3)
+                  .select("o_orderpriority", "rk", "o_orderkey",
+                          "o_totalprice"))
+
+
+_SQL_TOPK_GROUP = """
+SELECT o_orderpriority, rk, o_orderkey, o_totalprice
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         cast(row_number() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY o_totalprice DESC, o_orderkey ASC)
+              AS int) AS rk
+  FROM orders
+)
+WHERE rk <= 3
+"""
+
+
 def q_sessionize(spark, sf_dir):
     from pyspark.sql import Window
     ev = _t(spark, sf_dir, "events")
@@ -889,6 +917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_severity_counts": q_route_severity_counts,
         "pricing_summary": q_pricing_summary,
         "revenue_topk": q_revenue_topk,
+        "topk_per_group": q_topk_per_group,
         "sessionize": q_sessionize,
         "enrich_events_customers": q_enrich_events_customers,
         "asof_latest_purchase": q_asof_latest_purchase,
@@ -922,6 +951,7 @@ def oracle_sql() -> dict[str, str]:
         "route_severity_counts": _SQL_ROUTE,
         "pricing_summary": _SQL_PRICING,
         "revenue_topk": _SQL_REVENUE,
+        "topk_per_group": _SQL_TOPK_GROUP,
         "sessionize": _SQL_SESSIONIZE,
         "enrich_events_customers": _SQL_ENRICH,
         "asof_latest_purchase": _SQL_ASOF,
