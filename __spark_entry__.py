@@ -289,6 +289,111 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
+def q_range_join_windows(spark, sf_dir):
+    """Interval containment at equi-join cost: every purchase opens a
+    30-minute window; count/sum the user's events inside it. Granule
+    bucketing (operators/rangejoin.py) turns the non-equi predicate into
+    an equi-join on (user_id, time-granule) + exact post-filter — the
+    theta-join a naive plan would run is quadratic at scale."""
+    from log2seq_spark.operators.rangejoin import range_join
+    ev = _tp(spark, sf_dir, "events")
+    wins = (ev.filter(F.col("event_type") == "purchase")
+              .select(F.col("event_id").alias("window_id"), "user_id",
+                      F.col("ts").alias("w_start"),
+                      (F.col("ts") + F.expr("INTERVAL 30 MINUTES"))
+                      .alias("w_end")))
+    facts = ev.select("user_id", "ts", "value")
+    j = range_join(facts, wins, on=["user_id"], fact_ts="ts",
+                   win_start="w_start", win_end="w_end",
+                   granule_sec=1800)
+    return (j.groupBy("window_id")
+             .agg(F.count("*").alias("n_events"),
+                  F.round(F.sum("value"), 6).alias("sum_value")))
+
+
+_SQL_RANGE_JOIN = """
+WITH w AS (
+  SELECT event_id AS window_id, user_id, ts AS w_start,
+         ts + INTERVAL 30 MINUTE AS w_end
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT w.window_id, count(*) AS n_events,
+       round(sum(e.value), 6) AS sum_value
+FROM w JOIN events e
+  ON e.user_id = w.user_id AND e.ts >= w.w_start AND e.ts < w.w_end
+GROUP BY w.window_id
+"""
+
+
+def q_pivot_event_values(spark, sf_dir):
+    """Reshape: per-user event-type value matrix. The pivot value list
+    is EXPLICIT, which skips Spark's extra distinct-scan planning pass —
+    at 100 TB that pass is a full shuffle you pay before the real one."""
+    ev = _tp(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = (ev.groupBy("user_id")
+             .pivot("event_type", kinds)
+             .agg(F.round(F.sum("value"), 6)))
+    return out.select("user_id",
+                      *[F.col(k).alias(f"v_{k}") for k in kinds])
+
+
+_SQL_PIVOT = """
+SELECT user_id,
+       round(sum(value) FILTER (event_type = 'click'), 6)    AS v_click,
+       round(sum(value) FILTER (event_type = 'error'), 6)    AS v_error,
+       round(sum(value) FILTER (event_type = 'purchase'), 6) AS v_purchase,
+       round(sum(value) FILTER (event_type = 'signup'), 6)   AS v_signup,
+       round(sum(value) FILTER (event_type = 'view'), 6)     AS v_view
+FROM events GROUP BY user_id
+"""
+
+
+def q_value_quantiles(spark, sf_dir):
+    """Exact interpolated quantiles per event type (Spark `percentile`
+    ≡ ANSI percentile_cont). Exact quantiles need the full value
+    multiset per group — fine for bounded group counts; switch to
+    approx_percentile (t-digest, mergeable map-side) when groups or
+    values stop fitting."""
+    ev = _tp(spark, sf_dir, "events")
+    return (ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90")))
+
+
+_SQL_QUANTILES = """
+SELECT event_type,
+       round(percentile_cont(0.25) WITHIN GROUP (ORDER BY value), 6) AS p25,
+       round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY value), 6) AS p50,
+       round(percentile_cont(0.75) WITHIN GROUP (ORDER BY value), 6) AS p75,
+       round(percentile_cont(0.9)  WITHIN GROUP (ORDER BY value), 6) AS p90
+FROM events GROUP BY event_type
+"""
+
+
+def q_daily_distinct_users(spark, sf_dir):
+    """Daily actives: count + two exact distincts in one aggregate.
+    Multiple count(DISTINCT) columns expand to Spark's single-pass
+    `expand` plan (one shuffle, no join of sub-aggregates)."""
+    ev = _tp(spark, sf_dir, "events")
+    return (ev.groupBy(F.to_date("ts").alias("day"))
+              .agg(F.count("*").alias("n_events"),
+                   F.countDistinct("user_id").alias("n_users"),
+                   F.countDistinct("event_type").alias("n_types"))
+              .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                      "n_events", "n_users", "n_types"))
+
+
+_SQL_DAILY_DISTINCT = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       count(DISTINCT event_type) AS n_types
+FROM events GROUP BY 1
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
 
@@ -921,6 +1026,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "enrich_events_customers": q_enrich_events_customers,
         "asof_latest_purchase": q_asof_latest_purchase,
+        "range_join_windows": q_range_join_windows,
+        "pivot_event_values": q_pivot_event_values,
+        "value_quantiles": q_value_quantiles,
+        "daily_distinct_users": q_daily_distinct_users,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -955,6 +1064,10 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": _SQL_SESSIONIZE,
         "enrich_events_customers": _SQL_ENRICH,
         "asof_latest_purchase": _SQL_ASOF,
+        "range_join_windows": _SQL_RANGE_JOIN,
+        "pivot_event_values": _SQL_PIVOT,
+        "value_quantiles": _SQL_QUANTILES,
+        "daily_distinct_users": _SQL_DAILY_DISTINCT,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": _SQL_MINHASH,
         "dedup_ngram_jaccard": _SQL_JACCARD,

@@ -43,19 +43,45 @@ def ensure_turns(spark, n_turns: int) -> str:
     return path
 
 
+def cpu_calibration() -> int:
+    """Single-core regex throughput (lines/s) of the host at bench time.
+
+    The sandbox VM's effective clock swings 2-3x within a session
+    (measured 42k..125k on this loop 40 min apart), so absolute walls
+    are not comparable across rounds without this anchor; divide a
+    query's wall by (calib_ref / calib) to normalize."""
+    import re
+    pat = re.compile(r'(\d+)\.(\d+)\.(\d+)\.(\d+)|[0-9a-f]{8,}|\d+')
+    s = ("Jan 12 03:04:05 host-7 sshd[1234]: Accepted password for user "
+         "from 192.168.1.77 port 22 ssh2 deadbeefcafe 99881")
+    t0 = time.monotonic()
+    for _ in range(50000):
+        pat.findall(s)
+    return round(50000 / (time.monotonic() - t0))
+
+
 def time_pipeline(spark, turns_path: str) -> dict:
     from log2seq_spark.plans.pipeline import PipelineConfig, run_pipeline
     out_dir = os.path.join(DATA_DIR, "bench_out")
     shutil.rmtree(out_dir, ignore_errors=True)
     turns = spark.read.parquet(turns_path)
     n = turns.count()
-    cfg = PipelineConfig(out_dir=out_dir, n_buckets=64, partitions=CPUS * 2,
-                         input_id=turns_path)
-    t0 = time.monotonic()
-    res = run_pipeline(spark, turns, cfg, resume=False)
-    wall = time.monotonic() - t0
+    # BASELINE.md protocol: one warmup + one measured. The first run in a
+    # session pays Python-worker spawn + JVM JIT (measured 96s -> 70s ->
+    # 26.5s over identical consecutive runs); report the min of two full
+    # runs, keeping both for transparency on this noisy shared host.
+    walls = []
+    for _ in range(2):
+        cfg = PipelineConfig(out_dir=out_dir, n_buckets=64,
+                             partitions=CPUS * 2, input_id=turns_path)
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.monotonic()
+        res = run_pipeline(spark, turns, cfg, resume=False)
+        walls.append(time.monotonic() - t0)
+    wall = min(walls)
     return {"rows": n, "seconds": round(wall, 3),
             "turns_per_sec": round(n / wall, 1),
+            "samples": [round(w, 3) for w in walls],
             "n_ok": res.metrics["n_ok"], "n_fail": res.metrics["n_fail"]}
 
 
@@ -77,9 +103,11 @@ def main():
                       shuffle_partitions=CPUS * 2)
     spark.sparkContext.setLogLevel("ERROR")
     try:
+        calib0 = cpu_calibration()
         turns_path = ensure_turns(spark, BENCH_TURNS)
         pipe = time_pipeline(spark, turns_path)
         queries = time_queries(spark)
+        calib1 = cpu_calibration()
         total = round(pipe["seconds"] + sum(queries.values()), 3)
         line = {
             "metric": "pipeline+queries wall seconds (parse->enrich->route->aggregate "
@@ -90,6 +118,11 @@ def main():
             "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
             "pipeline": pipe,
             "cpus": CPUS,
+            # host-speed anchors (single-core regex lines/s) taken before
+            # and after the timed section: the sandbox's effective clock
+            # swings 2-3x within a session, so cross-round wall compares
+            # must normalize by these
+            "calib_lines_per_sec": [calib0, calib1],
         }
         print(json.dumps(line))
     finally:

@@ -520,3 +520,81 @@ class TestAsofJoin:
             on="ts", by="user", direction="backward")[["id", "value_asof"]]
         want = want.sort_values("id").reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want)
+
+
+class TestRangeJoin:
+    def _frames(self, spark):
+        from pyspark.sql import functions as F
+        facts = spark.createDataFrame(
+            [(1, "u1", "2024-01-01 10:00:00"),
+             (2, "u1", "2024-01-01 10:29:59"),
+             (3, "u1", "2024-01-01 10:30:00"),   # exactly at w_end: excluded
+             (4, "u1", "2024-01-01 09:59:59"),   # just before w_start
+             (5, "u2", "2024-01-01 10:10:00"),   # other key, own window
+             (6, "u3", "2024-01-01 10:10:00")],  # key with no window
+            "id long, user string, ts_s string").withColumn(
+                "ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+        wins = spark.createDataFrame(
+            [(100, "u1", "2024-01-01 10:00:00", "2024-01-01 10:30:00"),
+             (200, "u2", "2024-01-01 10:00:00", "2024-01-01 10:30:00")],
+            "wid long, user string, s string, e string").select(
+                "wid", "user",
+                F.col("s").cast("timestamp").alias("w_start"),
+                F.col("e").cast("timestamp").alias("w_end"))
+        return facts, wins
+
+    def test_end_exclusive_start_inclusive(self, spark):
+        from log2seq_spark.operators.rangejoin import range_join
+        facts, wins = self._frames(spark)
+        got = {(r["id"], r["wid"])
+               for r in range_join(facts, wins, on=["user"], fact_ts="ts",
+                                   win_start="w_start", win_end="w_end",
+                                   granule_sec=60).collect()}
+        assert got == {(1, 100), (2, 100), (5, 200)}
+
+    def test_granule_choice_is_semantics_free(self, spark):
+        from log2seq_spark.operators.rangejoin import range_join
+        facts, wins = self._frames(spark)
+        for gran in (1, 7, 1800, 86400):
+            got = {(r["id"], r["wid"])
+                   for r in range_join(facts, wins, on=["user"],
+                                       fact_ts="ts", win_start="w_start",
+                                       win_end="w_end",
+                                       granule_sec=gran).collect()}
+            assert got == {(1, 100), (2, 100), (5, 200)}, gran
+
+    def test_left_join_keeps_unmatched_facts(self, spark):
+        from log2seq_spark.operators.rangejoin import range_join
+        facts, wins = self._frames(spark)
+        out = range_join(facts, wins, on=["user"], fact_ts="ts",
+                         win_start="w_start", win_end="w_end",
+                         granule_sec=60, how="left").collect()
+        by_id = {r["id"]: r["wid"] for r in out}
+        assert len(out) == 6
+        assert by_id == {1: 100, 2: 100, 5: 200, 3: None, 4: None, 6: None}
+
+    def test_is_equi_join_not_nested_loop(self, spark):
+        from log2seq_spark.operators.rangejoin import range_join
+        facts, wins = self._frames(spark)
+        plan = range_join(
+            facts, wins, on=["user"], fact_ts="ts", win_start="w_start",
+            win_end="w_end")._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+class TestPlaneSignTable:
+    def test_matches_md5_formula_and_oracle_sql(self):
+        """The driver-side table must equal the md5 parity formula the
+        DuckDB oracles compute in SQL (reference formula in
+        hyperplane_signatures docstring)."""
+        import duckdb
+        from log2seq_spark.operators.dedup import plane_sign_table
+        t = plane_sign_table(4, 8)
+        sql = duckdb.sql(
+            "SELECT j, d, CASE WHEN ('0x' || substr(md5(j || '#' || d), 1, 2))::INT % 2 = 1 "
+            "THEN 1 ELSE -1 END FROM generate_series(0, 3) g(j), "
+            "generate_series(0, 7) h(d)").fetchall()
+        for j, d, s in sql:
+            assert t[j][d] == s, (j, d)
+        assert any(s == 1 for row in t for s in row)
+        assert any(s == -1 for row in t for s in row)
