@@ -76,6 +76,42 @@ def streaming_sink_counts(routed: DataFrame, window: str = "10 minutes",
                   .alias("n_tokens")))
 
 
+def streaming_tool_latency(turns: DataFrame,
+                           horizon: str = "5 minutes") -> DataFrame:
+    """Watermarked stream-stream self-join: each assistant turn is
+    correlated with the tool-result turns that follow it in the same
+    conversation within ``horizon``; emits
+    (conv_id, a_idx, t_idx, tool, latency_sec).
+
+    Both sides carry a watermark and the join predicate time-bounds the
+    right side against the left (``t_ts ∈ [a_ts, a_ts + horizon]``), so
+    Spark can prove when buffered rows are garbage — join state is
+    evicted at the watermark instead of growing with the stream. Without
+    the range condition this state is unbounded, which is the difference
+    between a demo and something that survives an always-on 100-TB/day
+    feed. The equality key (conv_id) keeps the join a hash shuffle, not
+    a broadcast of an unbounded stream.
+    """
+    asst = (turns.filter(F.col("role") == "assistant")
+                 .select("conv_id", F.col("turn_idx").alias("a_idx"),
+                         F.col("ts").alias("a_ts"))
+                 .withWatermark("a_ts", horizon))
+    tool = (turns.filter(F.col("role") == "tool")
+                 .select(F.col("conv_id").alias("t_conv"),
+                         F.col("turn_idx").alias("t_idx"),
+                         "tool", F.col("ts").alias("t_ts"))
+                 .withWatermark("t_ts", horizon))
+    cond = ((F.col("conv_id") == F.col("t_conv"))
+            & (F.col("t_idx") > F.col("a_idx"))
+            & (F.col("t_ts") >= F.col("a_ts"))
+            & (F.col("t_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {horizon}")))
+    return (asst.join(tool, cond)
+                .select("conv_id", "a_idx", "t_idx", "tool",
+                        (F.unix_micros(F.col("t_ts").cast("timestamp"))
+                         - F.unix_micros(F.col("a_ts").cast("timestamp")))
+                        .cast("double").alias("latency_us")))
+
+
 def streaming_route_to_sink(routed: DataFrame, out_dir: str,
                             checkpoint_dir: str,
                             partition_cols=("sink",),

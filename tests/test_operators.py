@@ -328,6 +328,48 @@ class TestStreaming:
         assert sorted(r["text"] for r in res) == \
             ["alpha content", "beta content", "gamma content"]
 
+
+    def test_streaming_tool_latency_matches_batch(self, spark, tmpdir_path):
+        import os
+        from log2seq_spark.sources.transcripts import transcripts
+        from log2seq_spark.streaming import streaming_tool_latency
+
+        inp = os.path.join(tmpdir_path, "tin")
+        transcripts(spark, 40, seed=11, partitions=2).write.parquet(inp)
+        stream = spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp").parquet(inp)
+        out = streaming_tool_latency(stream, horizon="10 minutes")
+        q = (out.writeStream.outputMode("append")
+             .format("memory").queryName("l2s_tool_latency")
+             .option("checkpointLocation", os.path.join(tmpdir_path, "tck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = {(r["conv_id"], r["a_idx"], r["t_idx"])
+               for r in spark.sql("select * from l2s_tool_latency").collect()}
+
+        batch = spark.read.parquet(inp)
+        a = (batch.filter(F.col("role") == "assistant")
+                  .select("conv_id", F.col("turn_idx").alias("a_idx"),
+                          F.col("ts").alias("a_ts")))
+        t = (batch.filter(F.col("role") == "tool")
+                  .select(F.col("conv_id").alias("c2"),
+                          F.col("turn_idx").alias("t_idx"),
+                          F.col("ts").alias("t_ts")))
+        want = {(r["conv_id"], r["a_idx"], r["t_idx"])
+                for r in a.join(
+                    t, (F.col("conv_id") == F.col("c2"))
+                    & (F.col("t_idx") > F.col("a_idx"))
+                    & (F.col("t_ts") >= F.col("a_ts"))
+                    & (F.col("t_ts") <= F.col("a_ts")
+                       + F.expr("INTERVAL 10 MINUTES"))).collect()}
+        assert want, "fixture produced no assistant->tool pairs"
+        # append-mode holds back rows whose watermark has not passed at
+        # end-of-input; everything emitted must be correct and the
+        # emitted set must cover the closed (watermark-passed) region
+        assert got <= want
+        assert len(got) >= len(want) * 0.5
+
     def test_stateful_conversation_summaries(self, spark, tmpdir_path):
         import os
         from log2seq_spark.sources.transcripts import transcripts
