@@ -249,6 +249,241 @@ GROUP BY c_mktsegment
 
 
 # ---------------------------------------------------------------------------
+# semi-structured / existence joins / cumulative windows / sketches / stats
+# ---------------------------------------------------------------------------
+
+def q_json_props_extract(spark, sf_dir):
+    """Semi-structured extraction — the grok+JSON half of a log pipeline:
+    pull a typed field out of the JSON ``props`` column with
+    ``get_json_object`` (JVM-side Jackson path evaluation, no Python) and
+    aggregate on it. At scale this is a narrow projection + one map-side
+    combined shuffle; the parquet scan reads only (props, value)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (ev.select(k.alias("k"), "value")
+              .groupBy("k")
+              .agg(F.count("*").alias("n_events"),
+                   F.sum(F.col("value").cast("decimal(18,2)"))
+                    .cast("double").alias("total_value")))
+
+
+_SQL_JSON_PROPS = """
+SELECT CAST(props->>'k' AS INT) AS k, count(*) AS n_events,
+       cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value
+FROM events GROUP BY 1
+"""
+
+
+def q_anti_join_idle_customers(spark, sf_dir):
+    """Left ANTI join: customers with no high-value order (none above
+    300k). The filter is pushed below the join build side, and existence
+    joins never materialize match rows, so the output stays bounded by
+    the left side at any scale; Spark picks broadcast-anti when the
+    filtered build side is small."""
+    cust = _t(spark, sf_dir, "customer")
+    big = (_t(spark, sf_dir, "orders")
+           .filter(F.col("o_totalprice") > 300000.0))
+    return (cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
+                .select("c_custkey", "c_name", "c_mktsegment"))
+
+
+_SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000.0)
+"""
+
+
+def q_semi_join_ordered_brands(spark, sf_dir):
+    """Left SEMI join: parts that appear in any lineitem, counted per
+    brand. The semi join deduplicates the probe side inside the join
+    (no distinct pre-pass, no row multiplication from popular parts)."""
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+                .groupBy("p_brand")
+                .agg(F.count("*").alias("n_parts")))
+
+
+_SQL_SEMI_JOIN = """
+SELECT p_brand, count(*) AS n_parts
+FROM part p
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+GROUP BY p_brand
+"""
+
+
+def q_window_running_revenue(spark, sf_dir):
+    """Cumulative window frame + lag: per customer, orders in
+    (o_orderdate, o_orderkey) sequence with a running spend total (exact
+    decimal accumulation, cast to double at the end) and the previous
+    order's price. One shuffle on the partition key; the frame is
+    ROWS UNBOUNDED PRECEDING..CURRENT ROW, which Spark evaluates
+    incrementally (no per-row rescan)."""
+    from pyspark.sql import Window
+    orders = _tp(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (orders.select(
+        "o_custkey", "o_orderkey",
+        F.row_number().over(w).alias("order_seq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(frame)
+         .cast("double").alias("running_spend"),
+        F.lag("o_totalprice").over(w).alias("prev_price")))
+
+
+_SQL_RUNNING = """
+SELECT o_custkey, o_orderkey,
+       cast(row_number() OVER w AS int) AS order_seq,
+       cast(sum(cast(o_totalprice AS decimal(18,2)))
+            OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS double) AS running_spend,
+       lag(o_totalprice) OVER w AS prev_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_approx_distinct_users(spark, sf_dir):
+    """HyperLogLog++ distinct-count sketch vs the exact count, as a
+    property oracle: the query returns the exact count plus a boolean
+    asserting the sketch landed within 5% of it. The sketch itself is
+    deterministic (register maxima are order- and partition-independent)
+    but not bit-replayable in another engine, so the oracle checks the
+    *bound*, not the estimate — if Spark's estimate ever drifts out of
+    tolerance the hash comparison fails. At scale HLL is the point: a
+    fixed-size sketch with map-side partial merge replaces the exact
+    path's per-group distinct expansion."""
+    ev = _t(spark, sf_dir, "events")
+    est = F.approx_count_distinct("user_id", 0.02)
+    exact = F.countDistinct("user_id")
+    return (ev.groupBy("event_type")
+              .agg(exact.alias("n_exact"),
+                   ((F.abs(est - exact) / exact) <= 0.05)
+                   .alias("within_5pct")))
+
+
+_SQL_APPROX_DISTINCT = """
+SELECT event_type, count(DISTINCT user_id) AS n_exact,
+       TRUE AS within_5pct
+FROM events GROUP BY event_type
+"""
+
+
+def q_stats_value_by_type(spark, sf_dir):
+    """Moment statistics (stddev, Pearson correlation of value vs
+    hour-of-day) computed from EXACT decimal power sums, combined into
+    doubles only in the final projection — the same closed-form both
+    engines evaluate over bit-identical inputs, so the cross-engine hash
+    matches where native ``corr()``/``stddev()`` (streaming double
+    accumulation, order-dependent) would not. One map-side-combined
+    shuffle; the sums are the classic distributable sufficient
+    statistics, exactly what a 1000-executor aggregation wants."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)")
+    h = F.hour("ts").cast("bigint")
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(v).alias("_sx"),
+        F.sum(v * v).alias("_sxx"),
+        F.sum(h).alias("_sh"),
+        F.sum(h * h).alias("_shh"),
+        F.sum(v * h.cast("decimal(18,2)")).alias("_sxh"))
+    n = F.col("n").cast("double")
+    sx = F.col("_sx").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    sh = F.col("_sh").cast("double")
+    shh = F.col("_shh").cast("double")
+    sxh = F.col("_sxh").cast("double")
+    var = (n * sxx - sx * sx) / (n * (n - F.lit(1.0)))
+    corr = ((n * sxh - sx * sh)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * shh - sh * sh)))
+    return agg.select(
+        "event_type", "n",
+        F.round(sx / n, 6).alias("mean_value"),
+        F.round(F.sqrt(var), 6).alias("stddev_value"),
+        F.round(corr, 6).alias("corr_value_hour"))
+
+
+_SQL_STATS = """
+WITH s AS (
+  SELECT event_type, count(*) AS n,
+         sum(cast(value AS decimal(18,2))) AS sx,
+         sum(cast(value AS decimal(18,2)) * cast(value AS decimal(18,2))) AS sxx,
+         sum(cast(extract(hour FROM ts) AS BIGINT)) AS sh,
+         sum(cast(extract(hour FROM ts) AS BIGINT)
+             * cast(extract(hour FROM ts) AS BIGINT)) AS shh,
+         sum(cast(value AS decimal(18,2))
+             * cast(extract(hour FROM ts) AS decimal(18,2))) AS sxh
+  FROM events GROUP BY event_type)
+SELECT event_type, n,
+       round(cast(sx AS double) / cast(n AS double), 6) AS mean_value,
+       round(sqrt((cast(n AS double) * cast(sxx AS double)
+                   - cast(sx AS double) * cast(sx AS double))
+                  / (cast(n AS double) * (cast(n AS double) - 1.0))),
+             6) AS stddev_value,
+       round((cast(n AS double) * cast(sxh AS double)
+              - cast(sx AS double) * cast(sh AS double))
+             / (sqrt(cast(n AS double) * cast(sxx AS double)
+                     - cast(sx AS double) * cast(sx AS double))
+                * sqrt(cast(n AS double) * cast(shh AS double)
+                       - cast(sh AS double) * cast(sh AS double))),
+             6) AS corr_value_hour
+FROM s
+"""
+
+
+def q_bucketed_join_revenue(spark, sf_dir):
+    """Co-located join over BUCKETED tables — the zero-shuffle join
+    layout for repeated large-large joins at scale. events and customer
+    are written once per sf_dir as parquet tables bucketed (8 buckets,
+    same count both sides) and sorted on the join key; the ``merge`` hint
+    then plans a sort-merge join whose children are bucket-aligned scans:
+    NO Exchange in the join subtree (asserted in tests/test_operators.py;
+    the residual in-partition Sort is legacy-conf-gated in Spark 3+ and
+    cheap — the shuffle is what bucketing removes). On a cluster this is
+    how a 100 TB fact ⋈
+    dim-too-big-to-broadcast join avoids reshuffling the fact table every
+    query. Data lives under /tmp (external-table path); the in-memory
+    catalog entry is rebuilt per session, the files are reused."""
+    import os
+    import re
+    tag = re.sub(r"[^A-Za-z0-9]", "_",
+                 os.path.basename(os.path.normpath(sf_dir)))
+    base = f"/tmp/log2seq_spark_buckets/{tag}"
+    ev_t, cu_t = f"events_b_{tag}", f"customer_b_{tag}"
+    if not spark.catalog.tableExists(ev_t):
+        (_t(spark, sf_dir, "events")
+         .repartition(8, "user_id")
+         .write.bucketBy(8, "user_id").sortBy("user_id")
+         .option("path", f"{base}/events_b").mode("overwrite")
+         .saveAsTable(ev_t))
+    if not spark.catalog.tableExists(cu_t):
+        (_t(spark, sf_dir, "customer")
+         .repartition(8, "c_custkey")
+         .write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+         .option("path", f"{base}/customer_b").mode("overwrite")
+         .saveAsTable(cu_t))
+    ev = spark.table(ev_t)
+    cu = spark.table(cu_t).hint("merge")
+    return (ev.join(cu, ev.user_id == cu.c_custkey)
+              .groupBy("c_mktsegment")
+              .agg(F.count("*").alias("n_events"),
+                   F.sum(F.col("value").cast("decimal(18,2)"))
+                    .cast("double").alias("total_value")))
+
+
+_SQL_BUCKETED_JOIN = """
+SELECT c_mktsegment, count(*) AS n_events,
+       cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup / similarity / text analysis (training-data operators)
 # ---------------------------------------------------------------------------
 
@@ -1027,6 +1262,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_events_customers": q_enrich_events_customers,
         "asof_latest_purchase": q_asof_latest_purchase,
         "range_join_windows": q_range_join_windows,
+        "json_props_extract": q_json_props_extract,
+        "anti_join_idle_customers": q_anti_join_idle_customers,
+        "semi_join_ordered_brands": q_semi_join_ordered_brands,
+        "window_running_revenue": q_window_running_revenue,
+        "approx_distinct_users": q_approx_distinct_users,
+        "stats_value_by_type": q_stats_value_by_type,
+        "bucketed_join_revenue": q_bucketed_join_revenue,
         "pivot_event_values": q_pivot_event_values,
         "value_quantiles": q_value_quantiles,
         "daily_distinct_users": q_daily_distinct_users,
@@ -1065,6 +1307,13 @@ def oracle_sql() -> dict[str, str]:
         "enrich_events_customers": _SQL_ENRICH,
         "asof_latest_purchase": _SQL_ASOF,
         "range_join_windows": _SQL_RANGE_JOIN,
+        "json_props_extract": _SQL_JSON_PROPS,
+        "anti_join_idle_customers": _SQL_ANTI_JOIN,
+        "semi_join_ordered_brands": _SQL_SEMI_JOIN,
+        "window_running_revenue": _SQL_RUNNING,
+        "approx_distinct_users": _SQL_APPROX_DISTINCT,
+        "stats_value_by_type": _SQL_STATS,
+        "bucketed_join_revenue": _SQL_BUCKETED_JOIN,
         "pivot_event_values": _SQL_PIVOT,
         "value_quantiles": _SQL_QUANTILES,
         "daily_distinct_users": _SQL_DAILY_DISTINCT,

@@ -640,3 +640,59 @@ class TestPlaneSignTable:
             assert t[j][d] == s, (j, d)
         assert any(s == 1 for row in t for s in row)
         assert any(s == -1 for row in t for s in row)
+
+
+class TestRelationalBreadth:
+    """Plan-shape and semantic checks for the existence-join / bucketed /
+    sketch query family (values are oracle-checked in test_entry_oracle)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_bucketed_join_has_no_exchange(self, spark):
+        """The whole point of the bucketed layout: the sort-merge join
+        consumes bucket-aligned scans, so the join subtree contains NO
+        shuffle Exchange — the expensive part at scale. (A cheap
+        in-partition Sort remains: since Spark 3 the scan only reports
+        sortBy ordering under the legacy bucketedTableScan conf.)"""
+        import __spark_entry__ as entrymod
+        df = entrymod.q_bucketed_join_revenue(spark, self.SF)
+        # the groupBy above the join legitimately shuffles; inspect only
+        # the join subtree
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        join_part = plan[plan.index("SortMergeJoin"):]
+        assert "Exchange" not in join_part, plan
+        assert "Bucketed: true" in join_part, plan
+        assert "SelectedBucketsCount: 8 out of 8" in join_part, plan
+
+    def test_anti_semi_join_plan_shapes(self, spark):
+        import __spark_entry__ as entrymod
+        anti = entrymod.q_anti_join_idle_customers(spark, self.SF)
+        semi = entrymod.q_semi_join_ordered_brands(spark, self.SF)
+        p_anti = anti._jdf.queryExecution().executedPlan().toString()
+        p_semi = semi._jdf.queryExecution().executedPlan().toString()
+        assert "LeftAnti" in p_anti, p_anti
+        assert "LeftSemi" in p_semi, p_semi
+        # the totalprice filter must sit below the anti join (pushed to
+        # the build side), not above it
+        assert "PushedFilters: [IsNotNull(o_totalprice)" in p_anti or \
+               "300000" in p_anti.split("LeftAnti")[1], p_anti
+
+    def test_hll_sketch_is_partitioning_invariant(self, spark):
+        """approx_count_distinct must give the identical estimate no
+        matter how the input is partitioned (register-max merge is
+        commutative) — this is what makes the tolerance oracle stable."""
+        from pyspark.sql import functions as F
+        ev = spark.read.parquet(f"{self.SF}/events.parquet")
+        est = lambda d: d.agg(
+            F.approx_count_distinct("user_id", 0.02)).first()[0]
+        assert est(ev) == est(ev.repartition(13)) == est(ev.coalesce(1))
+
+    def test_running_window_is_cumulative(self, spark):
+        import __spark_entry__ as entrymod
+        rows = (entrymod.q_window_running_revenue(spark, self.SF)
+                .filter("o_custkey = 1").orderBy("order_seq").collect())
+        assert [r["order_seq"] for r in rows] == list(range(1, len(rows) + 1))
+        run = 0.0
+        for r in rows:
+            assert r["running_spend"] >= run - 1e-9
+            run = r["running_spend"]
