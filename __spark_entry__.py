@@ -484,6 +484,78 @@ GROUP BY c_mktsegment
 
 
 # ---------------------------------------------------------------------------
+# multimodal binary columns (Arrow-batched mapInPandas, oracle-replayable)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary-payload feature extraction through the real multimodal
+    plumbing: a deterministic media table (binary payload derived from
+    the id), ``mapInPandas`` Arrow-batched decode (``decode='fake'`` —
+    md5-seeded features), and a typed feature schema. Because the fake
+    decoder is pure md5 arithmetic, a DuckDB oracle replays every output
+    bit: content hash, byte count, the first four feature lattice bytes
+    (recovered exactly from the float32 features via round(f*255)), and
+    the derived width/height. This upgrades the multimodal operator from
+    plumbing-only tests to a full correctness-gated query; the
+    ``decode='real'`` PIL/wave paths share this exact batch shape."""
+    from log2seq_spark.operators import multimodal
+    media = multimodal.synthetic_media(spark, n=256)
+    feats = multimodal.extract_features(media, decode="fake")
+    fbyte = lambda i: (F.round(F.element_at("feature", i) * 255)
+                       .cast("bigint").alias(f"f{i-1}"))
+    return feats.select("media_id", "media_type", "n_bytes", "content_hash",
+                        fbyte(1), fbyte(2), fbyte(3), fbyte(4),
+                        "width", "height")
+
+
+_SQL_MULTIMODAL = """
+WITH m AS (
+  SELECT id AS media_id,
+         (['image','audio','video'])[(id % 3) + 1] AS media_type,
+         'payload-' || id || repeat('x', (id % 100) * 17) AS payload
+  FROM (SELECT unnest(generate_series(0, 255)) AS id)
+)
+SELECT media_id, media_type,
+       length(payload) AS n_bytes,
+       md5(payload) AS content_hash,
+       ('0x' || substr(md5(payload), 1, 2))::INT::BIGINT AS f0,
+       ('0x' || substr(md5(payload), 3, 2))::INT::BIGINT AS f1,
+       ('0x' || substr(md5(payload), 5, 2))::INT::BIGINT AS f2,
+       ('0x' || substr(md5(payload), 7, 2))::INT::BIGINT AS f3,
+       16 + ('0x' || substr(md5(payload), 1, 2))::INT % 240 AS width,
+       16 + ('0x' || substr(md5(payload), 3, 2))::INT % 240 AS height
+FROM m
+"""
+
+
+def q_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing: explode every 30th frame index from
+    per-row metadata WITHOUT touching payloads (column pruning keeps the
+    binary column unread — the decode of selected frames is a separate
+    join back). Deterministic n_frames per video row makes the explode
+    fully oracle-replayable."""
+    from log2seq_spark.operators import multimodal
+    video = (multimodal.synthetic_media(spark, n=256)
+             .filter(F.col("media_type") == "video")
+             .withColumn("n_frames",
+                         ((F.pmod("media_id", F.lit(10)) + 1) * 30)
+                         .cast("int")))
+    return multimodal.frame_sample_plan(video, every_n=30)
+
+
+_SQL_FRAME_SAMPLE = """
+WITH v AS (
+  SELECT id AS media_id, ((id % 10) + 1) * 30 AS n_frames
+  FROM (SELECT unnest(generate_series(0, 255)) AS id)
+  WHERE (['image','audio','video'])[(id % 3) + 1] = 'video'
+)
+SELECT media_id,
+       cast(unnest(generate_series(0, n_frames - 1, 30)) AS INT) AS frame_idx
+FROM v
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup / similarity / text analysis (training-data operators)
 # ---------------------------------------------------------------------------
 
@@ -1269,6 +1341,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_users": q_approx_distinct_users,
         "stats_value_by_type": q_stats_value_by_type,
         "bucketed_join_revenue": q_bucketed_join_revenue,
+        "multimodal_features": q_multimodal_features,
+        "frame_sample": q_frame_sample,
         "pivot_event_values": q_pivot_event_values,
         "value_quantiles": q_value_quantiles,
         "daily_distinct_users": q_daily_distinct_users,
@@ -1314,6 +1388,8 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_users": _SQL_APPROX_DISTINCT,
         "stats_value_by_type": _SQL_STATS,
         "bucketed_join_revenue": _SQL_BUCKETED_JOIN,
+        "multimodal_features": _SQL_MULTIMODAL,
+        "frame_sample": _SQL_FRAME_SAMPLE,
         "pivot_event_values": _SQL_PIVOT,
         "value_quantiles": _SQL_QUANTILES,
         "daily_distinct_users": _SQL_DAILY_DISTINCT,
