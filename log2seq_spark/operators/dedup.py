@@ -361,7 +361,12 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     SoCC'14) bounds round count the same way; the pointer-jumping step
     here is the same doubling idea with one fewer join per round.
     """
-    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # materialize the pair list BEFORE symmetrizing: both union branches
+    # reference it, and Spark executes the (expensive — LSH/Jaccard
+    # candidate generation) subtree once per reference; the checkpoint
+    # makes it once total. Pair lists are tiny relative to the corpus.
+    e = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+              .localCheckpoint())
     # pre-partitioned on dst, the key every round's neighbor join probes,
     # so only the (much smaller) label table shuffles per round
     edges = (e.union(e.select(F.col("dst").alias("src"),
