@@ -149,13 +149,17 @@ def dedup_decisions(docs: DataFrame, text_col: str = "text",
     Pairwise (non-transitive) rule: deterministic, order-free, and
     replayable in ANSI SQL — no union-find / iterative clustering.
     Returns (id, decision)."""
+    # exact-dup flag via one window over the content hash: a single
+    # shuffle on _h and ONE scan of docs (the earlier groupBy + self-join
+    # formulation scanned docs twice — md5 over the full corpus twice —
+    # and added a join exchange for the same answer)
+    from pyspark.sql import Window
+    wh = Window.partitionBy("_h")
     h = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h"))
-    exact = h.groupBy("_h").agg(F.min(id_col).alias("_keep"),
-                                F.count("*").alias("_n"))
-    ex = (h.join(exact, "_h")
-           .select(id_col,
-                   ((F.col("_n") > 1) & (F.col(id_col) != F.col("_keep")))
-                   .alias("_ex")))
+    ex = h.select(id_col,
+                  ((F.count("*").over(wh) > 1)
+                   & (F.col(id_col) != F.min(id_col).over(wh)))
+                  .alias("_ex"))
     near = (ngram_jaccard_pairs(docs, text_col, id_col, shingle_n,
                                 threshold, max_shingles_per_doc,
                                 max_docs_per_shingle)
