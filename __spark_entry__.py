@@ -483,6 +483,71 @@ GROUP BY c_mktsegment
 """
 
 
+def q_session_window_stats(spark, sf_dir):
+    """Native session-window aggregation (``F.session_window``) — the
+    same operator Structured Streaming uses for stateful sessionization,
+    here on a batch frame: per user, dynamic windows that close after 30
+    event-time minutes of silence. One shuffle on the grouping key; in
+    streaming this becomes watermark-bounded state. Spark's merge rule is
+    strict (a gap of exactly 30:00 starts a NEW session; window end =
+    last event + gap), which the lag/cumsum oracle replays."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+              .agg(F.count("*").alias("n_events"))
+              .select("user_id",
+                      F.col("session_window.start").alias("session_start"),
+                      F.col("session_window.end").alias("session_end"),
+                      "n_events"))
+
+
+_SQL_SESSION_WINDOW = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800.0
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+
+def q_daily_event_spine(spark, sf_dir):
+    """Gap-filled daily counts: a generated date spine (``sequence`` +
+    explode over the min..max bounds — one 1-row aggregate, no driver
+    round-trip) left-joined to per-day counts so empty days appear as
+    zero. The spine side is broadcast-sized by construction at any data
+    scale."""
+    ev = _t(spark, sf_dir, "events").select(F.to_date("ts").alias("d"))
+    bounds = ev.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("d"))
+    counts = ev.groupBy("d").agg(F.count("*").alias("n"))
+    return (spine.join(counts, "d", "left")
+                 .select("d", F.coalesce("n", F.lit(0)).alias("n_events")))
+
+
+_SQL_DAILY_SPINE = """
+WITH b AS (SELECT min(ts::DATE) AS lo, max(ts::DATE) AS hi FROM events),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d FROM b
+), c AS (
+  SELECT ts::DATE AS d, count(*) AS n FROM events GROUP BY 1
+)
+SELECT spine.d, coalesce(c.n, 0::BIGINT) AS n_events
+FROM spine LEFT JOIN c USING (d)
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal binary columns (Arrow-batched mapInPandas, oracle-replayable)
 # ---------------------------------------------------------------------------
@@ -1343,6 +1408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join_revenue": q_bucketed_join_revenue,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
+        "session_window_stats": q_session_window_stats,
+        "daily_event_spine": q_daily_event_spine,
         "pivot_event_values": q_pivot_event_values,
         "value_quantiles": q_value_quantiles,
         "daily_distinct_users": q_daily_distinct_users,
@@ -1390,6 +1457,8 @@ def oracle_sql() -> dict[str, str]:
         "bucketed_join_revenue": _SQL_BUCKETED_JOIN,
         "multimodal_features": _SQL_MULTIMODAL,
         "frame_sample": _SQL_FRAME_SAMPLE,
+        "session_window_stats": _SQL_SESSION_WINDOW,
+        "daily_event_spine": _SQL_DAILY_SPINE,
         "pivot_event_values": _SQL_PIVOT,
         "value_quantiles": _SQL_QUANTILES,
         "daily_distinct_users": _SQL_DAILY_DISTINCT,
