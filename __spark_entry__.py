@@ -483,6 +483,47 @@ GROUP BY c_mktsegment
 """
 
 
+def q_pack_training_chunks(spark, sf_dir):
+    """Sequence packing for training batches: documents in doc_id order
+    are concatenated into 2048-token context windows (contiguous fill;
+    chunk = where the doc STARTS). The global running token count uses
+    the distributed prefix-sum operator (range repartition + partition-
+    local window + driver-side offsets of per-partition totals — never a
+    single-partition global sort; see operators/packing.py). The oracle
+    replays it with a plain global window, which is only viable at
+    oracle scale."""
+    from log2seq_spark.operators import packing, textstats
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id",
+                       textstats.bpe_ish_token_count(F.col("text"))
+                       .alias("n_tokens"))
+    out = packing.chunk_summary(toks, "n_tokens", "doc_id", budget=2048)
+    return out.select("chunk_id", "n_docs",
+                      F.col("n_tokens").cast("bigint").alias("n_tokens"),
+                      "first_doc", "last_doc")
+
+
+_SQL_PACK_CHUNKS = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+'))
+           AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         cast(sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cs
+  FROM t
+)
+SELECT cast(floor((cs - n_tokens) / 2048.0) AS BIGINT) AS chunk_id,
+       count(*) AS n_docs,
+       cast(sum(n_tokens) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM c GROUP BY 1
+"""
+
+
 def q_session_window_stats(spark, sf_dir):
     """Native session-window aggregation (``F.session_window``) — the
     same operator Structured Streaming uses for stateful sessionization,
@@ -1410,6 +1451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": q_frame_sample,
         "session_window_stats": q_session_window_stats,
         "daily_event_spine": q_daily_event_spine,
+        "pack_training_chunks": q_pack_training_chunks,
         "pivot_event_values": q_pivot_event_values,
         "value_quantiles": q_value_quantiles,
         "daily_distinct_users": q_daily_distinct_users,
@@ -1459,6 +1501,7 @@ def oracle_sql() -> dict[str, str]:
         "frame_sample": _SQL_FRAME_SAMPLE,
         "session_window_stats": _SQL_SESSION_WINDOW,
         "daily_event_spine": _SQL_DAILY_SPINE,
+        "pack_training_chunks": _SQL_PACK_CHUNKS,
         "pivot_event_values": _SQL_PIVOT,
         "value_quantiles": _SQL_QUANTILES,
         "daily_distinct_users": _SQL_DAILY_DISTINCT,

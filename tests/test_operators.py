@@ -696,3 +696,58 @@ class TestRelationalBreadth:
         for r in rows:
             assert r["running_spend"] >= run - 1e-9
             run = r["running_spend"]
+
+
+class TestPacking:
+    """Distributed prefix sum + contiguous-fill sequence packing
+    (operators/packing.py)."""
+
+    def _df(self, spark, n=500, seed=7):
+        import random
+        rng = random.Random(seed)
+        rows = [(i * 3 + 1, rng.randint(1, 400)) for i in range(n)]
+        rng.shuffle(rows)
+        return spark.createDataFrame(rows, "doc_id long, n_tokens int")
+
+    def test_global_cumsum_matches_serial(self, spark):
+        from log2seq_spark.operators.packing import with_global_cumsum
+        df = self._df(spark)
+        expect = {}
+        acc = 0
+        for did, nt in sorted((r["doc_id"], r["n_tokens"])
+                              for r in df.collect()):
+            acc += nt
+            expect[did] = acc
+        for nparts in (1, 3, 16):
+            got = {r["doc_id"]: r["cumsum"]
+                   for r in with_global_cumsum(df, "n_tokens", "doc_id",
+                                               num_partitions=nparts).collect()}
+            assert got == expect, f"num_partitions={nparts}"
+
+    def test_chunks_are_contiguous_and_budgeted(self, spark):
+        from log2seq_spark.operators.packing import pack_sequences
+        budget = 1000
+        rows = pack_sequences(self._df(spark), "n_tokens", "doc_id",
+                              budget=budget).collect()
+        rows.sort(key=lambda r: r["doc_id"])
+        # chunk ids are non-decreasing in doc order and have no gaps
+        ids = [r["chunk_id"] for r in rows]
+        assert ids == sorted(ids)
+        assert set(ids) == set(range(max(ids) + 1))
+        # every doc starts in the chunk its preceding mass dictates
+        acc = 0
+        for r in rows:
+            assert r["chunk_id"] == acc // budget, r
+            acc += r["n_tokens"]
+
+    def test_no_single_partition_sort_in_plan(self, spark):
+        """The scalable property: no window runs over an empty
+        partitionBy (which would serialize the whole table); every Sort
+        in the executed plan is partition-local."""
+        from log2seq_spark.operators.packing import pack_sequences
+        df = pack_sequences(self._df(spark), "n_tokens", "doc_id")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window [" in plan or "RunningWindowFunction" in plan or "Window" in plan
+        # a global-order window plans as 'Exchange SinglePartition' —
+        # forbidden here
+        assert "SinglePartition" not in plan, plan
