@@ -483,6 +483,48 @@ GROUP BY c_mktsegment
 """
 
 
+# DuckDB replay of dedup.normalized_text (shared by every shingle oracle)
+_NORM = ("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
+         " ' +', ' ', 'g'))")
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: every 50th document plays the role of
+    a held-out eval set; training docs are scored by the fraction of
+    their distinct 3-gram shingles that occur anywhere in the eval set.
+    The eval vocabulary broadcasts (benchmarks are tiny next to a
+    corpus), so the training shingles take one distinct-shuffle + a
+    broadcast join — the corpus is never reshuffled against itself."""
+    docs = _tp(spark, sf_dir, "documents")
+    evalset = docs.filter(F.col("doc_id") % 50 == 0)
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    return dedup.contamination_report(train, evalset, threshold=0.5)
+
+
+_SQL_DECONTAMINATE = f"""
+WITH norm AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(w[i:i+2], ' ')
+                        for i in generate_series(1, greatest(len(w) - 2, 1))])
+           AS shingles
+  FROM norm
+), posts AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE len(shingles) > 0
+), ev AS (
+  SELECT DISTINCT shingle FROM posts WHERE doc_id % 50 = 0
+), tr AS (
+  SELECT doc_id, shingle FROM posts WHERE doc_id % 50 <> 0
+)
+SELECT tr.doc_id, count(*) AS n_shingles, count(ev.shingle) AS n_overlap,
+       round(count(ev.shingle) / count(*), 6) AS overlap_ratio,
+       count(ev.shingle) / count(*) >= 0.5 AS contaminated
+FROM tr LEFT JOIN ev ON tr.shingle = ev.shingle
+GROUP BY 1 HAVING count(ev.shingle) > 0
+"""
+
+
 def q_pack_training_chunks(spark, sf_dir):
     """Sequence packing for training batches: documents in doc_id order
     are concatenated into 2048-token context windows (contiguous fill;
@@ -815,10 +857,6 @@ _SQL_DEDUP_EXACT = """
 SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id
 FROM documents GROUP BY 1 HAVING count(*) > 1
 """
-
-_NORM = ("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
-         " ' +', ' ', 'g'))")
-
 
 def q_dedup_minhash_lsh(spark, sf_dir):
     return dedup.minhash_near_duplicates(
@@ -1452,6 +1490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_stats": q_session_window_stats,
         "daily_event_spine": q_daily_event_spine,
         "pack_training_chunks": q_pack_training_chunks,
+        "decontaminate": q_decontaminate,
         "pivot_event_values": q_pivot_event_values,
         "value_quantiles": q_value_quantiles,
         "daily_distinct_users": q_daily_distinct_users,
@@ -1502,6 +1541,7 @@ def oracle_sql() -> dict[str, str]:
         "session_window_stats": _SQL_SESSION_WINDOW,
         "daily_event_spine": _SQL_DAILY_SPINE,
         "pack_training_chunks": _SQL_PACK_CHUNKS,
+        "decontaminate": _SQL_DECONTAMINATE,
         "pivot_event_values": _SQL_PIVOT,
         "value_quantiles": _SQL_QUANTILES,
         "daily_distinct_users": _SQL_DAILY_DISTINCT,

@@ -405,3 +405,33 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
             break
     return labels.select(F.col("src").alias(out_id),
                          F.col("lbl").alias("cluster_id"))
+
+
+def contamination_report(train: DataFrame, evalset: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         shingle_n: int = 3,
+                         threshold: float = 0.5) -> DataFrame:
+    """Benchmark decontamination: per training document, the fraction of
+    its distinct word n-grams that also occur anywhere in the evaluation
+    set. Returns (id, n_shingles, n_overlap, overlap_ratio, contaminated)
+    for documents with any overlap.
+
+    Scale shape: the eval shingle vocabulary is small by construction
+    (benchmarks are tiny next to a training corpus), so it broadcasts —
+    the training shingles take ONE distinct-shuffle and one broadcast
+    join + hash aggregate; the corpus is never reshuffled against itself.
+    """
+    ev = (shingle_rows(evalset, text_col, id_col, shingle_n)
+          .select("shingle").distinct()
+          .withColumn("_hit", F.lit(1)))
+    tr = (shingle_rows(train, text_col, id_col, shingle_n)
+          .select("_id", "shingle").distinct())
+    hits = tr.join(F.broadcast(ev), "shingle", "left")
+    ratio = F.col("n_overlap") / F.col("n_shingles")
+    return (hits.groupBy("_id")
+                .agg(F.count("*").alias("n_shingles"),
+                     F.count("_hit").alias("n_overlap"))
+                .filter(F.col("n_overlap") > 0)
+                .select(F.col("_id").alias(id_col), "n_shingles", "n_overlap",
+                        F.round(ratio, 6).alias("overlap_ratio"),
+                        (ratio >= threshold).alias("contaminated")))
