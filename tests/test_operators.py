@@ -751,3 +751,33 @@ class TestPacking:
         # a global-order window plans as 'Exchange SinglePartition' —
         # forbidden here
         assert "SinglePartition" not in plan, plan
+
+
+class TestContamination:
+    def test_verbatim_eval_text_is_flagged(self, spark):
+        from log2seq_spark.operators.dedup import contamination_report
+        evalset = spark.createDataFrame(
+            [(100, "the secret benchmark question about spark internals")],
+            "doc_id long, text string")
+        train = spark.createDataFrame(
+            [(0, "the secret benchmark question about spark internals"),
+             (1, "prefix words then the secret benchmark question about "
+                 "spark internals and a long unrelated tail of extra "
+                 "tokens follows here making overlap partial"),
+             (2, "completely disjoint content with no shared trigrams at all")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               contamination_report(train, evalset, threshold=0.5).collect()}
+        assert out[0]["contaminated"] and out[0]["overlap_ratio"] == 1.0
+        assert 1 in out and 0 < out[1]["overlap_ratio"] < 1.0
+        assert 2 not in out  # no overlap → not reported
+
+    def test_eval_side_is_broadcast(self, spark):
+        from log2seq_spark.operators.dedup import contamination_report
+        ev = spark.createDataFrame([(0, "tiny eval set")],
+                                   "doc_id long, text string")
+        tr = spark.createDataFrame([(i, f"doc {i} text body") for i in range(10)],
+                                   "doc_id long, text string")
+        plan = (contamination_report(tr, ev)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BroadcastHashJoin" in plan, plan
