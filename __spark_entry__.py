@@ -483,6 +483,37 @@ GROUP BY c_mktsegment
 """
 
 
+def q_sliding_window_counts(spark, sf_dir):
+    """Sliding time-window aggregation (``F.window``, 1-hour windows
+    every 30 minutes) — the batch twin of the streaming windowed
+    aggregate (same operator + watermark in streaming/stream.py). Each
+    event lands in exactly two windows; Spark plans this as an explode
+    over the precomputed window set + one hash aggregate. The oracle
+    replays window assignment arithmetically (the two 30-minute-aligned
+    starts covering each event)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 hour", "30 minutes"))
+              .agg(F.count("*").alias("n_events"),
+                   F.countDistinct("user_id").alias("n_users"))
+              .select(F.col("window.start").alias("w_start"),
+                      F.col("window.end").alias("w_end"),
+                      "n_events", "n_users"))
+
+
+_SQL_SLIDING_WINDOW = """
+WITH assigned AS (
+  SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE])
+           AS w_start,
+         ts, user_id
+  FROM events
+)
+SELECT w_start, w_start + INTERVAL 1 HOUR AS w_end,
+       count(*) AS n_events, count(DISTINCT user_id) AS n_users
+FROM assigned GROUP BY 1
+"""
+
+
 # DuckDB replay of dedup.normalized_text (shared by every shingle oracle)
 _NORM = ("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
          " ' +', ' ', 'g'))")
@@ -1491,6 +1522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_event_spine": q_daily_event_spine,
         "pack_training_chunks": q_pack_training_chunks,
         "decontaminate": q_decontaminate,
+        "sliding_window_counts": q_sliding_window_counts,
         "pivot_event_values": q_pivot_event_values,
         "value_quantiles": q_value_quantiles,
         "daily_distinct_users": q_daily_distinct_users,
@@ -1542,6 +1574,7 @@ def oracle_sql() -> dict[str, str]:
         "daily_event_spine": _SQL_DAILY_SPINE,
         "pack_training_chunks": _SQL_PACK_CHUNKS,
         "decontaminate": _SQL_DECONTAMINATE,
+        "sliding_window_counts": _SQL_SLIDING_WINDOW,
         "pivot_event_values": _SQL_PIVOT,
         "value_quantiles": _SQL_QUANTILES,
         "daily_distinct_users": _SQL_DAILY_DISTINCT,
