@@ -483,6 +483,57 @@ GROUP BY c_mktsegment
 """
 
 
+def q_regional_revenue(spark, sf_dir):
+    """TPC-H Q5-style six-table star join: revenue per nation for one
+    region and one order year, where the supplier ships from the
+    customer's own nation. The dims (region filtered first, then nation)
+    broadcast; the three fact-side joins hash-shuffle on their keys with
+    the date filter pushed to the orders scan. Exercises Catalyst's join
+    reordering + predicate pushdown across region/nation/supplier —
+    the dims no other query touches."""
+    region = (_t(spark, sf_dir, "region")
+              .filter(F.col("r_name") == "ASIA"))
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    sup = _t(spark, sf_dir, "supplier")
+    orders = (_t(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                      & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))))
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+              .join(cust, orders.o_custkey == cust.c_custkey)
+              .join(sup, li.l_suppkey == sup.s_suppkey)
+              .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+              .join(F.broadcast(nation),
+                    F.col("s_nationkey") == F.col("n_nationkey"))
+              .join(F.broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey"))
+              .groupBy("n_name")
+              .agg(F.sum(rev).cast("double").alias("revenue"),
+                   F.count("*").alias("n_lineitems")))
+
+
+_SQL_REGIONAL_REVENUE = """
+SELECT n_name,
+       cast(sum(cast(l_extendedprice AS decimal(18,2))
+                * cast(1 - l_discount AS decimal(18,2))) AS double) AS revenue,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= timestamp '1996-01-01'
+  AND o_orderdate < timestamp '1997-01-01'
+GROUP BY n_name
+"""
+
+
 def q_sliding_window_counts(spark, sf_dir):
     """Sliding time-window aggregation (``F.window``, 1-hour windows
     every 30 minutes) — the batch twin of the streaming windowed
@@ -1523,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_training_chunks": q_pack_training_chunks,
         "decontaminate": q_decontaminate,
         "sliding_window_counts": q_sliding_window_counts,
+        "regional_revenue": q_regional_revenue,
         "pivot_event_values": q_pivot_event_values,
         "value_quantiles": q_value_quantiles,
         "daily_distinct_users": q_daily_distinct_users,
@@ -1575,6 +1627,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_training_chunks": _SQL_PACK_CHUNKS,
         "decontaminate": _SQL_DECONTAMINATE,
         "sliding_window_counts": _SQL_SLIDING_WINDOW,
+        "regional_revenue": _SQL_REGIONAL_REVENUE,
         "pivot_event_values": _SQL_PIVOT,
         "value_quantiles": _SQL_QUANTILES,
         "daily_distinct_users": _SQL_DAILY_DISTINCT,
