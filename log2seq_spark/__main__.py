@@ -132,6 +132,18 @@ def cmd_parse(args) -> int:
               else spark.read.parquet(*files))
         df = df.withColumn("_ord", F.monotonically_increasing_id())
         ts_col = "ts" if "ts" in df.columns else None
+    elif files and args.distributed:
+        # cluster path: every file / tar member is its own executor-side
+        # read partition (Python DataSource); ordering key is the
+        # lexicographic (path, member, line_no) struct instead of a
+        # driver-assigned id
+        from .sources import logfiles
+        logfiles.register(spark)
+        df = (spark.read.format("logtext")
+              .option("path", ",".join(files))
+              .option("encoding", args.encoding).load()
+              .select(F.struct("path", "member", "line_no").alias("_ord"),
+                      "text"))
     elif not files or nonutf8 or any(fp.endswith(_TAR_SUFFIXES)
                                      for fp in files):
         lines = list(_iter_local_lines(files, args.encoding))
@@ -267,6 +279,10 @@ def main(argv=None) -> int:
                    default="text",
                    help="text files, a parquet path, or a catalog table "
                         "name (Iceberg when a catalog is configured)")
+    p.add_argument("--distributed", action="store_true",
+                   help="read files (incl. tar archives and non-utf8 "
+                        "encodings) through the executor-parallel logtext "
+                        "DataSource instead of driver-side iteration")
     p.add_argument("--encoding", default="utf-8",
                    help="encoding to load input data (non-UTF-8 inputs are"
                         " decoded driver-side)")

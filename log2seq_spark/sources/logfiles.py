@@ -1,0 +1,118 @@
+"""Distributed raw-log-file source via the Python DataSource API
+(Spark 4, ``pyspark.sql.datasource``): ``spark.read.format("logtext")``.
+
+The CLI reads tar archives and exotic encodings driver-side (reference
+parity, fine for one terminal's worth of logs); THIS source is the
+cluster path: every plain/gz/bz2/xz file and every member inside a
+tar/tgz/tbz2/txz archive becomes its own input partition, so a directory
+of rotated+archived logs decompresses and splits in parallel across
+executors. Schema::
+
+    path string, member string, line_no bigint, text string
+
+``line_no`` is 1-based within its (file, member). Options:
+
+* ``path`` — comma-separated files / glob patterns (required);
+* ``encoding`` — text decoding, default utf-8 (errors replaced).
+
+Planning opens archives ONCE on the driver for the member list (metadata
+only — tar headers, no decompression of content); executors then open
+just their own member. This mirrors how Spark's own FileScan plans
+splits centrally and reads remotely, expressed through the public
+Python DataSource API.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+from dataclasses import dataclass
+from typing import Iterator, Sequence
+
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    InputPartition)
+
+_TAR_SUFFIXES = (".tar", ".tar.gz", ".tgz", ".tar.bz2", ".tbz2",
+                 ".tar.xz", ".txz")
+
+SCHEMA = "path string, member string, line_no bigint, text string"
+
+
+@dataclass
+class _LogPart(InputPartition):
+    path: str
+    member: str  # "" for non-archive files
+
+
+def _expand(path_opt: str) -> list[str]:
+    out = []
+    for p in path_opt.split(","):
+        p = p.strip()
+        if not p:
+            continue
+        hits = sorted(_glob.glob(p))
+        out.extend(hits if hits else [p])
+    return out
+
+
+def _open_plain(path: str):
+    if path.endswith(".bz2"):
+        import bz2
+        return bz2.open(path, "rb")
+    if path.endswith(".gz"):
+        import gzip
+        return gzip.open(path, "rb")
+    if path.endswith(".xz"):
+        import lzma
+        return lzma.open(path, "rb")
+    return open(path, "rb")
+
+
+class LogTextReader(DataSourceReader):
+    def __init__(self, options):
+        self._paths = _expand(options["path"])
+        self._encoding = options.get("encoding", "utf-8")
+
+    def partitions(self) -> Sequence[InputPartition]:
+        parts: list[InputPartition] = []
+        for fp in self._paths:
+            if fp.endswith(_TAR_SUFFIXES):
+                import tarfile
+                with tarfile.open(fp, "r") as tar:
+                    for info in tar.getmembers():
+                        if info.isfile():
+                            parts.append(_LogPart(fp, info.name))
+            else:
+                parts.append(_LogPart(fp, ""))
+        return parts
+
+    def read(self, part: _LogPart) -> Iterator[tuple]:
+        enc = self._encoding
+        if part.member:
+            import tarfile
+            with tarfile.open(part.path, "r") as tar:
+                f = tar.extractfile(part.member)
+                for i, raw in enumerate(f, start=1):
+                    yield (part.path, part.member, i,
+                           raw.decode(enc, errors="replace").rstrip("\r\n"))
+        else:
+            with _open_plain(part.path) as f:
+                for i, raw in enumerate(f, start=1):
+                    yield (part.path, part.member, i,
+                           raw.decode(enc, errors="replace").rstrip("\r\n"))
+
+
+class LogTextDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "logtext"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> LogTextReader:
+        return LogTextReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotently register the ``logtext`` format on this session."""
+    spark.dataSource.register(LogTextDataSource)

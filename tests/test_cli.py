@@ -148,3 +148,35 @@ class TestExtendedSources:
         assert out == ""
         with open(dest) as f:
             assert f.read().splitlines() == ["app 1 ok one"]
+
+
+class TestDistributedReader:
+    def test_distributed_matches_driver_side_on_tar(self, run_cli,
+                                                    tmpdir_path):
+        """--distributed (executor-parallel logtext DataSource) must give
+        the same parse output as the driver-side tar iteration."""
+        tar_path = os.path.join(tmpdir_path, "logs.tar.gz")
+        with tarfile.open(tar_path, "w:gz") as tar:
+            for name, text in [("a.log", "Jan  1 12:34:56 h x[1]: one\n"),
+                               ("b.log", "Jan  2 12:34:56 h y[2]: two\n")]:
+                p = os.path.join(tmpdir_path, name)
+                with open(p, "w") as f:
+                    f.write(text)
+                tar.add(p, arcname=name)
+        code_d, out_d, err_d = run_cli(["-t", "words", "--distributed",
+                                        tar_path])
+        code_l, out_l, err_l = run_cli(["-t", "words", tar_path])
+        assert code_d == code_l == 0
+        assert out_d == out_l
+        assert "2 ok, 0 failed" in err_d
+
+    def test_distributed_mixed_plain_and_gz(self, run_cli, tmpdir_path):
+        a = os.path.join(tmpdir_path, "a.log")
+        with open(a, "w") as f:
+            f.write("Jan  1 12:34:56 h x[1]: one\n")
+        b = os.path.join(tmpdir_path, "b.log.gz")
+        with gzip.open(b, "wt") as f:
+            f.write("Jan  2 12:34:56 h y[2]: two\n")
+        code, out, err = run_cli(["-t", "words", "--distributed", a, b])
+        assert code == 0
+        assert out.splitlines() == ["x 1 one", "y 2 two"]

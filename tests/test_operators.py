@@ -781,3 +781,64 @@ class TestContamination:
         plan = (contamination_report(tr, ev)
                 ._jdf.queryExecution().executedPlan().toString())
         assert "BroadcastHashJoin" in plan, plan
+
+
+class TestLogTextDataSource:
+    """Distributed raw-log source (Python DataSource API): every file and
+    every tar member is its own input partition."""
+
+    def _fixture(self, tmpdir_path):
+        import gzip
+        import io
+        import os
+        import tarfile
+        d = tmpdir_path
+        with open(os.path.join(d, "a.log"), "w") as f:
+            f.write("line a1\nline a2\n")
+        with gzip.open(os.path.join(d, "b.log.gz"), "wt") as f:
+            f.write("line b1\n")
+        with tarfile.open(os.path.join(d, "c.tar.gz"), "w:gz") as tar:
+            for name, body in [("one.log", b"line c1\nline c2\n"),
+                               ("sub/two.log", b"line c3\n")]:
+                info = tarfile.TarInfo(name)
+                info.size = len(body)
+                tar.addfile(info, io.BytesIO(body))
+        return d
+
+    def test_reads_files_gz_and_tar_members(self, spark, tmpdir_path):
+        from log2seq_spark.sources import logfiles
+        d = self._fixture(tmpdir_path)
+        logfiles.register(spark)
+        df = (spark.read.format("logtext")
+              .option("path", f"{d}/a.log,{d}/b.log.gz,{d}/c.tar.gz").load())
+        rows = {(r["member"], r["line_no"], r["text"]) for r in df.collect()}
+        assert ("", 1, "line a1") in rows and ("", 2, "line a2") in rows
+        assert ("", 1, "line b1") in rows
+        assert ("one.log", 2, "line c2") in rows
+        assert ("sub/two.log", 1, "line c3") in rows
+        assert df.count() == 6
+
+    def test_one_partition_per_member(self, spark, tmpdir_path):
+        from log2seq_spark.sources import logfiles
+        d = self._fixture(tmpdir_path)
+        logfiles.register(spark)
+        df = (spark.read.format("logtext")
+              .option("path", f"{d}/a.log,{d}/b.log.gz,{d}/c.tar.gz").load())
+        # a.log + b.log.gz + 2 tar members = 4 independent read partitions
+        assert df.rdd.getNumPartitions() == 4
+
+    def test_parses_through_the_engine(self, spark, tmpdir_path):
+        import os
+        from log2seq_spark.sources import logfiles
+        from log2seq_spark.functions.udf import with_parsed
+        from log2seq_spark.rules.presets import default_program
+        d = tmpdir_path
+        with open(os.path.join(d, "sys.log"), "w") as f:
+            f.write("Jan  1 12:34:56 host1 app[1]: INFO hi\n")
+        logfiles.register(spark)
+        df = (spark.read.format("logtext")
+              .option("path", f"{d}/sys.log").load())
+        parsed = with_parsed(df, default_program(), text_col="text")
+        row = parsed.select("parsed.host", "parsed.words").first()
+        assert row["host"] == "host1"
+        assert row["words"] == ["app", "1", "INFO", "hi"]
