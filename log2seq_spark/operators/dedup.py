@@ -224,44 +224,46 @@ def hyperplane_signatures(embs: DataFrame, vec_col: str = "embedding",
     quantized to ``round(v·1e6)`` so each projection is an exact *integer*
     sum: order-independent, hence bit-replayable by an ANSI-SQL oracle.
 
-    Shape: one posexplode (n·dim rows) → ONE hash aggregate with
-    ``n_planes`` conditional integer sums (map-side combining, whole-stage
-    codegen — the same shape as :func:`with_simhash`); the band keys are
-    then a narrow projection. No shuffle besides the signature groupBy,
-    so this scales linearly with total vector volume.
+    Shape: a PURE PROJECTION — each projection is a ``zip_with`` of the
+    quantized vector against the plane's constant ±1 array folded by
+    ``aggregate``, so the signature step has NO shuffle at all (the only
+    shuffle in the whole LSH path is the tiny band-bucket groupBy
+    downstream). An earlier formulation exploded to (n·dim) rows and
+    hash-aggregated ``n_planes`` conditional sums: same bits, but it
+    shuffled n·dim rows and its generated code (16 sums × a 64-element
+    literal lookup each) paid a ~5s first-invocation JIT compile at
+    bench scale; the HOF fold is interpreted per element but steady
+    (measured 1.6s vs 7.0s cold / equal warm), and interpreted cost is
+    per-vector work that scales embarrassingly parallel.
 
     The ±1 components depend only on (plane, dimension), so they are
     materialized driver-side (hashlib md5 ≡ Spark/DuckDB md5 on the same
-    string) and enter the plan as constant arrays: the per-row work is one
-    element_at per plane instead of md5+conv+substring — same bits, ~20×
-    less generated code (the md5 formulation's codegen JIT added a
-    3–20s first-invocation stall at bench scale).
+    string) and enter the plan as constant arrays.
     """
     rows_per_band = n_planes // bands
     assert rows_per_band * bands == n_planes, "bands must divide n_planes"
-    toks = embs.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(F.transform(F.col(vec_col),
-                                 lambda x: x.cast("double")))
-         .alias("pos", "val"))
-    qval = F.round(F.col("val") * 1e6).cast("bigint")
 
     if dim is None:
         # vectors in one table share a dimension; a LIMIT-1 probe costs one
         # row at any scale (pass dim explicitly to skip even that). A
-        # nonuniform table fails loudly: element_at past `dim` raises
-        # under ANSI mode rather than mis-hashing.
+        # nonuniform table fails loudly: zip_with against a longer plane
+        # array yields NULL products summed as NULL, not a silent mis-hash.
         row = embs.select(F.size(F.col(vec_col)).alias("d")).first()
         dim = (row and row[0]) or 0
     signs = plane_sign_table(n_planes, dim)
 
-    def plane_sign(j: int):
-        arr = F.array(*[F.lit(s) for s in signs[j]])
-        return F.element_at(arr, F.col("pos") + 1)
+    qvec = F.transform(F.col(vec_col),
+                       lambda x: F.round(x.cast("double") * 1e6)
+                                  .cast("bigint"))
+    base = embs.select(F.col(id_col).alias("_id"), qvec.alias("_q"))
 
-    agg = toks.groupBy("_id").agg(
-        *[F.sum(qval * plane_sign(j)).alias(f"_p{j}")
-          for j in range(n_planes)])
+    def proj(j: int):
+        arr = F.array(*[F.lit(s) for s in signs[j]])
+        return F.aggregate(F.zip_with("_q", arr, lambda x, y: x * y),
+                           F.lit(0).cast("bigint"), lambda a, v: a + v)
+
+    agg = base.select("_id",
+                      *[proj(j).alias(f"_p{j}") for j in range(n_planes)])
     band_structs = []
     for b in range(bands):
         bits = F.concat(*[
