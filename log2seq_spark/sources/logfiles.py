@@ -116,3 +116,113 @@ class LogTextDataSource(DataSource):
 def register(spark) -> None:
     """Idempotently register the ``logtext`` format on this session."""
     spark.dataSource.register(LogTextDataSource)
+
+
+# ---------------------------------------------------------------------------
+# streaming tail-follow source: spark.readStream.format("logtail")
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
+
+TAIL_SCHEMA = "path string, line_no bigint, text string"
+
+
+class LogTailStreamReader(SimpleDataSourceStreamReader):
+    """Tail-follow microbatch reader: each batch emits the COMPLETE lines
+    appended to any matching plain-text file since the last offset.
+
+    Spark's built-in file stream source only discovers whole NEW files;
+    log agents instead append to live files and rotate them — this source
+    follows appends. Offsets are a JSON-able dict
+    ``{path: [byte_offset, line_count]}``: deterministic replay
+    (``readBetweenOffsets``) re-seeks the recorded byte ranges, so a
+    restarted query re-emits a batch byte-identically (exactly-once into
+    an idempotent sink). A partial last line (no trailing newline yet) is
+    left for the next batch; rotation (a shrunken file) restarts that
+    file from zero. Glob patterns pick up files created after the stream
+    starts."""
+
+    def __init__(self, options):
+        self._paths = options["path"]
+        self._encoding = options.get("encoding", "utf-8")
+
+    def _files(self):
+        out = []
+        for p in self._paths.split(","):
+            p = p.strip()
+            if p:
+                hits = sorted(_glob.glob(p))
+                out.extend(hits if hits else ([p] if "*" not in p else []))
+        return out
+
+    def initialOffset(self) -> dict:
+        return {}
+
+    def _read_from(self, start: dict):
+        import os
+        end = dict(start)
+        rows = []
+        for fp in self._files():
+            try:
+                size = os.path.getsize(fp)
+            except OSError:
+                continue
+            off, lineno = start.get(fp, [0, 0])
+            if size < off:          # rotated/truncated: follow from zero
+                off, lineno = 0, 0
+            if size == off:
+                end[fp] = [off, lineno]
+                continue
+            with open(fp, "rb") as f:
+                f.seek(off)
+                chunk = f.read(size - off)
+            # only complete lines; the remainder waits for its newline
+            last_nl = chunk.rfind(b"\n")
+            if last_nl < 0:
+                end[fp] = [off, lineno]
+                continue
+            complete = chunk[:last_nl + 1]
+            for raw in complete.splitlines():
+                lineno += 1
+                rows.append((fp, lineno,
+                             raw.decode(self._encoding, errors="replace")))
+            end[fp] = [off + last_nl + 1, lineno]
+        return iter(rows), end
+
+    def read(self, start: dict):
+        return self._read_from(start)
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows = []
+        for fp, (eoff, _elines) in end.items():
+            soff, lineno = start.get(fp, [0, 0])
+            if eoff <= soff:
+                continue
+            with open(fp, "rb") as f:
+                f.seek(soff)
+                chunk = f.read(eoff - soff)
+            for raw in chunk.splitlines():
+                lineno += 1
+                rows.append((fp, lineno,
+                             raw.decode(self._encoding, errors="replace")))
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class LogTailDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "logtail"
+
+    def schema(self) -> str:
+        return TAIL_SCHEMA
+
+    def simpleStreamReader(self, schema) -> LogTailStreamReader:
+        return LogTailStreamReader(self.options)
+
+
+def register_tail(spark) -> None:
+    """Idempotently register the ``logtail`` streaming format."""
+    spark.dataSource.register(LogTailDataSource)

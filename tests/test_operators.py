@@ -842,3 +842,64 @@ class TestLogTextDataSource:
         row = parsed.select("parsed.host", "parsed.words").first()
         assert row["host"] == "host1"
         assert row["words"] == ["app", "1", "INFO", "hi"]
+
+
+class TestLogTailStream:
+    """Streaming tail-follow source (logtail): appends to live files
+    arrive as new microbatch rows; built-in file streaming can't do this
+    (it only discovers whole new files)."""
+
+    def test_appends_arrive_across_batches(self, spark, tmpdir_path):
+        import os
+        from log2seq_spark.sources import logfiles
+        logfiles.register_tail(spark)
+        log = os.path.join(tmpdir_path, "app.log")
+        with open(log, "w") as f:
+            f.write("first line\npartial")  # no trailing newline
+        out = os.path.join(tmpdir_path, "sink")
+        ckpt = os.path.join(tmpdir_path, "ckpt")
+        q = (spark.readStream.format("logtail").option("path", log).load()
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(60)
+        rows = {(r["line_no"], r["text"])
+                for r in spark.read.parquet(out).collect()}
+        assert rows == {(1, "first line")}  # partial line held back
+
+        # complete the partial line and append another
+        with open(log, "a") as f:
+            f.write(" now done\nsecond append\n")
+        q = (spark.readStream.format("logtail").option("path", log).load()
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(60)
+        rows = {(r["line_no"], r["text"])
+                for r in spark.read.parquet(out).collect()}
+        assert rows == {(1, "first line"), (2, "partial now done"),
+                        (3, "second append")}
+
+    def test_parse_on_the_tail(self, spark, tmpdir_path):
+        import os
+        from log2seq_spark.sources import logfiles
+        from log2seq_spark.functions.udf import with_parsed
+        from log2seq_spark.rules.presets import default_program
+        from pyspark.sql import functions as F
+        logfiles.register_tail(spark)
+        log = os.path.join(tmpdir_path, "sys.log")
+        with open(log, "w") as f:
+            f.write("Jan  1 12:34:56 host1 app[1]: INFO hi\n")
+        out = os.path.join(tmpdir_path, "parsed")
+        ckpt = os.path.join(tmpdir_path, "ckpt2")
+        stream = spark.readStream.format("logtail").option("path", log).load()
+        parsed = (with_parsed(stream, default_program(), text_col="text",
+                              default_year=2023)
+                  .select("path", "line_no", F.col("parsed.host").alias("host"),
+                          F.array_join("parsed.words", " ").alias("words")))
+        q = (parsed.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(60)
+        row = spark.read.parquet(out).first()
+        assert row["host"] == "host1" and row["words"] == "app 1 INFO hi"
