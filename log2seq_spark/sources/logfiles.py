@@ -71,6 +71,45 @@ class LogTextReader(DataSourceReader):
     def __init__(self, options):
         self._paths = _expand(options["path"])
         self._encoding = options.get("encoding", "utf-8")
+        self._preds = []
+
+    def pushFilters(self, filters):
+        """Partition-pruning pushdown: ``path``/``member`` are constant
+        within a partition, so equality/membership/prefix-suffix-contains
+        predicates on them prune whole files or archive members before
+        any byte is read (the Python-source analog of Hive partition
+        pruning). Everything else is returned for Spark to evaluate."""
+        from pyspark.sql.datasource import (EqualTo, In, StringContains,
+                                            StringEndsWith,
+                                            StringStartsWith)
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if (attr and len(attr) == 1 and attr[0] in ("path", "member")
+                    and isinstance(f, (EqualTo, In, StringStartsWith,
+                                       StringEndsWith, StringContains))):
+                self._preds.append(f)
+            else:
+                yield f
+
+    def _keep(self, part: "_LogPart") -> bool:
+        from pyspark.sql.datasource import (EqualTo, In, StringContains,
+                                            StringEndsWith,
+                                            StringStartsWith)
+        for f in self._preds:
+            val = part.path if f.attribute[0] == "path" else part.member
+            if isinstance(f, EqualTo):
+                ok = val == f.value
+            elif isinstance(f, In):
+                ok = val in f.value
+            elif isinstance(f, StringStartsWith):
+                ok = val.startswith(f.value)
+            elif isinstance(f, StringEndsWith):
+                ok = val.endswith(f.value)
+            else:  # StringContains
+                ok = f.value in val
+            if not ok:
+                return False
+        return True
 
     def partitions(self) -> Sequence[InputPartition]:
         parts: list[InputPartition] = []
@@ -83,7 +122,7 @@ class LogTextReader(DataSourceReader):
                             parts.append(_LogPart(fp, info.name))
             else:
                 parts.append(_LogPart(fp, ""))
-        return parts
+        return [p for p in parts if self._keep(p)]
 
     def read(self, part: _LogPart) -> Iterator[tuple]:
         enc = self._encoding
@@ -114,7 +153,9 @@ class LogTextDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotently register the ``logtext`` format on this session."""
+    """Idempotently register the ``logtext`` format on this session (and
+    enable Python-source filter pushdown, which guards pushFilters)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(LogTextDataSource)
 
 

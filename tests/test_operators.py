@@ -827,6 +827,21 @@ class TestLogTextDataSource:
         # a.log + b.log.gz + 2 tar members = 4 independent read partitions
         assert df.rdd.getNumPartitions() == 4
 
+    def test_member_filter_prunes_partitions(self, spark, tmpdir_path):
+        """A filter on member/path prunes whole archive members at
+        planning time (pushFilters), not per-row after reading."""
+        from log2seq_spark.sources import logfiles
+        d = self._fixture(tmpdir_path)
+        logfiles.register(spark)
+        df = (spark.read.format("logtext")
+              .option("path", f"{d}/a.log,{d}/b.log.gz,{d}/c.tar.gz").load())
+        one = df.filter("member = 'one.log'")
+        assert one.rdd.getNumPartitions() == 1   # 3 of 4 pruned
+        assert {r["text"] for r in one.collect()} == {"line c1", "line c2"}
+        pre = df.filter("member LIKE 'sub/%'")
+        assert pre.rdd.getNumPartitions() == 1
+        assert [r["text"] for r in pre.collect()] == ["line c3"]
+
     def test_parses_through_the_engine(self, spark, tmpdir_path):
         import os
         from log2seq_spark.sources import logfiles
