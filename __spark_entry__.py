@@ -372,6 +372,30 @@ FROM events GROUP BY event_type
 """
 
 
+def q_approx_quantiles_check(spark, sf_dir):
+    """Quantile sketch vs exact: ``percentile_approx`` (Greenwald-Khanna,
+    the mergeable fixed-memory sketch that replaces a full sort at scale)
+    checked against the exact interpolated median, reported as the exact
+    value + a 5%-relative-error boolean the oracle pins to TRUE — the
+    same property-oracle pattern as the HLL check."""
+    ev = _t(spark, sf_dir, "events")
+    approx = F.percentile_approx("value", 0.5, 10000)
+    exact = F.percentile("value", 0.5)
+    return (ev.groupBy("event_type")
+              .agg(F.round(exact, 6).alias("median_exact"),
+                   ((F.abs(approx - exact) / exact) <= 0.05)
+                   .alias("within_5pct")))
+
+
+_SQL_APPROX_QUANTILES = """
+SELECT event_type,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6)
+         AS median_exact,
+       TRUE AS within_5pct
+FROM events GROUP BY event_type
+"""
+
+
 def q_stats_value_by_type(spark, sf_dir):
     """Moment statistics (stddev, Pearson correlation of value vs
     hour-of-day) computed from EXACT decimal power sums, combined into
@@ -1565,6 +1589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_join_ordered_brands": q_semi_join_ordered_brands,
         "window_running_revenue": q_window_running_revenue,
         "approx_distinct_users": q_approx_distinct_users,
+        "approx_quantiles_check": q_approx_quantiles_check,
         "stats_value_by_type": q_stats_value_by_type,
         "bucketed_join_revenue": q_bucketed_join_revenue,
         "multimodal_features": q_multimodal_features,
@@ -1618,6 +1643,7 @@ def oracle_sql() -> dict[str, str]:
         "semi_join_ordered_brands": _SQL_SEMI_JOIN,
         "window_running_revenue": _SQL_RUNNING,
         "approx_distinct_users": _SQL_APPROX_DISTINCT,
+        "approx_quantiles_check": _SQL_APPROX_QUANTILES,
         "stats_value_by_type": _SQL_STATS,
         "bucketed_join_revenue": _SQL_BUCKETED_JOIN,
         "multimodal_features": _SQL_MULTIMODAL,
