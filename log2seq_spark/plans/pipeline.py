@@ -146,9 +146,20 @@ def run_pipeline(spark: SparkSession, turns: DataFrame,
     write_partitioned(df.repartition(p, "sink", "bucket"),
                       os.path.join(cfg.out_dir, ROUTED),
                       ["sink", "bucket"], backend=cfg.sink_backend)
-    df = (read_partitioned(spark, os.path.join(cfg.out_dir, ROUTED),
-                           backend=cfg.sink_backend)
-               .filter(F.col("lineage") == lineage))
+    from pyspark.errors import AnalysisException
+    try:
+        df = (read_partitioned(spark, os.path.join(cfg.out_dir, ROUTED),
+                               backend=cfg.sink_backend)
+                   .filter(F.col("lineage") == lineage))
+    except AnalysisException:
+        # zero input rows on a fresh out_dir: the partitioned write emits
+        # no parquet footers, so the read-back cannot infer a schema —
+        # that IS the empty result, not an error
+        return PipelineResult(lineage_id=lineage, buckets_processed=[],
+                              buckets_skipped=sorted(done),
+                              metrics={k: 0 for k in ("n_rows", "n_ok",
+                                                      "n_fail", "n_empty",
+                                                      "n_tokens")})
     if done:
         df = df.filter(~F.col("bucket").isin(sorted(done)))
     # the three aggregate passes share one NARROW cached projection —

@@ -218,3 +218,17 @@ class TestSkewHandling:
                         .select("conv_id", "turn_idx", "parsed.words")
                         .collect()}
         assert a == b
+
+
+def test_empty_input_pipeline(spark, tmpdir_path):
+    """A zero-row turns frame must complete cleanly with zeroed metrics
+    (regression guard: the stats-collect path must not assume rows)."""
+    from log2seq_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from log2seq_spark.sources.transcripts import transcripts
+    empty = transcripts(spark, 1, seed=1, partitions=1).limit(0)
+    cfg = PipelineConfig(out_dir=tmpdir_path + "/out", n_buckets=4,
+                         partitions=4, input_id="empty-test")
+    res = run_pipeline(spark, empty, cfg, resume=False)
+    assert res.metrics == {"n_rows": 0, "n_ok": 0, "n_fail": 0,
+                           "n_empty": 0, "n_tokens": 0}
+    assert res.buckets_processed == []
