@@ -44,13 +44,23 @@ class _LogPart(InputPartition):
 
 
 def _expand(path_opt: str) -> list[str]:
+    """Expand the comma-separated path option, failing FAST (at planning,
+    on the driver) for paths that match nothing — a typo'd path should
+    not surface as a FileNotFoundError from inside an executor task."""
+    import os
     out = []
     for p in path_opt.split(","):
         p = p.strip()
         if not p:
             continue
         hits = sorted(_glob.glob(p))
-        out.extend(hits if hits else [p])
+        if not hits:
+            kind = "files match pattern" if _glob.has_magic(p) else "such file"
+            raise FileNotFoundError(f"logtext: no {kind}: {p!r}")
+        for h in hits:
+            if not os.path.isfile(h):
+                raise FileNotFoundError(f"logtext: not a regular file: {h!r}")
+        out.extend(hits)
     return out
 
 
@@ -125,6 +135,10 @@ class LogTextReader(DataSourceReader):
         return [p for p in parts if self._keep(p)]
 
     def read(self, part: _LogPart) -> Iterator[tuple]:
+        if part is None:
+            # partitions() returned [] (empty tar / no glob hits / all
+            # pruned): Spark still schedules one default partition
+            return
         enc = self._encoding
         if part.member:
             import tarfile

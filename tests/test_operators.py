@@ -842,6 +842,23 @@ class TestLogTextDataSource:
         assert pre.rdd.getNumPartitions() == 1
         assert [r["text"] for r in pre.collect()] == ["line c3"]
 
+    def test_empty_tar_and_fail_fast_on_missing(self, spark, tmpdir_path):
+        import os
+        import tarfile
+        from log2seq_spark.sources import logfiles
+        logfiles.register(spark)
+        et = os.path.join(tmpdir_path, "empty.tar")
+        with tarfile.open(et, "w"):
+            pass
+        assert (spark.read.format("logtext").option("path", et)
+                .load().count() == 0)
+        import pytest as _pytest
+        for bad in (os.path.join(tmpdir_path, "nope.log"),
+                    os.path.join(tmpdir_path, "nomatch*.log")):
+            with _pytest.raises(Exception, match="logtext: no"):
+                (spark.read.format("logtext").option("path", bad)
+                 .load().count())
+
     def test_parses_through_the_engine(self, spark, tmpdir_path):
         import os
         from log2seq_spark.sources import logfiles
