@@ -935,3 +935,44 @@ class TestLogTailStream:
         q.awaitTermination(60)
         row = spark.read.parquet(out).first()
         assert row["host"] == "host1" and row["words"] == "app 1 INFO hi"
+
+
+class TestLogTailReaderUnit:
+    """Direct (no-Spark) tests of the tail reader's offset protocol."""
+
+    def _reader(self, path):
+        from log2seq_spark.sources.logfiles import LogTailStreamReader
+        return LogTailStreamReader({"path": path})
+
+    def test_rotation_restarts_from_zero(self, tmpdir_path):
+        import os
+        log = os.path.join(tmpdir_path, "r.log")
+        r = self._reader(log)
+        with open(log, "w") as f:
+            f.write("aaa\nbbb\n")
+        rows, off = r.read(r.initialOffset())
+        assert [t for (_, _, t) in rows] == ["aaa", "bbb"]
+        # rotate: replace with a SHORTER file
+        with open(log, "w") as f:
+            f.write("new\n")
+        rows, off2 = r.read(off)
+        assert [t for (_, _, t) in rows] == ["new"]
+        assert off2[log] == [4, 1]   # byte offset reset, line count restarted
+
+    def test_read_between_offsets_replays_identically(self, tmpdir_path):
+        import os
+        log = os.path.join(tmpdir_path, "p.log")
+        r = self._reader(log)
+        with open(log, "w") as f:
+            f.write("one\ntwo\n")
+        start = r.initialOffset()
+        rows1, end = r.read(start)
+        batch1 = list(rows1)
+        # deterministic recovery replay of the same [start, end) range
+        assert list(r.readBetweenOffsets(start, end)) == batch1
+        with open(log, "a") as f:
+            f.write("three\n")
+        rows2, end2 = r.read(end)
+        batch2 = list(rows2)
+        assert [t for (_, _, t) in batch2] == ["three"]
+        assert list(r.readBetweenOffsets(end, end2)) == batch2
