@@ -338,7 +338,8 @@ def embedding_near_duplicates(embs: DataFrame, vec_col: str = "embedding",
 
 def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
                        id_b: str = "id_b", out_id: str = "doc_id",
-                       max_iter: int = 25) -> DataFrame:
+                       max_iter: int = 25,
+                       driver_threshold: int = 1_000_000) -> DataFrame:
     """Transitive duplicate clustering: connected components over an
     undirected near-dup pair graph. Returns one row per node that appears
     in any pair: ``(out_id, cluster_id)`` with ``cluster_id`` = the
@@ -373,6 +374,44 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     # makes it once total. Pair lists are tiny relative to the corpus.
     e = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
               .localCheckpoint())
+
+    # SIZE-GATED strategy: the checkpointed edge count is already known,
+    # so when the pair graph is small (≤ driver_threshold edges ≈ tens of
+    # MB) the exact union-find runs driver-side in one pass — the
+    # distributed rounds below cost 6-8 fixed-overhead stages PER ROUND
+    # regardless of data size, which dwarfs microseconds of union-find.
+    # Big graphs (a duplicate-heavy corpus can produce them) take the
+    # distributed path; the two paths are equality-tested on random
+    # graphs (tests/test_operators.py::TestDuplicateClusters).
+    n_edges = e.count()
+    if n_edges <= driver_threshold:
+        spark = pairs.sparkSession
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:      # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in e.collect():
+            a, b = row["src"], row["dst"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN id so the root IS the canonical label
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        from pyspark.sql.types import StructField, StructType
+        node_t = e.schema["src"].dataType     # follow the caller's id type
+        rows = [(n, find(n)) for n in parent]
+        return spark.createDataFrame(
+            rows, StructType([StructField(out_id, node_t),
+                              StructField("cluster_id", node_t)]))
+
     # pre-partitioned on dst, the key every round's neighbor join probes,
     # so only the (much smaller) label table shuffles per round
     edges = (e.union(e.select(F.col("dst").alias("src"),

@@ -405,9 +405,18 @@ class TestStreaming:
 
 class TestDuplicateClusters:
     def _clusters(self, spark, edges, **kw):
+        """Run BOTH strategies — the size-gated driver union-find (the
+        default for small graphs) and the distributed label-propagation
+        rounds (forced via driver_threshold=0) — and assert they agree
+        before returning the result."""
         pairs = spark.createDataFrame(edges, "id_a long, id_b long")
-        out = dedup.duplicate_clusters(pairs, **kw).collect()
-        return {r["doc_id"]: r["cluster_id"] for r in out}
+        via_driver = {r["doc_id"]: r["cluster_id"]
+                      for r in dedup.duplicate_clusters(pairs, **kw).collect()}
+        via_rounds = {r["doc_id"]: r["cluster_id"]
+                      for r in dedup.duplicate_clusters(
+                          pairs, driver_threshold=0, **kw).collect()}
+        assert via_driver == via_rounds
+        return via_rounds
 
     def test_chain_is_transitive(self, spark):
         # a~b, b~c, c~d: pairwise keep-lists retain a AND c; clustering
