@@ -195,7 +195,13 @@ class LogTailStreamReader(SimpleDataSourceStreamReader):
     an idempotent sink). A partial last line (no trailing newline yet) is
     left for the next batch; rotation (a shrunken file) restarts that
     file from zero. Glob patterns pick up files created after the stream
-    starts."""
+    starts.
+
+    Known limitation (inherent to size-based tailing): a rotation that
+    replaces the file with one LONGER than the recorded offset is
+    indistinguishable from an append and will emit from the old offset;
+    inode-tracking would be needed to detect it (rotate to a NEW name —
+    the usual logrotate `create` mode — to avoid this)."""
 
     def __init__(self, options):
         self._paths = options["path"]
