@@ -103,3 +103,33 @@ def test_header_cascade_never_crashes_and_agrees(lines):
         assert row["message"] == exp["message"], line
         assert row["words"] == exp["words"], line
         assert row["symbols"] == exp["symbols"], line
+
+
+class TestLogTailProperty:
+    def test_batched_tail_reconstructs_file(self, tmpdir_path):
+        """Property: for ANY sequence of appends (arbitrary chunk
+        boundaries, with/without trailing newline), concatenating the
+        emitted batch texts equals the file's complete lines, each
+        exactly once, in order."""
+        import os
+        import random
+        from log2seq_spark.sources.logfiles import LogTailStreamReader
+        rng = random.Random(123)
+        log = os.path.join(tmpdir_path, "t.log")
+        open(log, "w").close()
+        reader = LogTailStreamReader({"path": log})
+        off = reader.initialOffset()
+        emitted = []
+        payload = ""
+        for _ in range(30):
+            chunk = "".join(rng.choice("ab\n") for _ in range(rng.randint(1, 9)))
+            payload += chunk
+            with open(log, "a") as f:
+                f.write(chunk)
+            rows, off = reader.read(off)
+            emitted.extend(t for (_, _, t) in rows)
+        complete = payload[:payload.rfind("\n") + 1] if "\n" in payload else ""
+        assert emitted == complete.split("\n")[:-1]
+        # line numbers must be gapless and 1-based
+        rows, _ = reader.read(reader.initialOffset())
+        assert [n for (_, n, _) in rows] == list(range(1, len(emitted) + 1))
