@@ -274,6 +274,32 @@ FROM events GROUP BY 1
 """
 
 
+def q_variant_props_stats(spark, sf_dir):
+    """Spark 4 VARIANT path for semi-structured data: ``parse_json``
+    decodes each props document ONCE into the binary variant encoding;
+    every subsequent ``try_variant_get`` is a cheap binary probe with a
+    typed result (vs ``get_json_object``, which re-parses the JSON text
+    per path). At 100 TB with many extracted paths, that single-parse
+    property is the difference. Grouped stats over the extracted field:
+    k-decade buckets with exact decimal value sums."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    return (ev.select(k.alias("k"), "value")
+              .groupBy(F.floor(F.col("k") / 10).alias("k_decade"))
+              .agg(F.count("*").alias("n_events"),
+                   F.sum(F.col("value").cast("decimal(18,2)"))
+                    .cast("double").alias("total_value")))
+
+
+_SQL_VARIANT_PROPS = """
+SELECT cast(floor(CAST(props->>'k' AS INT) / 10.0) AS BIGINT) AS k_decade,
+       count(*) AS n_events,
+       cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value
+FROM events GROUP BY 1
+"""
+
+
 def q_anti_join_idle_customers(spark, sf_dir):
     """Left ANTI join: customers with no high-value order (none above
     300k). The filter is pushed below the join build side, and existence
@@ -1585,6 +1611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_latest_purchase": q_asof_latest_purchase,
         "range_join_windows": q_range_join_windows,
         "json_props_extract": q_json_props_extract,
+        "variant_props_stats": q_variant_props_stats,
         "anti_join_idle_customers": q_anti_join_idle_customers,
         "semi_join_ordered_brands": q_semi_join_ordered_brands,
         "window_running_revenue": q_window_running_revenue,
@@ -1639,6 +1666,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_latest_purchase": _SQL_ASOF,
         "range_join_windows": _SQL_RANGE_JOIN,
         "json_props_extract": _SQL_JSON_PROPS,
+        "variant_props_stats": _SQL_VARIANT_PROPS,
         "anti_join_idle_customers": _SQL_ANTI_JOIN,
         "semi_join_ordered_brands": _SQL_SEMI_JOIN,
         "window_running_revenue": _SQL_RUNNING,
