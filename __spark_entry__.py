@@ -763,6 +763,47 @@ FROM spine LEFT JOIN c USING (d)
 """
 
 
+def q_logtext_archive_scan(spark, sf_dir):
+    """The distributed raw-log DataSource under the correctness gate: a
+    deterministic 3-member tar.gz archive (built once per run, content a
+    pure function of indices) is read through
+    ``spark.read.format("logtext")`` — one executor-side input partition
+    per member — and every (member, line_no, text) row must match the
+    oracle's closed-form reconstruction. Exercises the real source path:
+    tar member listing at planning, per-member decompress+decode on
+    executors, 1-based line numbering."""
+    import io
+    import os
+    import tarfile
+    from log2seq_spark.sources import logfiles
+    base = "/tmp/log2seq_spark_logtext"
+    arch = os.path.join(base, "fixture.tar.gz")
+    if not os.path.exists(arch):
+        os.makedirs(base, exist_ok=True)
+        tmp = arch + ".tmp"
+        with tarfile.open(tmp, "w:gz") as tar:
+            for m in range(3):
+                body = "".join(f"member {m} line {i} checksum {(m * 1000 + i) % 97}\n"
+                               for i in range(1, 51)).encode()
+                info = tarfile.TarInfo(f"logs/part{m}.log")
+                info.size = len(body)
+                tar.addfile(info, io.BytesIO(body))
+        os.replace(tmp, arch)
+    logfiles.register(spark)
+    df = spark.read.format("logtext").option("path", arch).load()
+    return df.select("member", "line_no", "text")
+
+
+_SQL_LOGTEXT_SCAN = """
+SELECT 'logs/part' || m || '.log' AS member,
+       CAST(i AS BIGINT) AS line_no,
+       'member ' || m || ' line ' || i || ' checksum ' || (m * 1000 + i) % 97
+         AS text
+FROM (SELECT unnest(generate_series(0, 2)) AS m),
+     (SELECT unnest(generate_series(1, 50)) AS i)
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal binary columns (Arrow-batched mapInPandas, oracle-replayable)
 # ---------------------------------------------------------------------------
@@ -1621,6 +1662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join_revenue": q_bucketed_join_revenue,
         "multimodal_features": q_multimodal_features,
         "frame_sample": q_frame_sample,
+        "logtext_archive_scan": q_logtext_archive_scan,
         "session_window_stats": q_session_window_stats,
         "daily_event_spine": q_daily_event_spine,
         "pack_training_chunks": q_pack_training_chunks,
@@ -1676,6 +1718,7 @@ def oracle_sql() -> dict[str, str]:
         "bucketed_join_revenue": _SQL_BUCKETED_JOIN,
         "multimodal_features": _SQL_MULTIMODAL,
         "frame_sample": _SQL_FRAME_SAMPLE,
+        "logtext_archive_scan": _SQL_LOGTEXT_SCAN,
         "session_window_stats": _SQL_SESSION_WINDOW,
         "daily_event_spine": _SQL_DAILY_SPINE,
         "pack_training_chunks": _SQL_PACK_CHUNKS,
