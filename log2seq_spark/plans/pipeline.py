@@ -142,10 +142,14 @@ def run_pipeline(spark: SparkSession, turns: DataFrame,
     # one-per-dir-per-task instead of tasks × dirs (measured 7× faster).
     # Partial writes from a crashed run are healed by dynamic partition
     # overwrite — set per-writer so session-global conf is untouched.
+    import time
     p = cfg.partitions or spark.sparkContext.defaultParallelism
+    _t0 = time.monotonic()
     write_partitioned(df.repartition(p, "sink", "bucket"),
                       os.path.join(cfg.out_dir, ROUTED),
                       ["sink", "bucket"], backend=cfg.sink_backend)
+    wall_route_s = round(time.monotonic() - _t0, 3)
+    _t0 = time.monotonic()
     from pyspark.errors import AnalysisException
     try:
         df = (read_partitioned(spark, os.path.join(cfg.out_dir, ROUTED),
@@ -231,6 +235,12 @@ def run_pipeline(spark: SparkSession, turns: DataFrame,
 
     totals = {k: int(sum(r[k] for r in records))
               for k in ("n_rows", "n_ok", "n_fail", "n_empty", "n_tokens")}
+    # phase walls: the parse→enrich→route fan-out write vs the aggregate
+    # passes — the observability a capacity plan needs (profiled ~55%/20%
+    # of wall respectively at sf0.1; parse compute rides inside the write
+    # job's single heavy pass)
+    totals["wall_route_s"] = wall_route_s
+    totals["wall_agg_s"] = round(time.monotonic() - _t0, 3)
     return PipelineResult(lineage_id=lineage,
                           buckets_processed=sorted(r["bucket"] for r in records),
                           buckets_skipped=sorted(done),
