@@ -245,7 +245,8 @@ def cmd_pipeline(args) -> int:
     turns = (spark.table(args.input) if args.input_kind == "table"
              else spark.read.parquet(args.input))
     cfg = PipelineConfig(out_dir=args.out, n_buckets=args.buckets,
-                         program=program, input_id=args.input)
+                         program=program, input_id=args.input,
+                         sink_backend=args.sink_backend)
     res = run_pipeline(spark, turns, cfg, resume=not args.no_resume)
     print(f"lineage={res.lineage_id} processed={res.buckets_processed} "
           f"skipped={res.buckets_skipped} metrics={res.metrics}",
@@ -317,6 +318,10 @@ def main(argv=None) -> int:
                         "a catalog is configured)")
     p.add_argument("--out", required=True)
     p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--sink-backend", default="parquet",
+                   choices=["parquet", "orc", "iceberg", "auto"],
+                   help="physical sink format for routed/agg outputs "
+                        "(iceberg requires its runtime jar + catalog)")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("-p", "--parser-script", default=None)
     p.add_argument("--preset", default="default")

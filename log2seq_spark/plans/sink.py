@@ -1,5 +1,6 @@
-"""Sink backend seam: ``parquet`` (always available) or ``iceberg``
-(when the Iceberg Spark runtime jar + a catalog are on the session).
+"""Sink backend seam: ``parquet`` / ``orc`` (always available) or
+``iceberg`` (when the Iceberg Spark runtime jar + a catalog are on the
+session).
 
 SURVEY §6 / BASELINE.md promise an ``iceberg | parquet`` sink
 abstraction with identical partition layout and manifest semantics.
@@ -17,7 +18,7 @@ from typing import List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
-BACKENDS = ("parquet", "iceberg", "auto")
+BACKENDS = ("parquet", "orc", "iceberg", "auto")
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -77,10 +78,13 @@ def write_partitioned(df: DataFrame, dest: str,
                .partitionedBy(*[F.col(c) for c in partition_cols])
                .create())
         return
-    (df.write.mode("overwrite")
-       .option("partitionOverwriteMode", "dynamic")
-       .partitionBy(*partition_cols)
-       .parquet(dest))
+    writer = (df.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(*partition_cols))
+    if backend == "orc":
+        writer.orc(dest)
+    else:
+        writer.parquet(dest)
 
 
 def read_partitioned(spark: SparkSession, dest: str,
@@ -91,6 +95,8 @@ def read_partitioned(spark: SparkSession, dest: str,
     backend = resolve_backend(spark, backend)
     if backend == "iceberg":
         return spark.table(iceberg_table or _path_to_table(dest))
+    if backend == "orc":
+        return spark.read.orc(dest)
     return spark.read.parquet(dest)
 
 

@@ -25,7 +25,10 @@ class TestBackendElection:
 
     def test_unknown_backend_rejected(self, spark):
         with pytest.raises(ValueError):
-            resolve_backend(spark, "orc")
+            resolve_backend(spark, "avro")
+
+    def test_orc_resolves_natively(self, spark):
+        assert resolve_backend(spark, "orc") == "orc"
 
 
 class _FakeWriter:
@@ -124,3 +127,43 @@ class TestParquetWriter:
         plan = back.filter(F.col("k") == "b")._jdf.queryExecution() \
                    .executedPlan().toString()
         assert "PartitionFilters: [" in plan and "isnotnull(k" in plan
+
+
+class TestOrcBackend:
+    def test_pipeline_through_orc_equals_parquet(self, spark, tmpdir_path):
+        """The same pipeline run through the orc backend must commit
+        identical metrics and routed contents as parquet — the seam only
+        swaps the physical format."""
+        from log2seq_spark.plans.pipeline import PipelineConfig, run_pipeline
+        from log2seq_spark.sources.transcripts import transcripts
+        turns = transcripts(spark, 40, seed=11, partitions=4)
+        results = {}
+        rows = {}
+        for backend in ("parquet", "orc"):
+            out = f"{tmpdir_path}/{backend}"
+            cfg = PipelineConfig(out_dir=out, n_buckets=4, partitions=4,
+                                 input_id="orc-vs-parquet",
+                                 sink_backend=backend)
+            res = run_pipeline(spark, turns, cfg, resume=False)
+            results[backend] = {k: v for k, v in res.metrics.items()
+                                if not k.startswith("wall_")}
+            reader = (spark.read.orc if backend == "orc"
+                      else spark.read.parquet)
+            rows[backend] = {
+                (r["conv_id"], r["turn_idx"],
+                 tuple(r["words"] or []), r["sink"])
+                for r in reader(f"{out}/routed").collect()}
+        assert results["orc"] == results["parquet"]
+        assert rows["orc"] == rows["parquet"]
+
+    def test_orc_resume_skips_completed(self, spark, tmpdir_path):
+        from log2seq_spark.plans.pipeline import PipelineConfig, run_pipeline
+        from log2seq_spark.sources.transcripts import transcripts
+        turns = transcripts(spark, 20, seed=3, partitions=2)
+        cfg = PipelineConfig(out_dir=f"{tmpdir_path}/o", n_buckets=4,
+                             partitions=4, input_id="orc-resume",
+                             sink_backend="orc")
+        first = run_pipeline(spark, turns, cfg, resume=True)
+        again = run_pipeline(spark, turns, cfg, resume=True)
+        assert again.buckets_processed == []
+        assert sorted(again.buckets_skipped) == sorted(first.buckets_processed)
