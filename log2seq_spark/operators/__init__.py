@@ -1,6 +1,8 @@
 """Training-data operators: dedup, similarity search, text analysis,
-multimodal plumbing."""
+sequence packing, range/as-of joins, sampling, multimodal plumbing."""
 
-from . import dedup, similarity, textstats
+from . import (asof, dedup, multimodal, packing, rangejoin, sampling,
+               similarity, textstats)
 
-__all__ = ["dedup", "similarity", "textstats"]
+__all__ = ["asof", "dedup", "multimodal", "packing", "rangejoin",
+           "sampling", "similarity", "textstats"]
