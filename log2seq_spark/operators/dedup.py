@@ -140,7 +140,8 @@ def dedup_decisions(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", shingle_n: int = 3,
                     threshold: float = 0.5,
                     max_shingles_per_doc: int = 200,
-                    max_docs_per_shingle: int = 100) -> DataFrame:
+                    max_docs_per_shingle: int = 100,
+                    near_pairs: DataFrame | None = None) -> DataFrame:
     """Composed dedup policy — the keep/drop list a training pipeline
     actually applies. Per doc: ``drop_exact`` when its content hash has
     an earlier (min-id) occurrence; else ``drop_near`` when it is the
@@ -160,9 +161,14 @@ def dedup_decisions(docs: DataFrame, text_col: str = "text",
                   ((F.count("*").over(wh) > 1)
                    & (F.col(id_col) != F.min(id_col).over(wh)))
                   .alias("_ex"))
-    near = (ngram_jaccard_pairs(docs, text_col, id_col, shingle_n,
-                                threshold, max_shingles_per_doc,
-                                max_docs_per_shingle)
+    # near_pairs lets a caller reuse an already-materialized pair feed
+    # (the expensive step) across several consumers; must be the output
+    # of ngram_jaccard_pairs at compatible parameters
+    if near_pairs is None:
+        near_pairs = ngram_jaccard_pairs(docs, text_col, id_col, shingle_n,
+                                         threshold, max_shingles_per_doc,
+                                         max_docs_per_shingle)
+    near = (near_pairs
             .select(F.col("id_b").alias(id_col)).distinct()
             .withColumn("_nr", F.lit(True)))
     decision = (F.when(F.col("_ex"), F.lit("drop_exact"))
