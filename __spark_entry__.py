@@ -48,7 +48,10 @@ def _feed(spark, key, build):
     k = (spark.sparkContext.applicationId, key)
     df = _FEED_CACHE.get(k)
     if df is None:
-        df = build().localCheckpoint()
+        # persist (not localCheckpoint): stays inside the SQL engine —
+        # AQE-planned, lazily materialized on first use, tiny pair lists
+        # in memory — and consumers after the first read cached blocks
+        df = build().persist()
         _FEED_CACHE[k] = df
     return df
 
