@@ -376,10 +376,14 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     """
     # materialize the pair list BEFORE symmetrizing: both union branches
     # reference it, and Spark executes the (expensive — LSH/Jaccard
-    # candidate generation) subtree once per reference; the checkpoint
-    # makes it once total. Pair lists are tiny relative to the corpus.
+    # candidate generation) subtree once per reference; persist + the
+    # count below make it once total (persist rather than localCheckpoint:
+    # the RDD-checkpoint path showed a long-session performance anomaly —
+    # see BENCH/DELTAS.md; the checkpoints in the iterative rounds below
+    # stay, since lineage truncation is their whole point).
+    # Pair lists are tiny relative to the corpus.
     e = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-              .localCheckpoint())
+              .persist())
 
     # SIZE-GATED strategy: the checkpointed edge count is already known,
     # so when the pair graph is small (≤ driver_threshold edges ≈ tens of
