@@ -337,6 +337,62 @@ FROM events GROUP BY 1
 """
 
 
+def q_csv_line_parse(spark, sf_dir):
+    """Schema'd CSV line parsing (``from_csv`` — JVM-side Univocity, the
+    delimited half of the semi-structured matrix alongside JSON/VARIANT/
+    XML): events serialized to CSV lines, parsed back with a typed
+    schema (bigint, string, decimal), then aggregated on the PARSED
+    typed columns — proving the round-trip is lossless. One narrow
+    projection + one map-side-combined shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(18,2)")
+    line = F.concat_ws(",", F.col("event_id").cast("string"),
+                       "event_type", vdec.cast("string"))
+    parsed = (ev.select(line.alias("line"))
+                .select(F.from_csv(
+                    "line", "event_id bigint, event_type string, "
+                            "v decimal(18,2)").alias("c"))
+                .select("c.*"))
+    return (parsed.groupBy("event_type")
+                  .agg(F.count("*").alias("n_events"),
+                       F.sum("v").cast("double").alias("total_value"),
+                       F.max("event_id").alias("max_event_id")))
+
+
+_SQL_CSV_PARSE = """
+SELECT event_type, count(*) AS n_events,
+       cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value,
+       max(event_id) AS max_event_id
+FROM events GROUP BY event_type
+"""
+
+
+def q_xml_event_parse(spark, sf_dir):
+    """Schema'd XML parsing (``from_xml``, new in Spark 4): events
+    serialized to XML elements (attributes + nested text node), parsed
+    back with a typed schema (attributes surface as ``_name`` fields),
+    aggregated on the parsed values. Completes the semi-structured
+    matrix: JSON path, VARIANT binary, CSV, XML."""
+    ev = _t(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(18,2)")
+    xml = F.concat(F.lit('<event id="'), F.col("event_id").cast("string"),
+                   F.lit('" type="'), F.col("event_type"),
+                   F.lit('"><v>'), vdec.cast("string"),
+                   F.lit("</v></event>"))
+    parsed = (ev.select(xml.alias("x"))
+                .select(F.from_xml(
+                    "x", "_id bigint, _type string, v decimal(18,2)")
+                    .alias("p"))
+                .select("p.*"))
+    return (parsed.groupBy(F.col("_type").alias("event_type"))
+                  .agg(F.count("*").alias("n_events"),
+                       F.sum("v").cast("double").alias("total_value"),
+                       F.max("_id").alias("max_event_id")))
+
+
+_SQL_XML_PARSE = _SQL_CSV_PARSE
+
+
 def q_anti_join_idle_customers(spark, sf_dir):
     """Left ANTI join: customers with no high-value order (none above
     300k). The filter is pushed below the join build side, and existence
@@ -1686,6 +1742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_windows": q_range_join_windows,
         "json_props_extract": q_json_props_extract,
         "variant_props_stats": q_variant_props_stats,
+        "csv_line_parse": q_csv_line_parse,
+        "xml_event_parse": q_xml_event_parse,
         "anti_join_idle_customers": q_anti_join_idle_customers,
         "semi_join_ordered_brands": q_semi_join_ordered_brands,
         "window_running_revenue": q_window_running_revenue,
@@ -1742,6 +1800,8 @@ def oracle_sql() -> dict[str, str]:
         "range_join_windows": _SQL_RANGE_JOIN,
         "json_props_extract": _SQL_JSON_PROPS,
         "variant_props_stats": _SQL_VARIANT_PROPS,
+        "csv_line_parse": _SQL_CSV_PARSE,
+        "xml_event_parse": _SQL_XML_PARSE,
         "anti_join_idle_customers": _SQL_ANTI_JOIN,
         "semi_join_ordered_brands": _SQL_SEMI_JOIN,
         "window_running_revenue": _SQL_RUNNING,
