@@ -985,3 +985,54 @@ class TestLogTailReaderUnit:
         batch2 = list(rows2)
         assert [t for (_, _, t) in batch2] == ["three"]
         assert list(r.readBetweenOffsets(end, end2)) == batch2
+
+
+class TestLogTailPipelineComposition:
+    def test_tail_parse_route_accumulates_across_appends(self, spark,
+                                                         tmpdir_path):
+        """End-to-end streaming composition: logtail source → vectorized
+        parse → severity routing → foreachBatch parquet sink. Two
+        append rounds; the accumulated sink must equal a batch parse of
+        the final file."""
+        import os
+        from pyspark.sql import functions as F
+        from log2seq_spark.sources import logfiles
+        from log2seq_spark.functions.udf import with_parsed
+        from log2seq_spark.rules.presets import default_program
+        logfiles.register_tail(spark)
+        log = os.path.join(tmpdir_path, "app.log")
+        out = os.path.join(tmpdir_path, "routed")
+        ckpt = os.path.join(tmpdir_path, "ck")
+
+        def run_once():
+            stream = (spark.readStream.format("logtail")
+                      .option("path", log).load())
+            parsed = with_parsed(stream, default_program(),
+                                 text_col="text", default_year=2023)
+            routed = parsed.select(
+                "line_no",
+                F.coalesce(F.element_at("parsed.words", 3),
+                           F.lit("quarantine")).alias("sink"),
+                F.array_join("parsed.words", " ").alias("words"))
+
+            def sink(batch, bid):
+                batch.write.mode("append").parquet(out)
+
+            q = (routed.writeStream.foreachBatch(sink)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        with open(log, "w") as f:
+            f.write("Jan  1 10:00:00 h a[1]: INFO one\n")
+        run_once()
+        with open(log, "a") as f:
+            f.write("Jan  1 10:00:01 h b[2]: WARN two\n"
+                    "Jan  1 10:00:02 h c[3]: INFO three\n")
+        run_once()
+
+        got = {(r["line_no"], r["sink"], r["words"])
+               for r in spark.read.parquet(out).collect()}
+        assert got == {(1, "INFO", "a 1 INFO one"),
+                       (2, "WARN", "b 2 WARN two"),
+                       (3, "INFO", "c 3 INFO three")}
