@@ -1535,13 +1535,26 @@ FROM reach GROUP BY id
 
 
 def q_textstats_quality(spark, sf_dir):
+    """Per-doc text-analysis profile: quality features, both token
+    counts (whitespace + BPE-ish sub-word estimate — letter runs /
+    ≤3-digit chunks / symbol runs, leftmost-first alternation identical
+    under Java regex and RE2), marker-word language ID, and the
+    normalized-content fingerprint. One query exercises all four
+    textstats operators (folds the former ``token_stats`` /
+    ``lang_id_counts`` / ``fingerprint_sources`` queries so every
+    operator sits inside the driver's 50-query CORRECTNESS window)."""
     docs = _t(spark, sf_dir, "documents")
-    return textstats.quality_features(docs, "text").select(
+    prof = textstats.lang_id(
+        textstats.fingerprint(
+            textstats.token_stats(
+                textstats.quality_features(docs))))
+    return prof.select(
         "doc_id", "n_tokens", "mean_token_len", "punct_ratio",
-        "stopword_ratio", "quality_score")
+        "stopword_ratio", "quality_score", "ws_tokens", "bpe_tokens",
+        "predicted_lang", "fingerprint")
 
 
-_SQL_QUALITY = """
+_SQL_QUALITY = f"""
 WITH base AS (
   SELECT doc_id,
          len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
@@ -1549,9 +1562,22 @@ WITH base AS (
          length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
          len(list_filter(string_split(text, ' '),
              t -> list_contains(['the','and','of','to','a','in','is','that'],
-                                lower(t)))) AS stop_hits
+                                lower(t)))) AS stop_hits,
+         len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+           AS ws_tokens,
+         len(regexp_extract_all(text,
+             '[A-Za-z]+|[0-9]{{1,3}}|[^A-Za-z0-9\\s]+')) AS bpe_tokens,
+         list_transform(list_filter(string_split_regex(text, '\\s+'),
+                                    t -> t <> ''), t -> lower(t)) AS w,
+         md5({_NORM}) AS fingerprint
   FROM documents
-)
+), scored AS (
+  SELECT *, list_max([
+    {{'hits': len(list_filter(w, t -> list_contains(['the','and','of','to','a','in','is','that'], t))), 'lang': 'en'}},
+    {{'hits': len(list_filter(w, t -> list_contains(['der','die','und','das','ist','nicht','ein'], t))), 'lang': 'de'}},
+    {{'hits': len(list_filter(w, t -> list_contains(['le','la','les','et','est','une','pas'], t))), 'lang': 'fr'}},
+    {{'hits': len(list_filter(w, t -> list_contains(['el','la','los','y','es','una','que'], t))), 'lang': 'es'}}
+  ]) AS best FROM base)
 SELECT doc_id, n_tokens,
        round((n_chars - (n_tokens - 1)) / greatest(n_tokens, 1), 4) AS mean_token_len,
        round(n_punct / greatest(n_chars, 1), 4) AS punct_ratio,
@@ -1561,28 +1587,11 @@ SELECT doc_id, n_tokens,
                     BETWEEN 2 AND 12 THEN 0.25 ELSE 0.0 END
         + CASE WHEN n_punct / greatest(n_chars, 1) <= 0.2 THEN 0.25 ELSE 0.0 END
         + CASE WHEN stop_hits / greatest(n_tokens, 1) >= 0.05
-               THEN 0.25 ELSE 0.0 END) AS quality_score
-FROM base
-"""
-
-
-def q_token_stats(spark, sf_dir):
-    """Token counting both ways a data-pipeline budget needs: whitespace
-    tokens and a BPE-ish sub-word estimate (letter runs / ≤3-digit
-    chunks / symbol runs — leftmost-first alternation, identical under
-    Java regex and RE2)."""
-    docs = _t(spark, sf_dir, "documents")
-    return textstats.token_stats(docs).select(
-        "doc_id", "ws_tokens", "bpe_tokens")
-
-
-_SQL_TOKEN_STATS = r"""
-SELECT doc_id,
-       len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
-         AS ws_tokens,
-       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+'))
-         AS bpe_tokens
-FROM documents
+               THEN 0.25 ELSE 0.0 END) AS quality_score,
+       ws_tokens, bpe_tokens,
+       CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS predicted_lang,
+       fingerprint
+FROM scored
 """
 
 
@@ -1615,28 +1624,6 @@ WITH norm AS (
 )
 SELECT doc_id, count(*) AS n_fp, min(fp) AS min_fp
 FROM fps GROUP BY doc_id
-"""
-
-
-def q_lang_id_counts(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return (textstats.lang_id(docs, "text")
-            .groupBy("lang", "predicted_lang")
-            .agg(F.count("*").alias("n")))
-
-
-def q_fingerprint_sources(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return (textstats.fingerprint(docs, "text")
-            .groupBy("source")
-            .agg(F.count("*").alias("n_docs"),
-                 F.countDistinct("fingerprint").alias("n_distinct_fp")))
-
-
-_SQL_FINGERPRINT = f"""
-SELECT source, count(*) AS n_docs,
-       count(DISTINCT md5({_NORM})) AS n_distinct_fp
-FROM documents GROUP BY source
 """
 
 
@@ -1699,26 +1686,6 @@ SELECT d.doc_id, coalesce(s.simhash, 0::BIGINT) AS simhash
 FROM documents d LEFT JOIN sims s USING (doc_id)
 """
 
-_SQL_LANG_ID = """
-WITH toks AS (
-  SELECT lang,
-         list_transform(list_filter(string_split_regex(text, '\\s+'),
-                                    t -> t <> ''), t -> lower(t)) AS w
-  FROM documents
-), scored AS (
-  SELECT lang, list_max([
-    {'hits': len(list_filter(w, t -> list_contains(['the','and','of','to','a','in','is','that'], t))), 'lang': 'en'},
-    {'hits': len(list_filter(w, t -> list_contains(['der','die','und','das','ist','nicht','ein'], t))), 'lang': 'de'},
-    {'hits': len(list_filter(w, t -> list_contains(['le','la','les','et','est','une','pas'], t))), 'lang': 'fr'},
-    {'hits': len(list_filter(w, t -> list_contains(['el','la','los','y','es','una','que'], t))), 'lang': 'es'}
-  ]) AS best FROM toks)
-SELECT lang,
-       CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS predicted_lang,
-       count(*) AS n
-FROM scored GROUP BY 1, 2
-"""
-
-
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -1777,12 +1744,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "embedding_dup_clusters": q_embedding_dup_clusters,
         "textstats_quality": q_textstats_quality,
-        "token_stats": q_token_stats,
         "winnow_fingerprints": q_winnow_fingerprints,
         "rollup_orders": q_rollup_orders,
         "set_ops_users": q_set_ops_users,
-        "lang_id_counts": q_lang_id_counts,
-        "fingerprint_sources": q_fingerprint_sources,
     }
 
 
@@ -1835,10 +1799,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup_lsh": _SQL_EMB_NEAR_DUP_LSH,
         "embedding_dup_clusters": _SQL_EMB_CLUSTERS,
         "textstats_quality": _SQL_QUALITY,
-        "token_stats": _SQL_TOKEN_STATS,
         "winnow_fingerprints": _SQL_WINNOW,
-        "lang_id_counts": _SQL_LANG_ID,
         "rollup_orders": _SQL_ROLLUP,
         "set_ops_users": _SQL_SET_OPS,
-        "fingerprint_sources": _SQL_FINGERPRINT,
     }
