@@ -251,14 +251,23 @@ def hyperplane_signatures(embs: DataFrame, vec_col: str = "embedding",
 
     if dim is None:
         # vectors in one table share a dimension; a LIMIT-1 probe costs one
-        # row at any scale (pass dim explicitly to skip even that). A
-        # nonuniform table fails loudly: zip_with against a longer plane
-        # array yields NULL products summed as NULL, not a silent mis-hash.
+        # row at any scale (pass dim explicitly to skip even that)
         row = embs.select(F.size(F.col(vec_col)).alias("d")).first()
         dim = (row and row[0]) or 0
     signs = plane_sign_table(n_planes, dim)
 
-    qvec = F.transform(F.col(vec_col),
+    # A nonuniform table fails LOUDLY at execution: a mis-sized vector
+    # would otherwise project to NULL, and the band-bit `otherwise('0')`
+    # would encode it as a valid-looking all-zero key — a silent mis-hash
+    # that escapes near-dup detection. The guard is woven into the used
+    # expression (not a standalone assert column, which column pruning
+    # would eliminate).
+    checked = F.when(F.size(F.col(vec_col)) == dim, F.col(vec_col)) \
+               .otherwise(F.raise_error(F.concat(
+                   F.lit(f"hyperplane_signatures: vector dimension != {dim}"
+                         " for id "),
+                   F.col(id_col).cast("string"))))
+    qvec = F.transform(checked,
                        lambda x: F.round(x.cast("double") * 1e6)
                                   .cast("bigint"))
     base = embs.select(F.col(id_col).alias("_id"), qvec.alias("_q"))
@@ -287,7 +296,8 @@ def embedding_near_duplicates(embs: DataFrame, vec_col: str = "embedding",
                               id_col: str = "vec_id",
                               threshold: float = 0.95,
                               n_planes: int = 0,
-                              bands: int = 4) -> DataFrame:
+                              bands: int = 4,
+                              max_bucket_size: int = 10_000) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a, id_b, cosine).
 
     With ``n_planes > 0`` candidates come from banded random-hyperplane
@@ -295,7 +305,17 @@ def embedding_near_duplicates(embs: DataFrame, vec_col: str = "embedding",
     are scored, so the pair space is bounded by bucket sizes — the 100-TB
     path. ``n_planes = 0`` is the exact brute-force crossJoin baseline for
     small data / verification. Both paths apply the exact cosine filter,
-    so LSH output ⊆ brute output (recall governed by n_planes/bands)."""
+    so LSH output ⊆ brute output (recall governed by n_planes/bands).
+
+    ``max_bucket_size`` caps the LSH band buckets, mirroring the
+    stop-shingle ``max_docs_per_shingle`` cap in
+    :func:`ngram_jaccard_pairs`: a degenerate band key (e.g. many
+    near-zero vectors sharing one sign pattern) would otherwise
+    ``collect_list`` an unbounded array on a single row — one hot key at
+    100 TB is a single-task OOM. Buckets above the cap are dropped: a
+    band shared by >cap vectors carries ~no locality signal (any genuine
+    near-dup pair inside it still has ``bands - 1`` other chances to
+    collide in a non-degenerate bucket). Pass ``None`` to disable."""
     from .similarity import dot_expr, norm_expr
     # norm computed ONCE per vector before the pair join (per-pair norm
     # recomputation tripled the work at bench scale)
@@ -309,9 +329,19 @@ def embedding_near_duplicates(embs: DataFrame, vec_col: str = "embedding",
         # bucket groupBy. The HOF pair expansion runs on one row per
         # bucket, so interpreted evaluation is irrelevant; bucket sizes
         # bound the quadratic term by design.
+        # bucket-size prefilter BEFORE collect_list: a window count over
+        # the same keys shares the groupBy's hash partitioning (one
+        # shuffle total, no extra exchange), and rows of an over-cap
+        # bucket are dropped before any array is built — the giant
+        # single-row array never materializes, not even transiently.
+        from pyspark.sql import Window
+        nbkt = F.count("*").over(Window.partitionBy("band", "band_key"))
+        keep = F.col("_n") > 1
+        if max_bucket_size is not None:
+            keep = keep & (F.col("_n") <= max_bucket_size)
         ids = F.array_sort(F.collect_list("_id"))
-        buckets = (sig.groupBy("band", "band_key").agg(ids.alias("ids"))
-                      .filter(F.size("ids") > 1))
+        buckets = (sig.withColumn("_n", nbkt).filter(keep)
+                      .groupBy("band", "band_key").agg(ids.alias("ids")))
         pair_arr = F.flatten(F.transform(
             F.col("ids"),
             lambda a, i: F.transform(
@@ -384,7 +414,20 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     # Pair lists are tiny relative to the corpus.
     e = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
               .persist())
+    try:
+        return _duplicate_clusters_impl(e, out_id, max_iter,
+                                        driver_threshold)
+    finally:
+        # both return paths are lineage-independent of `e` by the time
+        # they return (driver path: collected rows; distributed path:
+        # localCheckpointed edges/labels), so the cache can be released
+        # eagerly — repeated calls in a long session must not accumulate
+        # blocks in the memory store
+        e.unpersist()
 
+
+def _duplicate_clusters_impl(e: DataFrame, out_id: str, max_iter: int,
+                             driver_threshold: int) -> DataFrame:
     # SIZE-GATED strategy: the checkpointed edge count is already known,
     # so when the pair graph is small (≤ driver_threshold edges ≈ tens of
     # MB) the exact union-find runs driver-side in one pass — the
@@ -395,7 +438,7 @@ def duplicate_clusters(pairs: DataFrame, id_a: str = "id_a",
     # graphs (tests/test_operators.py::TestDuplicateClusters).
     n_edges = e.count()
     if n_edges <= driver_threshold:
-        spark = pairs.sparkSession
+        spark = e.sparkSession
         parent: dict = {}
 
         def find(x):

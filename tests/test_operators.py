@@ -107,6 +107,44 @@ class TestDedup:
         # capped: stop shingles dropped before the self-join → no pairs
         assert len(capped) == 0
 
+    def test_lsh_hot_band_bucket_cap(self, spark):
+        # one degenerate direction shared by 150 vectors makes every band
+        # bucket it lands in hot (150 ids → 11k+ in-bucket pairs); the
+        # bucket cap must drop those buckets before any array/pair
+        # expansion while keeping the well-separated genuine twin pair.
+        import random
+        rng = random.Random(11)
+        hot = [rng.gauss(0, 1) for _ in range(16)]
+        rows = [(i, [x + rng.gauss(0, 1e-4) for x in hot])
+                for i in range(150)]
+        twin_base = [-x for x in hot]        # opposite sign pattern
+        rows.append((1000, twin_base))
+        rows.append((1001, [x + rng.gauss(0, 1e-4) for x in twin_base]))
+        embs = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+        capped = {(r["id_a"], r["id_b"]) for r in
+                  dedup.embedding_near_duplicates(
+                      embs, threshold=0.95, n_planes=16, bands=4,
+                      max_bucket_size=100).collect()}
+        assert capped == {(1000, 1001)}
+        uncapped = {(r["id_a"], r["id_b"]) for r in
+                    dedup.embedding_near_duplicates(
+                        embs, threshold=0.95, n_planes=16, bands=4,
+                        max_bucket_size=None).collect()}
+        assert (1000, 1001) in uncapped
+        assert len(uncapped) == 150 * 149 // 2 + 1
+
+    def test_hyperplane_mis_sized_vector_fails_loudly(self, spark):
+        # a vector whose dimension differs from the table's must raise at
+        # execution, not silently hash to an all-zero band key
+        import pytest
+        rows = [(0, [1.0] * 8), (1, [1.0] * 8), (2, [1.0] * 4)]
+        embs = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+        with pytest.raises(Exception, match="vector dimension"):
+            dedup.hyperplane_signatures(embs, n_planes=8, bands=4,
+                                        dim=8).collect()
+
 
 class TestSimilarity:
     def test_brute_topk(self, spark):
@@ -440,6 +478,17 @@ class TestDuplicateClusters:
         out = dedup.duplicate_clusters(pairs)
         assert out.columns == ["doc_id", "cluster_id"]
         assert out.count() == 0
+
+    def test_pair_cache_released(self, spark):
+        # the persisted pair list must be unpersisted on return — repeated
+        # calls in a long session must not accumulate cached blocks
+        # (driver path has no localCheckpoint, so the persistent-RDD set
+        # should be exactly unchanged)
+        before = spark.sparkContext._jsc.getPersistentRDDs().size()
+        pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+        dedup.duplicate_clusters(pairs).collect()
+        after = spark.sparkContext._jsc.getPersistentRDDs().size()
+        assert after == before
 
 
     @pytest.mark.parametrize("seed", [0, 1, 2])
