@@ -46,24 +46,28 @@ class LogParser:
                                   _wallclock_year(default_year))
         self.program = self._engine.program
 
-    def process_header(self, line: str) -> dict:
+    def process_header(self, line: str, verbose: bool = False) -> dict:
         """Header-cascade parse only (reference _common.py:85-116);
-        raises :class:`LogParseFailure` when no rule matches."""
-        _rule_id, record = self._engine.parse_header(line)
+        raises :class:`LogParseFailure` when no rule matches.
+        ``verbose`` prints per-rule match progress in the reference's
+        ``header rule N: match|mismatch`` format."""
+        _rule_id, record = self._engine.parse_header(line, verbose)
         return record
 
-    def process_statement(self, statement: str):
+    def process_statement(self, statement: str, verbose: bool = False):
         """Tokenize a statement → (words, symbols)
-        (reference _common.py:118-131)."""
+        (reference _common.py:118-131). ``verbose`` prints the statement
+        and per-action part progress (reference statement.py:44-54
+        format; the FixPartial-shaped sugars all print ``FixPartial``)."""
         from .rules.engine import tokenize_statement
-        return tokenize_statement(self._engine.actions, statement)
+        return tokenize_statement(self._engine.actions, statement, verbose)
 
-    def process_line(self, line: str) -> Optional[dict]:
+    def process_line(self, line: str, verbose: bool = False) -> Optional[dict]:
         """Full parse of one line (reference _common.py:133-163): None
         for empty lines (and failures when the program sets
         ``ignore_failure``), else a dict with the header items plus
         ``message`` / ``words`` / ``symbols``."""
-        d = self._engine.parse_line(line)
+        d = self._engine.parse_line(line, verbose)
         if d is not None:
             d.pop("rule_id", None)
         return d

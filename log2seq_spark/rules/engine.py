@@ -328,10 +328,38 @@ def separate(parts: List[Part]) -> Tuple[List[str], List[str]]:
     return words, symbols
 
 
-def tokenize_statement(compiled_actions, statement: str) -> Tuple[List[str], List[str]]:
+# reference statement.py action class names for verbose progress output
+# (our Action.kind is a structural tag: the three FixPartial-shaped sugars
+# — fix_partial / fix_parenthesis / remove_partial — all compile to kind
+# 'partial' and print as FixPartial)
+_VERBOSE_ACT_NAMES = {
+    "split": "Split", "fix": "Fix", "fix_ip": "FixIP", "remove": "Remove",
+    "partial": "FixPartial", "cond_split": "ConditionalSplit",
+}
+
+
+def _verbose_parts(act: "_CompiledAction", parts: List[Part]) -> None:
+    """Reference-format progress line (statement.py:44-54): fixed parts
+    as ``#part#``, unknown parts as ``'part'``, separators omitted."""
+    name = _VERBOSE_ACT_NAMES.get(act.spec.kind, act.spec.kind)
+    words = []
+    for text, flag in parts:
+        if flag == FIXED:
+            words.append("#" + text + "#")
+        elif flag == UNKNOWN:
+            words.append("'" + text + "'")
+    print("{0}: {1}".format(name, ", ".join(words)))
+
+
+def tokenize_statement(compiled_actions, statement: str,
+                       verbose: bool = False) -> Tuple[List[str], List[str]]:
+    if verbose:
+        print("Statement: {0}".format(statement))
     parts: List[Part] = [(statement, UNKNOWN)]
     for act in compiled_actions:
         parts = act.run(parts)
+        if verbose:
+            _verbose_parts(act, parts)
     return separate(parts)
 
 
@@ -371,13 +399,18 @@ class LineEngine:
         self.actions = compile_actions(program.actions)
         self.default_year = default_year
 
-    def parse_header(self, line: str):
+    def parse_header(self, line: str, verbose: bool = False):
         """First-match-wins cascade → (rule_id, record dict); raises
-        ParseFailure when nothing matches."""
+        ParseFailure when nothing matches. ``verbose`` prints per-rule
+        match progress in the reference's format (_common.py:85-116)."""
         for rule_id, cr in enumerate(self.rules):
             mo = cr.pattern.match(line)
             if mo is None:
+                if verbose:
+                    print("header rule {0}: mismatch".format(rule_id))
                 continue
+            if verbose:
+                print("header rule {0}: match".format(rule_id))
             record = cr.rule.defaults_dict()
             if cr.rule.year_from_ts and self.default_year is not None:
                 record.setdefault("year", self.default_year)
@@ -398,14 +431,14 @@ class LineEngine:
             return rule_id, record
         raise ParseFailure(f"header format mismatch: {line[:50]}")
 
-    def parse_line(self, line: str) -> Optional[dict]:
+    def parse_line(self, line: str, verbose: bool = False) -> Optional[dict]:
         """Full parse of one line → dict with header fields + words/symbols;
         None for empty lines (and failures when ignore_failure)."""
         line = line.rstrip("\r\n")
         if line == "":
             return None
         try:
-            rule_id, record = self.parse_header(line)
+            rule_id, record = self.parse_header(line, verbose)
         except ParseFailure:
             if self.program.ignore_failure:
                 return None
@@ -413,7 +446,7 @@ class LineEngine:
         record["rule_id"] = rule_id
         message = record.get("message")
         if message is not None:
-            words, symbols = tokenize_statement(self.actions, message)
+            words, symbols = tokenize_statement(self.actions, message, verbose)
             record["words"] = words
             record["symbols"] = symbols
         return record

@@ -216,6 +216,35 @@ class TestTopLevelApiParity:
         assert tuple(ours.process_statement(stmt)) == \
             tuple(ref.process_statement(stmt))
 
+    def test_verbose_kwarg_matches_reference_output(self, capsys):
+        """The drop-in surface accepts ``verbose=True`` on all three
+        process_* methods (reference _common.py:85,118,133) and prints
+        byte-identical rule/action progress for the default preset."""
+        import io
+        import contextlib
+        import log2seq
+        import log2seq_spark
+
+        def captured(parser, line):
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                out = parser.process_line(line, verbose=True)
+            return out, buf.getvalue()
+
+        ref = log2seq.init_parser()
+        ours = log2seq_spark.init_parser()
+        for line in self.LINES:
+            got, got_text = captured(ours, line)
+            exp, exp_text = captured(ref, line)
+            assert got == exp, line
+            assert got_text == exp_text, line
+        # header/statement variants accept the kwarg too
+        line = self.LINES[1]
+        ours.process_header(line, verbose=True)
+        stmt = ours.process_header(line)[log2seq_spark.KEY_STATEMENT]
+        ours.process_statement(stmt, verbose=True)
+        capsys.readouterr()
+
     def test_empty_line_and_failure_semantics(self):
         import log2seq_spark
         p = log2seq_spark.init_parser()
