@@ -182,6 +182,16 @@ from pyspark.sql.datasource import SimpleDataSourceStreamReader  # noqa: E402
 TAIL_SCHEMA = "path string, line_no bigint, text string"
 
 
+def _tail_entry(v) -> tuple[int, int, int, int | None]:
+    """Decode one per-file offset entry → (byte_off, line_count,
+    rotation_generation, inode). Accepts the legacy 2-element form from
+    pre-rotation-tracking checkpoints (gen 0, inode unknown)."""
+    off, lineno = v[0], v[1]
+    gen = v[2] if len(v) > 2 else 0
+    ino = v[3] if len(v) > 3 else None
+    return off, lineno, gen, ino
+
+
 class LogTailStreamReader(SimpleDataSourceStreamReader):
     """Tail-follow microbatch reader: each batch emits the COMPLETE lines
     appended to any matching plain-text file since the last offset.
@@ -189,19 +199,21 @@ class LogTailStreamReader(SimpleDataSourceStreamReader):
     Spark's built-in file stream source only discovers whole NEW files;
     log agents instead append to live files and rotate them — this source
     follows appends. Offsets are a JSON-able dict
-    ``{path: [byte_offset, line_count]}``: deterministic replay
-    (``readBetweenOffsets``) re-seeks the recorded byte ranges, so a
-    restarted query re-emits a batch byte-identically (exactly-once into
-    an idempotent sink). A partial last line (no trailing newline yet) is
-    left for the next batch; rotation (a shrunken file) restarts that
-    file from zero. Glob patterns pick up files created after the stream
-    starts.
+    ``{path: [byte_offset, line_count, rotation_generation, inode]}``:
+    deterministic replay (``readBetweenOffsets``) re-seeks the recorded
+    byte ranges, so a restarted query re-emits a batch byte-identically
+    (exactly-once into an idempotent sink). A partial last line (no
+    trailing newline yet) is left for the next batch. Glob patterns pick
+    up files created after the stream starts.
 
-    Known limitation (inherent to size-based tailing): a rotation that
-    replaces the file with one LONGER than the recorded offset is
-    indistinguishable from an append and will emit from the old offset;
-    inode-tracking would be needed to detect it (rotate to a NEW name —
-    the usual logrotate `create` mode — to avoid this)."""
+    Rotation: a shrunken file (copytruncate) or a changed inode
+    (logrotate ``create`` mode — even when the replacement is LONGER
+    than the recorded offset) reopens the file from byte 0 and bumps the
+    entry's ``rotation_generation``. Replay compares generations: a
+    batch that crossed a rotation is re-read as bytes ``[0, end_off)``
+    of the new file, never skipped — without the generation, an
+    ``end < start`` byte range after a reset would silently drop the
+    new file's rows from crash recovery."""
 
     def __init__(self, options):
         self._paths = options["path"]
@@ -225,14 +237,18 @@ class LogTailStreamReader(SimpleDataSourceStreamReader):
         rows = []
         for fp in self._files():
             try:
-                size = os.path.getsize(fp)
+                st = os.stat(fp)
             except OSError:
                 continue
-            off, lineno = start.get(fp, [0, 0])
-            if size < off:          # rotated/truncated: follow from zero
-                off, lineno = 0, 0
+            size = st.st_size
+            off, lineno, gen, ino = _tail_entry(start.get(fp, [0, 0]))
+            if size < off or (ino is not None and st.st_ino != ino):
+                # truncated in place, or replaced by a new file (inode
+                # change catches replacements longer than the old offset,
+                # which a size check alone cannot): follow from zero
+                off, lineno, gen = 0, 0, gen + 1
             if size == off:
-                end[fp] = [off, lineno]
+                end[fp] = [off, lineno, gen, st.st_ino]
                 continue
             with open(fp, "rb") as f:
                 f.seek(off)
@@ -240,14 +256,14 @@ class LogTailStreamReader(SimpleDataSourceStreamReader):
             # only complete lines; the remainder waits for its newline
             last_nl = chunk.rfind(b"\n")
             if last_nl < 0:
-                end[fp] = [off, lineno]
+                end[fp] = [off, lineno, gen, st.st_ino]
                 continue
             complete = chunk[:last_nl + 1]
             for raw in complete.splitlines():
                 lineno += 1
                 rows.append((fp, lineno,
                              raw.decode(self._encoding, errors="replace")))
-            end[fp] = [off + last_nl + 1, lineno]
+            end[fp] = [off + last_nl + 1, lineno, gen, st.st_ino]
         return iter(rows), end
 
     def read(self, start: dict):
@@ -255,8 +271,13 @@ class LogTailStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict):
         rows = []
-        for fp, (eoff, _elines) in end.items():
-            soff, lineno = start.get(fp, [0, 0])
+        for fp, ev in end.items():
+            eoff, _elines, egen, _eino = _tail_entry(ev)
+            soff, lineno, sgen, _sino = _tail_entry(start.get(fp, [0, 0]))
+            if egen != sgen:
+                # the batch crossed a rotation: it emitted the NEW file's
+                # bytes [0, eoff) with line numbers restarting at 1
+                soff, lineno = 0, 0
             if eoff <= soff:
                 continue
             with open(fp, "rb") as f:

@@ -1015,7 +1015,57 @@ class TestLogTailReaderUnit:
             f.write("new\n")
         rows, off2 = r.read(off)
         assert [t for (_, _, t) in rows] == ["new"]
-        assert off2[log] == [4, 1]   # byte offset reset, line count restarted
+        # byte offset reset, line count restarted, generation bumped
+        assert off2[log][:3] == [4, 1, off[log][2] + 1]
+
+    def test_rotation_to_longer_file_detected_by_inode(self, tmpdir_path):
+        # logrotate `create` mode: the old file is renamed away and a NEW
+        # file appears under the tailed name. When the replacement is
+        # LONGER than the recorded offset, a size check alone would
+        # misread it as an append mid-line; the inode change must reopen
+        # it from byte 0.
+        import os
+        log = os.path.join(tmpdir_path, "ino.log")
+        r = self._reader(log)
+        with open(log, "w") as f:
+            f.write("old1\n")
+        rows, off = r.read(r.initialOffset())
+        assert [t for (_, _, t) in rows] == ["old1"]
+        os.rename(log, log + ".1")
+        with open(log, "w") as f:       # new inode, longer than 5 bytes
+            f.write("fresh line one\nfresh line two\n")
+        rows, off2 = r.read(off)
+        assert [(n, t) for (_, n, t) in rows] == [
+            (1, "fresh line one"), (2, "fresh line two")]
+        assert off2[log][2] == off[log][2] + 1
+
+    def test_rotation_batch_replays_identically(self, tmpdir_path):
+        # crash-recovery replay of a batch that crossed a rotation: the
+        # end offset is SMALLER than the start offset, but the generation
+        # bump tells readBetweenOffsets to re-read the new file's bytes
+        # [0, end) instead of silently skipping the file (write → rotate
+        # → append → byte-identical replay).
+        import os
+        log = os.path.join(tmpdir_path, "rr.log")
+        r = self._reader(log)
+        with open(log, "w") as f:
+            f.write("aaa\nbbb\nccc\n")
+        start = r.initialOffset()
+        rows, off = r.read(start)
+        assert len(list(rows)) == 3
+        os.rename(log, log + ".1")
+        with open(log, "w") as f:
+            f.write("n1\n")
+        with open(log, "a") as f:
+            f.write("n2\n")
+        rows, off2 = r.read(off)
+        batch = list(rows)
+        assert [(n, t) for (_, n, t) in batch] == [(1, "n1"), (2, "n2")]
+        assert list(r.readBetweenOffsets(off, off2)) == batch
+        # and a legacy 2-element start entry (pre-rotation checkpoint)
+        # still replays the whole current range
+        legacy = {log: [off[log][0], off[log][1]]}
+        assert list(r.readBetweenOffsets(legacy, off2)) == batch
 
     def test_read_between_offsets_replays_identically(self, tmpdir_path):
         import os
