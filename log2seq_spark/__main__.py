@@ -18,9 +18,11 @@ Examples:
 from __future__ import annotations
 
 import argparse
+import glob as _glob
 import importlib.util
 import os
 import sys
+from pathlib import Path
 
 from pyspark.sql import functions as F
 
@@ -134,15 +136,23 @@ def cmd_parse(args) -> int:
         ts_col = "ts" if "ts" in df.columns else None
     elif files and args.distributed:
         # cluster path: every file / tar member is its own executor-side
-        # read partition (Python DataSource); ordering key is the
-        # lexicographic (path, member, line_no) struct instead of a
-        # driver-assigned id
+        # read partition (Python DataSource); ordering key is (argument
+        # position of the file, member, line_no) so multi-file output
+        # follows the user's argument order like the driver-side path and
+        # the reference CLI (NOT the lexicographic path — /b.log before
+        # /a/z.log when given in that order). Within one archive, members
+        # order by name (the single documented divergence: the driver
+        # path emits them in archive order).
         from .sources import logfiles
         logfiles.register(spark)
+        file_seq = F.array_position(
+            F.array(*[F.lit(p) for p in logfiles._expand(",".join(files))]),
+            F.col("path"))
         df = (spark.read.format("logtext")
               .option("path", ",".join(files))
               .option("encoding", args.encoding).load()
-              .select(F.struct("path", "member", "line_no").alias("_ord"),
+              .select(F.struct(file_seq.alias("file_seq"), "member",
+                               "line_no").alias("_ord"),
                       "text"))
     elif not files or nonutf8 or any(fp.endswith(_TAR_SUFFIXES)
                                      for fp in files):
@@ -150,8 +160,21 @@ def cmd_parse(args) -> int:
         df = spark.createDataFrame(
             list(enumerate(lines)), "_ord long, text string")
     else:
+        # multi-file: spark.read.text lists splits in its own (size/path)
+        # order, so the row-order id must be prefixed with the file's
+        # ARGUMENT position to preserve the user's ordering (reference
+        # CLI parity). input_file_name() yields a file: URI.
+        expanded = []
+        for p in files:
+            hits = sorted(_glob.glob(p)) if _glob.has_magic(p) else [p]
+            expanded.extend(hits or [p])
+        uris = [Path(os.path.abspath(p)).as_uri() for p in expanded]
+        file_seq = F.array_position(F.array(*[F.lit(u) for u in uris]),
+                                    F.input_file_name())
         df = (spark.read.text(files).withColumnRenamed("value", "text")
-              .withColumn("_ord", F.monotonically_increasing_id()))
+              .withColumn("_ord", F.struct(
+                  file_seq.alias("file_seq"),
+                  F.monotonically_increasing_id().alias("row_id"))))
 
     nonempty = F.col("text") != ""
     if args.statement:

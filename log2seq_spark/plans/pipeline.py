@@ -37,7 +37,7 @@ from ..rules.spec import RuleProgram
 from ..functions.udf import with_parsed
 from ..sources.transcripts import role_dim, tool_dim, severity_dim
 from . import manifest as mf
-from .sink import read_partitioned, write_partitioned
+from .sink import has_data_files, read_partitioned, write_partitioned
 
 ROUTED = "routed"
 AGG_SINK = "agg_sink_counts"
@@ -150,20 +150,21 @@ def run_pipeline(spark: SparkSession, turns: DataFrame,
                       ["sink", "bucket"], backend=cfg.sink_backend)
     wall_route_s = round(time.monotonic() - _t0, 3)
     _t0 = time.monotonic()
-    from pyspark.errors import AnalysisException
-    try:
-        df = (read_partitioned(spark, os.path.join(cfg.out_dir, ROUTED),
-                               backend=cfg.sink_backend)
-                   .filter(F.col("lineage") == lineage))
-    except AnalysisException:
+    routed_dir = os.path.join(cfg.out_dir, ROUTED)
+    if not has_data_files(spark, routed_dir, backend=cfg.sink_backend):
         # zero input rows on a fresh out_dir: the partitioned write emits
-        # no parquet footers, so the read-back cannot infer a schema —
-        # that IS the empty result, not an error
+        # no footers, so the read-back could not infer a schema. Detected
+        # POSITIVELY (no data files under the routed dir) — a broad
+        # except AnalysisException here would also swallow real failures
+        # (resuming with a mismatched --sink-backend, corrupt footers)
+        # as a silent zero-metric success.
         return PipelineResult(lineage_id=lineage, buckets_processed=[],
                               buckets_skipped=sorted(done),
                               metrics={k: 0 for k in ("n_rows", "n_ok",
                                                       "n_fail", "n_empty",
                                                       "n_tokens")})
+    df = (read_partitioned(spark, routed_dir, backend=cfg.sink_backend)
+              .filter(F.col("lineage") == lineage))
     if done:
         df = df.filter(~F.col("bucket").isin(sorted(done)))
     # the three aggregate passes share one NARROW cached projection —

@@ -100,6 +100,36 @@ def read_partitioned(spark: SparkSession, dest: str,
     return spark.read.parquet(dest)
 
 
+def has_data_files(spark: SparkSession, dest: str,
+                   backend: str = "parquet",
+                   iceberg_table: Optional[str] = None) -> bool:
+    """True when :func:`write_partitioned` left at least one data file
+    under ``dest`` (iceberg: when the table exists).
+
+    Positive emptiness detection for the pipeline read-back: a
+    partitioned write of zero rows leaves no footers, so schema
+    inference on the read-back raises AnalysisException — but so do
+    genuinely broken states (resuming an out_dir with a different
+    backend, corrupt footers). The pipeline must tell these apart by
+    probing, never by treating any analysis failure as "empty".
+    Listing goes through the Hadoop FileSystem API so it works on
+    whatever filesystem the path lives on, not just local disk."""
+    backend = resolve_backend(spark, backend)
+    if backend == "iceberg":
+        return spark.catalog.tableExists(iceberg_table or _path_to_table(dest))
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(dest)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return False
+    it = fs.listFiles(path, True)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if not name.startswith(("_", ".")):
+            return True
+    return False
+
+
 def _path_to_table(dest: str) -> str:
     """Fallback table identifier for an iceberg write given a path-style
     dest: last two path components as namespace.table."""

@@ -180,3 +180,20 @@ class TestDistributedReader:
         code, out, err = run_cli(["-t", "words", "--distributed", a, b])
         assert code == 0
         assert out.splitlines() == ["x 1 one", "y 2 two"]
+
+    def test_distributed_preserves_argument_order(self, run_cli,
+                                                  tmpdir_path):
+        """Multi-file output must follow the user's argument order (like
+        the driver-side path and the reference CLI), not the
+        lexicographic path order — z.log given first prints first."""
+        z = os.path.join(tmpdir_path, "z.log")
+        with open(z, "w") as f:
+            f.write("Jan  1 12:34:56 h zz[1]: zfirst\n")
+        a = os.path.join(tmpdir_path, "a.log")
+        with open(a, "w") as f:
+            f.write("Jan  2 12:34:56 h aa[2]: asecond\n")
+        code_d, out_d, _ = run_cli(["-t", "words", "--distributed", z, a])
+        code_l, out_l, _ = run_cli(["-t", "words", z, a])
+        assert code_d == code_l == 0
+        assert out_d.splitlines() == ["zz 1 zfirst", "aa 2 asecond"]
+        assert out_d == out_l

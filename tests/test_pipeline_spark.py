@@ -232,3 +232,22 @@ def test_empty_input_pipeline(spark, tmpdir_path):
     assert res.metrics == {"n_rows": 0, "n_ok": 0, "n_fail": 0,
                            "n_empty": 0, "n_tokens": 0}
     assert res.buckets_processed == []
+
+
+def test_backend_mismatch_on_resume_raises(spark, tmpdir_path, turns):
+    """Resuming an out_dir written as parquet with --sink-backend orc is
+    a real failure and must raise — the old broad except AnalysisException
+    around the routed read-back turned it into a silent zero-metric
+    success."""
+    import pytest
+    from log2seq_spark.plans.pipeline import PipelineConfig, run_pipeline
+    cfg = PipelineConfig(out_dir=tmpdir_path + "/out", n_buckets=4,
+                         partitions=4, input_id="mix-test")
+    run_pipeline(spark, turns.limit(200), cfg, resume=False)
+    bad = PipelineConfig(out_dir=tmpdir_path + "/out", n_buckets=4,
+                         partitions=4, input_id="mix-test",
+                         sink_backend="orc")
+    # fully-resumed rerun: nothing is rewritten, so the routed dir still
+    # holds only parquet data files and the orc read-back must fail
+    with pytest.raises(Exception):
+        run_pipeline(spark, turns.limit(200), bad, resume=True)
