@@ -111,7 +111,15 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     10¹² candidate pairs. Jaccard is computed over the filtered shingle
     vocabulary (set sizes recomputed post-filter), the standard
     stop-shingle treatment: a shingle in >cap docs carries ~no similarity
-    signal but dominates join cost."""
+    signal but dominates join cost.
+
+    A size-ratio prefilter (the standard length-filter bound from
+    set-similarity joins: ``jaccard(A,B) ≤ min(|A|,|B|)/max(|A|,|B|)``,
+    so ``jaccard ≥ t`` requires ``min ≥ t·max``) discards candidate rows
+    right after the inverted-index join, BEFORE the per-pair groupBy —
+    pairs it drops provably cannot reach the threshold, so output is
+    unchanged while the pair-counting shuffle shrinks (dramatically for
+    high thresholds over size-diverse corpora)."""
     sh = (shingle_rows(docs, text_col, id_col, shingle_n)
           .filter(F.col("pos") < max_shingles_per_doc)
           .select("_id", "shingle").distinct())
@@ -127,6 +135,8 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
                      "shingle")
     inter = (a.join(b, "shingle")
               .filter(F.col("id_a") < F.col("id_b"))
+              .filter(F.least("n_a", "n_b")
+                      >= threshold * F.greatest("n_a", "n_b"))
               .groupBy("id_a", "id_b", "n_a", "n_b")
               .agg(F.count("*").alias("n_common")))
     jac = (F.col("n_common")

@@ -107,6 +107,38 @@ class TestDedup:
         # capped: stop shingles dropped before the self-join → no pairs
         assert len(capped) == 0
 
+    def test_jaccard_size_ratio_prefilter_is_exact(self, spark):
+        # the length-filter bound (jaccard >= t requires min >= t*max)
+        # prunes candidates but can never change the output: compare
+        # against brute-force jaccard on a size-diverse corpus (doc sizes
+        # 2..30 words, so many pairs fail the ratio bound)
+        import itertools
+        import random
+        rng = random.Random(5)
+        vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+        rows = [(i, " ".join(rng.choice(vocab)
+                             for _ in range(rng.randint(2, 30))))
+                for i in range(40)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in dedup.ngram_jaccard_pairs(
+                   docs, threshold=0.5).collect()}
+
+        def shset(t):
+            w = t.split()
+            return {" ".join(w[i:i + 3])
+                    for i in range(max(len(w) - 2, 1))}
+        sets = {i: shset(t) for i, t in rows}
+        exp = {}
+        for i, j in itertools.combinations(range(40), 2):
+            a, b = sets[i], sets[j]
+            jac = len(a & b) / len(a | b)
+            if jac >= 0.5:
+                exp[(i, j)] = jac
+        assert set(got) == set(exp)
+        for k, v in exp.items():
+            assert abs(got[k] - v) < 1e-9
+
     def test_lsh_hot_band_bucket_cap(self, spark):
         # one degenerate direction shared by 150 vectors makes every band
         # bucket it lands in hot (150 ids → 11k+ in-bucket pairs); the
