@@ -30,6 +30,50 @@ class TestBackendElection:
     def test_orc_resolves_natively(self, spark):
         assert resolve_backend(spark, "orc") == "orc"
 
+    def test_auto_is_parquet_in_this_sandbox(self, spark):
+        """Seam honesty: this environment has no Iceberg runtime jar
+        (BASELINE.md), so 'auto' MUST elect parquet here. If this test
+        ever fails because the jar appeared, the real-roundtrip test
+        below stops skipping and takes over coverage of the branch."""
+        if iceberg_available(spark):
+            pytest.skip("iceberg runtime present; covered by the "
+                        "roundtrip test instead")
+        assert resolve_backend(spark, "auto") == "parquet"
+
+    def test_real_iceberg_roundtrip_when_runtime_present(
+            self, spark, tmpdir_path):
+        """End-to-end write/read through the REAL iceberg branch —
+        requires the Iceberg Spark runtime jar, which this sandbox does
+        not ship, so the test skips VISIBLY (never silently passes); an
+        environment with the jar exercises the branch automatically."""
+        if not iceberg_available(spark):
+            pytest.skip("iceberg runtime jar absent in this sandbox; "
+                        "the iceberg write/read branch has never executed "
+                        "here by construction")
+        from log2seq_spark.plans import sink
+        spark.conf.set("spark.sql.catalog.it_cat",
+                       "org.apache.iceberg.spark.SparkCatalog")
+        spark.conf.set("spark.sql.catalog.it_cat.type", "hadoop")
+        spark.conf.set("spark.sql.catalog.it_cat.warehouse",
+                       f"{tmpdir_path}/warehouse")
+        df = spark.createDataFrame(
+            [("a", 1), ("b", 2)], "k string, v int")
+        sink.write_partitioned(df, "/ignored", ["k"], backend="iceberg",
+                               iceberg_table="it_cat.ns.t")
+        got = {(r["k"], r["v"]) for r in sink.read_partitioned(
+            spark, "/ignored", backend="iceberg",
+            iceberg_table="it_cat.ns.t").collect()}
+        assert got == {("a", 1), ("b", 2)}
+        # dynamic partition overwrite: rewriting k='a' keeps k='b'
+        sink.write_partitioned(
+            spark.createDataFrame([("a", 9)], "k string, v int"),
+            "/ignored", ["k"], backend="iceberg",
+            iceberg_table="it_cat.ns.t")
+        got = {(r["k"], r["v"]) for r in sink.read_partitioned(
+            spark, "/ignored", backend="iceberg",
+            iceberg_table="it_cat.ns.t").collect()}
+        assert got == {("a", 9), ("b", 2)}
+
 
 class _FakeWriter:
     """Records the DataFrameWriterV2 call chain write_partitioned makes."""
