@@ -167,7 +167,11 @@ def orchestrate() -> None:
     summary["criterion"] = (f"(thr[local{CORES_N*4}]/thr[local{CORES_N}])/4 "
                             f">= 0.8, best-of-{ROUNDS} interleaved samples")
     os.makedirs(BENCH_DIR, exist_ok=True)
-    with open(os.path.join(BENCH_DIR, "scaling.json"), "w") as fh:
+    # SPARK_GRAFT_SCALING_OUT lets a secondary pair (e.g. 8v32, which is
+    # hardware-ceiling-bound on this box — see tools/cpu_control.py) land
+    # beside the protocol 2v8 file instead of clobbering it
+    out_name = os.environ.get("SPARK_GRAFT_SCALING_OUT", "scaling.json")
+    with open(os.path.join(BENCH_DIR, out_name), "w") as fh:
         json.dump(summary, fh, indent=2)
     print(json.dumps({"metrics": result, "criterion": summary["criterion"]}))
 
