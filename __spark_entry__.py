@@ -1538,20 +1538,24 @@ def q_textstats_quality(spark, sf_dir):
     """Per-doc text-analysis profile: quality features, both token
     counts (whitespace + BPE-ish sub-word estimate — letter runs /
     ≤3-digit chunks / symbol runs, leftmost-first alternation identical
-    under Java regex and RE2), marker-word language ID, and the
-    normalized-content fingerprint. One query exercises all four
-    textstats operators (folds the former ``token_stats`` /
-    ``lang_id_counts`` / ``fingerprint_sources`` queries so every
-    operator sits inside the driver's 50-query CORRECTNESS window)."""
+    under Java regex and RE2), marker-word language ID, the
+    normalized-content fingerprint, and Gopher/C4-style repetition
+    signals (duplicate-trigram + duplicate-line ratios). One query
+    exercises all five textstats operators (folds the former
+    ``token_stats`` / ``lang_id_counts`` / ``fingerprint_sources``
+    queries so every operator sits inside the driver's 50-query
+    CORRECTNESS window)."""
     docs = _t(spark, sf_dir, "documents")
-    prof = textstats.lang_id(
-        textstats.fingerprint(
-            textstats.token_stats(
-                textstats.quality_features(docs))))
+    prof = textstats.repetition_stats(
+        textstats.lang_id(
+            textstats.fingerprint(
+                textstats.token_stats(
+                    textstats.quality_features(docs)))))
     return prof.select(
         "doc_id", "n_tokens", "mean_token_len", "punct_ratio",
         "stopword_ratio", "quality_score", "ws_tokens", "bpe_tokens",
-        "predicted_lang", "fingerprint")
+        "predicted_lang", "fingerprint",
+        "dup_trigram_ratio", "dup_line_ratio")
 
 
 _SQL_QUALITY = f"""
@@ -1569,15 +1573,20 @@ WITH base AS (
              '[A-Za-z]+|[0-9]{{1,3}}|[^A-Za-z0-9\\s]+')) AS bpe_tokens,
          list_transform(list_filter(string_split_regex(text, '\\s+'),
                                     t -> t <> ''), t -> lower(t)) AS w,
+         list_filter(string_split(text, chr(10)), t -> t <> '') AS lines,
          md5({_NORM}) AS fingerprint
   FROM documents
+), grams AS (
+  SELECT *, list_transform(range(1, greatest(len(w) - 1, 1)),
+            i -> w[i] || chr(30) || w[i+1] || chr(30) || w[i+2]) AS g
+  FROM base
 ), scored AS (
   SELECT *, list_max([
     {{'hits': len(list_filter(w, t -> list_contains(['the','and','of','to','a','in','is','that'], t))), 'lang': 'en'}},
     {{'hits': len(list_filter(w, t -> list_contains(['der','die','und','das','ist','nicht','ein'], t))), 'lang': 'de'}},
     {{'hits': len(list_filter(w, t -> list_contains(['le','la','les','et','est','une','pas'], t))), 'lang': 'fr'}},
     {{'hits': len(list_filter(w, t -> list_contains(['el','la','los','y','es','una','que'], t))), 'lang': 'es'}}
-  ]) AS best FROM base)
+  ]) AS best FROM grams)
 SELECT doc_id, n_tokens,
        round((n_chars - (n_tokens - 1)) / greatest(n_tokens, 1), 4) AS mean_token_len,
        round(n_punct / greatest(n_chars, 1), 4) AS punct_ratio,
@@ -1590,7 +1599,13 @@ SELECT doc_id, n_tokens,
                THEN 0.25 ELSE 0.0 END) AS quality_score,
        ws_tokens, bpe_tokens,
        CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS predicted_lang,
-       fingerprint
+       fingerprint,
+       CASE WHEN len(w) >= 3
+            THEN round(1.0 - len(list_distinct(g)) / len(g), 4)
+            ELSE 0.0 END AS dup_trigram_ratio,
+       CASE WHEN len(lines) > 1
+            THEN round(1.0 - len(list_distinct(lines)) / len(lines), 4)
+            ELSE 0.0 END AS dup_line_ratio
 FROM scored
 """
 

@@ -76,6 +76,43 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
         score.alias("quality_score"))
 
 
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher/C4-style within-document repetition signals (public
+    heuristics from Rae et al. 2021 "Scaling Language Models" §A1.1 and
+    Raffel et al. 2020 C4 line-dedup):
+
+    * ``dup_trigram_ratio`` — fraction of word 3-grams that are repeats
+      of an earlier 3-gram in the same doc (0.0 when < 3 tokens);
+    * ``dup_line_ratio`` — fraction of non-empty newline-split lines
+      that are exact repeats (0.0 when <= 1 line).
+
+    Pure per-row built-in expressions (sequence/transform/
+    array_distinct): narrow projection, no shuffle, no Python — the
+    100-TB shape is a map-only pass, and a DuckDB oracle replays both
+    ratios exactly."""
+    toks = tokens_expr(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws("\x1e", F.element_at(toks, i),
+                              F.element_at(toks, i + 1),
+                              F.element_at(toks, i + 2)))
+    tri_ratio = F.when(
+        n >= 3,
+        1.0 - F.size(F.array_distinct(grams)) / F.size(grams)
+    ).otherwise(F.lit(0.0))
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda t: t != "")
+    n_lines = F.size(lines)
+    line_ratio = F.when(
+        n_lines > 1,
+        1.0 - F.size(F.array_distinct(lines)) / n_lines
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "*",
+        F.round(tri_ratio, 4).alias("dup_trigram_ratio"),
+        F.round(line_ratio, 4).alias("dup_line_ratio"))
+
+
 def lang_id(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """Marker-word language heuristic: argmax of per-language marker hits

@@ -261,6 +261,24 @@ class TestTextstats:
         assert out[1]["ws_tokens"] == out[1]["bpe_tokens"] == 2
         assert out[2]["ws_tokens"] == out[2]["bpe_tokens"] == 0
 
+    def test_repetition_stats(self, spark):
+        d = spark.createDataFrame(
+            [(0, "a b c a b c a b c"),      # "a b c" loops: 7 grams, 3 distinct
+             (1, "one two three four five"),  # all grams unique
+             (2, "x y"),                      # < 3 tokens -> 0.0
+             (3, "l1\nl2\nl1\nl1\n\n"),       # 4 non-empty lines, 2 distinct
+             (4, "")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in
+               textstats.repetition_stats(d).collect()}
+        assert abs(out[0]["dup_trigram_ratio"] - (1 - 3 / 7)) < 5e-5
+        assert out[1]["dup_trigram_ratio"] == 0.0
+        assert out[2]["dup_trigram_ratio"] == 0.0
+        assert out[3]["dup_line_ratio"] == 0.5
+        assert out[0]["dup_line_ratio"] == 0.0   # single line
+        assert out[4]["dup_trigram_ratio"] == 0.0
+        assert out[4]["dup_line_ratio"] == 0.0
+
     def test_winnow_fingerprints(self, spark):
         shared = "a quick brown fox jumped over the sleeping dog today"
         d = spark.createDataFrame(
