@@ -17,7 +17,8 @@ from pyspark.sql import functions as F
 
 from log2seq_spark.rules.presets import default_program, default_actions
 from log2seq_spark.functions.udf import with_parsed, tokenize_words_udf
-from log2seq_spark.operators import asof, dedup, similarity, textstats
+from log2seq_spark.operators import (asof, dedup, similarity, templates,
+                                     textstats)
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -830,18 +831,28 @@ FROM sess GROUP BY user_id, sid
 
 
 def q_daily_event_spine(spark, sf_dir):
-    """Gap-filled daily counts: a generated date spine (``sequence`` +
+    """Gap-filled daily activity: a generated date spine (``sequence`` +
     explode over the min..max bounds — one 1-row aggregate, no driver
-    round-trip) left-joined to per-day counts so empty days appear as
-    zero. The spine side is broadcast-sized by construction at any data
-    scale."""
-    ev = _t(spark, sf_dir, "events").select(F.to_date("ts").alias("d"))
+    round-trip) left-joined to per-day aggregates so empty days appear
+    as zero. The per-day side packs count(*) plus two exact
+    count(DISTINCT) columns into ONE aggregate — Spark's single-pass
+    ``expand`` plan, one shuffle, no join of sub-aggregates (folds the
+    former ``daily_distinct_users`` query so the multi-distinct
+    operator stays inside the driver's 50-query window). The spine side
+    is broadcast-sized by construction at any data scale."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "user_id", "event_type")
     bounds = ev.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
     spine = bounds.select(
         F.explode(F.sequence("lo", "hi")).alias("d"))
-    counts = ev.groupBy("d").agg(F.count("*").alias("n"))
+    counts = ev.groupBy("d").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("nu"),
+        F.countDistinct("event_type").alias("nt"))
     return (spine.join(counts, "d", "left")
-                 .select("d", F.coalesce("n", F.lit(0)).alias("n_events")))
+                 .select("d", F.coalesce("n", F.lit(0)).alias("n_events"),
+                         F.coalesce("nu", F.lit(0)).alias("n_users"),
+                         F.coalesce("nt", F.lit(0)).alias("n_types")))
 
 
 _SQL_DAILY_SPINE = """
@@ -849,9 +860,13 @@ WITH b AS (SELECT min(ts::DATE) AS lo, max(ts::DATE) AS hi FROM events),
 spine AS (
   SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d FROM b
 ), c AS (
-  SELECT ts::DATE AS d, count(*) AS n FROM events GROUP BY 1
+  SELECT ts::DATE AS d, count(*) AS n, count(DISTINCT user_id) AS nu,
+         count(DISTINCT event_type) AS nt
+  FROM events GROUP BY 1
 )
-SELECT spine.d, coalesce(c.n, 0::BIGINT) AS n_events
+SELECT spine.d, coalesce(c.n, 0::BIGINT) AS n_events,
+       coalesce(c.nu, 0::BIGINT) AS n_users,
+       coalesce(c.nt, 0::BIGINT) AS n_types
 FROM spine LEFT JOIN c USING (d)
 """
 
@@ -1094,24 +1109,60 @@ FROM events GROUP BY event_type
 """
 
 
-def q_daily_distinct_users(spark, sf_dir):
-    """Daily actives: count + two exact distincts in one aggregate.
-    Multiple count(DISTINCT) columns expand to Spark's single-pass
-    `expand` plan (one shuffle, no join of sub-aggregates)."""
-    ev = _tp(spark, sf_dir, "events")
-    return (ev.groupBy(F.to_date("ts").alias("day"))
-              .agg(F.count("*").alias("n_events"),
-                   F.countDistinct("user_id").alias("n_users"),
-                   F.countDistinct("event_type").alias("n_types"))
-              .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
-                      "n_events", "n_users", "n_types"))
+def q_template_mining(spark, sf_dir):
+    """Distributed log-template mining (Drain-style grouping, exact
+    position-profile wildcard inference — ``operators/templates.py``;
+    the downstream capability the reference preprocesses for, see
+    reference README.rst "a preprocessing tool ... for template
+    mining"). Deterministic message lines are synthesized from events
+    (type-keyed, with worker-id and step-counter variable positions);
+    the miner must discover the variable positions as ``<*>`` and
+    collapse each event type onto one template, with 'error' lines
+    getting a longer token count (their own Drain group)."""
+    ev = _t(spark, sf_dir, "events")
+    base = F.concat(
+        F.col("event_type"), F.lit(" worker "),
+        F.pmod("user_id", F.lit(8)).cast("string"),
+        F.lit(" finished step "),
+        F.pmod("event_id", F.lit(13)).cast("string"), F.lit(" ok"))
+    line = F.when(F.col("event_type") == "error",
+                  F.concat(base, F.lit(" retrying"))).otherwise(base)
+    lines = ev.select(line.alias("text"))
+    out = templates.mine_templates(lines, "text")
+    return out.select("template", "n_lines", "n_groups")
 
 
-_SQL_DAILY_DISTINCT = """
-SELECT strftime(ts, '%Y-%m-%d') AS day, count(*) AS n_events,
-       count(DISTINCT user_id) AS n_users,
-       count(DISTINCT event_type) AS n_types
-FROM events GROUP BY 1
+_SQL_TEMPLATES = """
+WITH lines AS (
+  SELECT event_type || ' worker ' || (user_id % 8)
+         || ' finished step ' || (event_id % 13) || ' ok'
+         || CASE WHEN event_type = 'error' THEN ' retrying' ELSE '' END
+         AS text
+  FROM events
+), keyed AS (
+  SELECT string_split(text, ' ') AS w,
+         CASE WHEN regexp_full_match(string_split(text, ' ')[1], '[0-9]+')
+              THEN '<*>' ELSE string_split(text, ' ')[1] END AS head
+  FROM lines
+), grp AS (
+  SELECT len(w) AS n_tok, head, count(*) AS n_lines
+  FROM keyed GROUP BY 1, 2
+), pos AS (
+  SELECT len(w) AS n_tok, head, u.p.pos AS pos, u.p.tok AS tok
+  FROM keyed, unnest(list_transform(range(1, len(w) + 1),
+                     i -> {'pos': i, 'tok': w[i]})) AS u(p)
+), profile AS (
+  SELECT n_tok, head, pos, count(DISTINCT tok) AS nd, min(tok) AS mtok
+  FROM pos GROUP BY 1, 2, 3
+), tmpl AS (
+  SELECT n_tok, head,
+         string_agg(CASE WHEN nd > 1 THEN '<*>' ELSE mtok END, ' '
+                    ORDER BY pos) AS template
+  FROM profile GROUP BY 1, 2
+)
+SELECT template, sum(n_lines) AS n_lines, count(*) AS n_groups
+FROM tmpl JOIN grp USING (n_tok, head)
+GROUP BY template
 """
 
 
@@ -1744,7 +1795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_revenue": q_regional_revenue,
         "pivot_event_values": q_pivot_event_values,
         "value_quantiles": q_value_quantiles,
-        "daily_distinct_users": q_daily_distinct_users,
+        "template_mining": q_template_mining,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1799,7 +1850,7 @@ def oracle_sql() -> dict[str, str]:
         "regional_revenue": _SQL_REGIONAL_REVENUE,
         "pivot_event_values": _SQL_PIVOT,
         "value_quantiles": _SQL_QUANTILES,
-        "daily_distinct_users": _SQL_DAILY_DISTINCT,
+        "template_mining": _SQL_TEMPLATES,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": _SQL_MINHASH,
         "dedup_ngram_jaccard": _SQL_JACCARD,

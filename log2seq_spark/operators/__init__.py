@@ -1,8 +1,9 @@
 """Training-data operators: dedup, similarity search, text analysis,
-sequence packing, range/as-of joins, sampling, multimodal plumbing."""
+template mining, sequence packing, range/as-of joins, sampling,
+multimodal plumbing."""
 
 from . import (asof, dedup, multimodal, packing, rangejoin, sampling,
-               similarity, textstats)
+               similarity, templates, textstats)
 
 __all__ = ["asof", "dedup", "multimodal", "packing", "rangejoin",
-           "sampling", "similarity", "textstats"]
+           "sampling", "similarity", "templates", "textstats"]

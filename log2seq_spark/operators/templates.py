@@ -1,0 +1,76 @@
+"""Distributed log-template mining: infer message templates by marking
+token positions that vary within a group as wildcards.
+
+This is the downstream capability the reference's ecosystem exists for
+(log2seq is amulog's preprocessing stage: reference README.rst describes
+it as "a preprocessing tool ... for template mining"; amulog consumes
+the words/symbols output to mine templates). The classic online
+algorithm is Drain (He et al., ICWS 2017): group lines by token count
+and leading token, then decide per position whether it is constant or a
+variable. The batch re-expression below keeps Drain's grouping key and
+replaces its online similarity walk with an exact position-profile
+aggregate — deterministic, order-independent, and ANSI-SQL-replayable,
+so the DuckDB oracle can verify it bit-for-bit.
+
+Scale shape (100 TB): one posexplode (rows × tokens-per-line, same
+fan-out as token counting) feeding ONE hash aggregate whose key space
+is bounded by #groups × max-line-length; the per-group collect_list is
+bounded by the line length (never by corpus size); the final
+template-level aggregate sees at most #groups rows. No joins against
+the corpus, no skew-prone wide rows, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WILDCARD = "<*>"
+
+
+def mine_templates(lines: DataFrame, text_col: str = "text",
+                   min_count: int = 1) -> DataFrame:
+    """Mine templates from single-space-tokenized ``text_col``.
+
+    Returns one row per distinct template: ``template`` (tokens joined
+    by single spaces, variable positions as ``<*>``), ``n_lines``
+    (lines matching it), ``n_groups`` (distinct (token-count, head)
+    Drain groups that collapsed onto it).
+
+    A position is a wildcard iff >1 distinct token appears there within
+    the (token-count, head-token) group — the exact-profile analog of
+    Drain's similarity threshold, with the same group key, including
+    Drain's preprocessing rule that a purely numeric head token routes
+    the line to the shared wildcard group (so "17 packets dropped" and
+    "42 packets dropped" mine one template).
+    """
+    w = F.split(F.col(text_col), " ")
+    head = F.element_at(w, 1)
+    head = F.when(head.rlike(r"^[0-9]+$"), F.lit(WILDCARD)).otherwise(head)
+    keyed = lines.select(F.size(w).alias("_ntok"),
+                         head.alias("_head"),
+                         w.alias("_w"))
+    grp_counts = (keyed.groupBy("_ntok", "_head")
+                       .agg(F.count("*").alias("_n_lines")))
+    pos = keyed.select(
+        "_ntok", "_head", F.posexplode("_w").alias("_pos", "_tok"))
+    profile = (pos.groupBy("_ntok", "_head", "_pos")
+                  .agg(F.count_distinct("_tok").alias("_nd"),
+                       F.min("_tok").alias("_mtok")))
+    piece = (F.when(F.col("_nd") > 1, F.lit(WILDCARD))
+              .otherwise(F.col("_mtok")))
+    tmpl = (profile
+            .select("_ntok", "_head",
+                    F.struct(F.col("_pos"), piece.alias("_piece"))
+                     .alias("_pp"))
+            .groupBy("_ntok", "_head")
+            .agg(F.concat_ws(
+                " ", F.transform(F.array_sort(F.collect_list("_pp")),
+                                 lambda x: x["_piece"])).alias("template")))
+    out = (tmpl.join(grp_counts, ["_ntok", "_head"])
+               .groupBy("template")
+               .agg(F.sum("_n_lines").alias("n_lines"),
+                    F.count("*").alias("n_groups")))
+    if min_count > 1:
+        out = out.filter(F.col("n_lines") >= min_count)
+    return out

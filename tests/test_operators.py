@@ -234,6 +234,50 @@ class TestSimilarity:
         assert len(xdom) == 1 and len(ydom) == 1
 
 
+class TestTemplates:
+    def _mine(self, spark, lines):
+        from log2seq_spark.operators import templates
+        df = spark.createDataFrame([(t,) for t in lines], "text string")
+        return {r["template"]: (r["n_lines"], r["n_groups"])
+                for r in templates.mine_templates(df).collect()}
+
+    def test_wildcard_inference(self, spark):
+        out = self._mine(spark, [
+            "conn from 10.0.0.1 closed",
+            "conn from 10.0.0.2 closed",
+            "conn from 10.0.0.3 closed",
+            "disk full on /var",
+        ])
+        assert out["conn from <*> closed"] == (3, 1)
+        assert out["disk full on /var"] == (1, 1)   # constants stay literal
+
+    def test_numeric_head_shares_group(self, spark):
+        # Drain preprocessing: digit head -> wildcard group, so the two
+        # lines meet in one group and position 1 is inferred variable
+        out = self._mine(spark, [
+            "17 packets dropped",
+            "42 packets dropped",
+        ])
+        assert out == {"<*> packets dropped": (2, 1)}
+
+    def test_token_count_splits_groups(self, spark):
+        out = self._mine(spark, [
+            "job a done", "job b done", "job c done fast",
+        ])
+        assert out["job <*> done"] == (2, 1)
+        assert out["job c done fast"] == (1, 1)
+
+    def test_partitioning_invariance(self, spark):
+        from log2seq_spark.operators import templates
+        lines = [f"task {i % 5} finished in {i} ms" for i in range(40)]
+        df = spark.createDataFrame([(t,) for t in lines], "text string")
+        a = sorted(map(tuple, templates.mine_templates(df).collect()))
+        b = sorted(map(tuple, templates.mine_templates(
+            df.repartition(7)).collect()))
+        assert a == b
+        assert a[0][0] == "task <*> finished in <*> ms"
+
+
 class TestTextstats:
     def test_quality(self, docs):
         out = {r["doc_id"]: r for r in
