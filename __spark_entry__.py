@@ -1144,24 +1144,23 @@ WITH lines AS (
          CASE WHEN regexp_full_match(string_split(text, ' ')[1], '[0-9]+')
               THEN '<*>' ELSE string_split(text, ' ')[1] END AS head
   FROM lines
-), grp AS (
-  SELECT len(w) AS n_tok, head, count(*) AS n_lines
-  FROM keyed GROUP BY 1, 2
 ), pos AS (
   SELECT len(w) AS n_tok, head, u.p.pos AS pos, u.p.tok AS tok
   FROM keyed, unnest(list_transform(range(1, len(w) + 1),
                      i -> {'pos': i, 'tok': w[i]})) AS u(p)
 ), profile AS (
-  SELECT n_tok, head, pos, count(DISTINCT tok) AS nd, min(tok) AS mtok
+  SELECT n_tok, head, pos, count(DISTINCT tok) AS nd, min(tok) AS mtok,
+         count(*) AS nl
   FROM pos GROUP BY 1, 2, 3
 ), tmpl AS (
   SELECT n_tok, head,
          string_agg(CASE WHEN nd > 1 THEN '<*>' ELSE mtok END, ' '
-                    ORDER BY pos) AS template
+                    ORDER BY pos) AS template,
+         max(nl) AS n_lines
   FROM profile GROUP BY 1, 2
 )
 SELECT template, sum(n_lines) AS n_lines, count(*) AS n_groups
-FROM tmpl JOIN grp USING (n_tok, head)
+FROM tmpl
 GROUP BY template
 """
 

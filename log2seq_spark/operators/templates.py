@@ -50,25 +50,27 @@ def mine_templates(lines: DataFrame, text_col: str = "text",
     keyed = lines.select(F.size(w).alias("_ntok"),
                          head.alias("_head"),
                          w.alias("_w"))
-    grp_counts = (keyed.groupBy("_ntok", "_head")
-                       .agg(F.count("*").alias("_n_lines")))
     pos = keyed.select(
         "_ntok", "_head", F.posexplode("_w").alias("_pos", "_tok"))
+    # every position of a group sees exactly the group's line count, so
+    # n_lines rides the SAME aggregate as the profile (one corpus scan,
+    # no second scan + join for group sizes)
     profile = (pos.groupBy("_ntok", "_head", "_pos")
                   .agg(F.count_distinct("_tok").alias("_nd"),
-                       F.min("_tok").alias("_mtok")))
+                       F.min("_tok").alias("_mtok"),
+                       F.count("*").alias("_nl")))
     piece = (F.when(F.col("_nd") > 1, F.lit(WILDCARD))
               .otherwise(F.col("_mtok")))
     tmpl = (profile
-            .select("_ntok", "_head",
+            .select("_ntok", "_head", "_nl",
                     F.struct(F.col("_pos"), piece.alias("_piece"))
                      .alias("_pp"))
             .groupBy("_ntok", "_head")
             .agg(F.concat_ws(
                 " ", F.transform(F.array_sort(F.collect_list("_pp")),
-                                 lambda x: x["_piece"])).alias("template")))
-    out = (tmpl.join(grp_counts, ["_ntok", "_head"])
-               .groupBy("template")
+                                 lambda x: x["_piece"])).alias("template"),
+                 F.max("_nl").alias("_n_lines")))
+    out = (tmpl.groupBy("template")
                .agg(F.sum("_n_lines").alias("n_lines"),
                     F.count("*").alias("n_groups")))
     if min_count > 1:
