@@ -169,16 +169,21 @@ def run_pipeline(spark: SparkSession, turns: DataFrame,
         df = df.filter(~F.col("bucket").isin(sorted(done)))
     # the three aggregate passes share one NARROW cached projection —
     # re-scanning the many-dirs routed sink per pass serialized on file
-    # listing/opens (measured eff ~0.5 across core counts)
-    df = df.select("bucket", "sink", "message", "words", "rule_id",
-                   "error").persist()
+    # listing/opens (measured eff ~0.5 across core counts). Only the
+    # null-flags of message/error and the empty-flag of rule_id are
+    # consumed downstream, so booleans ride the cache, not the strings.
+    df = df.select("bucket", "sink",
+                   F.col("message").isNotNull().alias("_ok"),
+                   "words",
+                   (F.col("rule_id") == -2).alias("_empty"),
+                   F.col("error").isNotNull().alias("_fail")).persist()
 
     # ONE stats pass feeds both the sink-counts table and the manifest
     stats = (df.groupBy("bucket", "sink").agg(
         F.count("*").alias("n_rows"),
-        F.sum(F.when(F.col("message").isNotNull(), 1).otherwise(0)).alias("n_ok"),
-        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_fail"),
-        F.sum(F.when(F.col("rule_id") == -2, 1).otherwise(0)).alias("n_empty"),
+        F.sum(F.when(F.col("_ok"), 1).otherwise(0)).alias("n_ok"),
+        F.sum(F.when(F.col("_fail"), 1).otherwise(0)).alias("n_fail"),
+        F.sum(F.when(F.col("_empty"), 1).otherwise(0)).alias("n_empty"),
         F.sum(F.coalesce(F.size("words"), F.lit(0))).alias("n_tokens"),
     ).collect())
     if not stats:
@@ -197,7 +202,7 @@ def run_pipeline(spark: SparkSession, turns: DataFrame,
 
     if cfg.write_tokens:
         write_partitioned(
-            df.filter(F.col("message").isNotNull())
+            df.filter(F.col("_ok"))
               .select("bucket", "sink", F.explode("words").alias("token"))
               .groupBy("bucket", "sink", "token").agg(F.count("*").alias("n"))
               .repartition(min(p, cfg.n_buckets), "bucket"),
@@ -209,7 +214,7 @@ def run_pipeline(spark: SparkSession, turns: DataFrame,
         # (separator → space) is derived on the few aggregated rows
         tkey = F.concat_ws("\x1e", F.expr(_MASK))
         write_partitioned(
-            df.filter(F.col("message").isNotNull())
+            df.filter(F.col("_ok"))
               .select("bucket", tkey.alias("template_key"))
               .groupBy("bucket", F.md5("template_key").alias("template_id"))
               .agg(F.count("*").alias("n"),
