@@ -38,17 +38,6 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text",
             .filter(F.col("n_docs") > 1))
 
 
-def word_shingles(text_col, n: int = 3):
-    """Array of word n-gram shingles of the normalized text. NOTE: prefer
-    :func:`shingle_rows` in plans — array-expression shingling inlines the
-    split per reference and blows up codegen when reused (e.g. once per
-    MinHash seed)."""
-    words = F.split(normalized_text(text_col), " ")
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))),
-        lambda i: F.array_join(F.slice(words, i, n), " "))
-
-
 def shingle_rows(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", shingle_n: int = 3) -> DataFrame:
     """(_id, pos, shingle) rows — shingles materialized ONCE per doc, the
