@@ -267,6 +267,38 @@ class TestTemplates:
         assert out["job <*> done"] == (2, 1)
         assert out["job c done fast"] == (1, 1)
 
+    def test_matches_pure_python_spec(self, spark):
+        # randomized (seeded) corpus vs an independent pure-Python
+        # implementation of the same spec
+        import random
+        from collections import defaultdict
+        rng = random.Random(7)
+        verbs = ["start", "stop", "retry"]
+        lines = []
+        for _ in range(300):
+            kind = rng.randrange(3)
+            if kind == 0:
+                lines.append(f"svc{rng.randrange(3)} {rng.choice(verbs)} "
+                             f"code {rng.randrange(5)}")
+            elif kind == 1:
+                lines.append(f"{rng.randrange(100)} bytes sent")
+            else:
+                lines.append("heartbeat ok")
+        groups = defaultdict(list)
+        for ln in lines:
+            w = ln.split(" ")
+            head = "<*>" if w[0].isdigit() else w[0]
+            groups[(len(w), head)].append(w)
+        expected = defaultdict(lambda: [0, 0])
+        for (_n, _h), ws in groups.items():
+            cols = list(zip(*ws))
+            tpl = " ".join("<*>" if len(set(c)) > 1 else min(c)
+                           for c in cols)
+            expected[tpl][0] += len(ws)
+            expected[tpl][1] += 1
+        out = self._mine(spark, lines)
+        assert out == {t: (n, g) for t, (n, g) in expected.items()}
+
     def test_partitioning_invariance(self, spark):
         from log2seq_spark.operators import templates
         lines = [f"task {i % 5} finished in {i} ms" for i in range(40)]
