@@ -1149,12 +1149,12 @@ WITH lines AS (
   FROM keyed, unnest(list_transform(range(1, len(w) + 1),
                      i -> {'pos': i, 'tok': w[i]})) AS u(p)
 ), profile AS (
-  SELECT n_tok, head, pos, count(DISTINCT tok) AS nd, min(tok) AS mtok,
+  SELECT n_tok, head, pos, min(tok) AS mn, max(tok) AS mx,
          count(*) AS nl
   FROM pos GROUP BY 1, 2, 3
 ), tmpl AS (
   SELECT n_tok, head,
-         string_agg(CASE WHEN nd > 1 THEN '<*>' ELSE mtok END, ' '
+         string_agg(CASE WHEN mn <> mx THEN '<*>' ELSE mn END, ' '
                     ORDER BY pos) AS template,
          max(nl) AS n_lines
   FROM profile GROUP BY 1, 2

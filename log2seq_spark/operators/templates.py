@@ -54,13 +54,18 @@ def mine_templates(lines: DataFrame, text_col: str = "text",
         "_ntok", "_head", F.posexplode("_w").alias("_pos", "_tok"))
     # every position of a group sees exactly the group's line count, so
     # n_lines rides the SAME aggregate as the profile (one corpus scan,
-    # no second scan + join for group sizes)
+    # no second scan + join for group sizes). The wildcard decision only
+    # needs "is there more than one distinct token here", which
+    # min != max answers with a plain map-side-combinable aggregate —
+    # no distinct machinery, so a position holding 10^9 unique ids
+    # reduces to two strings per partition instead of shuffling every
+    # distinct value to one reducer.
     profile = (pos.groupBy("_ntok", "_head", "_pos")
-                  .agg(F.count_distinct("_tok").alias("_nd"),
-                       F.min("_tok").alias("_mtok"),
+                  .agg(F.min("_tok").alias("_mn"),
+                       F.max("_tok").alias("_mx"),
                        F.count("*").alias("_nl")))
-    piece = (F.when(F.col("_nd") > 1, F.lit(WILDCARD))
-              .otherwise(F.col("_mtok")))
+    piece = (F.when(F.col("_mn") != F.col("_mx"), F.lit(WILDCARD))
+              .otherwise(F.col("_mn")))
     tmpl = (profile
             .select("_ntok", "_head", "_nl",
                     F.struct(F.col("_pos"), piece.alias("_piece"))
