@@ -44,12 +44,14 @@ def mine_templates(lines: DataFrame, text_col: str = "text",
     the line to the shared wildcard group (so "17 packets dropped" and
     "42 packets dropped" mine one template).
     """
-    w = F.split(F.col(text_col), " ")
-    head = F.element_at(w, 1)
+    # stage the split once; size/head then reference the bound column
+    # (three sibling expressions in one projection would each re-split)
+    split_stage = lines.select(F.split(F.col(text_col), " ").alias("_w"))
+    head = F.element_at(F.col("_w"), 1)
     head = F.when(head.rlike(r"^[0-9]+$"), F.lit(WILDCARD)).otherwise(head)
-    keyed = lines.select(F.size(w).alias("_ntok"),
-                         head.alias("_head"),
-                         w.alias("_w"))
+    keyed = split_stage.select(F.size("_w").alias("_ntok"),
+                               head.alias("_head"),
+                               "_w")
     pos = keyed.select(
         "_ntok", "_head", F.posexplode("_w").alias("_pos", "_tok"))
     # every position of a group sees exactly the group's line count, so
