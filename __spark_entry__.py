@@ -120,7 +120,7 @@ FROM events
 
 
 def q_tokenize_token_counts(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     tok = tokenize_words_udf(default_actions())
     return (docs.select(F.explode(tok(F.col("text"))).alias("token"))
                 .groupBy("token").agg(F.count("*").alias("n")))
@@ -1124,7 +1124,7 @@ def q_template_mining(spark, sf_dir):
     the miner must discover the variable positions as ``<*>`` and
     collapse each event type onto one template, with 'error' lines
     getting a longer token count (their own Drain group)."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _tp(spark, sf_dir, "events")
     base = F.concat(
         F.col("event_type"), F.lit(" worker "),
         F.pmod("user_id", F.lit(8)).cast("string"),
@@ -1600,7 +1600,7 @@ def q_textstats_quality(spark, sf_dir):
     ``token_stats`` / ``lang_id_counts`` / ``fingerprint_sources``
     queries so every operator sits inside the driver's 50-query
     CORRECTNESS window)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     prof = textstats.repetition_stats(
         textstats.lang_id(
             textstats.fingerprint(
