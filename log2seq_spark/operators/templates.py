@@ -18,6 +18,13 @@ is bounded by #groups × max-line-length; the per-group collect_list is
 bounded by the line length (never by corpus size); the final
 template-level aggregate sees at most #groups rows. No joins against
 the corpus, no skew-prone wide rows, no Python.
+
+The profile rows (min/max/count per position) are ASSOCIATIVELY
+MERGEABLE — ``merge_profiles(profile(A), profile(B)) ==
+profile(A ∪ B)`` — so mining is incrementally updatable: keep the tiny
+profile table as state, fold each new batch of lines into it (e.g. in
+``foreachBatch``), and re-finalize templates from state alone, never
+re-reading history.
 """
 
 from __future__ import annotations
@@ -28,21 +35,14 @@ from pyspark.sql import functions as F
 WILDCARD = "<*>"
 
 
-def mine_templates(lines: DataFrame, text_col: str = "text",
-                   min_count: int = 1) -> DataFrame:
-    """Mine templates from single-space-tokenized ``text_col``.
+def position_profiles(lines: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-(token-count, head, position) profile rows
+    ``(_ntok, _head, _pos, _mn, _mx, _nl)`` — the mergeable sufficient
+    statistic template mining needs (one corpus scan).
 
-    Returns one row per distinct template: ``template`` (tokens joined
-    by single spaces, variable positions as ``<*>``), ``n_lines``
-    (lines matching it), ``n_groups`` (distinct (token-count, head)
-    Drain groups that collapsed onto it).
-
-    A position is a wildcard iff >1 distinct token appears there within
-    the (token-count, head-token) group — the exact-profile analog of
-    Drain's similarity threshold, with the same group key, including
-    Drain's preprocessing rule that a purely numeric head token routes
-    the line to the shared wildcard group (so "17 packets dropped" and
-    "42 packets dropped" mine one template).
+    A purely numeric head token routes to the shared wildcard group
+    (Drain's preprocessing rule, so "17 packets dropped" and "42
+    packets dropped" land in one group).
     """
     # stage the split once; size/head then reference the bound column
     # (three sibling expressions in one projection would each re-split)
@@ -62,10 +62,29 @@ def mine_templates(lines: DataFrame, text_col: str = "text",
     # no distinct machinery, so a position holding 10^9 unique ids
     # reduces to two strings per partition instead of shuffling every
     # distinct value to one reducer.
-    profile = (pos.groupBy("_ntok", "_head", "_pos")
-                  .agg(F.min("_tok").alias("_mn"),
-                       F.max("_tok").alias("_mx"),
-                       F.count("*").alias("_nl")))
+    return (pos.groupBy("_ntok", "_head", "_pos")
+               .agg(F.min("_tok").alias("_mn"),
+                    F.max("_tok").alias("_mx"),
+                    F.count("*").alias("_nl")))
+
+
+def merge_profiles(*profiles: DataFrame) -> DataFrame:
+    """Fold profile tables from disjoint line batches into one profile
+    equal to profiling the union of the batches (min/max/count are
+    associative — this is the incremental-update step)."""
+    u = profiles[0]
+    for p in profiles[1:]:
+        u = u.unionByName(p)
+    return (u.groupBy("_ntok", "_head", "_pos")
+             .agg(F.min("_mn").alias("_mn"),
+                  F.max("_mx").alias("_mx"),
+                  F.sum("_nl").alias("_nl")))
+
+
+def templates_from_profiles(profile: DataFrame,
+                            min_count: int = 1) -> DataFrame:
+    """Finalize ``(template, n_lines, n_groups)`` from profile rows —
+    touches only the tiny profile table, never the corpus."""
     piece = (F.when(F.col("_mn") != F.col("_mx"), F.lit(WILDCARD))
               .otherwise(F.col("_mn")))
     tmpl = (profile
@@ -83,3 +102,20 @@ def mine_templates(lines: DataFrame, text_col: str = "text",
     if min_count > 1:
         out = out.filter(F.col("n_lines") >= min_count)
     return out
+
+
+def mine_templates(lines: DataFrame, text_col: str = "text",
+                   min_count: int = 1) -> DataFrame:
+    """Mine templates from single-space-tokenized ``text_col``.
+
+    Returns one row per distinct template: ``template`` (tokens joined
+    by single spaces, variable positions as ``<*>``), ``n_lines``
+    (lines matching it), ``n_groups`` (distinct (token-count, head)
+    Drain groups that collapsed onto it).
+
+    A position is a wildcard iff >1 distinct token appears there within
+    the (token-count, head-token) group — the exact-profile analog of
+    Drain's similarity threshold, with the same group key.
+    """
+    return templates_from_profiles(position_profiles(lines, text_col),
+                                   min_count=min_count)

@@ -299,6 +299,29 @@ class TestTemplates:
         out = self._mine(spark, lines)
         assert out == {t: (n, g) for t, (n, g) in expected.items()}
 
+    def test_incremental_merge_equals_full(self, spark):
+        # profile(A) ⊕ profile(B) == profile(A ∪ B): the mergeable-state
+        # property that makes mining incrementally updatable (fold each
+        # new batch into a tiny profile table, refinalize from state)
+        from log2seq_spark.operators import templates
+        a_lines = ["conn from 10.0.0.1 closed", "disk full on /var",
+                   "17 packets dropped"]
+        b_lines = ["conn from 10.0.0.9 closed", "42 packets dropped",
+                   "conn from 10.0.0.1 closed"]
+        mk = lambda ls: spark.createDataFrame([(t,) for t in ls],
+                                              "text string")
+        merged = templates.merge_profiles(
+            templates.position_profiles(mk(a_lines)),
+            templates.position_profiles(mk(b_lines)))
+        inc = sorted(map(tuple,
+                         templates.templates_from_profiles(merged).collect()))
+        full = sorted(map(tuple,
+                          templates.mine_templates(
+                              mk(a_lines + b_lines)).collect()))
+        assert inc == full
+        assert ("conn from <*> closed", 3, 1) in full
+        assert ("<*> packets dropped", 2, 1) in full
+
     def test_partitioning_invariance(self, spark):
         from log2seq_spark.operators import templates
         lines = [f"task {i % 5} finished in {i} ms" for i in range(40)]
