@@ -1137,22 +1137,26 @@ def q_template_mining(spark, sf_dir):
     return out.select("template", "n_lines", "n_groups")
 
 
-_SQL_TEMPLATES = """
+# shared mining body: replay of operators/templates.py over any
+# lines(text) CTE — whitespace split with empties dropped (matches
+# templates.line_tokens_expr), numeric-head wildcard routing, exact
+# position profile, template string-agg by position.
+def _sql_template_mine(lines_cte: str) -> str:
+    return f"""
 WITH lines AS (
-  SELECT event_type || ' worker ' || (user_id % 8)
-         || ' finished step ' || (event_id % 13) || ' ok'
-         || CASE WHEN event_type = 'error' THEN ' retrying' ELSE '' END
-         AS text
-  FROM events
+{lines_cte}
 ), keyed AS (
-  SELECT string_split(text, ' ') AS w,
-         CASE WHEN regexp_full_match(string_split(text, ' ')[1], '[0-9]+')
-              THEN '<*>' ELSE string_split(text, ' ')[1] END AS head
+  SELECT list_filter(regexp_split_to_array(text, '\\s+'),
+                     t -> t <> '') AS w
   FROM lines
+), headed AS (
+  SELECT w, CASE WHEN regexp_full_match(w[1], '[0-9]+')
+                 THEN '<*>' ELSE w[1] END AS head
+  FROM keyed
 ), pos AS (
   SELECT len(w) AS n_tok, head, u.p.pos AS pos, u.p.tok AS tok
-  FROM keyed, unnest(list_transform(range(1, len(w) + 1),
-                     i -> {'pos': i, 'tok': w[i]})) AS u(p)
+  FROM headed, unnest(list_transform(range(1, len(w) + 1),
+                      i -> {{'pos': i, 'tok': w[i]}})) AS u(p)
 ), profile AS (
   SELECT n_tok, head, pos, min(tok) AS mn, max(tok) AS mx,
          count(*) AS nl
@@ -1164,10 +1168,47 @@ WITH lines AS (
          max(nl) AS n_lines
   FROM profile GROUP BY 1, 2
 )
-SELECT template, sum(n_lines) AS n_lines, count(*) AS n_groups
+SELECT template, cast(sum(n_lines) AS BIGINT) AS n_lines,
+       count(*) AS n_groups
 FROM tmpl
 GROUP BY template
 """
+
+
+_SQL_TEMPLATES = _sql_template_mine("""
+  SELECT event_type || ' worker ' || (user_id % 8)
+         || ' finished step ' || (event_id % 13) || ' ok'
+         || CASE WHEN event_type = 'error' THEN ' retrying' ELSE '' END
+         AS text
+  FROM events
+""")
+
+
+def q_template_mining_words(spark, sf_dir):
+    """Template mining over the pipeline's parsed ``words`` — the actual
+    amulog hand-off (reference README.rst: log2seq is the preprocessing
+    stage whose word sequences feed template mining). Lines are the same
+    deterministic syslog-shaped text as ``parse_syslog_extract``; the
+    full header+statement cascade runs first, and the miner consumes the
+    resulting token arrays directly (``tokens_col=``), no re-splitting.
+    """
+    ev = _t(spark, sf_dir, "events")
+    lines = (ev.select(_synth_line(ev).alias("text"), "ts")
+               .repartition(spark.sparkContext.defaultParallelism))
+    parsed = with_parsed(lines, default_program(), text_col="text",
+                         ts_col="ts")
+    words = parsed.select(F.col("parsed.words").alias("words"))
+    out = templates.mine_templates(words, tokens_col="words")
+    return out.select("template", "n_lines", "n_groups")
+
+
+# oracle replays the parsed word sequence analytically (same identity
+# the parse_syslog_extract oracle uses for words_joined), then mines it
+_SQL_TEMPLATES_WORDS = _sql_template_mine("""
+  SELECT event_type || ' ' || event_id || ' INFO checkpoint '
+         || (event_id % 97) || ' written' AS text
+  FROM events
+""")
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -1672,7 +1713,8 @@ def q_winnow_fingerprints(spark, sf_dir):
     fps = textstats.winnow_fingerprints(
         _tp(spark, sf_dir, "documents"), k=5, window=4)
     return fps.groupBy("doc_id").agg(
-        F.count("*").alias("n_fp"), F.min("fp").alias("min_fp"))
+        F.count("*").alias("n_fp"), F.min("fp").alias("min_fp"),
+        F.max(F.col("truncated").cast("int")).alias("truncated"))
 
 
 _SQL_WINNOW = f"""
@@ -1691,9 +1733,15 @@ WITH norm AS (
   FROM hashes
 ), fps AS (
   SELECT DISTINCT doc_id, fp FROM sel WHERE fp = wmin
+), trunc AS (
+  SELECT doc_id,
+         cast(length(t) - 4 > 2000 AS INTEGER) AS truncated
+  FROM norm
 )
-SELECT doc_id, count(*) AS n_fp, min(fp) AS min_fp
-FROM fps GROUP BY doc_id
+SELECT f.doc_id, count(*) AS n_fp, min(f.fp) AS min_fp,
+       max(tr.truncated) AS truncated
+FROM fps f JOIN trunc tr ON f.doc_id = tr.doc_id
+GROUP BY f.doc_id
 """
 
 
@@ -1800,6 +1848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_event_values": q_pivot_event_values,
         "value_quantiles": q_value_quantiles,
         "template_mining": q_template_mining,
+        "template_mining_words": q_template_mining_words,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1855,6 +1904,7 @@ def oracle_sql() -> dict[str, str]:
         "pivot_event_values": _SQL_PIVOT,
         "value_quantiles": _SQL_QUANTILES,
         "template_mining": _SQL_TEMPLATES,
+        "template_mining_words": _SQL_TEMPLATES_WORDS,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": _SQL_MINHASH,
         "dedup_ngram_jaccard": _SQL_JACCARD,

@@ -296,7 +296,9 @@ def embedding_near_duplicates(embs: DataFrame, vec_col: str = "embedding",
                               threshold: float = 0.95,
                               n_planes: int = 0,
                               bands: int = 4,
-                              max_bucket_size: int = 10_000) -> DataFrame:
+                              max_bucket_size: int = 10_000,
+                              max_brute_rows: int | None = 100_000)\
+        -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a, id_b, cosine).
 
     With ``n_planes > 0`` candidates come from banded random-hyperplane
@@ -314,7 +316,14 @@ def embedding_near_duplicates(embs: DataFrame, vec_col: str = "embedding",
     100 TB is a single-task OOM. Buckets above the cap are dropped: a
     band shared by >cap vectors carries ~no locality signal (any genuine
     near-dup pair inside it still has ``bands - 1`` other chances to
-    collide in a non-degenerate bucket). Pass ``None`` to disable."""
+    collide in a non-degenerate bucket). Pass ``None`` to disable.
+
+    ``max_brute_rows`` guards the brute path only: the crossJoin is
+    O(n²) by construction — correct as a recall baseline, catastrophic
+    if pointed at production-scale data — so with ``n_planes = 0`` the
+    input is counted first and anything above the cap raises
+    ``ValueError`` (telling the caller to use the LSH path). ``None``
+    disables the guard (you are asserting the input is small)."""
     from .similarity import dot_expr, norm_expr
     # norm computed ONCE per vector before the pair join (per-pair norm
     # recomputation tripled the work at bench scale)
@@ -358,6 +367,15 @@ def embedding_near_duplicates(embs: DataFrame, vec_col: str = "embedding",
                                 F.col("_v").alias("vb"),
                                 F.col("_norm").alias("nb")), "id_b"))
     else:
+        if max_brute_rows is not None:
+            n = embs.count()
+            if n > max_brute_rows:
+                raise ValueError(
+                    f"embedding_near_duplicates(n_planes=0) is the exact "
+                    f"O(n²) crossJoin baseline; input has {n} rows > "
+                    f"max_brute_rows={max_brute_rows}. Use n_planes>0 "
+                    f"(banded hyperplane LSH) at scale, or raise/disable "
+                    f"max_brute_rows if the input really is small.")
         a = e.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"),
                      F.col("_norm").alias("na"))
         b = e.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"),

@@ -35,18 +35,35 @@ from pyspark.sql import functions as F
 WILDCARD = "<*>"
 
 
-def position_profiles(lines: DataFrame, text_col: str = "text") -> DataFrame:
+def line_tokens_expr(text_col):
+    """Whitespace tokens of a raw line, empties dropped — robust to
+    consecutive spaces/tabs (same convention as
+    ``textstats.tokens_expr``; raw single-space splitting would turn
+    ``"a  b"`` into a phantom empty position and fragment Drain groups).
+    """
+    return F.filter(F.split(text_col, r"\s+"), lambda t: t != "")
+
+
+def position_profiles(lines: DataFrame, text_col: str = "text",
+                      tokens_col: str | None = None) -> DataFrame:
     """Per-(token-count, head, position) profile rows
     ``(_ntok, _head, _pos, _mn, _mx, _nl)`` — the mergeable sufficient
     statistic template mining needs (one corpus scan).
+
+    ``tokens_col`` (an ``array<string>`` column) bypasses tokenization —
+    the amulog hand-off path: mine directly over the pipeline's parsed
+    ``words`` (reference README.rst positions log2seq as the
+    preprocessing stage whose word output feeds template mining).
 
     A purely numeric head token routes to the shared wildcard group
     (Drain's preprocessing rule, so "17 packets dropped" and "42
     packets dropped" land in one group).
     """
-    # stage the split once; size/head then reference the bound column
+    # stage the tokens once; size/head then reference the bound column
     # (three sibling expressions in one projection would each re-split)
-    split_stage = lines.select(F.split(F.col(text_col), " ").alias("_w"))
+    toks = (F.col(tokens_col) if tokens_col is not None
+            else line_tokens_expr(F.col(text_col)))
+    split_stage = lines.select(toks.alias("_w"))
     head = F.element_at(F.col("_w"), 1)
     head = F.when(head.rlike(r"^[0-9]+$"), F.lit(WILDCARD)).otherwise(head)
     keyed = split_stage.select(F.size("_w").alias("_ntok"),
@@ -105,8 +122,11 @@ def templates_from_profiles(profile: DataFrame,
 
 
 def mine_templates(lines: DataFrame, text_col: str = "text",
-                   min_count: int = 1) -> DataFrame:
-    """Mine templates from single-space-tokenized ``text_col``.
+                   min_count: int = 1,
+                   tokens_col: str | None = None) -> DataFrame:
+    """Mine templates from whitespace-tokenized ``text_col`` (empties
+    dropped), or from a pre-tokenized ``array<string>`` ``tokens_col``
+    (e.g. the pipeline's parsed ``words`` — the amulog hand-off).
 
     Returns one row per distinct template: ``template`` (tokens joined
     by single spaces, variable positions as ``<*>``), ``n_lines``
@@ -117,5 +137,6 @@ def mine_templates(lines: DataFrame, text_col: str = "text",
     the (token-count, head-token) group — the exact-profile analog of
     Drain's similarity threshold, with the same group key.
     """
-    return templates_from_profiles(position_profiles(lines, text_col),
-                                   min_count=min_count)
+    return templates_from_profiles(
+        position_profiles(lines, text_col, tokens_col=tokens_col),
+        min_count=min_count)

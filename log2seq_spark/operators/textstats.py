@@ -99,8 +99,16 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     reference bound columns, never expression trees."""
     toks = tokens_expr(F.lower(F.col(text_col)))
     lines = F.filter(F.split(F.col(text_col), "\n"), lambda t: t != "")
-    staged = docs.select("*", toks.alias("_toks"), lines.alias("_lines"))
-    t = F.col("_toks")
+    # double-underscore-prefixed internal names: the operator composes
+    # after others, so staging columns must not collide with whatever
+    # the caller's frame already carries (assert, don't shadow)
+    for tmp in ("__reps_toks", "__reps_lines", "__reps_grams"):
+        if tmp in docs.columns:
+            raise ValueError(f"input frame already has internal column "
+                             f"{tmp!r}; rename it before repetition_stats")
+    staged = docs.select("*", toks.alias("__reps_toks"),
+                         lines.alias("__reps_lines"))
+    t = F.col("__reps_toks")
     n = F.size(t)
     grams = F.transform(
         F.sequence(F.lit(1), n - 2),
@@ -110,13 +118,13 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     staged = staged.select(
         "*",
         F.when(n >= 3, grams)
-         .otherwise(F.array().cast("array<string>")).alias("_g"))
-    g = F.col("_g")
+         .otherwise(F.array().cast("array<string>")).alias("__reps_grams"))
+    g = F.col("__reps_grams")
     tri_ratio = F.when(
         F.size(g) > 0,
         1.0 - F.size(F.array_distinct(g)) / F.size(g)
     ).otherwise(F.lit(0.0))
-    ls = F.col("_lines")
+    ls = F.col("__reps_lines")
     n_lines = F.size(ls)
     line_ratio = F.when(
         n_lines > 1,
@@ -126,7 +134,7 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "*",
         F.round(tri_ratio, 4).alias("dup_trigram_ratio"),
         F.round(line_ratio, 4).alias("dup_line_ratio"))
-        .drop("_toks", "_lines", "_g"))
+        .drop("__reps_toks", "__reps_lines", "__reps_grams"))
 
 
 def lang_id(docs: DataFrame, text_col: str = "text",
@@ -181,18 +189,32 @@ def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
     ``max_positions`` per doc), a per-doc window min (partitioned by
     doc — no global shuffle skew), then a distinct. Cost is linear in
     total text volume; guarantees any shared substring of length
-    ``k + window - 1`` contributes at least one shared fingerprint."""
+    ``k + window - 1`` contributes at least one shared fingerprint —
+    EXCEPT past the ``max_positions`` cap. The cap bounds per-doc
+    fan-out (a single pathological multi-GB doc would otherwise own one
+    task), but it narrows the guarantee to the doc's head, so every
+    output row carries a ``truncated`` flag: downstream "no shared
+    fingerprint ⇒ no shared substring" reasoning must treat
+    ``truncated = true`` docs as only head-fingerprinted (no silent
+    caps). Pass ``max_positions=None`` to fingerprint full documents."""
     from pyspark.sql import Window
     norm = normalized_text(F.col(text_col))
-    base = docs.select(F.col(id_col), norm.alias("_t"))
-    npos = F.least(F.length("_t") - F.lit(k - 1), F.lit(max_positions))
+    full_npos = F.length("_t") - F.lit(k - 1)
+    if max_positions is None:
+        npos, trunc = full_npos, F.lit(False)
+    else:
+        npos = F.least(full_npos, F.lit(max_positions))
+        trunc = full_npos > F.lit(max_positions)
+    base = docs.select(F.col(id_col), norm.alias("_t")) \
+               .withColumn("truncated", trunc)
     positions = F.when(npos >= 1, F.sequence(F.lit(1), npos)) \
                  .otherwise(F.array())
-    grams = (base.select(id_col, "_t", F.explode(positions).alias("pos"))
-                 .select(id_col, "pos",
+    grams = (base.select(id_col, "_t", "truncated",
+                         F.explode(positions).alias("pos"))
+                 .select(id_col, "truncated", "pos",
                          F.md5(F.expr(f"substring(_t, pos, {k})")).alias("fp")))
     w = (Window.partitionBy(id_col).orderBy("pos")
                .rowsBetween(-(window - 1), 0))
     sel = grams.withColumn("_wmin", F.min("fp").over(w))
     return (sel.filter(F.col("fp") == F.col("_wmin"))
-               .select(id_col, "fp").distinct())
+               .select(id_col, "fp", "truncated").distinct())

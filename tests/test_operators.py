@@ -67,6 +67,19 @@ class TestDedup:
         out = dedup.embedding_near_duplicates(embs, threshold=0.95).collect()
         assert [(r["id_a"], r["id_b"]) for r in out] == [(0, 1)]
 
+    def test_brute_near_dup_row_guard(self, spark):
+        # the n_planes=0 crossJoin baseline must refuse production-scale
+        # inputs: count-guarded, raises with a pointer to the LSH path
+        import pytest
+        rows = [(i, [float(i), 1.0]) for i in range(20)]
+        embs = spark.createDataFrame(rows,
+                                     "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError, match="max_brute_rows"):
+            dedup.embedding_near_duplicates(embs, max_brute_rows=10)
+        # under the cap (and with the default cap) it still runs
+        assert dedup.embedding_near_duplicates(
+            embs, threshold=0.999, max_brute_rows=20).count() >= 0
+
     def test_embedding_lsh_recall(self, spark):
         # 40 well-separated base directions (seeded), each with a slightly
         # perturbed twin (cosine ≈ 0.999): 40 true near-dup pairs. The
@@ -322,6 +335,27 @@ class TestTemplates:
         assert ("conn from <*> closed", 3, 1) in full
         assert ("<*> packets dropped", 2, 1) in full
 
+    def test_whitespace_robust_tokenization(self, spark):
+        # consecutive spaces / tabs must not create phantom empty-token
+        # positions (raw single-space splitting would put these three
+        # lines in three different token-count groups)
+        out = self._mine(spark, [
+            "conn from 10.0.0.1 closed",
+            "conn  from\t10.0.0.2  closed",
+            "conn from   10.0.0.3\tclosed",
+        ])
+        assert out == {"conn from <*> closed": (3, 1)}
+
+    def test_tokens_col_input(self, spark):
+        # pre-tokenized array<string> input (the parsed-words hand-off)
+        from log2seq_spark.operators import templates
+        rows = [(["job", str(i), "done"],) for i in range(4)]
+        df = spark.createDataFrame(rows, "words array<string>")
+        out = {r["template"]: (r["n_lines"], r["n_groups"])
+               for r in templates.mine_templates(
+                   df, tokens_col="words").collect()}
+        assert out == {"job <*> done": (4, 1)}
+
     def test_partitioning_invariance(self, spark):
         from log2seq_spark.operators import templates
         lines = [f"task {i % 5} finished in {i} ms" for i in range(40)]
@@ -401,6 +435,27 @@ class TestTextstats:
                  for r in textstats.winnow_fingerprints(
                      d, k=5, window=4).collect()}
         assert again == {(d_, f) for d_, s in by_doc.items() for f in s}
+
+    def test_winnow_truncation_flag(self, spark):
+        # a >cap doc is head-fingerprinted only and must say so; short
+        # docs are never flagged, and max_positions=None never truncates
+        long_text = " ".join(f"tok{i}" for i in range(900))   # ~6.2KB
+        d = spark.createDataFrame(
+            [(0, long_text), (1, "short but plenty long enough text")],
+            "doc_id long, text string")
+        fps = textstats.winnow_fingerprints(d, k=5, window=4)
+        flags = {r["doc_id"]: r["truncated"] for r in
+                 fps.select("doc_id", "truncated").distinct().collect()}
+        assert flags == {0: True, 1: False}
+        # cap respected: no fingerprint position beyond max_positions
+        n_long = fps.filter("doc_id = 0").count()
+        assert 0 < n_long <= 2000
+        uncapped = textstats.winnow_fingerprints(
+            d, k=5, window=4, max_positions=None)
+        flags2 = {r["doc_id"]: r["truncated"] for r in
+                  uncapped.select("doc_id", "truncated").distinct().collect()}
+        assert flags2 == {0: False, 1: False}
+        assert uncapped.filter("doc_id = 0").count() >= n_long
 
     def test_fingerprint_ignores_case_and_punct(self, spark):
         d = spark.createDataFrame(
