@@ -17,8 +17,8 @@ from pyspark.sql import functions as F
 
 from log2seq_spark.rules.presets import default_program, default_actions
 from log2seq_spark.functions.udf import with_parsed, tokenize_words_udf
-from log2seq_spark.operators import (asof, dedup, similarity, templates,
-                                     textstats)
+from log2seq_spark.operators import (asof, dedup, scrub, similarity,
+                                     templates, textstats)
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -1134,7 +1134,14 @@ def q_template_mining(spark, sf_dir):
                   F.concat(base, F.lit(" retrying"))).otherwise(base)
     lines = ev.select(line.alias("text"))
     out = templates.mine_templates(lines, "text")
-    return out.select("template", "n_lines", "n_groups")
+    raw = out.select(F.lit("text").alias("source"),
+                     "template", "n_lines", "n_groups")
+    # second tokenization path in the SAME driver row (keeps the
+    # CORRECTNESS window at 50): mining over the pipeline's parsed word
+    # arrays — the amulog hand-off (see q_template_mining_words)
+    words = q_template_mining_words(spark, sf_dir).select(
+        F.lit("words").alias("source"), "template", "n_lines", "n_groups")
+    return raw.unionByName(words)
 
 
 # shared mining body: replay of operators/templates.py over any
@@ -1209,6 +1216,12 @@ _SQL_TEMPLATES_WORDS = _sql_template_mine("""
          || (event_id % 97) || ' written' AS text
   FROM events
 """)
+
+_SQL_TEMPLATES_COMBINED = f"""
+SELECT 'text' AS source, t.* FROM ({_SQL_TEMPLATES}) t
+UNION ALL
+SELECT 'words' AS source, w.* FROM ({_SQL_TEMPLATES_WORDS}) w
+"""
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -1464,6 +1477,19 @@ def q_knn_brute(spark, sf_dir):
     return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def q_similarity_topk(spark, sf_dir):
+    """Both similarity-search paths in ONE driver row (keeps the
+    CORRECTNESS window at 50 queries): exact brute-force cosine top-k
+    labeled ``method='brute'`` unioned with the centroid-partitioned
+    IVF probe labeled ``method='ivf'`` — each still checked value-exact
+    against its own closed-form DuckDB replay."""
+    brute = q_knn_brute(spark, sf_dir).select(
+        F.lit("brute").alias("method"), "vec_id", "cosine")
+    ivf = q_ivf_topk(spark, sf_dir).select(
+        F.lit("ivf").alias("method"), "vec_id", "cosine")
+    return brute.unionByName(ivf)
+
+
 _SQL_KNN = """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
 SELECT vec_id,
@@ -1536,6 +1562,13 @@ ORDER BY list_dot_product(a.embedding::DOUBLE[], q.qv)
                                   a.embedding::DOUBLE[]))
             * sqrt(list_dot_product(q.qv, q.qv))) DESC, a.vec_id ASC
 LIMIT 15
+"""
+
+
+_SQL_SIMILARITY = f"""
+SELECT 'brute' AS method, b.* FROM ({_SQL_KNN}) b
+UNION ALL
+SELECT 'ivf' AS method, i.* FROM ({_SQL_IVF}) i
 """
 
 
@@ -1706,6 +1739,62 @@ FROM scored
 """
 
 
+def q_pii_scrub_stats(spark, sf_dir):
+    """PII/URL scrubbing report (``operators/scrub.py`` — the C4-style
+    masking pass a training corpus runs before anything else): emails,
+    URLs, IPv4s and phone numbers masked by chained ``regexp_replace``,
+    with per-kind match counts on the original text, affected-doc
+    counts, and the post-scrub residue (must be 0). Deterministic
+    PII-bearing lines are synthesized from events; 'view' rows carry no
+    PII so n_docs < total. Pattern set restricted to Java-regex ≡ RE2
+    constructs so the DuckDB oracle replays masking + counts exactly."""
+    ev = _tp(spark, sf_dir, "events")
+    pii = F.concat(
+        F.lit("user u"), F.col("user_id").cast("string"),
+        F.lit("@mail.example.com fetched https://cdn.example.org/a/"),
+        F.col("event_id").cast("string"), F.lit("?tok=x from 10."),
+        F.pmod("user_id", F.lit(256)).cast("string"), F.lit("."),
+        F.pmod("event_id", F.lit(256)).cast("string"), F.lit(".7 call +49"),
+        F.pmod("event_id", F.lit(10 ** 9)).cast("string"))
+    text = (F.when(F.col("event_type") == "view",
+                   F.concat(F.lit("plain view row "),
+                            F.col("event_id").cast("string")))
+             .otherwise(pii))
+    return scrub.scrub_stats(ev.select(text.alias("text")))
+
+
+def _sql_scrub() -> str:
+    """Oracle generated from the SAME SCRUB_RULES the operator uses —
+    one source of truth for the pattern set."""
+    lines_cte = """
+  SELECT CASE WHEN event_type = 'view'
+              THEN 'plain view row ' || event_id
+              ELSE 'user u' || user_id
+                   || '@mail.example.com fetched https://cdn.example.org/a/'
+                   || event_id || '?tok=x from 10.' || (user_id % 256)
+                   || '.' || (event_id % 256) || '.7 call +49'
+                   || (event_id % 1000000000) END AS text
+  FROM events"""
+    masked = "text"
+    for _, pat, repl in scrub.SCRUB_RULES:
+        masked = f"regexp_replace({masked}, '{pat}', '{repl}', 'g')"
+    parts = []
+    for k, pat, _ in scrub.SCRUB_RULES:
+        parts.append(f"""SELECT '{k}' AS kind,
+       cast(sum(len(regexp_extract_all(text, '{pat}'))) AS BIGINT)
+         AS n_matches,
+       cast(sum(CASE WHEN len(regexp_extract_all(text, '{pat}')) > 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+       cast(sum(len(regexp_extract_all(s, '{pat}'))) AS BIGINT) AS n_after
+FROM scrubbed""")
+    body = "\nUNION ALL\n".join(parts)
+    return (f"WITH lines AS ({lines_cte}\n), scrubbed AS (\n"
+            f"  SELECT text, {masked} AS s FROM lines\n)\n{body}")
+
+
+_SQL_SCRUB = _sql_scrub()
+
+
 def q_winnow_fingerprints(spark, sf_dir):
     """Winnowing (rolling k-gram window-min) fingerprints: per-doc count
     + min fingerprint. Oracle replays the k-gram md5 hashes and the
@@ -1848,7 +1937,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_event_values": q_pivot_event_values,
         "value_quantiles": q_value_quantiles,
         "template_mining": q_template_mining,
-        "template_mining_words": q_template_mining_words,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1857,12 +1945,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_counts": q_stratified_sample_counts,
         "training_selection": q_training_selection,
         "simhash": q_simhash,
-        "knn_brute": q_knn_brute,
-        "ivf_topk": q_ivf_topk,
+        "similarity_topk": q_similarity_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "embedding_dup_clusters": q_embedding_dup_clusters,
         "textstats_quality": q_textstats_quality,
+        "pii_scrub_stats": q_pii_scrub_stats,
         "winnow_fingerprints": q_winnow_fingerprints,
         "rollup_orders": q_rollup_orders,
         "set_ops_users": q_set_ops_users,
@@ -1903,8 +1991,7 @@ def oracle_sql() -> dict[str, str]:
         "regional_revenue": _SQL_REGIONAL_REVENUE,
         "pivot_event_values": _SQL_PIVOT,
         "value_quantiles": _SQL_QUANTILES,
-        "template_mining": _SQL_TEMPLATES,
-        "template_mining_words": _SQL_TEMPLATES_WORDS,
+        "template_mining": _SQL_TEMPLATES_COMBINED,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_minhash_lsh": _SQL_MINHASH,
         "dedup_ngram_jaccard": _SQL_JACCARD,
@@ -1913,12 +2000,12 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample_counts": _SQL_STRATIFIED,
         "training_selection": _SQL_TRAINING_SELECTION,
         "simhash": _SQL_SIMHASH,
-        "knn_brute": _SQL_KNN,
-        "ivf_topk": _SQL_IVF,
+        "similarity_topk": _SQL_SIMILARITY,
         "embedding_near_dup": _SQL_EMB_NEAR_DUP,
         "embedding_near_dup_lsh": _SQL_EMB_NEAR_DUP_LSH,
         "embedding_dup_clusters": _SQL_EMB_CLUSTERS,
         "textstats_quality": _SQL_QUALITY,
+        "pii_scrub_stats": _SQL_SCRUB,
         "winnow_fingerprints": _SQL_WINNOW,
         "rollup_orders": _SQL_ROLLUP,
         "set_ops_users": _SQL_SET_OPS,

@@ -20,8 +20,15 @@ from typing import Dict, List, Set
 MANIFEST_NAME = "manifest.jsonl"
 
 
+# routed-sink schema version: bumped when the routed parquet layout
+# changes (v2: precomputed ok/fail/empty flag columns). Folded into the
+# lineage id so a resume against an out_dir written by an older layout
+# reprocesses cleanly instead of failing mid-read on missing columns.
+SINK_SCHEMA_V = 2
+
+
 def lineage_id(program, input_id: str, n_buckets: int) -> str:
-    payload = f"{program!r}|{input_id}|{n_buckets}"
+    payload = f"{program!r}|{input_id}|{n_buckets}|s{SINK_SCHEMA_V}"
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 

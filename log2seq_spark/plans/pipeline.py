@@ -67,6 +67,11 @@ class PipelineConfig:
     # sink backend seam: parquet | iceberg | auto (iceberg when its
     # runtime jar is present; see plans/sink.py)
     sink_backend: str = "parquet"
+    # aggregate feed: True (default) reads the precomputed ok/fail/empty
+    # boolean columns back from the routed sink; False re-derives them
+    # from the message/error/rule_id columns (the pre-v2 path, kept as
+    # the measured A/B seam — see BENCH/DELTAS.md round 4)
+    agg_from_flags: bool = True
 
 
 @dataclass
@@ -131,6 +136,12 @@ def run_pipeline(spark: SparkSession, turns: DataFrame,
         F.col("parsed.symbols").alias("symbols"),
         F.col("parsed.rule_id").alias("rule_id"),
         F.col("parsed.error").alias("error"),
+        # flag columns precomputed at write time (3 booleans/row — ~free
+        # to store) so the aggregate read-back never has to decode the
+        # message/error string columns just to test nullity
+        F.col("parsed.message").isNotNull().alias("ok"),
+        F.col("parsed.error").isNotNull().alias("fail"),
+        (F.col("parsed.rule_id") == -2).alias("empty"),
         "severity", "role_group", "tool_family", "sink", "bucket",
         F.lit(lineage).alias("lineage"))
 
@@ -171,12 +182,21 @@ def run_pipeline(spark: SparkSession, turns: DataFrame,
     # re-scanning the many-dirs routed sink per pass serialized on file
     # listing/opens (measured eff ~0.5 across core counts). Only the
     # null-flags of message/error and the empty-flag of rule_id are
-    # consumed downstream, so booleans ride the cache, not the strings.
-    df = df.select("bucket", "sink",
-                   F.col("message").isNotNull().alias("_ok"),
-                   "words",
-                   (F.col("rule_id") == -2).alias("_empty"),
-                   F.col("error").isNotNull().alias("_fail")).persist()
+    # consumed downstream, so booleans ride the cache, not the strings —
+    # and with agg_from_flags the booleans come straight off the routed
+    # sink's flag columns, so the scan never decodes the string columns.
+    if cfg.agg_from_flags:
+        df = df.select("bucket", "sink",
+                       F.col("ok").alias("_ok"),
+                       "words",
+                       F.col("empty").alias("_empty"),
+                       F.col("fail").alias("_fail")).persist()
+    else:
+        df = df.select("bucket", "sink",
+                       F.col("message").isNotNull().alias("_ok"),
+                       "words",
+                       (F.col("rule_id") == -2).alias("_empty"),
+                       F.col("error").isNotNull().alias("_fail")).persist()
 
     # ONE stats pass feeds both the sink-counts table and the manifest
     stats = (df.groupBy("bucket", "sink").agg(

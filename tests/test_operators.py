@@ -6,7 +6,7 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from log2seq_spark.operators import dedup, similarity, textstats
+from log2seq_spark.operators import dedup, scrub, similarity, textstats
 from log2seq_spark.operators.multimodal import (extract_features,
                                                 synthetic_media, FEATURE_DIM)
 
@@ -382,6 +382,46 @@ class TestTemplates:
             df.repartition(7)).collect()))
         assert a == b
         assert a[0][0] == "task <*> finished in <*> ms"
+
+
+class TestScrub:
+    def test_masking(self, spark):
+        d = spark.createDataFrame(
+            [(0, "mail a.b-c@x.co.uk or https://e.com/p?q=1 via "
+                 "192.168.0.1 call +4915112345678"),
+             (1, "nothing sensitive 1.2.3 v2"),
+             (2, "ftp://not-a-match and user@@bad and 999.999.999.999")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r["scrubbed"]
+               for r in scrub.with_scrubbed(d).collect()}
+        assert out[0] == "mail <email> or <url> via <ip> call <phone>"
+        assert out[1] == "nothing sensitive 1.2.3 v2"
+        # ftp not matched; malformed email not matched; 999.* still an
+        # ipv4 shape (\d{1,3}) — documented permissive masking
+        assert out[2] == "ftp://not-a-match and user@@bad and <ip>"
+
+    def test_stats_and_residue(self, spark):
+        d = spark.createDataFrame(
+            [(0, "a@b.io and c@d.io from 10.0.0.1"),
+             (1, "https://x.y z"),
+             (2, "plain")],
+            "doc_id long, text string")
+        rows = {r["kind"]: r for r in scrub.scrub_stats(d).collect()}
+        assert rows["email"]["n_matches"] == 2
+        assert rows["email"]["n_docs"] == 1
+        assert rows["url"]["n_matches"] == 1
+        assert rows["ipv4"]["n_docs"] == 1
+        assert rows["phone"]["n_matches"] == 0
+        assert all(r["n_after"] == 0 for r in rows.values())
+
+    def test_url_consumes_embedded_address(self, spark):
+        # ordering: an address inside a URL is part of the <url> mask,
+        # never half-masked by a later rule
+        d = spark.createDataFrame(
+            [(0, "see https://h.io/u@v.com/10.0.0.1 end")],
+            "doc_id long, text string")
+        out = scrub.with_scrubbed(d).collect()[0]["scrubbed"]
+        assert out == "see <url> end"
 
 
 class TestTextstats:
