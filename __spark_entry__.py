@@ -1467,7 +1467,7 @@ def q_simhash(spark, sf_dir):
     """60-bit simhash per doc; the DuckDB oracle replays the bit-vote
     exactly (md5-prefix hex → bigint via 0x-cast, shifts, majority)."""
     docs = _tp(spark, sf_dir, "documents")
-    return dedup.with_simhash(docs, "text").select("doc_id", "simhash")
+    return dedup.simhash_signatures(docs, "text")
 
 
 def q_knn_brute(spark, sf_dir):

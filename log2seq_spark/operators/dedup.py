@@ -178,28 +178,42 @@ def dedup_decisions(docs: DataFrame, text_col: str = "text",
               .select(id_col, decision.alias("decision")))
 
 
-def with_simhash(df: DataFrame, text_col: str = "text",
-                 id_col: str = "doc_id", out_col: str = "simhash") -> DataFrame:
-    """60-bit SimHash keyed by ``id_col``: each token's md5 prefix
-    (15 hex chars → below 2^60, exact in bigint) is a bit lattice;
-    majority-vote each bit. Shaped as explode → one hash-aggregate with 60
-    vectorized bit-vote sums (an earlier nested higher-order-function
-    formulation ran ~50× slower — interpreted lambda aggregates, no
-    codegen). Docs with no tokens get simhash 0."""
+def simhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       out_col: str = "simhash") -> DataFrame:
+    """Narrow ``(id_col, out_col)`` 60-bit SimHash table: each token's
+    md5 prefix (15 hex chars → below 2^60, exact in bigint) is a bit
+    lattice; majority-vote each bit. Shaped as one explode_outer → one
+    hash-aggregate with 60 vectorized bit-vote sums (an earlier nested
+    higher-order-function formulation ran ~50× slower — interpreted
+    lambda aggregates, no codegen). ``explode_outer`` keeps token-less
+    docs as a single null-token row so every doc appears in the
+    aggregate (simhash 0) WITHOUT a join back to the input — callers
+    that only need signatures (e.g. a dedup key) skip that shuffle and
+    the second full-table scan entirely."""
     norm = normalized_text(F.col(text_col))
-    toks = (df.select(F.col(id_col),
-                      F.explode(F.split(norm, " ")).alias("_w"))
-              .filter(F.col("_w") != "")
+    words = F.array_remove(F.split(norm, " "), "")
+    toks = (df.select(F.col(id_col), F.explode_outer(words).alias("_w"))
               .withColumn("_h", F.conv(F.substring(F.md5("_w"), 1, 15), 16, 10)
                                   .cast("bigint")))
-    votes = [F.sum(F.when(F.shiftright("_h", b).bitwiseAND(F.lit(1)) == 1,
-                          1).otherwise(-1)).alias(f"_b{b}")
+    votes = [F.sum(F.when(F.col("_w").isNull(), 0)
+                    .when(F.shiftright("_h", b).bitwiseAND(F.lit(1)) == 1, 1)
+                    .otherwise(-1)).alias(f"_b{b}")
              for b in range(60)]
     agg = toks.groupBy(id_col).agg(*votes)
     sim = sum(F.shiftleft(F.when(F.col(f"_b{b}") > 0, 1).otherwise(0)
                           .cast("bigint"), b)
               for b in range(60))
-    hashed = agg.select(F.col(id_col), sim.alias(out_col))
+    return agg.select(F.col(id_col), sim.alias(out_col))
+
+
+def with_simhash(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", out_col: str = "simhash") -> DataFrame:
+    """``df`` with a ``out_col`` 60-bit SimHash column appended (see
+    :func:`simhash_signatures` for the hash itself). Costs one extra
+    shuffle to re-attach the full row; callers that only consume
+    ``(id, simhash)`` should use ``simhash_signatures`` directly."""
+    hashed = simhash_signatures(df, text_col, id_col, out_col)
     return (df.join(hashed, id_col, "left")
               .withColumn(out_col, F.coalesce(out_col, F.lit(0).cast("bigint"))))
 
