@@ -1796,14 +1796,35 @@ _SQL_SCRUB = _sql_scrub()
 
 
 def q_winnow_fingerprints(spark, sf_dir):
-    """Winnowing (rolling k-gram window-min) fingerprints: per-doc count
-    + min fingerprint. Oracle replays the k-gram md5 hashes and the
-    trailing-window string-min selection exactly."""
-    fps = textstats.winnow_fingerprints(
-        _tp(spark, sf_dir, "documents"), k=5, window=4)
-    return fps.groupBy("doc_id").agg(
-        F.count("*").alias("n_fp"), F.min("fp").alias("min_fp"),
+    """Winnowing (rolling k-gram window-min) fingerprints, both consumer
+    shapes in one labeled row set: kind='doc' is the per-doc profile
+    (count + min fingerprint + truncation flag); kind='pair' is the
+    MOSS-style shared-substring join (docs sharing >= 5 selected
+    fingerprints via a df-capped inverted index — the contamination /
+    quotation detector whole-doc similarity dilutes away). Oracle
+    replays the k-gram md5 hashes, the trailing-window string-min
+    selection, and the capped self-join exactly."""
+    # the window-function fingerprint subtree feeds both the doc-profile
+    # and the pair branches — materialize it once (same _feed memo the
+    # Jaccard pair feed uses; wall-clock only, never answers)
+    fps = _feed(spark, ("winnow_fps", sf_dir),
+                lambda: textstats.winnow_fingerprints(
+                    _tp(spark, sf_dir, "documents"), k=5, window=4))
+    docs = fps.groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.min("fp").alias("min_fp"),
         F.max(F.col("truncated").cast("int")).alias("truncated"))
+    doc_rows = docs.select(
+        F.lit("doc").alias("kind"), F.col("doc_id").alias("id_a"),
+        F.lit(None).cast("bigint").alias("id_b"), "n", "min_fp",
+        "truncated")
+    pairs = textstats.fingerprint_dup_pairs(
+        fps, min_shared=5, max_docs_per_fp=50)
+    pair_rows = pairs.select(
+        F.lit("pair").alias("kind"), "id_a", "id_b",
+        F.col("n_shared_fp").alias("n"),
+        F.lit(None).cast("string").alias("min_fp"),
+        F.lit(None).cast("int").alias("truncated"))
+    return doc_rows.unionByName(pair_rows)
 
 
 _SQL_WINNOW = f"""
@@ -1826,11 +1847,25 @@ WITH norm AS (
   SELECT doc_id,
          cast(length(t) - 4 > 2000 AS INTEGER) AS truncated
   FROM norm
+), rare AS (
+  SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50
+), posts AS (
+  SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp)
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         cast(count(*) AS BIGINT) AS n
+  FROM posts a JOIN posts b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 5
 )
-SELECT f.doc_id, count(*) AS n_fp, min(f.fp) AS min_fp,
+SELECT 'doc' AS kind, f.doc_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
+       cast(count(*) AS BIGINT) AS n, min(f.fp) AS min_fp,
        max(tr.truncated) AS truncated
 FROM fps f JOIN trunc tr ON f.doc_id = tr.doc_id
 GROUP BY f.doc_id
+UNION ALL
+SELECT 'pair' AS kind, id_a, id_b, n, CAST(NULL AS VARCHAR) AS min_fp,
+       CAST(NULL AS INTEGER) AS truncated
+FROM pairs
 """
 
 

@@ -218,3 +218,46 @@ def winnow_fingerprints(docs: DataFrame, text_col: str = "text",
     sel = grams.withColumn("_wmin", F.min("fp").over(w))
     return (sel.filter(F.col("fp") == F.col("_wmin"))
                .select(id_col, "fp", "truncated").distinct())
+
+
+def fingerprint_dup_pairs(fps: DataFrame, id_col: str = "doc_id",
+                          fp_col: str = "fp", min_shared: int = 5,
+                          max_docs_per_fp: int = 50) -> DataFrame:
+    """MOSS-style shared-substring candidate pairs over winnowing
+    fingerprints (Schleimer et al. SIGMOD 2003 §4 — the public
+    plagiarism-detection join): two documents sharing ``min_shared``
+    selected fingerprints share at least that many k-gram substrings,
+    which whole-document similarity (MinHash / Jaccard over all
+    shingles) dilutes away when the docs are otherwise different —
+    this is the contamination / quotation / boilerplate detector.
+
+    Shape at scale: inverted-index equi-join on the fingerprint — never
+    all-pairs. ``max_docs_per_fp`` drops stop-fingerprints whose
+    document frequency exceeds the cap BEFORE the self-join (one
+    fingerprint shared by 10⁶ docs would otherwise materialize 10¹²
+    candidate rows; a that-common substring carries no pair signal —
+    same treatment as :func:`~log2seq_spark.operators.dedup.\
+ngram_jaccard_pairs`'s ``max_docs_per_shingle``). The per-pair count
+    is a map-side-combinable hash aggregate.
+
+    Returns (id_a, id_b, n_shared_fp) with ``id_a < id_b``.
+
+    The inverted index is a posting-LIST aggregate (one groupBy on the
+    fingerprint, arrays bounded by the cap) followed by a double explode
+    — candidate generation touches the fingerprint input exactly ONCE
+    and needs no self-join: an earlier two-leg join formulation scanned
+    the (expensive, window-function) fingerprint subtree once per leg,
+    tripling wall-clock when the caller doesn't persist it.
+    """
+    posting = (fps.select(F.col(id_col).alias("_id"),
+                          F.col(fp_col).alias("_fp"))
+                  .distinct()
+                  .groupBy("_fp")
+                  .agg(F.collect_list("_id").alias("_ids"))
+                  .filter(F.size("_ids") <= max_docs_per_fp))
+    cand = (posting.select(F.explode("_ids").alias("id_a"), "_ids")
+                   .select("id_a", F.explode("_ids").alias("id_b"))
+                   .filter(F.col("id_a") < F.col("id_b")))
+    return (cand.groupBy("id_a", "id_b")
+                .agg(F.count("*").alias("n_shared_fp"))
+                .filter(F.col("n_shared_fp") >= min_shared))

@@ -522,6 +522,40 @@ class TestTextstats:
               textstats.fingerprint(d).collect()}
         assert fp[0] == fp[1] != fp[2]
 
+    def test_fingerprint_dup_pairs(self, spark):
+        # docs 0/1 share a long substring buried in otherwise-different
+        # text — the MOSS case whole-doc similarity dilutes away
+        quote = ("the quick brown fox jumped over the lazy sleeping dog "
+                 "while nobody watched the garden gate")
+        d = spark.createDataFrame(
+            [(0, "intro words before. " + quote + " trailing stuff one"),
+             (1, "completely different framing here: " + quote + " bye"),
+             (2, "no overlap at all in this document body whatsoever"),
+             (3, "another unrelated piece of text content right here")],
+            "doc_id long, text string")
+        fps = textstats.winnow_fingerprints(d, k=5, window=4)
+        pairs = {(r["id_a"], r["id_b"]): r["n_shared_fp"]
+                 for r in textstats.fingerprint_dup_pairs(
+                     fps, min_shared=5).collect()}
+        assert (0, 1) in pairs and pairs[(0, 1)] >= 5
+        assert all(p == (0, 1) for p in pairs)
+        # ordering invariant: id_a < id_b always
+        assert all(a < b for a, b in pairs)
+
+    def test_fingerprint_dup_pairs_df_cap(self, spark):
+        # a fingerprint present in EVERY doc is a stop-fingerprint: with
+        # the cap below the corpus size it must contribute no pairs
+        common = "all documents share this exact boilerplate preamble"
+        d = spark.createDataFrame(
+            [(i, common) for i in range(6)], "doc_id long, text string")
+        fps = textstats.winnow_fingerprints(d, k=5, window=4)
+        capped = textstats.fingerprint_dup_pairs(
+            fps, min_shared=1, max_docs_per_fp=5)
+        assert capped.count() == 0
+        uncapped = textstats.fingerprint_dup_pairs(
+            fps, min_shared=1, max_docs_per_fp=100)
+        assert uncapped.count() == 15  # all C(6,2) identical-doc pairs
+
 
 class TestMultimodal:
     def test_feature_extraction_plumbing(self, spark):
