@@ -1673,18 +1673,26 @@ def q_textstats_quality(spark, sf_dir):
     exercises all five textstats operators (folds the former
     ``token_stats`` / ``lang_id_counts`` / ``fingerprint_sources``
     queries so every operator sits inside the driver's 50-query
-    CORRECTNESS window)."""
+    CORRECTNESS window), plus the corpus-level C4 line-dedup profile
+    (``operators/dedup.py``: n_lines / n_corpus_dup_lines and the md5
+    of the line-deduplicated text — any reassembly-order error changes
+    the digest, so the oracle checks ``drop_duplicate_lines``
+    end-to-end)."""
     docs = _tp(spark, sf_dir, "documents")
     prof = textstats.repetition_stats(
         textstats.lang_id(
             textstats.fingerprint(
                 textstats.token_stats(
                     textstats.quality_features(docs)))))
-    return prof.select(
+    lstats = dedup.line_dedup_stats(docs)
+    clean = (dedup.drop_duplicate_lines(docs)
+                  .select("doc_id", F.md5("clean_text").alias("clean_md5")))
+    return (prof.select(
         "doc_id", "n_tokens", "mean_token_len", "punct_ratio",
         "stopword_ratio", "quality_score", "ws_tokens", "bpe_tokens",
         "predicted_lang", "fingerprint",
         "dup_trigram_ratio", "dup_line_ratio")
+        .join(lstats, "doc_id").join(clean, "doc_id"))
 
 
 _SQL_QUALITY = f"""
@@ -1715,8 +1723,30 @@ WITH base AS (
     {{'hits': len(list_filter(w, t -> list_contains(['der','die','und','das','ist','nicht','ein'], t))), 'lang': 'de'}},
     {{'hits': len(list_filter(w, t -> list_contains(['le','la','les','et','est','une','pas'], t))), 'lang': 'fr'}},
     {{'hits': len(list_filter(w, t -> list_contains(['el','la','los','y','es','una','que'], t))), 'lang': 'es'}}
-  ]) AS best FROM grams)
-SELECT doc_id, n_tokens,
+  ]) AS best FROM grams
+), lns AS (
+  SELECT doc_id, u.pos AS pos, u.line AS line
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(len(l)),
+                      i -> {{'pos': i, 'line': l[i+1]}})) AS u
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS l
+              FROM documents))
+), own AS (
+  SELECT line, min(doc_id) AS keeper, count(DISTINCT doc_id) AS ndocs
+  FROM lns WHERE line <> '' GROUP BY line
+), lstat AS (
+  SELECT l.doc_id, cast(count(*) AS BIGINT) AS n_lines,
+         cast(sum(CASE WHEN o.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_corpus_dup_lines
+  FROM lns l LEFT JOIN own o ON l.line = o.line GROUP BY l.doc_id
+), kept AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM lns l LEFT JOIN own o ON l.line = o.line
+  WHERE o.line IS NULL OR o.ndocs = 1 OR l.doc_id = o.keeper
+), clean AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS ct
+  FROM kept GROUP BY doc_id)
+SELECT s.doc_id, n_tokens,
        round((n_chars - (n_tokens - 1)) / greatest(n_tokens, 1), 4) AS mean_token_len,
        round(n_punct / greatest(n_chars, 1), 4) AS punct_ratio,
        round(stop_hits / greatest(n_tokens, 1), 4) AS stopword_ratio,
@@ -1734,8 +1764,12 @@ SELECT doc_id, n_tokens,
             ELSE 0.0 END AS dup_trigram_ratio,
        CASE WHEN len(lines) > 1
             THEN round(1.0 - len(list_distinct(lines)) / len(lines), 4)
-            ELSE 0.0 END AS dup_line_ratio
-FROM scored
+            ELSE 0.0 END AS dup_line_ratio,
+       lstat.n_lines, lstat.n_corpus_dup_lines,
+       md5(coalesce(cl.ct, '')) AS clean_md5
+FROM scored s
+JOIN lstat ON s.doc_id = lstat.doc_id
+LEFT JOIN clean cl ON s.doc_id = cl.doc_id
 """
 
 

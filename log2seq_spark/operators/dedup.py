@@ -560,3 +560,73 @@ def contamination_report(train: DataFrame, evalset: DataFrame,
                 .select(F.col("_id").alias(id_col), "n_shingles", "n_overlap",
                         F.round(ratio, 6).alias("overlap_ratio"),
                         (ratio >= threshold).alias("contaminated")))
+
+
+def line_ownership(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Internal feed for corpus-level line dedup: one row per (doc,
+    line position) with the line's corpus ownership — ``_ndocs`` =
+    number of distinct documents containing this exact line, ``_keeper``
+    = the lowest document id among them. Empty lines are never dup
+    candidates (``_ndocs``/``_keeper`` null): deduplicating blank
+    separators would silently reflow every document.
+
+    Shape at scale: explode to one row per line (bounded by text
+    volume), a distinct + one hash aggregate on the line's md5 (small
+    shuffle keys instead of raw line strings), one equi-join back.
+    """
+    lines = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+    keyed = lines.withColumn(
+        "_h", F.when(F.col("line") != "", F.md5("line")))
+    own = (keyed.filter(F.col("_h").isNotNull())
+                .select("_id", "_h").distinct()
+                .groupBy("_h")
+                .agg(F.min("_id").alias("_keeper"),
+                     F.count("*").alias("_ndocs")))
+    return keyed.join(own, "_h", "left").drop("_h")
+
+
+def line_dedup_stats(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-doc corpus-level duplicate-line profile (the C4 line-dedup
+    signal — Raffel et al. 2020 §2.2 discard duplicate lines across the
+    corpus; distinct from :func:`~log2seq_spark.operators.textstats.\
+repetition_stats`'s WITHIN-doc ``dup_line_ratio``). Returns
+    (``id_col``, n_lines, n_corpus_dup_lines): how many of this doc's
+    non-empty lines also appear verbatim in at least one OTHER doc."""
+    own = line_ownership(docs, text_col, id_col)
+    return (own.groupBy("_id")
+               .agg(F.count("*").alias("n_lines"),
+                    F.sum(F.when(F.col("_ndocs") > 1, 1).otherwise(0))
+                     .alias("n_corpus_dup_lines"))
+               .withColumnRenamed("_id", id_col))
+
+
+def drop_duplicate_lines(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """C4-style corpus-level line deduplication: a non-empty line that
+    occurs verbatim in more than one document is kept ONLY in the
+    lowest-id document (deterministic first-occurrence rule — order-free
+    and replayable in ANSI SQL); every other occurrence is removed.
+    Empty lines always survive (see :func:`line_ownership`). Returns
+    (``id_col``, clean_text) for EVERY input doc — a doc whose lines
+    were all removed comes back with empty text, not silently dropped.
+
+    Reassembly is a per-doc sort of (position, line) structs collected
+    from the kept rows — partitioned by doc id, no global sort."""
+    own = line_ownership(docs, text_col, id_col)
+    kept = own.filter(F.col("_ndocs").isNull()
+                      | (F.col("_ndocs") == 1)
+                      | (F.col("_id") == F.col("_keeper")))
+    clean = (kept.groupBy("_id")
+                 .agg(F.array_sort(F.collect_list(
+                     F.struct("pos", "line"))).alias("_arr"))
+                 .select("_id", F.concat_ws(
+                     "\n", F.col("_arr.line")).alias("clean_text")))
+    return (docs.select(F.col(id_col).alias("_id")).distinct()
+                .join(clean, "_id", "left")
+                .select(F.col("_id").alias(id_col),
+                        F.coalesce("clean_text", F.lit(""))
+                         .alias("clean_text")))

@@ -190,6 +190,34 @@ class TestDedup:
             dedup.hyperplane_signatures(embs, n_planes=8, bands=4,
                                         dim=8).collect()
 
+    def test_line_dedup_corpus_wide(self, spark):
+        # C4-style corpus-level line dedup: a line shared across docs
+        # survives only in the lowest-id doc; empty lines always survive;
+        # a doc whose every non-empty line is owned elsewhere comes back
+        # with only its blanks (or empty text), never silently dropped.
+        rows = [
+            (0, "shared header\nunique zero\n\nshared footer"),
+            (1, "shared header\nunique one\nshared footer"),
+            (2, "shared header"),
+            (3, "solo doc\nsolo doc"),   # within-doc repeat, corpus-unique
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+        stats = {r["doc_id"]: (r["n_lines"], r["n_corpus_dup_lines"])
+                 for r in dedup.line_dedup_stats(docs).collect()}
+        assert stats[0] == (4, 2)   # header+footer shared; blank not counted
+        assert stats[1] == (3, 2)
+        assert stats[2] == (1, 1)
+        assert stats[3] == (2, 0)   # within-doc repeat is not a corpus dup
+
+        clean = {r["doc_id"]: r["clean_text"]
+                 for r in dedup.drop_duplicate_lines(docs).collect()}
+        assert clean[0] == "shared header\nunique zero\n\nshared footer"
+        assert clean[1] == "unique one"       # both shared lines removed
+        assert clean[2] == ""                 # all lines removed, doc kept
+        assert clean[3] == "solo doc\nsolo doc"
+        assert set(clean) == {0, 1, 2, 3}
+
 
 class TestSimilarity:
     def test_brute_topk(self, spark):
