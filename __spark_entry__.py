@@ -1225,12 +1225,118 @@ SELECT 'words' AS source, w.* FROM ({_SQL_TEMPLATES_WORDS}) w
 
 
 def q_dedup_exact(spark, sf_dir):
-    return dedup.exact_duplicates(_t(spark, sf_dir, "documents"))
+    """Exact dedup at both granularities in one labeled row set:
+    kind='group' is whole-document hash dedup
+    (``operators/dedup.py::exact_duplicates``); kind='span' is the
+    per-doc exact duplicate-SUBSTRING profile (Lee et al. 2022-style
+    k-token window dedup, ``duplicate_span_stats`` +
+    ``drop_duplicate_spans`` — the exact counterpart to the winnowing
+    approximation) with the md5 of the span-deduplicated text, so the
+    oracle value-checks window hashing, keeper election, interval merge
+    AND token reassembly end-to-end."""
+    docs = _tp(spark, sf_dir, "documents")
+    groups = dedup.exact_duplicates(docs).select(
+        F.lit("group").alias("kind"), "text_hash", "n_docs", "keep_id",
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("long").alias("n_toks"),
+        F.lit(None).cast("long").alias("n_windows"),
+        F.lit(None).cast("long").alias("n_dup_windows"),
+        F.lit(None).cast("long").alias("n_spans"),
+        F.lit(None).cast("long").alias("dup_tokens"),
+        F.lit(None).cast("string").alias("clean_md5"))
+    # stats + clean-text branches share one persisted ownership subtree
+    # (window hashes are the expensive part; same _feed memo as winnow)
+    own = _feed(spark, ("span_own", sf_dir),
+                lambda: dedup.duplicate_window_ownership(docs, k=8))
+    stats = dedup.duplicate_span_stats(docs, k=8, ownership=own)
+    clean = (dedup.drop_duplicate_spans(docs, k=8, ownership=own)
+                  .select("doc_id", F.md5("clean_text").alias("clean_md5")))
+    span_rows = (stats.join(clean, "doc_id").select(
+        F.lit("span").alias("kind"),
+        F.lit(None).cast("string").alias("text_hash"),
+        F.lit(None).cast("long").alias("n_docs"),
+        F.lit(None).cast("long").alias("keep_id"),
+        "doc_id", F.col("n_toks").cast("long").alias("n_toks"),
+        "n_windows", "n_dup_windows", "n_spans", "dup_tokens",
+        "clean_md5"))
+    return groups.unionByName(span_rows)
 
 
-_SQL_DEDUP_EXACT = """
-SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_id
-FROM documents GROUP BY 1 HAVING count(*) > 1
+_SQL_DEDUP_EXACT = f"""
+WITH grp AS (
+  SELECT md5(text) AS text_hash, cast(count(*) AS BIGINT) AS n_docs,
+         min(doc_id) AS keep_id
+  FROM documents GROUP BY 1 HAVING count(*) > 1
+), w AS (
+  SELECT doc_id, list_filter(string_split({_NORM}, ' '), t -> t <> '') AS w
+  FROM documents
+), wh AS (
+  SELECT doc_id, u - 1 AS pos,
+         md5(array_to_string(w[u:u+7], chr(30))) AS h
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS u
+        FROM w WHERE len(w) >= 8)
+), own AS (
+  SELECT h, min(doc_id) AS keeper, count(DISTINCT doc_id) AS ndocs
+  FROM (SELECT DISTINCT doc_id, h FROM wh) GROUP BY h
+), dupw AS (
+  SELECT wh.doc_id, wh.pos
+  FROM wh JOIN own USING (h)
+  WHERE own.ndocs > 1 AND wh.doc_id <> own.keeper
+), marked AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - coalesce(max(pos) OVER
+              (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -100)
+              >= 8 THEN 1 ELSE 0 END AS brk
+  FROM dupw
+), cov AS (
+  SELECT DISTINCT doc_id, idx
+  FROM (SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS idx
+        FROM dupw)
+), toks AS (
+  SELECT doc_id, u.idx AS idx, u.t AS t
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(len(w)),
+                      i -> {{'idx': i, 't': w[i+1]}})) AS u
+        FROM w)
+), kept AS (
+  SELECT t.doc_id, t.idx, t.t
+  FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.idx = c.idx
+  WHERE c.idx IS NULL
+), clean AS (
+  SELECT doc_id, string_agg(t, ' ' ORDER BY idx) AS ct
+  FROM kept GROUP BY doc_id
+), span_rows AS (
+  SELECT w.doc_id,
+         cast(len(w.w) AS BIGINT) AS n_toks,
+         coalesce(ws.n_windows, 0) AS n_windows,
+         coalesce(dw.n_dup, 0) AS n_dup_windows,
+         coalesce(ss.n_spans, 0) AS n_spans,
+         coalesce(cs.dup_tokens, 0) AS dup_tokens,
+         md5(coalesce(cl.ct, '')) AS clean_md5
+  FROM w
+  LEFT JOIN (SELECT doc_id, cast(count(*) AS BIGINT) AS n_windows
+             FROM wh GROUP BY doc_id) ws USING (doc_id)
+  LEFT JOIN (SELECT doc_id, cast(count(*) AS BIGINT) AS n_dup
+             FROM dupw GROUP BY doc_id) dw USING (doc_id)
+  LEFT JOIN (SELECT doc_id, cast(sum(brk) AS BIGINT) AS n_spans
+             FROM marked GROUP BY doc_id) ss USING (doc_id)
+  LEFT JOIN (SELECT doc_id, cast(count(*) AS BIGINT) AS dup_tokens
+             FROM cov GROUP BY doc_id) cs USING (doc_id)
+  LEFT JOIN clean cl USING (doc_id)
+)
+SELECT 'group' AS kind, text_hash, n_docs, keep_id,
+       cast(NULL AS BIGINT) AS doc_id, cast(NULL AS BIGINT) AS n_toks,
+       cast(NULL AS BIGINT) AS n_windows,
+       cast(NULL AS BIGINT) AS n_dup_windows,
+       cast(NULL AS BIGINT) AS n_spans, cast(NULL AS BIGINT) AS dup_tokens,
+       cast(NULL AS VARCHAR) AS clean_md5
+FROM grp
+UNION ALL
+SELECT 'span', cast(NULL AS VARCHAR), cast(NULL AS BIGINT),
+       cast(NULL AS BIGINT), doc_id, n_toks, n_windows, n_dup_windows,
+       n_spans, dup_tokens, clean_md5
+FROM span_rows
 """
 
 def q_dedup_minhash_lsh(spark, sf_dir):

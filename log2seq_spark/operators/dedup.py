@@ -630,3 +630,129 @@ def drop_duplicate_lines(docs: DataFrame, text_col: str = "text",
                 .select(F.col("_id").alias(id_col),
                         F.coalesce("clean_text", F.lit(""))
                          .alias("clean_text")))
+
+
+def duplicate_window_ownership(docs: DataFrame, k: int = 8,
+                               text_col: str = "text",
+                               id_col: str = "doc_id") -> DataFrame:
+    """Internal feed for exact substring-span dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): one row
+    per (doc, k-token window position) over :func:`normalized_text`
+    tokens, annotated with corpus ownership of that window's content —
+    ``_ndocs`` = distinct docs containing the same k-token run,
+    ``_keeper`` = the lowest doc id among them. Docs shorter than ``k``
+    tokens emit one null-window row (``pos``/``_h`` null) so they stay
+    visible to per-doc consumers without a second join; full-doc dups of
+    short docs are :func:`exact_duplicates`' job.
+
+    Shape at scale: window hashes are built per-row with higher-order
+    functions (no shuffle), exploded to ~n_tokens rows (bounded by text
+    volume, same as any shingle pass), then ONE distinct + hash
+    aggregate on the 32-char window hash and ONE equi-join back —
+    identical skeleton to :func:`line_ownership`, no self-join, no pair
+    explosion.
+    """
+    toks = F.filter(F.split(normalized_text(F.col(text_col)), " "),
+                    lambda t: t != "")
+    base = docs.select(F.col(id_col).alias("_id"), toks.alias("_w"))
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.size("_w") - F.lit(k - 1)),
+        lambda i: F.md5(F.array_join(F.slice("_w", i, k), "\x1e")))
+    # sequence(1, m) runs DESCENDING when m < 1 — guard short docs
+    wins = F.when(F.size("_w") >= k, hashes) \
+            .otherwise(F.array().cast("array<string>"))
+    rows = base.select(
+        "_id", F.size("_w").alias("n_toks"),
+        F.posexplode_outer(wins).alias("pos", "_h"))
+    own = (rows.filter(F.col("_h").isNotNull())
+               .select("_id", "_h").distinct()
+               .groupBy("_h")
+               .agg(F.min("_id").alias("_keeper"),
+                    F.count("*").alias("_ndocs")))
+    return rows.join(own, "_h", "left").drop("_h")
+
+
+def _is_dup_window():
+    """A window occurrence is removable when its content exists in more
+    than one doc and this doc is not the designated keeper."""
+    return (F.col("_ndocs") > 1) & (F.col("_id") != F.col("_keeper"))
+
+
+def duplicate_span_stats(docs: DataFrame, k: int = 8,
+                         text_col: str = "text",
+                         id_col: str = "doc_id",
+                         ownership: DataFrame | None = None) -> DataFrame:
+    """Per-doc exact duplicate-substring profile: how much of each doc
+    is covered by k-token runs that also appear verbatim in another
+    (lower-id) document. Returns (``id_col``, n_toks, n_windows,
+    n_dup_windows, n_spans, dup_tokens): ``n_spans`` = count of merged
+    maximal duplicated spans, ``dup_tokens`` = token positions covered
+    by at least one removable window.
+
+    Span merge runs as a single ``aggregate`` fold over the per-doc
+    sorted dup-window position array (state = (spans, covered,
+    prev_end)) — per-doc work bounded by doc length, no window-function
+    shuffle beyond the one groupBy.
+
+    ``ownership`` lets a caller that also runs
+    :func:`drop_duplicate_spans` share (e.g. persist) one
+    :func:`duplicate_window_ownership` subtree instead of computing the
+    window hashes twice."""
+    own = (ownership if ownership is not None
+           else duplicate_window_ownership(docs, k, text_col, id_col))
+    per = (own.groupBy("_id", "n_toks")
+              .agg(F.count("pos").alias("n_windows"),
+                   F.sum(F.when(_is_dup_window(), 1).otherwise(0))
+                    .alias("n_dup_windows"),
+                   F.array_sort(F.collect_list(
+                       F.when(_is_dup_window(), F.col("pos")))).alias("_dp")))
+    fold = F.aggregate(
+        "_dp",
+        F.struct(F.lit(0).cast("long").alias("spans"),
+                 F.lit(0).cast("long").alias("covered"),
+                 F.lit(-1).cast("long").alias("prev_end")),
+        lambda acc, p: F.struct(
+            (acc["spans"] + F.when(p > acc["prev_end"], 1).otherwise(0)
+             ).alias("spans"),
+            (acc["covered"] + F.when(p > acc["prev_end"], F.lit(k))
+              .otherwise(p + F.lit(k - 1) - acc["prev_end"])).alias("covered"),
+            F.greatest(acc["prev_end"], p + F.lit(k - 1)).alias("prev_end")))
+    return (per.select(F.col("_id").alias(id_col), "n_toks", "n_windows",
+                       "n_dup_windows",
+                       fold["spans"].alias("n_spans"),
+                       fold["covered"].alias("dup_tokens")))
+
+
+def drop_duplicate_spans(docs: DataFrame, k: int = 8,
+                         text_col: str = "text",
+                         id_col: str = "doc_id",
+                         ownership: DataFrame | None = None) -> DataFrame:
+    """Exact substring-span deduplication: remove every token covered by
+    a removable duplicate window (see :func:`duplicate_window_ownership`
+    — content kept intact in the lowest-id owner). Returns (``id_col``,
+    clean_text) for EVERY input doc. clean_text is reassembled from the
+    surviving NORMALIZED tokens (lowercased, punctuation stripped,
+    single-space joined) — span dedup operates on the token stream, so
+    original byte-level formatting is not preserved; use
+    :func:`drop_duplicate_lines` for layout-preserving dedup."""
+    own = (ownership if ownership is not None
+           else duplicate_window_ownership(docs, k, text_col, id_col))
+    covered = (own.filter(_is_dup_window())
+                  .select("_id", F.explode(F.sequence(
+                      "pos", F.col("pos") + F.lit(k - 1))).alias("idx"))
+                  .distinct())
+    toks = F.filter(F.split(normalized_text(F.col(text_col)), " "),
+                    lambda t: t != "")
+    tok_rows = (docs.select(F.col(id_col).alias("_id"), toks.alias("_w"))
+                    .select("_id", F.posexplode("_w").alias("idx", "tok")))
+    kept = tok_rows.join(covered, ["_id", "idx"], "left_anti")
+    clean = (kept.groupBy("_id")
+                 .agg(F.array_sort(F.collect_list(
+                     F.struct("idx", "tok"))).alias("_arr"))
+                 .select("_id", F.concat_ws(
+                     " ", F.col("_arr.tok")).alias("clean_text")))
+    return (docs.select(F.col(id_col).alias("_id")).distinct()
+                .join(clean, "_id", "left")
+                .select(F.col("_id").alias(id_col),
+                        F.coalesce("clean_text", F.lit(""))
+                         .alias("clean_text")))

@@ -218,6 +218,34 @@ class TestDedup:
         assert clean[3] == "solo doc\nsolo doc"
         assert set(clean) == {0, 1, 2, 3}
 
+    def test_duplicate_span_dedup(self, spark):
+        # Lee et al.-style exact substring dedup over k-token windows:
+        # a 10-token run shared between docs 0/1 survives only in doc 0;
+        # doc with < k tokens is untouched (zero windows, exact dedup's
+        # job); interval merge counts one span, not three windows.
+        shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = [
+            (0, shared + " unique0 tail0"),
+            (1, shared + " unique1 tail1"),
+            (2, "totally different words here nothing shared at all "
+                "with others content"),
+            (3, "short doc"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        stats = {r["doc_id"]: r.asDict()
+                 for r in dedup.duplicate_span_stats(docs, k=8).collect()}
+        assert stats[0]["n_dup_windows"] == 0          # keeper untouched
+        assert stats[1]["n_dup_windows"] == 3          # windows @0,1,2
+        assert stats[1]["n_spans"] == 1                # merged interval
+        assert stats[1]["dup_tokens"] == 10            # positions 0..9
+        assert stats[3]["n_windows"] == 0              # < k tokens
+        clean = {r["doc_id"]: r["clean_text"]
+                 for r in dedup.drop_duplicate_spans(docs, k=8).collect()}
+        assert clean[0] == shared + " unique0 tail0"
+        assert clean[1] == "unique1 tail1"
+        assert clean[3] == "short doc"
+        assert set(clean) == {0, 1, 2, 3}
+
 
 class TestSimilarity:
     def test_brute_topk(self, spark):
