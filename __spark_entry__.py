@@ -1790,8 +1790,10 @@ def q_textstats_quality(spark, sf_dir):
             textstats.fingerprint(
                 textstats.token_stats(
                     textstats.quality_features(docs)))))
-    lstats = dedup.line_dedup_stats(docs)
-    clean = (dedup.drop_duplicate_lines(docs)
+    lown = _feed(spark, ("line_own", sf_dir),
+                 lambda: dedup.line_ownership(docs))
+    lstats = dedup.line_dedup_stats(docs, ownership=lown)
+    clean = (dedup.drop_duplicate_lines(docs, ownership=lown)
                   .select("doc_id", F.md5("clean_text").alias("clean_md5")))
     return (prof.select(
         "doc_id", "n_tokens", "mean_token_len", "punct_ratio",

@@ -589,14 +589,19 @@ def line_ownership(docs: DataFrame, text_col: str = "text",
 
 
 def line_dedup_stats(docs: DataFrame, text_col: str = "text",
-                     id_col: str = "doc_id") -> DataFrame:
+                     id_col: str = "doc_id",
+                     ownership: DataFrame | None = None) -> DataFrame:
     """Per-doc corpus-level duplicate-line profile (the C4 line-dedup
     signal — Raffel et al. 2020 §2.2 discard duplicate lines across the
     corpus; distinct from :func:`~log2seq_spark.operators.textstats.\
 repetition_stats`'s WITHIN-doc ``dup_line_ratio``). Returns
     (``id_col``, n_lines, n_corpus_dup_lines): how many of this doc's
-    non-empty lines also appear verbatim in at least one OTHER doc."""
-    own = line_ownership(docs, text_col, id_col)
+    non-empty lines also appear verbatim in at least one OTHER doc.
+
+    ``ownership`` shares one (possibly persisted)
+    :func:`line_ownership` subtree with :func:`drop_duplicate_lines`."""
+    own = (ownership if ownership is not None
+           else line_ownership(docs, text_col, id_col))
     return (own.groupBy("_id")
                .agg(F.count("*").alias("n_lines"),
                     F.sum(F.when(F.col("_ndocs") > 1, 1).otherwise(0))
@@ -605,7 +610,8 @@ repetition_stats`'s WITHIN-doc ``dup_line_ratio``). Returns
 
 
 def drop_duplicate_lines(docs: DataFrame, text_col: str = "text",
-                         id_col: str = "doc_id") -> DataFrame:
+                         id_col: str = "doc_id",
+                         ownership: DataFrame | None = None) -> DataFrame:
     """C4-style corpus-level line deduplication: a non-empty line that
     occurs verbatim in more than one document is kept ONLY in the
     lowest-id document (deterministic first-occurrence rule — order-free
@@ -616,7 +622,8 @@ def drop_duplicate_lines(docs: DataFrame, text_col: str = "text",
 
     Reassembly is a per-doc sort of (position, line) structs collected
     from the kept rows — partitioned by doc id, no global sort."""
-    own = line_ownership(docs, text_col, id_col)
+    own = (ownership if ownership is not None
+           else line_ownership(docs, text_col, id_col))
     kept = own.filter(F.col("_ndocs").isNull()
                       | (F.col("_ndocs") == 1)
                       | (F.col("_id") == F.col("_keeper")))

@@ -315,3 +315,104 @@ class TestLogTailProperty:
         # line numbers must be gapless and 1-based
         rows, _ = reader.read(reader.initialOffset())
         assert [n for (_, n, _) in rows] == list(range(1, len(emitted) + 1))
+
+
+class TestCorpusDedupProperty:
+    """Randomized equivalence of the corpus-level dedup operators
+    against direct pure-Python models: whatever the corpus, the Spark
+    plans must reproduce the declared keeper/coverage semantics
+    exactly."""
+
+    @staticmethod
+    def _random_corpus(rng, n_docs):
+        # small shared vocab + deliberately re-used lines so cross-doc
+        # duplicates are common; blank lines and trailing newlines mixed in
+        pool = [f"line {w} {x}" for w in ("aa", "bb", "cc", "dd")
+                for x in range(4)]
+        docs = []
+        for i in range(n_docs):
+            n = rng.randint(0, 6)
+            lines = [rng.choice(pool + ["", f"solo {i} {j}"])
+                     for j in range(n)]
+            docs.append((i, "\n".join(lines)))
+        return docs
+
+    def test_line_dedup_matches_python_model(self, spark):
+        import random
+        from collections import Counter
+        from log2seq_spark.operators import dedup
+        rng = random.Random(77)
+        for trial in range(5):
+            rows = self._random_corpus(rng, rng.randint(2, 12))
+            docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+            # model: ownership of each non-empty line
+            owner, ndocs = {}, Counter()
+            for i, t in rows:
+                for ln in set(t.split("\n")):
+                    if ln != "":
+                        ndocs[ln] += 1
+                        owner.setdefault(ln, i)
+            exp_stats, exp_clean = {}, {}
+            for i, t in rows:
+                lines = t.split("\n")
+                exp_stats[i] = (
+                    len(lines),
+                    sum(1 for ln in lines if ln != "" and ndocs[ln] > 1))
+                exp_clean[i] = "\n".join(
+                    ln for ln in lines
+                    if ln == "" or ndocs[ln] == 1 or owner[ln] == i)
+
+            got_stats = {r["doc_id"]: (r["n_lines"], r["n_corpus_dup_lines"])
+                         for r in dedup.line_dedup_stats(docs).collect()}
+            got_clean = {r["doc_id"]: r["clean_text"]
+                         for r in dedup.drop_duplicate_lines(docs).collect()}
+            assert got_stats == exp_stats, trial
+            assert got_clean == exp_clean, trial
+
+    def test_span_dedup_matches_python_model(self, spark):
+        import random
+        from log2seq_spark.operators import dedup
+        rng = random.Random(99)
+        k = 4
+        vocab = ["aa", "bb", "cc", "dd", "ee"]
+        for trial in range(5):
+            rows = []
+            for i in range(rng.randint(2, 10)):
+                n = rng.randint(0, 14)
+                rows.append((i, " ".join(rng.choice(vocab)
+                                         for _ in range(n))))
+            docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+            toks = {i: [w for w in t.split(" ") if w] for i, t in rows}
+            owner, ndocs = {}, {}
+            for i, w in toks.items():
+                for p in range(len(w) - k + 1):
+                    win = tuple(w[p:p + k])
+                    ndocs.setdefault(win, set()).add(i)
+                    owner[win] = min(owner.get(win, i), i)
+            exp = {}
+            exp_clean = {}
+            for i, w in toks.items():
+                covered = set()
+                dup_pos = []
+                for p in range(len(w) - k + 1):
+                    win = tuple(w[p:p + k])
+                    if len(ndocs[win]) > 1 and owner[win] != i:
+                        dup_pos.append(p)
+                        covered.update(range(p, p + k))
+                spans = sum(1 for j, p in enumerate(dup_pos)
+                            if j == 0 or p > dup_pos[j - 1] + k - 1)
+                exp[i] = (len(w), max(len(w) - k + 1, 0),
+                          len(dup_pos), spans, len(covered))
+                exp_clean[i] = " ".join(
+                    t for p, t in enumerate(w) if p not in covered)
+            got = {r["doc_id"]: (r["n_toks"], r["n_windows"],
+                                 r["n_dup_windows"], r["n_spans"],
+                                 r["dup_tokens"])
+                   for r in dedup.duplicate_span_stats(docs, k=k).collect()}
+            got_clean = {r["doc_id"]: r["clean_text"]
+                         for r in dedup.drop_duplicate_spans(
+                             docs, k=k).collect()}
+            assert got == exp, trial
+            assert got_clean == exp_clean, trial
