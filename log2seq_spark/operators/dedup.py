@@ -214,8 +214,10 @@ def with_simhash(df: DataFrame, text_col: str = "text",
     shuffle to re-attach the full row; callers that only consume
     ``(id, simhash)`` should use ``simhash_signatures`` directly."""
     hashed = simhash_signatures(df, text_col, id_col, out_col)
-    return (df.join(hashed, id_col, "left")
-              .withColumn(out_col, F.coalesce(out_col, F.lit(0).cast("bigint"))))
+    # inner join: explode_outer in simhash_signatures guarantees a
+    # signature row (possibly 0) for EVERY input doc, so no coalesce /
+    # outer join is needed to keep token-less docs
+    return df.join(hashed, id_col)
 
 
 def plane_sign_table(n_planes: int, dim: int) -> list[list[int]]:
@@ -382,11 +384,14 @@ def embedding_near_duplicates(embs: DataFrame, vec_col: str = "embedding",
                                 F.col("_norm").alias("nb")), "id_b"))
     else:
         if max_brute_rows is not None:
-            n = embs.count()
+            # limit(cap+1) bounds the guard's work to cap+1 rows (scan
+            # stops early) instead of eagerly evaluating the full input
+            # plan once before the crossJoin scans it again
+            n = embs.limit(max_brute_rows + 1).count()
             if n > max_brute_rows:
                 raise ValueError(
                     f"embedding_near_duplicates(n_planes=0) is the exact "
-                    f"O(n²) crossJoin baseline; input has {n} rows > "
+                    f"O(n²) crossJoin baseline; input exceeds "
                     f"max_brute_rows={max_brute_rows}. Use n_planes>0 "
                     f"(banded hyperplane LSH) at scale, or raise/disable "
                     f"max_brute_rows if the input really is small.")

@@ -61,14 +61,18 @@ def scrub_stats(docs: DataFrame, text_col: str = "text",
     One scan; counts are built-in sums, stacked to rows at the end
     (4 rows — the unpivot costs nothing).
     """
-    c = F.col(text_col)
-    scrubbed = scrub_expr(c, rules)
+    # stage the scrubbed text ONCE as a bound column: referencing the
+    # scrub_expr tree from each per-rule count column would re-run the
+    # whole regexp_replace chain per rule (same bound-columns-only
+    # discipline as textstats.repetition_stats)
+    pre = docs.select(F.col(text_col).alias("_t"),
+                      scrub_expr(F.col(text_col), rules).alias("_s"))
     cols = []
     for k, pat, _ in rules:
-        n = F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
-        a = F.size(F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0)))
+        n = F.size(F.regexp_extract_all("_t", F.lit(pat), F.lit(0)))
+        a = F.size(F.regexp_extract_all("_s", F.lit(pat), F.lit(0)))
         cols += [n.alias(f"_n_{k}"), a.alias(f"_a_{k}")]
-    staged = docs.select(*cols)
+    staged = pre.select(*cols)
     aggs = []
     for k, _, _ in rules:
         aggs += [F.sum(f"_n_{k}").alias(f"n_{k}"),

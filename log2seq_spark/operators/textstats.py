@@ -243,18 +243,27 @@ ngram_jaccard_pairs`'s ``max_docs_per_shingle``). The per-pair count
     Returns (id_a, id_b, n_shared_fp) with ``id_a < id_b``.
 
     The inverted index is a posting-LIST aggregate (one groupBy on the
-    fingerprint, arrays bounded by the cap) followed by a double explode
-    — candidate generation touches the fingerprint input exactly ONCE
-    and needs no self-join: an earlier two-leg join formulation scanned
-    the (expensive, window-function) fingerprint subtree once per leg,
-    tripling wall-clock when the caller doesn't persist it.
+    fingerprint) followed by a double explode — candidate generation
+    needs no self-join: an earlier two-leg join formulation scanned the
+    (expensive, window-function) fingerprint subtree once per leg,
+    tripling wall-clock when the caller doesn't persist it. The
+    document-frequency cap is applied COUNT-FIRST (a map-side-combinable
+    count, then a semi-join of the surviving fingerprints) so hot
+    stop-fingerprints never materialize a posting array at all — a
+    collect-then-filter formulation would buffer a 10⁶-element array on
+    one reducer before discarding it. The count pass re-reads the
+    (id, fp) rows; callers that feed an expensive subtree should persist
+    it (the driver row does).
     """
-    posting = (fps.select(F.col(id_col).alias("_id"),
-                          F.col(fp_col).alias("_fp"))
-                  .distinct()
-                  .groupBy("_fp")
-                  .agg(F.collect_list("_id").alias("_ids"))
-                  .filter(F.size("_ids") <= max_docs_per_fp))
+    base = (fps.select(F.col(id_col).alias("_id"),
+                       F.col(fp_col).alias("_fp"))
+               .distinct())
+    rare = (base.groupBy("_fp").agg(F.count("*").alias("_df"))
+                .filter(F.col("_df") <= max_docs_per_fp)
+                .select("_fp"))
+    posting = (base.join(rare, "_fp")
+                   .groupBy("_fp")
+                   .agg(F.collect_list("_id").alias("_ids")))
     cand = (posting.select(F.explode("_ids").alias("id_a"), "_ids")
                    .select("id_a", F.explode("_ids").alias("id_b"))
                    .filter(F.col("id_a") < F.col("id_b")))
