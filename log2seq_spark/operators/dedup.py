@@ -568,7 +568,7 @@ def contamination_report(train: DataFrame, evalset: DataFrame,
 
 
 def line_ownership(docs: DataFrame, text_col: str = "text",
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id", sep: str = "\n") -> DataFrame:
     """Internal feed for corpus-level line dedup: one row per (doc,
     line position) with the line's corpus ownership — ``_ndocs`` =
     number of distinct documents containing this exact line, ``_keeper``
@@ -576,13 +576,20 @@ def line_ownership(docs: DataFrame, text_col: str = "text",
     candidates (``_ndocs``/``_keeper`` null): deduplicating blank
     separators would silently reflow every document.
 
+    ``sep`` sets the unit granularity: the default ``"\\n"`` dedups
+    lines; ``"\\n\\n"`` dedups paragraphs (the Gopher/MassiveText
+    boilerplate granularity — repeated nav bars, footers, license
+    blocks). ``sep`` is treated as a literal string, not a regex.
+
     Shape at scale: explode to one row per line (bounded by text
     volume), a distinct + one hash aggregate on the line's md5 (small
     shuffle keys instead of raw line strings), one equi-join back.
     """
+    import re as _re
     lines = docs.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"))
+        F.posexplode(F.split(F.col(text_col),
+                             _re.escape(sep))).alias("pos", "line"))
     keyed = lines.withColumn(
         "_h", F.when(F.col("line") != "", F.md5("line")))
     own = (keyed.filter(F.col("_h").isNotNull())
@@ -595,7 +602,8 @@ def line_ownership(docs: DataFrame, text_col: str = "text",
 
 def line_dedup_stats(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id",
-                     ownership: DataFrame | None = None) -> DataFrame:
+                     ownership: DataFrame | None = None,
+                     sep: str = "\n") -> DataFrame:
     """Per-doc corpus-level duplicate-line profile (the C4 line-dedup
     signal — Raffel et al. 2020 §2.2 discard duplicate lines across the
     corpus; distinct from :func:`~log2seq_spark.operators.textstats.\
@@ -606,7 +614,7 @@ repetition_stats`'s WITHIN-doc ``dup_line_ratio``). Returns
     ``ownership`` shares one (possibly persisted)
     :func:`line_ownership` subtree with :func:`drop_duplicate_lines`."""
     own = (ownership if ownership is not None
-           else line_ownership(docs, text_col, id_col))
+           else line_ownership(docs, text_col, id_col, sep))
     return (own.groupBy("_id")
                .agg(F.count("*").alias("n_lines"),
                     F.sum(F.when(F.col("_ndocs") > 1, 1).otherwise(0))
@@ -616,7 +624,8 @@ repetition_stats`'s WITHIN-doc ``dup_line_ratio``). Returns
 
 def drop_duplicate_lines(docs: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id",
-                         ownership: DataFrame | None = None) -> DataFrame:
+                         ownership: DataFrame | None = None,
+                         sep: str = "\n") -> DataFrame:
     """C4-style corpus-level line deduplication: a non-empty line that
     occurs verbatim in more than one document is kept ONLY in the
     lowest-id document (deterministic first-occurrence rule — order-free
@@ -628,7 +637,7 @@ def drop_duplicate_lines(docs: DataFrame, text_col: str = "text",
     Reassembly is a per-doc sort of (position, line) structs collected
     from the kept rows — partitioned by doc id, no global sort."""
     own = (ownership if ownership is not None
-           else line_ownership(docs, text_col, id_col))
+           else line_ownership(docs, text_col, id_col, sep))
     kept = own.filter(F.col("_ndocs").isNull()
                       | (F.col("_ndocs") == 1)
                       | (F.col("_id") == F.col("_keeper")))
@@ -636,7 +645,7 @@ def drop_duplicate_lines(docs: DataFrame, text_col: str = "text",
                  .agg(F.array_sort(F.collect_list(
                      F.struct("pos", "line"))).alias("_arr"))
                  .select("_id", F.concat_ws(
-                     "\n", F.col("_arr.line")).alias("clean_text")))
+                     sep, F.col("_arr.line")).alias("clean_text")))
     return (docs.select(F.col(id_col).alias("_id")).distinct()
                 .join(clean, "_id", "left")
                 .select(F.col("_id").alias(id_col),

@@ -218,6 +218,26 @@ class TestDedup:
         assert clean[3] == "solo doc\nsolo doc"
         assert set(clean) == {0, 1, 2, 3}
 
+    def test_paragraph_dedup_via_sep(self, spark):
+        # sep="\n\n" switches the unit to paragraphs: a repeated footer
+        # block survives only in the lowest-id doc while the docs' own
+        # multi-line paragraphs (which share no FULL paragraph) survive
+        footer = "standard footer\ncontact us\nall rights reserved"
+        rows = [
+            (0, "intro zero\nmore zero\n\n" + footer),
+            (1, "intro one\nmore one\n\n" + footer),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        clean = {r["doc_id"]: r["clean_text"]
+                 for r in dedup.drop_duplicate_lines(
+                     docs, sep="\n\n").collect()}
+        assert clean[0] == rows[0][1]
+        assert clean[1] == "intro one\nmore one"
+        stats = {r["doc_id"]: (r["n_lines"], r["n_corpus_dup_lines"])
+                 for r in dedup.line_dedup_stats(
+                     docs, sep="\n\n").collect()}
+        assert stats[0] == (2, 1) and stats[1] == (2, 1)
+
     def test_duplicate_span_dedup(self, spark):
         # Lee et al.-style exact substring dedup over k-token windows:
         # a 10-token run shared between docs 0/1 survives only in doc 0;
