@@ -777,3 +777,76 @@ def drop_duplicate_spans(docs: DataFrame, k: int = 8,
                 .select(F.col("_id").alias(id_col),
                         F.coalesce("clean_text", F.lit(""))
                          .alias("clean_text")))
+
+
+def exact_dedup_index(docs: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Content-hash index for INCREMENTAL exact dedup: one row per
+    distinct content, (text_hash, keep_id) with ``keep_id`` = the
+    lowest doc id seen with that content. Persist/write this (e.g.
+    parquet bucketed by text_hash) between ingestion batches; it grows
+    with distinct content, not with corpus size. One hash-shuffle."""
+    return (docs.select(F.md5(F.col(text_col)).alias("text_hash"),
+                        F.col(id_col))
+                .groupBy("text_hash")
+                .agg(F.min(id_col).alias("keep_id")))
+
+
+def dedup_against_index(new_docs: DataFrame, index: DataFrame,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Incremental exact dedup of a NEW ingestion batch against the
+    historical :func:`exact_dedup_index` — the production shape for a
+    continuously-growing corpus: the history is never re-scanned, only
+    its (small) hash index is joined.
+
+    Returns one row per new doc: (``id_col``, decision, keep_id) where
+    decision is ``drop_seen`` (content already in the index),
+    ``drop_batch`` (duplicate within this batch, an earlier batch id
+    keeps it), or ``keep``; ``keep_id`` is the retained owner. The
+    invariant (unit-tested): decisions equal what batch-mode
+    :func:`exact_duplicates` over history ∪ batch would decide for the
+    batch rows, provided batch ids sort after history ids.
+
+    Shape at scale: one window over the batch's own hashes (batch-sized)
+    + one equi-join against the index on the 32-char hash — broadcast
+    when the index is small, shuffle-bucketed otherwise.
+    """
+    from pyspark.sql import Window
+    wh = Window.partitionBy("_h")
+    h = new_docs.select(F.col(id_col),
+                        F.md5(F.col(text_col)).alias("_h"))
+    batch = h.select(
+        id_col, "_h",
+        F.min(id_col).over(wh).alias("_batch_keeper"))
+    joined = batch.join(
+        index.select(F.col("text_hash").alias("_h"),
+                     F.col("keep_id").alias("_seen_keeper")),
+        "_h", "left")
+    decision = (
+        F.when(F.col("_seen_keeper").isNotNull(), F.lit("drop_seen"))
+         .when(F.col(id_col) != F.col("_batch_keeper"),
+               F.lit("drop_batch"))
+         .otherwise(F.lit("keep")))
+    keep_id = F.coalesce("_seen_keeper", "_batch_keeper")
+    return joined.select(id_col, decision.alias("decision"),
+                         keep_id.alias("keep_id"))
+
+
+def updated_dedup_index(index: DataFrame,
+                        batch_decisions: DataFrame,
+                        new_docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """The index after absorbing a batch: prior entries plus one row per
+    content first seen in this batch (its batch keeper). Feed the result
+    of :func:`dedup_against_index` as ``batch_decisions``; rewriting the
+    index is a union + one aggregate over (index ∪ batch-keepers), both
+    hash-partitioned on text_hash — no history rescan."""
+    fresh = (batch_decisions.filter(F.col("decision") == "keep")
+             .join(new_docs.select(F.col(id_col),
+                                   F.md5(F.col(text_col)).alias("text_hash")),
+                   id_col)
+             .select("text_hash", F.col(id_col).alias("keep_id")))
+    return (index.unionByName(fresh)
+                 .groupBy("text_hash")
+                 .agg(F.min("keep_id").alias("keep_id")))

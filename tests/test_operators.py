@@ -218,6 +218,34 @@ class TestDedup:
         assert clean[3] == "solo doc\nsolo doc"
         assert set(clean) == {0, 1, 2, 3}
 
+    def test_incremental_dedup_equals_batch(self, spark):
+        # incremental exact dedup against the historical index must
+        # decide exactly what a batch recompute over history ∪ batch
+        # would: dup-of-history → drop_seen (keeper = historical id),
+        # dup-within-batch → drop_batch (earliest batch id keeps),
+        # fresh → keep; and the updated index equals an index built
+        # from scratch over the union.
+        hist = spark.createDataFrame(
+            [(0, "aaa"), (1, "bbb"), (2, "aaa")],
+            "doc_id long, text string")
+        batch = spark.createDataFrame(
+            [(10, "bbb"), (11, "ccc"), (12, "ccc"), (13, "ddd")],
+            "doc_id long, text string")
+        idx = dedup.exact_dedup_index(hist)
+        dec = {r["doc_id"]: (r["decision"], r["keep_id"])
+               for r in dedup.dedup_against_index(batch, idx).collect()}
+        assert dec[10] == ("drop_seen", 1)
+        assert dec[11] == ("keep", 11)
+        assert dec[12] == ("drop_batch", 11)
+        assert dec[13] == ("keep", 13)
+
+        new_idx = dedup.updated_dedup_index(
+            idx, dedup.dedup_against_index(batch, idx), batch)
+        scratch = dedup.exact_dedup_index(hist.unionByName(batch))
+        got = {r["text_hash"]: r["keep_id"] for r in new_idx.collect()}
+        exp = {r["text_hash"]: r["keep_id"] for r in scratch.collect()}
+        assert got == exp
+
     def test_paragraph_dedup_via_sep(self, spark):
         # sep="\n\n" switches the unit to paragraphs: a repeated footer
         # block survives only in the lowest-id doc while the docs' own
