@@ -2,10 +2,12 @@
 
 from .stream import (streaming_parse, streaming_sink_counts,
                      streaming_tool_latency,
-                     streaming_dedup_exact, streaming_route_to_sink)
+                     streaming_dedup_exact, streaming_dedup_with_index,
+                     streaming_route_to_sink)
 from .stateful import conversation_summaries, CONV_SUMMARY_SCHEMA
 
 __all__ = ["streaming_parse", "streaming_sink_counts",
            "streaming_tool_latency",
-           "streaming_dedup_exact", "streaming_route_to_sink",
+           "streaming_dedup_exact", "streaming_dedup_with_index",
+           "streaming_route_to_sink",
            "conversation_summaries", "CONV_SUMMARY_SCHEMA"]

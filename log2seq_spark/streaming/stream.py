@@ -144,3 +144,74 @@ def streaming_route_to_sink(routed: DataFrame, out_dir: str,
 
     return (routed.writeStream.foreachBatch(_write)
                   .option("checkpointLocation", checkpoint_dir))
+
+
+def streaming_dedup_with_index(docs: DataFrame, out_dir: str,
+                               checkpoint_dir: str, index_dir: str,
+                               text_col: str = "text",
+                               id_col: str = "doc_id",
+                               keep_epochs: int = 3):
+    """Streaming exact dedup with an UNBOUNDED horizon: every
+    micro-batch is decided against a persistent content-hash index
+    (:func:`~log2seq_spark.operators.dedup.dedup_against_index`) that is
+    versioned per epoch under ``index_dir`` — the complement of
+    :func:`streaming_dedup_exact`, whose state store only spans the
+    watermark horizon. Kept rows land under ``out_dir/batch_id=<epoch>``
+    with a ``decision`` column; dropped duplicates never reach the sink.
+
+    Exactly-once: the index for epoch ``b`` is written to
+    ``index_dir/epoch=b`` AFTER the kept rows commit, and epoch ``b``
+    always READS the newest epoch ``< b`` — so a crashed/replayed
+    micro-batch recomputes from exactly the state its first attempt saw
+    and overwrites only its own output + index version (the same
+    idempotent-epoch pattern as :func:`streaming_route_to_sink`).
+    Epochs older than ``keep_epochs`` behind are pruned driver-side.
+
+    Scale shape: the index holds one 32-char hash + one id per DISTINCT
+    content ever seen — it grows with novelty, not stream volume — and
+    each micro-batch is one equi-join against it plus a batch-local
+    window; Spark sizes both off the files, so a small index broadcasts.
+
+    Returns an un-started ``DataStreamWriter``.
+    """
+    import glob
+    import os
+    import re as _re
+    import shutil
+
+    from ..operators.dedup import dedup_against_index, updated_dedup_index
+
+    def _epochs():
+        out = []
+        for p in glob.glob(os.path.join(index_dir, "epoch=*")):
+            m = _re.fullmatch(r"epoch=(\d+)", os.path.basename(p))
+            if m and os.path.exists(os.path.join(p, "_SUCCESS")):
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prior = [e for e in _epochs() if e < batch_id]
+        if prior:
+            idx = spark.read.parquet(
+                os.path.join(index_dir, f"epoch={prior[-1]}"))
+        else:
+            idx = spark.createDataFrame(
+                [], "text_hash string, keep_id long")
+        dec = dedup_against_index(batch_df, idx, text_col, id_col)
+        kept = (batch_df.join(
+                    dec.filter(F.col("decision") == "keep")
+                       .select(id_col, "decision"), id_col)
+                .withColumn("batch_id", F.lit(int(batch_id))))
+        (kept.write.mode("overwrite")
+             .parquet(os.path.join(out_dir, f"batch_id={batch_id}")))
+        new_idx = updated_dedup_index(idx, dec, batch_df, text_col, id_col)
+        (new_idx.write.mode("overwrite")
+                .parquet(os.path.join(index_dir, f"epoch={batch_id}")))
+        for e in _epochs()[:-keep_epochs]:
+            if e < batch_id:
+                shutil.rmtree(os.path.join(index_dir, f"epoch={e}"),
+                              ignore_errors=True)
+
+    return (docs.writeStream.foreachBatch(_write)
+                .option("checkpointLocation", checkpoint_dir))

@@ -766,6 +766,40 @@ class TestStreaming:
             ["alpha content", "beta content", "gamma content"]
 
 
+    def test_streaming_dedup_with_index_across_restarts(
+            self, spark, tmpdir_path):
+        # the index-backed variant must dedup across RUNS (beyond any
+        # watermark horizon): content first seen in run 1 is drop_seen
+        # in run 2, and the final kept set equals batch-mode dedup over
+        # everything ingested.
+        import os
+        from log2seq_spark.streaming import streaming_dedup_with_index
+        inp = os.path.join(tmpdir_path, "iin")
+        out = os.path.join(tmpdir_path, "iout")
+        ck = os.path.join(tmpdir_path, "ick")
+        ix = os.path.join(tmpdir_path, "iix")
+        schema = "doc_id long, text string"
+
+        def run(rows):
+            (spark.createDataFrame(rows, schema)
+                  .coalesce(1).write.mode("append").parquet(inp))
+            stream = spark.readStream.schema(schema).parquet(inp)
+            q = (streaming_dedup_with_index(stream, out, ck, ix)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        run([(0, "alpha"), (1, "beta"), (2, "alpha")])   # in-batch dup
+        run([(10, "alpha"), (11, "gamma")])              # cross-run dup
+        kept = spark.read.parquet(out).collect()
+        assert sorted((r["doc_id"], r["text"]) for r in kept) == \
+            [(0, "alpha"), (1, "beta"), (11, "gamma")]
+        assert all(r["decision"] == "keep" for r in kept)
+        # persisted index covers every distinct content with min owner
+        import glob
+        latest = sorted(glob.glob(os.path.join(ix, "epoch=*")))[-1]
+        idx = {r["keep_id"] for r in spark.read.parquet(latest).collect()}
+        assert idx == {0, 1, 11}
+
     def test_streaming_tool_latency_matches_batch(self, spark, tmpdir_path):
         import os
         from log2seq_spark.sources.transcripts import transcripts
