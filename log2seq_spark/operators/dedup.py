@@ -66,6 +66,22 @@ def minhash_near_duplicates(docs: DataFrame, text_col: str = "text",
     for no semantic difference); the only other shuffle is the tiny
     bucket groupBy. For seed s the hash is ``md5(s || '#' || shingle)``:
     an ANSI-SQL oracle reproduces the signature bit-for-bit."""
+    return (minhash_band_signatures(docs, text_col, id_col, n_hashes,
+                                    bands, shingle_n)
+            .groupBy("band", "band_hash")
+            .agg(F.count("*").alias("n_docs"), F.min("_id").alias("keep_id"))
+            .filter(F.col("n_docs") > 1))
+
+
+def minhash_band_signatures(docs: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", n_hashes: int = 8,
+                            bands: int = 4,
+                            shingle_n: int = 3) -> DataFrame:
+    """(_id, band, band_hash) LSH band signatures — the shared feed for
+    batch bucketing (:func:`minhash_near_duplicates`) and the
+    incremental index (:func:`minhash_index` /
+    :func:`near_dup_against_index`). One map-side-combining groupBy over
+    the shingle rows; band hashing is a pure projection."""
     rows_per_band = n_hashes // bands
     sh = shingle_rows(docs, text_col, id_col, shingle_n)
     mins = [F.min(F.md5(F.concat(F.lit(f"{s}#"), F.col("shingle"))))
@@ -78,10 +94,7 @@ def minhash_near_duplicates(docs: DataFrame, text_col: str = "text",
                     for r in range(rows_per_band)])).alias("band_hash"))
             for b in range(bands)]
     return (sig.select("_id", F.explode(F.array(*bnds)).alias("bb"))
-               .select("_id", "bb.band", "bb.band_hash")
-               .groupBy("band", "band_hash")
-               .agg(F.count("*").alias("n_docs"), F.min("_id").alias("keep_id"))
-               .filter(F.col("n_docs") > 1))
+               .select("_id", "bb.band", "bb.band_hash"))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
@@ -849,4 +862,76 @@ def updated_dedup_index(index: DataFrame,
              .select("text_hash", F.col(id_col).alias("keep_id")))
     return (index.unionByName(fresh)
                  .groupBy("text_hash")
+                 .agg(F.min("keep_id").alias("keep_id")))
+
+
+def minhash_index(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", n_hashes: int = 8,
+                  bands: int = 4, shingle_n: int = 3) -> DataFrame:
+    """LSH bucket index for INCREMENTAL near-dup detection: one row per
+    occupied (band, band_hash) bucket with ``keep_id`` = the lowest doc
+    id ever signed into it. Persist between ingestion batches; size is
+    bounded by ``bands ×`` distinct signatures, not corpus size."""
+    return (minhash_band_signatures(docs, text_col, id_col, n_hashes,
+                                    bands, shingle_n)
+            .groupBy("band", "band_hash")
+            .agg(F.min("_id").alias("keep_id")))
+
+
+def near_dup_against_index(new_docs: DataFrame, index: DataFrame,
+                           text_col: str = "text",
+                           id_col: str = "doc_id", n_hashes: int = 8,
+                           bands: int = 4,
+                           shingle_n: int = 3) -> DataFrame:
+    """Incremental MinHash-LSH near-dup screening of a new batch against
+    the historical :func:`minhash_index` (the near-dup twin of
+    :func:`dedup_against_index`; parameters must match the index's).
+
+    Returns one row per new doc: (``id_col``, is_near_dup, match_id) —
+    ``is_near_dup`` when any of the doc's band signatures hits an
+    already-occupied historical bucket OR a bucket an earlier doc of
+    this batch signed into; ``match_id`` is the lowest such prior owner
+    (null when fresh). LSH semantics are unchanged from the batch
+    operator: a band collision is a CANDIDATE near-dup — verify with
+    :func:`ngram_jaccard_pairs` where exactness matters.
+
+    Shape at scale: signatures are one aggregate over the batch's
+    shingles; the screen is one equi-join on (band, band_hash) against
+    the index plus one batch-local window — history is never re-read.
+    """
+    from pyspark.sql import Window
+    sigs = minhash_band_signatures(new_docs, text_col, id_col, n_hashes,
+                                   bands, shingle_n)
+    wb = Window.partitionBy("band", "band_hash")
+    sigs = sigs.withColumn("_batch_min", F.min("_id").over(wb))
+    joined = sigs.join(
+        index.select("band", "band_hash",
+                     F.col("keep_id").alias("_seen")),
+        ["band", "band_hash"], "left")
+    prior = F.least(
+        F.col("_seen"),
+        F.when(F.col("_batch_min") < F.col("_id"), F.col("_batch_min")))
+    per_doc = (joined.groupBy("_id")
+                     .agg(F.min(prior).alias("match_id")))
+    return (new_docs.select(F.col(id_col).alias("_id"))
+            .distinct()
+            .join(per_doc, "_id", "left")
+            .select(F.col("_id").alias(id_col),
+                    F.col("match_id").isNotNull().alias("is_near_dup"),
+                    "match_id"))
+
+
+def updated_minhash_index(index: DataFrame, new_docs: DataFrame,
+                          text_col: str = "text",
+                          id_col: str = "doc_id", n_hashes: int = 8,
+                          bands: int = 4,
+                          shingle_n: int = 3) -> DataFrame:
+    """The LSH index after absorbing a batch: min owner per bucket over
+    (prior index ∪ batch signatures) — same no-history-rescan contract
+    as :func:`updated_dedup_index`."""
+    fresh = (minhash_band_signatures(new_docs, text_col, id_col, n_hashes,
+                                     bands, shingle_n)
+             .select("band", "band_hash", F.col("_id").alias("keep_id")))
+    return (index.unionByName(fresh)
+                 .groupBy("band", "band_hash")
                  .agg(F.min("keep_id").alias("keep_id")))

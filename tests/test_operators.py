@@ -246,6 +246,35 @@ class TestDedup:
         exp = {r["text_hash"]: r["keep_id"] for r in scratch.collect()}
         assert got == exp
 
+    def test_incremental_near_dup_index(self, spark):
+        # LSH screening against the persisted bucket index: a new doc
+        # nearly identical to history hits a shared band bucket
+        # (match_id = historical owner); a fresh doc does not; in-batch
+        # near-dups point at the earlier batch doc; and the updated
+        # index equals one built from scratch over the union.
+        hist = spark.createDataFrame(
+            [(0, "the quick brown fox jumps over the lazy dog"),
+             (1, "completely different content about spark engines")],
+            "doc_id long, text string")
+        batch = spark.createDataFrame(
+            [(10, "the quick brown fox jumps over the lazy dog"),
+             (11, "unrelated fresh words nothing shared whatsoever here"),
+             (12, "unrelated fresh words nothing shared whatsoever here")],
+            "doc_id long, text string")
+        idx = dedup.minhash_index(hist)
+        dec = {r["doc_id"]: (r["is_near_dup"], r["match_id"])
+               for r in dedup.near_dup_against_index(batch, idx).collect()}
+        assert dec[10] == (True, 0)
+        assert dec[11] == (False, None)
+        assert dec[12] == (True, 11)
+
+        got = {(r["band"], r["band_hash"]): r["keep_id"]
+               for r in dedup.updated_minhash_index(idx, batch).collect()}
+        exp = {(r["band"], r["band_hash"]): r["keep_id"]
+               for r in dedup.minhash_index(
+                   hist.unionByName(batch)).collect()}
+        assert got == exp
+
     def test_paragraph_dedup_via_sep(self, spark):
         # sep="\n\n" switches the unit to paragraphs: a repeated footer
         # block survives only in the lowest-id doc while the docs' own
