@@ -935,3 +935,50 @@ def updated_minhash_index(index: DataFrame, new_docs: DataFrame,
     return (index.unionByName(fresh)
                  .groupBy("band", "band_hash")
                  .agg(F.min("keep_id").alias("keep_id")))
+
+
+def conversation_hashes(turns: DataFrame, conv_col: str = "conv_id",
+                        idx_col: str = "turn_idx",
+                        text_col: str = "text",
+                        role_col: str | None = "role") -> DataFrame:
+    """Canonical content hash per conversation over the north-rule turns
+    table (conv_id, turn_idx, role, text, ...): turns are assembled in
+    ``idx_col`` order with unit separators, optionally role-qualified so
+    the same words spoken by different roles hash differently. Returns
+    (``conv_col``, n_turns, conv_hash).
+
+    Order safety without a global sort: per-conv (turn_idx, text)
+    structs are collected and ``array_sort``-ed inside the one groupBy —
+    partition order of the input never changes the hash (the same
+    reassembly discipline as :func:`drop_duplicate_lines`)."""
+    unit = (F.concat_ws("\x1f", F.col(role_col), F.col(text_col))
+            if role_col is not None else F.col(text_col))
+    return (turns.select(F.col(conv_col).alias("_c"),
+                         F.struct(F.col(idx_col).alias("i"),
+                                  unit.alias("u")).alias("_s"))
+                 .groupBy("_c")
+                 .agg(F.count("*").alias("n_turns"),
+                      F.md5(F.concat_ws(
+                          "\x1e",
+                          F.array_sort(F.collect_list("_s")).getField("u")))
+                       .alias("conv_hash"))
+                 .withColumnRenamed("_c", conv_col))
+
+
+def conversation_duplicates(turns: DataFrame, conv_col: str = "conv_id",
+                            idx_col: str = "turn_idx",
+                            text_col: str = "text",
+                            role_col: str | None = "role") -> DataFrame:
+    """Whole-conversation exact dedup: conversations whose ordered
+    (role, text) turn sequences are identical collapse to one group —
+    (conv_hash, n_convs, keep_conv) with ``keep_conv`` = the
+    lexicographically smallest conversation id. The transcript-level
+    twin of :func:`exact_duplicates`: re-delivered or forked-then-merged
+    conversations are the common source of whole-sequence duplicates in
+    agent-log corpora. Two shuffles total (per-conv assembly, then the
+    tiny hash groupBy)."""
+    h = conversation_hashes(turns, conv_col, idx_col, text_col, role_col)
+    return (h.groupBy("conv_hash")
+             .agg(F.count("*").alias("n_convs"),
+                  F.min(conv_col).alias("keep_conv"))
+             .filter(F.col("n_convs") > 1))

@@ -246,6 +246,25 @@ class TestDedup:
         exp = {r["text_hash"]: r["keep_id"] for r in scratch.collect()}
         assert got == exp
 
+    def test_conversation_duplicates(self, spark):
+        # whole-conversation dedup: identical ordered (role, text)
+        # sequences collapse regardless of row order; same words under a
+        # different role do NOT collapse; keep_conv = min conv id.
+        rows = [
+            ("a", 0, "user", "hi"), ("a", 1, "assistant", "hello"),
+            ("b", 1, "assistant", "hello"), ("b", 0, "user", "hi"),  # dup, shuffled rows
+            ("c", 0, "assistant", "hi"), ("c", 1, "user", "hello"),  # roles swapped
+            ("d", 0, "user", "hi"),                                   # prefix only
+        ]
+        turns = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string")
+        out = dedup.conversation_duplicates(turns).collect()
+        assert len(out) == 1
+        assert out[0]["n_convs"] == 2 and out[0]["keep_conv"] == "a"
+        # role-blind hashing merges the role-swapped conversation too
+        blind = dedup.conversation_duplicates(turns, role_col=None).collect()
+        assert len(blind) == 1 and blind[0]["n_convs"] == 3
+
     def test_incremental_near_dup_index(self, spark):
         # LSH screening against the persisted bucket index: a new doc
         # nearly identical to history hits a shared band bucket
