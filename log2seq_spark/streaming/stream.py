@@ -172,6 +172,13 @@ def streaming_dedup_with_index(docs: DataFrame, out_dir: str,
     each micro-batch is one equi-join against it plus a batch-local
     window; Spark sizes both off the files, so a small index broadcasts.
 
+    Epoch discovery/pruning runs driver-side over ``index_dir`` with
+    local-filesystem calls (glob/rmtree) — correct wherever the driver
+    mounts the directory (local, NFS, FUSE). Pointing ``index_dir`` at a
+    raw object-store URI requires swapping those two calls for the
+    Hadoop FileSystem API; the read/write paths already go through
+    Spark and need no change.
+
     Returns an un-started ``DataStreamWriter``.
     """
     import glob
