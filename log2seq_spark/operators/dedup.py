@@ -603,6 +603,10 @@ def line_ownership(docs: DataFrame, text_col: str = "text",
         F.col(id_col).alias("_id"),
         F.posexplode(F.split(F.col(text_col),
                              _re.escape(sep))).alias("pos", "line"))
+    # record the split granularity in the schema so consumers that take
+    # a precomputed ownership frame can verify their sep matches (a
+    # mismatch would silently reassemble with the wrong separator)
+    lines = lines.withMetadata("pos", {"sep": sep})
     keyed = lines.withColumn(
         "_h", F.when(F.col("line") != "", F.md5("line")))
     own = (keyed.filter(F.col("_h").isNotNull())
@@ -611,6 +615,23 @@ def line_ownership(docs: DataFrame, text_col: str = "text",
                 .agg(F.min("_id").alias("_keeper"),
                      F.count("*").alias("_ndocs")))
     return keyed.join(own, "_h", "left").drop("_h")
+
+
+def _checked_ownership(ownership: DataFrame, sep: str) -> DataFrame:
+    """Assert a precomputed :func:`line_ownership` frame was split with
+    the same separator the consumer will reassemble with — reading the
+    granularity stamped into the ``pos`` column's schema metadata (no
+    job). A mismatch (e.g. paragraph-split ownership fed to a
+    newline-joining drop_duplicate_lines) would silently corrupt every
+    reassembled document."""
+    meta = ownership.schema["pos"].metadata or {}
+    stamped = meta.get("sep")
+    if stamped is not None and stamped != sep:
+        raise ValueError(
+            f"ownership frame was built with sep={stamped!r} but the "
+            f"consumer was called with sep={sep!r}; pass matching sep= "
+            f"to both, or rebuild the ownership frame")
+    return ownership
 
 
 def line_dedup_stats(docs: DataFrame, text_col: str = "text",
@@ -626,7 +647,7 @@ repetition_stats`'s WITHIN-doc ``dup_line_ratio``). Returns
 
     ``ownership`` shares one (possibly persisted)
     :func:`line_ownership` subtree with :func:`drop_duplicate_lines`."""
-    own = (ownership if ownership is not None
+    own = (_checked_ownership(ownership, sep) if ownership is not None
            else line_ownership(docs, text_col, id_col, sep))
     return (own.groupBy("_id")
                .agg(F.count("*").alias("n_lines"),
@@ -649,7 +670,7 @@ def drop_duplicate_lines(docs: DataFrame, text_col: str = "text",
 
     Reassembly is a per-doc sort of (position, line) structs collected
     from the kept rows — partitioned by doc id, no global sort."""
-    own = (ownership if ownership is not None
+    own = (_checked_ownership(ownership, sep) if ownership is not None
            else line_ownership(docs, text_col, id_col, sep))
     kept = own.filter(F.col("_ndocs").isNull()
                       | (F.col("_ndocs") == 1)
@@ -792,14 +813,25 @@ def drop_duplicate_spans(docs: DataFrame, k: int = 8,
                          .alias("clean_text")))
 
 
+def _nullsafe_text_hash(text_col: str):
+    """md5 of the content with NULL mapped to a sentinel that no md5 hex
+    digest can equal: batch ``exact_duplicates`` groups null texts
+    together (groupBy treats NULL as a key), so the incremental index
+    must too — a plain md5 would produce NULL hashes that equi-joins
+    silently drop, letting null-content duplicates through."""
+    return F.coalesce(F.md5(F.col(text_col)), F.lit(":null:"))
+
+
 def exact_dedup_index(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:
     """Content-hash index for INCREMENTAL exact dedup: one row per
     distinct content, (text_hash, keep_id) with ``keep_id`` = the
-    lowest doc id seen with that content. Persist/write this (e.g.
+    lowest doc id seen with that content (null content hashes to the
+    ``:null:`` sentinel so it dedups like any other content, matching
+    batch :func:`exact_duplicates` grouping). Persist/write this (e.g.
     parquet bucketed by text_hash) between ingestion batches; it grows
     with distinct content, not with corpus size. One hash-shuffle."""
-    return (docs.select(F.md5(F.col(text_col)).alias("text_hash"),
+    return (docs.select(_nullsafe_text_hash(text_col).alias("text_hash"),
                         F.col(id_col))
                 .groupBy("text_hash")
                 .agg(F.min(id_col).alias("keep_id")))
@@ -828,7 +860,7 @@ def dedup_against_index(new_docs: DataFrame, index: DataFrame,
     from pyspark.sql import Window
     wh = Window.partitionBy("_h")
     h = new_docs.select(F.col(id_col),
-                        F.md5(F.col(text_col)).alias("_h"))
+                        _nullsafe_text_hash(text_col).alias("_h"))
     batch = h.select(
         id_col, "_h",
         F.min(id_col).over(wh).alias("_batch_keeper"))
@@ -856,8 +888,9 @@ def updated_dedup_index(index: DataFrame,
     index is a union + one aggregate over (index ∪ batch-keepers), both
     hash-partitioned on text_hash — no history rescan."""
     fresh = (batch_decisions.filter(F.col("decision") == "keep")
-             .join(new_docs.select(F.col(id_col),
-                                   F.md5(F.col(text_col)).alias("text_hash")),
+             .join(new_docs.select(
+                       F.col(id_col),
+                       _nullsafe_text_hash(text_col).alias("text_hash")),
                    id_col)
              .select("text_hash", F.col(id_col).alias("keep_id")))
     return (index.unionByName(fresh)
@@ -947,19 +980,30 @@ def conversation_hashes(turns: DataFrame, conv_col: str = "conv_id",
     the same words spoken by different roles hash differently. Returns
     (``conv_col``, n_turns, conv_hash).
 
-    Order safety without a global sort: per-conv (turn_idx, text)
+    Order safety without a global sort: per-conv (turn_idx, unit-hash)
     structs are collected and ``array_sort``-ed inside the one groupBy —
     partition order of the input never changes the hash (the same
-    reassembly discipline as :func:`drop_duplicate_lines`)."""
-    unit = (F.concat_ws("\x1f", F.col(role_col), F.col(text_col))
-            if role_col is not None else F.col(text_col))
+    reassembly discipline as :func:`drop_duplicate_lines`).
+
+    Injection safety: each turn is hashed to a FIXED-WIDTH digest
+    before the per-conv concatenation (role and text digests
+    concatenated, then the ordered turn digests), so no byte sequence
+    inside a turn's text can mimic a turn or role boundary, and null
+    text/role hash like any other value instead of being skipped —
+    turn-count and boundary structure are therefore part of the hash."""
+    t = F.coalesce(F.md5(F.col(text_col)), F.lit(":null:"))
+    if role_col is not None:
+        unit = F.md5(F.concat(
+            F.coalesce(F.md5(F.col(role_col)), F.lit(":null:")), t))
+    else:
+        unit = t
     return (turns.select(F.col(conv_col).alias("_c"),
                          F.struct(F.col(idx_col).alias("i"),
                                   unit.alias("u")).alias("_s"))
                  .groupBy("_c")
                  .agg(F.count("*").alias("n_turns"),
                       F.md5(F.concat_ws(
-                          "\x1e",
+                          "",
                           F.array_sort(F.collect_list("_s")).getField("u")))
                        .alias("conv_hash"))
                  .withColumnRenamed("_c", conv_col))

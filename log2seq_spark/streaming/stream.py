@@ -179,6 +179,15 @@ def streaming_dedup_with_index(docs: DataFrame, out_dir: str,
     Hadoop FileSystem API; the read/write paths already go through
     Spark and need no change.
 
+    Both the kept-rows sink and the index are deliberately plain
+    per-epoch parquet directories (each epoch one self-contained
+    overwrite with its own ``_SUCCESS`` marker, which epoch discovery
+    requires): the index is internal operator state, not a user sink.
+    To publish the deduplicated stream through the backend seam
+    (parquet | orc | iceberg snapshot commits), compose
+    :func:`streaming_route_to_sink` downstream of this operator's
+    output instead of treating ``out_dir`` as the final table.
+
     Returns an un-started ``DataStreamWriter``.
     """
     import glob
@@ -198,25 +207,42 @@ def streaming_dedup_with_index(docs: DataFrame, out_dir: str,
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        prior = [e for e in _epochs() if e < batch_id]
+        epochs = _epochs()
+        prior = [e for e in epochs if e < batch_id]
         if prior:
             idx = spark.read.parquet(
                 os.path.join(index_dir, f"epoch={prior[-1]}"))
         else:
+            # keep_id typed off the batch's actual id column — a long
+            # default would silently widen/clash with string/other ids
+            id_type = batch_df.schema[id_col].dataType.simpleString()
             idx = spark.createDataFrame(
-                [], "text_hash string, keep_id long")
-        dec = dedup_against_index(batch_df, idx, text_col, id_col)
-        kept = (batch_df.join(
-                    dec.filter(F.col("decision") == "keep")
-                       .select(id_col, "decision"), id_col)
-                .withColumn("batch_id", F.lit(int(batch_id))))
-        (kept.write.mode("overwrite")
-             .parquet(os.path.join(out_dir, f"batch_id={batch_id}")))
-        new_idx = updated_dedup_index(idx, dec, batch_df, text_col, id_col)
-        (new_idx.write.mode("overwrite")
-                .parquet(os.path.join(index_dir, f"epoch={batch_id}")))
-        for e in _epochs()[:-keep_epochs]:
-            if e < batch_id:
+                [], f"text_hash string, keep_id {id_type}")
+        # decisions feed BOTH the kept-rows sink and the index rewrite:
+        # persist so the index read + hash window + join run once per
+        # epoch, not twice
+        dec = dedup_against_index(batch_df, idx, text_col, id_col).persist()
+        try:
+            kept = (batch_df.join(
+                        dec.filter(F.col("decision") == "keep")
+                           .select(id_col, "decision"), id_col)
+                    .withColumn("batch_id", F.lit(int(batch_id))))
+            (kept.write.mode("overwrite")
+                 .parquet(os.path.join(out_dir, f"batch_id={batch_id}")))
+            new_idx = updated_dedup_index(idx, dec, batch_df,
+                                          text_col, id_col)
+            (new_idx.write.mode("overwrite")
+                    .parquet(os.path.join(index_dir, f"epoch={batch_id}")))
+        finally:
+            dec.unpersist()
+        # replay safety: epoch b can be replayed until its checkpoint
+        # offset commits (after this function returns), and a replay
+        # reads the newest epoch < b — so b-1 must ALWAYS survive this
+        # call. Prune strictly below b - keep_epochs (clamped to >= 1):
+        # keep_epochs=1 keeps exactly {b-1, b}, never less.
+        horizon = batch_id - max(int(keep_epochs), 1)
+        for e in epochs:
+            if e < horizon:
                 shutil.rmtree(os.path.join(index_dir, f"epoch={e}"),
                               ignore_errors=True)
 

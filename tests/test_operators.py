@@ -246,6 +246,43 @@ class TestDedup:
         exp = {r["text_hash"]: r["keep_id"] for r in scratch.collect()}
         assert got == exp
 
+    def test_incremental_dedup_null_text(self, spark):
+        # batch exact_duplicates groups null texts (groupBy NULL key);
+        # the incremental index must too — a plain md5 would emit NULL
+        # hashes that the equi-join silently drops
+        hist = spark.createDataFrame(
+            [(0, None), (1, "x")], "doc_id long, text string")
+        batch = spark.createDataFrame(
+            [(10, None)], "doc_id long, text string")
+        dec = dedup.dedup_against_index(
+            batch, dedup.exact_dedup_index(hist)).collect()
+        assert [(r["decision"], r["keep_id"]) for r in dec] == \
+            [("drop_seen", 0)]
+
+    def test_line_dedup_sep_mismatch_raises(self, spark):
+        docs = spark.createDataFrame(
+            [(0, "a\n\nb")], "doc_id long, text string")
+        own = dedup.line_ownership(docs, sep="\n\n")
+        with pytest.raises(ValueError, match="sep"):
+            dedup.drop_duplicate_lines(docs, ownership=own)  # default \n
+        # matching sep passes through
+        out = dedup.drop_duplicate_lines(docs, ownership=own, sep="\n\n")
+        assert out.collect()[0]["clean_text"] == "a\n\nb"
+
+    def test_conversation_hash_injection_safe(self, spark):
+        # a turn whose text embeds the old separator byte must NOT
+        # collide with two separate turns carrying the pieces, and a
+        # null-text turn must change the hash rather than vanish
+        turns = spark.createDataFrame(
+            [("x", 0, "hi\x1ehello"),
+             ("y", 0, "hi"), ("y", 1, "hello"),
+             ("z", 0, "hi"), ("z", 1, None)],
+            "conv_id string, turn_idx int, text string")
+        h = {r["conv_id"]: r["conv_hash"]
+             for r in dedup.conversation_hashes(
+                 turns, role_col=None).collect()}
+        assert len({h["x"], h["y"], h["z"]}) == 3
+
     def test_conversation_duplicates(self, spark):
         # whole-conversation dedup: identical ordered (role, text)
         # sequences collapse regardless of row order; same words under a
@@ -847,6 +884,37 @@ class TestStreaming:
         latest = sorted(glob.glob(os.path.join(ix, "epoch=*")))[-1]
         idx = {r["keep_id"] for r in spark.read.parquet(latest).collect()}
         assert idx == {0, 1, 11}
+
+    def test_streaming_index_replay_safety_keep_epochs_1(
+            self, spark, tmpdir_path):
+        # even at the tightest retention, the PREDECESSOR epoch must
+        # survive every commit: a replayed micro-batch reads the newest
+        # epoch below its id, so pruning it would silently reset the
+        # dedup history to empty on crash-replay
+        import glob
+        import os
+        from log2seq_spark.streaming import streaming_dedup_with_index
+        inp = os.path.join(tmpdir_path, "rin")
+        schema = "doc_id long, text string"
+
+        def run(rows):
+            (spark.createDataFrame(rows, schema)
+                  .coalesce(1).write.mode("append").parquet(inp))
+            stream = spark.readStream.schema(schema).parquet(inp)
+            q = (streaming_dedup_with_index(
+                    stream, os.path.join(tmpdir_path, "rout"),
+                    os.path.join(tmpdir_path, "rck"),
+                    os.path.join(tmpdir_path, "rix"), keep_epochs=1)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        run([(0, "a")])
+        run([(1, "b")])
+        run([(2, "c")])
+        epochs = sorted(int(os.path.basename(p).split("=")[1])
+                        for p in glob.glob(
+                            os.path.join(tmpdir_path, "rix", "epoch=*")))
+        assert epochs == [1, 2]   # current + predecessor, never fewer
 
     def test_streaming_tool_latency_matches_batch(self, spark, tmpdir_path):
         import os
