@@ -1,0 +1,79 @@
+"""End-to-end corpus cleaning recipe — the C4-ish pass a training
+pipeline runs as ONE composed plan: PII/URL scrub → corpus-level line
+dedup → exact dedup of the cleaned text → quality gate. Each stage is
+an existing operator (`scrub`, `dedup`, `textstats`); this module only
+sequences them and reports a per-doc verdict, so the whole clean is a
+single declarative DataFrame plan Catalyst optimizes end-to-end — no
+driver-side loops, no intermediate materialization unless the caller
+persists.
+
+Public precedent for the stage order: C4 (Raffel et al. 2020 §2.2)
+masks/filters lines, dedups lines across the corpus, then drops exact
+duplicates; quality heuristics (length/punct/stopword gates) follow
+Gopher (Rae et al. 2021) / C4 rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import dedup, scrub, textstats
+
+
+def clean_corpus(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", *,
+                 do_scrub: bool = True,
+                 do_line_dedup: bool = True,
+                 quality_min: float | None = 0.5) -> DataFrame:
+    """One row per input doc: (``id_col``, clean_text, kept,
+    drop_reason) where ``drop_reason`` ∈ (null, 'empty', 'exact_dup',
+    'low_quality'), applied in that precedence after scrubbing and
+    line dedup. ``clean_text`` is the post-scrub, post-line-dedup text
+    for every doc, including dropped ones (audits want to see WHAT was
+    dropped).
+
+    Stages (each optional):
+
+    1. :func:`~log2seq_spark.operators.scrub.with_scrubbed` — mask
+       emails/URLs/IPs/phones (map-only).
+    2. :func:`~log2seq_spark.operators.dedup.drop_duplicate_lines` —
+       corpus-level C4 line dedup of the scrubbed text.
+    3. exact dedup of the CLEANED text (scrubbing + line dedup make
+       more docs identical — e.g. docs differing only in a masked URL
+       or a shared boilerplate footer — so deduping after cleaning
+       collapses strictly more), lowest id kept.
+    4. quality gate: :func:`~log2seq_spark.operators.textstats.\
+quality_features` score on the cleaned text ``>= quality_min``.
+
+    Scale shape: stages 1 and 4 are map-only; stages 2 and 3 are the
+    line-ownership aggregate + one window over the content hash — the
+    same shuffles their standalone operators cost; nothing quadratic.
+    """
+    cur = docs.select(F.col(id_col), F.col(text_col))
+    if do_scrub:
+        cur = (scrub.with_scrubbed(cur, text_col, out_col="_scrubbed")
+                    .select(id_col, F.col("_scrubbed").alias(text_col)))
+    if do_line_dedup:
+        cur = (dedup.drop_duplicate_lines(cur, text_col, id_col)
+                    .select(id_col, F.col("clean_text").alias(text_col)))
+
+    from pyspark.sql import Window
+    wh = Window.partitionBy("_h")
+    cur = cur.withColumn(
+        "_h", F.coalesce(F.md5(F.col(text_col)), F.lit(":null:")))
+    cur = cur.withColumn("_keeper", F.min(id_col).over(wh))
+
+    q = textstats.quality_features(cur, text_col)
+
+    empty = F.coalesce(F.trim(F.col(text_col)), F.lit("")) == ""
+    reason = (F.when(empty, F.lit("empty"))
+               .when(F.col(id_col) != F.col("_keeper"),
+                     F.lit("exact_dup")))
+    if quality_min is not None:
+        reason = reason.when(F.col("quality_score") < quality_min,
+                             F.lit("low_quality"))
+    return (q.select(F.col(id_col),
+                     F.col(text_col).alias("clean_text"),
+                     reason.isNull().alias("kept"),
+                     reason.alias("drop_reason")))

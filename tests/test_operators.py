@@ -1684,3 +1684,46 @@ class TestLogTailPipelineComposition:
         assert got == {(1, "INFO", "a 1 INFO one"),
                        (2, "WARN", "b 2 WARN two"),
                        (3, "INFO", "c 3 INFO three")}
+
+
+class TestCleanCorpus:
+    def test_full_recipe(self, spark):
+        from log2seq_spark.operators.corpus import clean_corpus
+        shared = "standard footer line"
+        good = ("the quick brown fox jumps over the lazy dog and then "
+                "the dog sleeps in the sun while the fox runs away")
+        rows = [
+            (0, good + "\n" + shared),                    # keeper of footer
+            (1, good + "\n" + shared),                    # exact dup post-clean
+            (2, shared),                                   # only the footer -> empty
+            (3, "x@y.com " + good),                        # scrub, then keep
+            (4, "zzzz qqqq wwww!!!! ####"),                # low quality
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r.asDict()
+               for r in clean_corpus(docs).collect()}
+        assert set(out) == {0, 1, 2, 3, 4}
+        assert out[0]["kept"] and out[0]["drop_reason"] is None
+        # every one of doc 1's lines is a cross-doc duplicate owned by
+        # doc 0, so corpus line dedup empties it before exact dedup can
+        # even see it — whole-doc dups collapse line-wise here
+        assert out[1]["drop_reason"] == "empty"
+        assert out[1]["clean_text"] == ""
+        assert out[2]["drop_reason"] == "empty"
+        assert out[3]["kept"] and "<email>" in out[3]["clean_text"]
+        assert out[4]["drop_reason"] == "low_quality"
+
+        # with line dedup off, the same corpus shows the exact_dup path
+        # (doc 1 survives line removal and equals doc 0 post-scrub)
+        out2 = {r["doc_id"]: r["drop_reason"]
+                for r in clean_corpus(docs, do_line_dedup=False).collect()}
+        assert out2[0] is None and out2[1] == "exact_dup"
+
+    def test_stage_toggles(self, spark):
+        from log2seq_spark.operators.corpus import clean_corpus
+        docs = spark.createDataFrame(
+            [(0, "mail me x@y.com please " * 5)],
+            "doc_id long, text string")
+        raw = clean_corpus(docs, do_scrub=False,
+                           quality_min=None).collect()[0]
+        assert "x@y.com" in raw["clean_text"] and raw["kept"]
