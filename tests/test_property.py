@@ -416,3 +416,43 @@ class TestCorpusDedupProperty:
                              docs, k=k).collect()}
             assert got == exp, trial
             assert got_clean == exp_clean, trial
+
+
+class TestConversationHashProperty:
+    def test_partition_and_row_order_invariance(self, spark):
+        """Property: the conversation hash depends only on the ordered
+        (role, text) sequence — never on row order or partitioning —
+        and distinct sequences get distinct hashes."""
+        import random
+        from log2seq_spark.operators import dedup
+        rng = random.Random(31)
+        convs = {}
+        for c in range(12):
+            n = rng.randint(1, 6)
+            convs[f"c{c}"] = [
+                (i, rng.choice(["user", "assistant", "tool"]),
+                 rng.choice(["hi", "ok", "run it", "done", None]))
+                for i in range(n)]
+        rows = [(cid, i, r, t)
+                for cid, turns in convs.items() for (i, r, t) in turns]
+        schema = "conv_id string, turn_idx int, role string, text string"
+
+        base = {r["conv_id"]: r["conv_hash"]
+                for r in dedup.conversation_hashes(
+                    spark.createDataFrame(rows, schema)).collect()}
+        for trial in range(3):
+            rng.shuffle(rows)
+            got = {r["conv_id"]: r["conv_hash"]
+                   for r in dedup.conversation_hashes(
+                       spark.createDataFrame(rows, schema)
+                            .repartition(rng.randint(2, 7))).collect()}
+            assert got == base, trial
+        # distinct sequences -> distinct hashes (collision would need
+        # md5 breakage at these sizes)
+        seqs = {}
+        for cid, turns in convs.items():
+            seqs.setdefault(tuple((r, t) for _, r, t in turns), []).append(cid)
+        for group in seqs.values():
+            assert len({base[c] for c in group}) == 1
+        assert len({base[c] for cs in seqs.values() for c in cs[:1]}) \
+            == len(seqs)
