@@ -64,7 +64,8 @@ quality_features` score on the cleaned text ``>= quality_min``.
         "_h", F.coalesce(F.md5(F.col(text_col)), F.lit(":null:")))
     cur = cur.withColumn("_keeper", F.min(id_col).over(wh))
 
-    q = textstats.quality_features(cur, text_col)
+    q = (textstats.quality_features(cur, text_col)
+         if quality_min is not None else cur)
 
     empty = F.coalesce(F.trim(F.col(text_col)), F.lit("")) == ""
     reason = (F.when(empty, F.lit("empty"))
