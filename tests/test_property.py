@@ -126,11 +126,16 @@ class TestRandomHeaderProgramParity:
         sys.path.insert(0, "/root/reference")
         from log2seq.header import (Digit, String, Hostname, UserItem,
                                     MonthAbbreviation, Time, Date,
-                                    YearWithoutCentury)
+                                    YearWithoutCentury, DatetimeISOFormat,
+                                    UnixTime, TimeZone, DemicalSecond,
+                                    DateConcat, TimeConcat)
         from log2seq_spark.rules import (digit, string, hostname,
                                          user_field, month_abbr,
                                          time_of_day, date, year2)
-        from log2seq_spark.rules.spec import MONTH_ABBREVIATIONS
+        from log2seq_spark.rules.spec import (MONTH_ABBREVIATIONS,
+                                              iso_datetime, unixtime,
+                                              tzone, dsecond,
+                                              date_concat, time_concat)
 
         words = ["alpha", "beta", "gamma", "delta", "kern", "sshd", "su"]
         # (key, needs_name, ours_factory, ref_factory, sampler)
@@ -158,6 +163,27 @@ class TestRandomHeaderProgramParity:
                                          1 + rng.randrange(28))),
             ("year2", False, year2, YearWithoutCentury,
              lambda: "%02d" % rng.randrange(100)),
+            ("iso_dt", False, iso_datetime, DatetimeISOFormat,
+             lambda: "%04d-%02d-%02dT%02d:%02d:%02d%s%s" % (
+                 2000 + rng.randrange(30), 1 + rng.randrange(12),
+                 1 + rng.randrange(28), rng.randrange(24),
+                 rng.randrange(60), rng.randrange(60),
+                 rng.choice(["", ".%06d" % rng.randrange(10**6)]),
+                 rng.choice(["", "Z", "+09:00", "-05:30"]))),
+            ("unixtime", False, unixtime, UnixTime,
+             lambda: str(rng.randrange(1_500_000_000, 1_800_000_000))),
+            ("tzone", False, tzone, TimeZone,
+             lambda: rng.choice(["Z", "+0900", "-0500", "+09:00"])),
+            ("dsecond", False, dsecond, DemicalSecond,
+             lambda: str(rng.randrange(0, 10**6))),
+            ("date_concat", False, date_concat, DateConcat,
+             lambda: "%04d%02d%02d" % (2000 + rng.randrange(30),
+                                       1 + rng.randrange(12),
+                                       1 + rng.randrange(28))),
+            ("time_concat", False, time_concat, TimeConcat,
+             lambda: "%02d%02d%02d" % (rng.randrange(24),
+                                       rng.randrange(60),
+                                       rng.randrange(60))),
         ]
 
     def _random_program(self, rng):
