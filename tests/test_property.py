@@ -199,25 +199,63 @@ class TestRandomHeaderProgramParity:
                                          LineEngine, statement)
         from log2seq_spark.rules.presets import default_actions
 
+        from log2seq.header import ItemGroup
+        from log2seq_spark.rules.spec import group
+
         pool = self._pool(rng)
         n_items = rng.randrange(1, 6)
         used_fixed = set()
         ours_fields, ref_items, samplers = [], [], []
-        for i in range(n_items):
+
+        def pick(i, sub):
+            """One leaf item pair or None (fixed-name collision)."""
             key, needs_name, mk_ours, mk_ref, sample = rng.choice(pool)
             if not needs_name:
                 if key in used_fixed:
-                    continue          # fixed match names must be unique
+                    return None       # fixed match names must be unique
                 used_fixed.add(key)
-            optional = rng.random() < 0.2
+            optional = (not sub) and rng.random() < 0.2
             if needs_name:
                 nm = f"f{i}"
-                ours_fields.append(mk_ours(nm, optional=optional))
-                ref_items.append(mk_ref(nm, optional=optional))
-            else:
-                ours_fields.append(mk_ours(optional=optional))
-                ref_items.append(mk_ref(optional=optional))
-            samplers.append((sample, optional))
+                return (mk_ours(nm, optional=optional),
+                        mk_ref(nm, optional=optional), sample, optional)
+            return (mk_ours(optional=optional),
+                    mk_ref(optional=optional), sample, optional)
+
+        for i in range(n_items):
+            if rng.random() < 0.25:
+                # nested ItemGroup with its OWN separator (exercises the
+                # recursive make_pattern_separator synthesis + group pick)
+                gsep = rng.choice([" ", " :", "/", " -"])
+                members = [m for m in
+                           (pick(f"{i}g{j}", sub=True) for j in range(
+                               rng.randrange(1, 4))) if m is not None]
+                if not members:
+                    continue
+                g_optional = rng.random() < 0.3
+                ours_fields.append(group(
+                    [m[0] for m in members], separator=gsep,
+                    optional=g_optional))
+                ref_items.append(ItemGroup(
+                    [m[1] for m in members], separator=gsep,
+                    optional=g_optional))
+                gchars = list(gsep)
+
+                def g_sample(ms=members, gc=gchars):
+                    glue = lambda: "".join(rng.choice(gc) for _ in
+                                           range(rng.randrange(1, 3)))
+                    out = ms[0][2]()
+                    for m in ms[1:]:
+                        out += glue() + m[2]()
+                    return out
+                samplers.append((g_sample, g_optional))
+                continue
+            m = pick(i, sub=False)
+            if m is None:
+                continue
+            ours_fields.append(m[0])
+            ref_items.append(m[1])
+            samplers.append((m[2], m[3]))
         ours_fields.append(statement())
         ref_items.append(Statement())
         sep = rng.choice([" ", " :", " :[]", " ,", " =/", " :[]<>"])
