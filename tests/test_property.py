@@ -520,3 +520,75 @@ class TestConversationHashProperty:
             assert len({base[c] for c in group}) == 1
         assert len({base[c] for cs in seqs.values() for c in cs[:1]}) \
             == len(seqs)
+
+
+class TestRandomActionPipelineReferenceParity:
+    """Fuzz random ACTION pipelines against the ACTUAL reference
+    StatementParser: for every generated pipeline, both our pure oracle
+    (tokenize_statement) and the vectorized batch tokenizer must return
+    the reference's exact (words, symbols) on random statements — the
+    statement-side twin of TestRandomHeaderProgramParity (reference
+    statement.py:87-113 process_line over all 8 action classes)."""
+
+    N_PIPELINES = 120
+
+    @staticmethod
+    def _action_pairs(rng):
+        sys.path.insert(0, "/root/reference")
+        from log2seq import statement as rs
+
+        ip_pat = r'^(?P<ip>(\d{1,3}\.){3}\d{1,3})\.(?P<port>\d{1,5})$'
+        colon_pat = r'^.*[^:](?P<colon>:)$'
+        return [
+            lambda: (split(" "), rs.Split(" ")),
+            lambda: (split(' ()[]{}|+\',=><;`# "'),
+                     rs.Split(' ()[]{}|+\',=><;`# "')),
+            lambda: (split(":."), rs.Split(":.")),
+            lambda: (fix_ip(), rs.FixIP()),
+            lambda: (fix_ip(network=False), rs.FixIP(network=False)),
+            lambda: (fix([r"^\d{2}:\d{2}:\d{2}(\.\d+)?$", r"^\d+\.\d+$"]),
+                     rs.Fix([r"^\d{2}:\d{2}:\d{2}(\.\d+)?$", r"^\d+\.\d+$"])),
+            lambda: (remove(r"^[^a-zA-Z0-9]+$"),
+                     rs.Remove([r"^[^a-zA-Z0-9]+$"])),
+            lambda: (fix_partial(ip_pat, fix_groups=["ip", "port"]),
+                     rs.FixPartial([ip_pat], fix_groups=["ip", "port"])),
+            lambda: (fix_parenthesis(['"', '"']),
+                     rs.FixParenthesis(['"', '"'])),
+            lambda: (fix_parenthesis(['(', ')'], recursive=True),
+                     rs.FixParenthesis(['(', ')'], recursive=True)),
+            lambda: (remove_partial(colon_pat, remove_groups=["colon"]),
+                     rs.RemovePartial([colon_pat], remove_groups=["colon"])),
+            lambda: (conditional_split(r'^%[A-Z]+-\d+$', r'%-'),
+                     rs.ConditionalSplit([r'^%[A-Z]+-\d+$'], r'%-')),
+        ]
+
+    def test_random_pipelines_agree_with_reference(self):
+        import random
+        sys.path.insert(0, "/root/reference")
+        from log2seq.statement import StatementParser
+
+        rng = random.Random(404)
+        pairs = self._action_pairs(rng)
+        n_nonempty = 0
+        for _ in range(self.N_PIPELINES):
+            chosen = [rng.choice(pairs)() for _ in
+                      range(rng.randrange(1, 6))]
+            ours = [c[0] for c in chosen]
+            ref = StatementParser([c[1] for c in chosen])
+            compiled = compile_actions(ours)
+            vt = VectorTokenizer(ours)
+            lines = ["".join(rng.choice(_ALPHABET)
+                             for _ in range(rng.randrange(0, 60)))
+                     for _ in range(4)]
+            lines += ["10.0.0.1.8080 ok: (a(b)c) \"q w\" %ERR-5 1.5",
+                      "x  y:z..  127.0.0.1"]
+            vw, vs = vt.run(pd.Series(lines, dtype=object))
+            for i, line in enumerate(lines):
+                ew, es = ref.process_line(line)
+                ow, os_ = tokenize_statement(compiled, line)
+                assert ow == ew, (line, [type(c[1]).__name__ for c in chosen])
+                assert os_ == es, (line,)
+                assert vw[i] == ew and vs[i] == es, (line,)
+                if ew:
+                    n_nonempty += 1
+        assert n_nonempty > 400, n_nonempty
