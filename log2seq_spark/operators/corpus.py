@@ -58,16 +58,24 @@ quality_features` score on the cleaned text ``>= quality_min``.
         cur = (dedup.drop_duplicate_lines(cur, text_col, id_col)
                     .select(id_col, F.col("clean_text").alias(text_col)))
 
-    from pyspark.sql import Window
-    wh = Window.partitionBy("_h")
+    # exact-dup keeper via map-side-combined aggregate + equi-join on
+    # the 32-char hash (the exact_duplicates / line_ownership pattern) —
+    # NOT a window over the hash: after line dedup, every fully-emptied
+    # doc shares md5(""), and a hash-partitioned window would funnel all
+    # of them (full rows) into one task at scale
     cur = cur.withColumn(
         "_h", F.coalesce(F.md5(F.col(text_col)), F.lit(":null:")))
-    cur = cur.withColumn("_keeper", F.min(id_col).over(wh))
+    keepers = cur.groupBy("_h").agg(F.min(id_col).alias("_keeper"))
+    cur = cur.join(keepers, "_h")
 
     q = (textstats.quality_features(cur, text_col)
          if quality_min is not None else cur)
 
-    empty = F.coalesce(F.trim(F.col(text_col)), F.lit("")) == ""
+    # whitespace-class emptiness: trim() strips only spaces, and a doc
+    # whose duplicated lines were all removed reassembles to bare
+    # newlines — that must classify as empty, not ship to training
+    empty = (F.coalesce(
+        F.regexp_replace(F.col(text_col), r"\s", ""), F.lit("")) == "")
     reason = (F.when(empty, F.lit("empty"))
                .when(F.col(id_col) != F.col("_keeper"),
                      F.lit("exact_dup")))

@@ -1727,3 +1727,12 @@ class TestCleanCorpus:
         raw = clean_corpus(docs, do_scrub=False,
                            quality_min=None).collect()[0]
         assert "x@y.com" in raw["clean_text"] and raw["kept"]
+
+    def test_whitespace_only_is_empty(self, spark):
+        from log2seq_spark.operators.corpus import clean_corpus
+        docs = spark.createDataFrame(
+            [(0, "\n\n"), (1, "\t"), (2, None)],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r["drop_reason"]
+               for r in clean_corpus(docs).collect()}
+        assert out == {0: "empty", 1: "empty", 2: "empty"}

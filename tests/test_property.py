@@ -533,7 +533,7 @@ class TestRandomActionPipelineReferenceParity:
     N_PIPELINES = 120
 
     @staticmethod
-    def _action_pairs(rng):
+    def _action_pairs():
         sys.path.insert(0, "/root/reference")
         from log2seq import statement as rs
 
@@ -568,7 +568,7 @@ class TestRandomActionPipelineReferenceParity:
         from log2seq.statement import StatementParser
 
         rng = random.Random(404)
-        pairs = self._action_pairs(rng)
+        pairs = self._action_pairs()
         n_nonempty = 0
         for _ in range(self.N_PIPELINES):
             chosen = [rng.choice(pairs)() for _ in
