@@ -288,6 +288,35 @@ def cmd_generate(args) -> int:
     return 0
 
 
+def cmd_clean(args) -> int:
+    """Corpus-cleaning recipe over a documents parquet table: writes the
+    per-doc verdicts (doc_id, clean_text, kept, drop_reason) and prints
+    the drop-reason tally to stderr."""
+    from pyspark.sql import SparkSession
+    from .session import get_spark
+    from .operators.corpus import clean_corpus
+    pre_existing = SparkSession.getActiveSession() is not None
+    spark = get_spark(app_name="log2seq-spark-clean")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = spark.read.parquet(args.input)
+    out = clean_corpus(
+        docs, text_col=args.text_col, id_col=args.id_col,
+        do_scrub=not args.no_scrub,
+        do_line_dedup=not args.no_line_dedup,
+        quality_min=None if args.quality_min < 0 else args.quality_min)
+    if args.kept_only:
+        out = out.filter("kept")
+    out.write.mode("overwrite").parquet(args.out)
+    tally = (spark.read.parquet(args.out)
+             .groupBy("drop_reason").count().collect())
+    for r in sorted(tally, key=lambda r: str(r["drop_reason"])):
+        reason = r["drop_reason"] if r["drop_reason"] is not None else "kept"
+        print(f"# {reason}: {r['count']}", file=sys.stderr)
+    if not pre_existing:
+        spark.stop()
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="log2seq_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -355,6 +384,23 @@ def main(argv=None) -> int:
     p.add_argument("--convs", type=int, default=1000)
     p.add_argument("--seed", type=int, default=42)
     p.set_defaults(fn=cmd_generate)
+
+    p = sub.add_parser(
+        "clean", help="corpus-cleaning recipe: scrub → line dedup → "
+                      "exact dedup → quality gate")
+    p.add_argument("--input", required=True,
+                   help="documents parquet path")
+    p.add_argument("--out", required=True)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--no-scrub", action="store_true")
+    p.add_argument("--no-line-dedup", action="store_true")
+    p.add_argument("--quality-min", type=float, default=0.5,
+                   help="minimum quality score; negative disables the gate")
+    p.add_argument("--kept-only", action="store_true",
+                   help="write only kept docs (default writes verdicts "
+                        "for every doc)")
+    p.set_defaults(fn=cmd_clean)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -197,3 +197,63 @@ class TestDistributedReader:
         assert code_d == code_l == 0
         assert out_d.splitlines() == ["zz 1 zfirst", "aa 2 asecond"]
         assert out_d == out_l
+
+
+class TestCleanCommand:
+    """`clean` subcommand — the corpus-cleaning recipe
+    (operators/corpus.clean_corpus) surfaced as a CLI over a documents
+    parquet table."""
+
+    def _write_docs(self, spark, tmpdir_path, rows):
+        src = os.path.join(tmpdir_path, "docs_in")
+        spark.createDataFrame(rows, "doc_id string, text string") \
+             .write.mode("overwrite").parquet(src)
+        return src
+
+    def test_verdicts_and_tally(self, spark, capsys, tmpdir_path):
+        good = ("the quick brown fox jumped over the lazy dog "
+                "and that is fine")
+        src = self._write_docs(spark, tmpdir_path, [
+            ("d1", good),
+            ("d2", good),          # exact dup of d1 (d1 is the keeper)
+            ("d3", ""),            # empty
+            ("d4", "!!! ??? ###"),  # fails the quality gate
+        ])
+        dest = os.path.join(tmpdir_path, "docs_clean")
+        code = main(["clean", "--input", src, "--out", dest,
+                     "--no-scrub", "--no-line-dedup"])
+        err = capsys.readouterr().err
+        assert code == 0
+        got = {r["doc_id"]: (r["kept"], r["drop_reason"])
+               for r in spark.read.parquet(dest).collect()}
+        assert got == {"d1": (True, None), "d2": (False, "exact_dup"),
+                       "d3": (False, "empty"),
+                       "d4": (False, "low_quality")}
+        assert "# kept: 1" in err and "# exact_dup: 1" in err
+        assert "# empty: 1" in err and "# low_quality: 1" in err
+
+    def test_kept_only_and_scrub(self, spark, capsys, tmpdir_path):
+        src = self._write_docs(spark, tmpdir_path, [
+            ("d1", "please contact bob@example.com for the details "
+                   "and that is all there is to say about it"),
+            ("d2", "###"),
+        ])
+        dest = os.path.join(tmpdir_path, "docs_kept")
+        code = main(["clean", "--input", src, "--out", dest,
+                     "--kept-only"])
+        capsys.readouterr()
+        assert code == 0
+        rows = spark.read.parquet(dest).collect()
+        assert [r["doc_id"] for r in rows] == ["d1"]
+        assert "<email>" in rows[0]["clean_text"]
+        assert "bob@example.com" not in rows[0]["clean_text"]
+
+    def test_quality_gate_disabled(self, spark, capsys, tmpdir_path):
+        src = self._write_docs(spark, tmpdir_path, [("d1", "### ### ###")])
+        dest = os.path.join(tmpdir_path, "docs_nogate")
+        code = main(["clean", "--input", src, "--out", dest,
+                     "--quality-min", "-1", "--no-line-dedup"])
+        capsys.readouterr()
+        assert code == 0
+        rows = spark.read.parquet(dest).collect()
+        assert rows[0]["kept"] is True and rows[0]["drop_reason"] is None
