@@ -3,11 +3,13 @@
 from .stream import (streaming_parse, streaming_sink_counts,
                      streaming_tool_latency,
                      streaming_dedup_exact, streaming_dedup_with_index,
-                     streaming_route_to_sink)
+                     streaming_route_to_sink,
+                     streaming_template_mining, current_templates)
 from .stateful import conversation_summaries, CONV_SUMMARY_SCHEMA
 
 __all__ = ["streaming_parse", "streaming_sink_counts",
            "streaming_tool_latency",
            "streaming_dedup_exact", "streaming_dedup_with_index",
            "streaming_route_to_sink",
+           "streaming_template_mining", "current_templates",
            "conversation_summaries", "CONV_SUMMARY_SCHEMA"]

@@ -190,20 +190,13 @@ def streaming_dedup_with_index(docs: DataFrame, out_dir: str,
 
     Returns an un-started ``DataStreamWriter``.
     """
-    import glob
     import os
-    import re as _re
     import shutil
 
     from ..operators.dedup import dedup_against_index, updated_dedup_index
 
     def _epochs():
-        out = []
-        for p in glob.glob(os.path.join(index_dir, "epoch=*")):
-            m = _re.fullmatch(r"epoch=(\d+)", os.path.basename(p))
-            if m and os.path.exists(os.path.join(p, "_SUCCESS")):
-                out.append(int(m.group(1)))
-        return sorted(out)
+        return _committed_epochs(index_dir)
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -248,3 +241,105 @@ def streaming_dedup_with_index(docs: DataFrame, out_dir: str,
 
     return (docs.writeStream.foreachBatch(_write)
                 .option("checkpointLocation", checkpoint_dir))
+
+
+def _committed_epochs(dir_path: str):
+    """Sorted epoch ids under ``dir_path/epoch=N`` whose parquet commit
+    marker (`_SUCCESS`) exists — the shared discovery step for
+    epoch-versioned operator state (dedup index, template profiles)."""
+    import glob
+    import os
+    import re as _re
+
+    out = []
+    for p in glob.glob(os.path.join(dir_path, "epoch=*")):
+        m = _re.fullmatch(r"epoch=(\d+)", os.path.basename(p))
+        if m and os.path.exists(os.path.join(p, "_SUCCESS")):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+# position_profiles output layout (operators/templates.py): the empty
+# seed state for epoch 0 and the read-back contract for every epoch
+_PROFILE_SCHEMA = ("_ntok int, _head string, _pos int, "
+                   "_mn string, _mx string, _nl bigint")
+
+
+def streaming_template_mining(lines: DataFrame, checkpoint_dir: str,
+                              profile_dir: str, text_col: str = "text",
+                              tokens_col: str | None = None,
+                              keep_epochs: int = 3):
+    """Incremental Drain-style template mining over a stream of log
+    lines: each micro-batch folds its position profile
+    (:func:`~log2seq_spark.operators.templates.position_profiles`) into
+    a persistent profile table versioned per epoch under
+    ``profile_dir`` via
+    :func:`~log2seq_spark.operators.templates.merge_profiles` — the
+    associative-merge property the batch miner documents is exactly
+    what makes this exactly-once: epoch ``b`` always reads the newest
+    committed epoch ``< b``, so a crashed/replayed micro-batch
+    recomputes the same merge its first attempt saw and overwrites only
+    its own epoch directory (the ``streaming_dedup_with_index``
+    pattern). Templates at any moment come from
+    :func:`current_templates` — finalization touches only the tiny
+    profile table, never the stream's history.
+
+    Scale shape: state grows with #(token-count, head) groups × max
+    line length — novelty, not stream volume; each micro-batch costs
+    one posexplode + hash aggregate over ITS rows plus a merge
+    aggregate against the small state read. History is never re-read.
+
+    Epoch discovery/pruning is driver-side glob/rmtree (same
+    local/NFS/FUSE caveat as ``streaming_dedup_with_index``; swap for
+    the Hadoop FileSystem API on raw object-store URIs).
+
+    Returns an un-started ``DataStreamWriter``.
+    """
+    import os
+    import shutil
+
+    from ..operators.templates import merge_profiles, position_profiles
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prior_epochs = [e for e in _committed_epochs(profile_dir)
+                        if e < batch_id]
+        if prior_epochs:
+            prior = spark.read.parquet(
+                os.path.join(profile_dir, f"epoch={prior_epochs[-1]}"))
+        else:
+            prior = spark.createDataFrame([], _PROFILE_SCHEMA)
+        batch_prof = position_profiles(batch_df, text_col,
+                                       tokens_col=tokens_col)
+        (merge_profiles(prior, batch_prof)
+            .write.mode("overwrite")
+            .parquet(os.path.join(profile_dir, f"epoch={batch_id}")))
+        # replay safety: keep the predecessor epoch until b's checkpoint
+        # offset commits — prune strictly below b - keep_epochs (>= 1)
+        horizon = batch_id - max(int(keep_epochs), 1)
+        for e in _committed_epochs(profile_dir):
+            if e < horizon:
+                shutil.rmtree(os.path.join(profile_dir, f"epoch={e}"),
+                              ignore_errors=True)
+
+    return (lines.writeStream.foreachBatch(_write)
+                 .option("checkpointLocation", checkpoint_dir))
+
+
+def current_templates(spark: SparkSession, profile_dir: str,
+                      min_count: int = 1) -> DataFrame:
+    """Finalize ``(template, n_lines, n_groups)`` from the newest
+    committed profile epoch — equal to batch-mining every line ingested
+    so far (merge associativity), at the cost of reading only the
+    profile table."""
+    import os
+
+    from ..operators.templates import templates_from_profiles
+
+    epochs = _committed_epochs(profile_dir)
+    if not epochs:
+        return spark.createDataFrame(
+            [], "template string, n_lines bigint, n_groups bigint")
+    prof = spark.read.parquet(
+        os.path.join(profile_dir, f"epoch={epochs[-1]}"))
+    return templates_from_profiles(prof, min_count=min_count)

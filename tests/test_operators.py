@@ -916,6 +916,76 @@ class TestStreaming:
                             os.path.join(tmpdir_path, "rix", "epoch=*")))
         assert epochs == [1, 2]   # current + predecessor, never fewer
 
+    def test_streaming_template_mining_matches_batch(self, spark,
+                                                     tmpdir_path):
+        # incremental mining via epoch-versioned merged profiles must
+        # equal batch-mining everything ingested (merge associativity),
+        # across separate runs sharing one checkpoint.
+        import os
+        from log2seq_spark.streaming import (streaming_template_mining,
+                                             current_templates)
+        from log2seq_spark.operators import templates
+        inp = os.path.join(tmpdir_path, "tmin")
+        ck = os.path.join(tmpdir_path, "tmck")
+        prof = os.path.join(tmpdir_path, "tmprof")
+        schema = "text string"
+
+        # before any epoch commits: empty, with the finalized schema
+        empty = current_templates(spark, prof)
+        assert empty.count() == 0
+        assert empty.columns == ["template", "n_lines", "n_groups"]
+
+        def run(rows):
+            (spark.createDataFrame([(t,) for t in rows], schema)
+                  .coalesce(1).write.mode("append").parquet(inp))
+            stream = spark.readStream.schema(schema).parquet(inp)
+            q = (streaming_template_mining(stream, ck, prof)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        batch1 = ["connect from 10.0.0.1", "connect from 10.0.0.2",
+                  "session closed"]
+        batch2 = ["connect from 10.0.0.3", "disk full on sda"]
+        run(batch1)
+        run(batch2)
+        got = {(r["template"], r["n_lines"], r["n_groups"])
+               for r in current_templates(spark, prof).collect()}
+        want_df = templates.mine_templates(
+            spark.createDataFrame([(t,) for t in batch1 + batch2], schema))
+        want = {(r["template"], r["n_lines"], r["n_groups"])
+                for r in want_df.collect()}
+        assert got == want
+        # the cross-batch wildcard: position 2 only varies ACROSS epochs
+        assert ("connect from <*>", 3, 1) in got
+
+    def test_streaming_template_profiles_prune_keeps_predecessor(
+            self, spark, tmpdir_path):
+        # same replay-safety contract as the dedup index: at
+        # keep_epochs=1 the predecessor epoch always survives a commit
+        import glob
+        import os
+        from log2seq_spark.streaming import streaming_template_mining
+        inp = os.path.join(tmpdir_path, "tpin")
+        schema = "text string"
+
+        def run(rows):
+            (spark.createDataFrame([(t,) for t in rows], schema)
+                  .coalesce(1).write.mode("append").parquet(inp))
+            stream = spark.readStream.schema(schema).parquet(inp)
+            q = (streaming_template_mining(
+                    stream, os.path.join(tmpdir_path, "tpck"),
+                    os.path.join(tmpdir_path, "tpprof"), keep_epochs=1)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        run(["a one"])
+        run(["a two"])
+        run(["a three"])
+        epochs = sorted(int(os.path.basename(p).split("=")[1])
+                        for p in glob.glob(
+                            os.path.join(tmpdir_path, "tpprof", "epoch=*")))
+        assert epochs == [1, 2]
+
     def test_streaming_tool_latency_matches_batch(self, spark, tmpdir_path):
         import os
         from log2seq_spark.sources.transcripts import transcripts
