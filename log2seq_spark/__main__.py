@@ -304,11 +304,17 @@ def cmd_clean(args) -> int:
         do_scrub=not args.no_scrub,
         do_line_dedup=not args.no_line_dedup,
         quality_min=None if args.quality_min < 0 else args.quality_min)
-    if args.kept_only:
-        out = out.filter("kept")
-    out.write.mode("overwrite").parquet(args.out)
-    tally = (spark.read.parquet(args.out)
-             .groupBy("drop_reason").count().collect())
+    # the tally always reports the FULL verdicts — under --kept-only the
+    # dropped rows never reach the sink, so tallying the written table
+    # would silently lose the per-reason drop counts the command exists
+    # to report; persist so write + tally share one computation
+    out = out.persist()
+    try:
+        to_write = out.filter("kept") if args.kept_only else out
+        to_write.write.mode("overwrite").parquet(args.out)
+        tally = out.groupBy("drop_reason").count().collect()
+    finally:
+        out.unpersist()
     for r in sorted(tally, key=lambda r: str(r["drop_reason"])):
         reason = r["drop_reason"] if r["drop_reason"] is not None else "kept"
         print(f"# {reason}: {r['count']}", file=sys.stderr)

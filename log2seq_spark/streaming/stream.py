@@ -191,26 +191,16 @@ def streaming_dedup_with_index(docs: DataFrame, out_dir: str,
     Returns an un-started ``DataStreamWriter``.
     """
     import os
-    import shutil
 
     from ..operators.dedup import dedup_against_index, updated_dedup_index
 
-    def _epochs():
-        return _committed_epochs(index_dir)
-
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        epochs = _epochs()
-        prior = [e for e in epochs if e < batch_id]
-        if prior:
-            idx = spark.read.parquet(
-                os.path.join(index_dir, f"epoch={prior[-1]}"))
-        else:
-            # keep_id typed off the batch's actual id column — a long
-            # default would silently widen/clash with string/other ids
-            id_type = batch_df.schema[id_col].dataType.simpleString()
-            idx = spark.createDataFrame(
-                [], f"text_hash string, keep_id {id_type}")
+        # keep_id typed off the batch's actual id column — a long
+        # default would silently widen/clash with string/other ids
+        id_type = batch_df.schema[id_col].dataType.simpleString()
+        idx = _read_prior_epoch(spark, index_dir, batch_id,
+                                f"text_hash string, keep_id {id_type}")
         # decisions feed BOTH the kept-rows sink and the index rewrite:
         # persist so the index read + hash window + join run once per
         # epoch, not twice
@@ -228,25 +218,24 @@ def streaming_dedup_with_index(docs: DataFrame, out_dir: str,
                     .parquet(os.path.join(index_dir, f"epoch={batch_id}")))
         finally:
             dec.unpersist()
-        # replay safety: epoch b can be replayed until its checkpoint
-        # offset commits (after this function returns), and a replay
-        # reads the newest epoch < b — so b-1 must ALWAYS survive this
-        # call. Prune strictly below b - keep_epochs (clamped to >= 1):
-        # keep_epochs=1 keeps exactly {b-1, b}, never less.
-        horizon = batch_id - max(int(keep_epochs), 1)
-        for e in epochs:
-            if e < horizon:
-                shutil.rmtree(os.path.join(index_dir, f"epoch={e}"),
-                              ignore_errors=True)
+        _prune_epochs(index_dir, batch_id, keep_epochs)
 
     return (docs.writeStream.foreachBatch(_write)
                 .option("checkpointLocation", checkpoint_dir))
 
 
+# --- shared epoch-versioned operator-state protocol -------------------
+# (dedup index, template profiles). An epoch directory is one
+# self-contained parquet overwrite whose `_SUCCESS` marker IS the commit;
+# micro-batch b reads the newest committed epoch < b and overwrites only
+# epoch=b, so crash-replay recomputes from exactly the state the first
+# attempt saw. Discovery/pruning is driver-side glob/rmtree — correct
+# wherever the driver mounts the directory (local/NFS/FUSE); a raw
+# object-store URI needs these two swapped for the Hadoop FileSystem API.
+
 def _committed_epochs(dir_path: str):
     """Sorted epoch ids under ``dir_path/epoch=N`` whose parquet commit
-    marker (`_SUCCESS`) exists — the shared discovery step for
-    epoch-versioned operator state (dedup index, template profiles)."""
+    marker (`_SUCCESS`) exists."""
     import glob
     import os
     import re as _re
@@ -257,6 +246,36 @@ def _committed_epochs(dir_path: str):
         if m and os.path.exists(os.path.join(p, "_SUCCESS")):
             out.append(int(m.group(1)))
     return sorted(out)
+
+
+def _read_prior_epoch(spark: SparkSession, dir_path: str, batch_id: int,
+                      empty_schema: str) -> DataFrame:
+    """State as of the newest committed epoch ``< batch_id``, or an
+    empty frame with ``empty_schema`` when none exists (first epoch,
+    or a replay of it)."""
+    import os
+
+    prior = [e for e in _committed_epochs(dir_path) if e < batch_id]
+    if prior:
+        return spark.read.parquet(
+            os.path.join(dir_path, f"epoch={prior[-1]}"))
+    return spark.createDataFrame([], empty_schema)
+
+
+def _prune_epochs(dir_path: str, batch_id: int, keep_epochs: int) -> None:
+    """Replay safety: epoch b can be replayed until its checkpoint
+    offset commits (after foreachBatch returns), and a replay reads the
+    newest epoch < b — so b-1 must ALWAYS survive this call. Prune
+    strictly below b - keep_epochs (clamped to >= 1): keep_epochs=1
+    keeps exactly {b-1, b}, never less."""
+    import os
+    import shutil
+
+    horizon = batch_id - max(int(keep_epochs), 1)
+    for e in _committed_epochs(dir_path):
+        if e < horizon:
+            shutil.rmtree(os.path.join(dir_path, f"epoch={e}"),
+                          ignore_errors=True)
 
 
 # position_profiles output layout (operators/templates.py): the empty
@@ -296,31 +315,18 @@ def streaming_template_mining(lines: DataFrame, checkpoint_dir: str,
     Returns an un-started ``DataStreamWriter``.
     """
     import os
-    import shutil
 
     from ..operators.templates import merge_profiles, position_profiles
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        prior_epochs = [e for e in _committed_epochs(profile_dir)
-                        if e < batch_id]
-        if prior_epochs:
-            prior = spark.read.parquet(
-                os.path.join(profile_dir, f"epoch={prior_epochs[-1]}"))
-        else:
-            prior = spark.createDataFrame([], _PROFILE_SCHEMA)
+        prior = _read_prior_epoch(batch_df.sparkSession, profile_dir,
+                                  batch_id, _PROFILE_SCHEMA)
         batch_prof = position_profiles(batch_df, text_col,
                                        tokens_col=tokens_col)
         (merge_profiles(prior, batch_prof)
             .write.mode("overwrite")
             .parquet(os.path.join(profile_dir, f"epoch={batch_id}")))
-        # replay safety: keep the predecessor epoch until b's checkpoint
-        # offset commits — prune strictly below b - keep_epochs (>= 1)
-        horizon = batch_id - max(int(keep_epochs), 1)
-        for e in _committed_epochs(profile_dir):
-            if e < horizon:
-                shutil.rmtree(os.path.join(profile_dir, f"epoch={e}"),
-                              ignore_errors=True)
+        _prune_epochs(profile_dir, batch_id, keep_epochs)
 
     return (lines.writeStream.foreachBatch(_write)
                  .option("checkpointLocation", checkpoint_dir))
@@ -331,15 +337,31 @@ def current_templates(spark: SparkSession, profile_dir: str,
     """Finalize ``(template, n_lines, n_groups)`` from the newest
     committed profile epoch — equal to batch-mining every line ingested
     so far (merge associativity), at the cost of reading only the
-    profile table."""
+    profile table.
+
+    Safe to call while the stream runs: the running stream PRUNES old
+    epochs, so a lazy plan over an epoch directory could hit deleted
+    files at action time. The profile is therefore eagerly materialized
+    with ``localCheckpoint`` (lineage truncated — later pruning cannot
+    invalidate the returned frame; the state table is small by
+    construction, bounded by #groups × max line length), and the
+    glob→read window is retried against a fresh listing if the stream
+    prunes in between."""
     import os
 
     from ..operators.templates import templates_from_profiles
 
-    epochs = _committed_epochs(profile_dir)
-    if not epochs:
-        return spark.createDataFrame(
-            [], "template string, n_lines bigint, n_groups bigint")
-    prof = spark.read.parquet(
-        os.path.join(profile_dir, f"epoch={epochs[-1]}"))
-    return templates_from_profiles(prof, min_count=min_count)
+    last_err = None
+    for _ in range(3):
+        epochs = _committed_epochs(profile_dir)
+        if not epochs:
+            return spark.createDataFrame(
+                [], "template string, n_lines bigint, n_groups bigint")
+        try:
+            prof = (spark.read.parquet(
+                        os.path.join(profile_dir, f"epoch={epochs[-1]}"))
+                    .localCheckpoint(eager=True))
+            return templates_from_profiles(prof, min_count=min_count)
+        except Exception as e:  # epoch pruned between glob and read
+            last_err = e
+    raise last_err

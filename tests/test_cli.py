@@ -241,12 +241,15 @@ class TestCleanCommand:
         dest = os.path.join(tmpdir_path, "docs_kept")
         code = main(["clean", "--input", src, "--out", dest,
                      "--kept-only"])
-        capsys.readouterr()
+        err = capsys.readouterr().err
         assert code == 0
         rows = spark.read.parquet(dest).collect()
         assert [r["doc_id"] for r in rows] == ["d1"]
         assert "<email>" in rows[0]["clean_text"]
         assert "bob@example.com" not in rows[0]["clean_text"]
+        # the drop tally reports the full verdicts even though dropped
+        # rows never reach the sink
+        assert "# kept: 1" in err and "# low_quality: 1" in err
 
     def test_quality_gate_disabled(self, spark, capsys, tmpdir_path):
         src = self._write_docs(spark, tmpdir_path, [("d1", "### ### ###")])

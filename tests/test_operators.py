@@ -957,6 +957,14 @@ class TestStreaming:
         assert got == want
         # the cross-batch wildcard: position 2 only varies ACROSS epochs
         assert ("connect from <*>", 3, 1) in got
+        # the returned frame is materialized (localCheckpoint): pruning
+        # every epoch under it — what a running stream eventually does —
+        # must not invalidate a frame handed out earlier
+        import shutil
+        live = current_templates(spark, prof)
+        shutil.rmtree(prof)
+        assert {r["template"] for r in live.collect()} == \
+            {t for t, _, _ in want}
 
     def test_streaming_template_profiles_prune_keeps_predecessor(
             self, spark, tmpdir_path):
