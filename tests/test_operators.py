@@ -36,6 +36,29 @@ class TestDedup:
         # docs 0/1 identical → share every band; doc 2 shares most shingles
         assert any(r["n_docs"] >= 2 and r["keep_id"] == 0 for r in out)
 
+    def test_minhash_lsh_recall_at_sf001(self, spark):
+        # recall of LSH band-bucket candidates vs EXACT n-gram Jaccard
+        # >= 0.7 on the real sf0.01 documents table — the quality bar
+        # for the banded approximation, the same protocol as the IVF
+        # recall check. With 8 bands of 2 rows, P[candidate | s] =
+        # 1-(1-s^2)^8 >= 0.997 at s=0.7, so recall >= 0.9 has margin.
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.01/documents.parquet")
+        # caps lifted so the Jaccard join is effectively exact here
+        exact = {(r["id_a"], r["id_b"]) for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.7, max_shingles_per_doc=10**6,
+            max_docs_per_shingle=10**6).collect()}
+        assert len(exact) >= 5   # the synthetic corpus plants near-dups
+        sig = dedup.minhash_band_signatures(docs, n_hashes=16, bands=8)
+        a = sig.select(F.col("_id").alias("id_a"), "band", "band_hash")
+        b = sig.select(F.col("_id").alias("id_b"), "band", "band_hash")
+        cand = {(r["id_a"], r["id_b"]) for r in
+                a.join(b, ["band", "band_hash"])
+                 .filter(F.col("id_a") < F.col("id_b"))
+                 .select("id_a", "id_b").distinct().collect()}
+        recall = len(exact & cand) / len(exact)
+        assert recall >= 0.9
+
     def test_jaccard_pairs(self, docs):
         out = {(r["id_a"], r["id_b"]): r["jaccard"]
                for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
