@@ -365,3 +365,97 @@ def current_templates(spark: SparkSession, profile_dir: str,
         except Exception as e:  # epoch pruned between glob and read
             last_err = e
     raise last_err
+
+
+def _check_epoch_params(state_dir: str, params: dict) -> None:
+    """Guard against silently mixing state built under different
+    operator parameters across restarts (e.g. an LSH index signed with
+    n_hashes=8 screened with n_hashes=16 would miss every historical
+    bucket): the first epoch stamps ``params.json`` beside the epoch
+    dirs; every later run must present the identical dict."""
+    import json
+    import os
+
+    os.makedirs(state_dir, exist_ok=True)
+    path = os.path.join(state_dir, "params.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            seen = json.load(f)
+        if seen != params:
+            raise ValueError(
+                f"epoch state at {state_dir} was built with {seen}, "
+                f"got {params}: matching parameters are required "
+                "(or point at a fresh state directory)")
+    else:
+        with open(path, "w") as f:
+            json.dump(params, f)
+
+
+def streaming_near_dup_with_index(docs: DataFrame, out_dir: str,
+                                  checkpoint_dir: str, index_dir: str,
+                                  text_col: str = "text",
+                                  id_col: str = "doc_id",
+                                  n_hashes: int = 8, bands: int = 4,
+                                  shingle_n: int = 3,
+                                  keep_epochs: int = 3):
+    """Streaming MinHash-LSH near-duplicate SCREENING with an unbounded
+    horizon — the near-dup twin of :func:`streaming_dedup_with_index`:
+    each micro-batch is screened against the persistent LSH bucket
+    index (:func:`~log2seq_spark.operators.dedup.near_dup_against_index`)
+    and absorbed into it
+    (:func:`~log2seq_spark.operators.dedup.updated_minhash_index`),
+    versioned per epoch under ``index_dir`` (shared protocol: epoch b
+    reads the newest committed epoch < b, overwrites only epoch=b,
+    predecessor survives every prune — crash-replay recomputes exactly
+    what the first attempt saw).
+
+    Every batch row lands under ``out_dir/batch_id=<epoch>`` annotated
+    with (``is_near_dup``, ``match_id``) — ALL rows are written, not
+    just fresh ones, because an LSH band collision is a CANDIDATE, not
+    a verdict: route ``is_near_dup`` rows through
+    :func:`~log2seq_spark.operators.dedup.ngram_jaccard_pairs` where
+    exactness matters.
+
+    The LSH parameters are stamped into ``index_dir/params.json`` on
+    the first epoch and enforced on every restart — an index signed
+    under different (n_hashes, bands, shingle_n) would silently miss
+    every historical bucket.
+
+    Scale shape: the index holds one row per occupied (band, band_hash)
+    bucket — novelty-bounded; each micro-batch costs one signature
+    aggregate over ITS shingles, one equi-join against the index, and
+    one batch-local window. History is never re-read.
+
+    Returns an un-started ``DataStreamWriter``.
+    """
+    import os
+
+    from ..operators.dedup import (near_dup_against_index,
+                                   updated_minhash_index)
+
+    params = {"n_hashes": int(n_hashes), "bands": int(bands),
+              "shingle_n": int(shingle_n)}
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _check_epoch_params(index_dir, params)
+        id_type = batch_df.schema[id_col].dataType.simpleString()
+        idx = _read_prior_epoch(
+            spark, index_dir, batch_id,
+            f"band int, band_hash string, keep_id {id_type}")
+        verdicts = near_dup_against_index(
+            batch_df, idx, text_col, id_col,
+            n_hashes=n_hashes, bands=bands, shingle_n=shingle_n)
+        annotated = (batch_df.join(verdicts, id_col)
+                     .withColumn("batch_id", F.lit(int(batch_id))))
+        (annotated.write.mode("overwrite")
+                  .parquet(os.path.join(out_dir, f"batch_id={batch_id}")))
+        new_idx = updated_minhash_index(
+            idx, batch_df, text_col, id_col,
+            n_hashes=n_hashes, bands=bands, shingle_n=shingle_n)
+        (new_idx.write.mode("overwrite")
+                .parquet(os.path.join(index_dir, f"epoch={batch_id}")))
+        _prune_epochs(index_dir, batch_id, keep_epochs)
+
+    return (docs.writeStream.foreachBatch(_write)
+                .option("checkpointLocation", checkpoint_dir))

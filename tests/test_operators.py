@@ -1017,6 +1017,76 @@ class TestStreaming:
                             os.path.join(tmpdir_path, "tpprof", "epoch=*")))
         assert epochs == [1, 2]
 
+    def test_streaming_near_dup_with_index_across_restarts(
+            self, spark, tmpdir_path):
+        # near-dup screening across RUNS: content near-identical to a
+        # run-1 doc is flagged in run 2 with the historical owner as
+        # match_id; fresh content is not; the final index equals the
+        # batch index over everything ingested (min-owner associativity).
+        import os
+        from log2seq_spark.streaming import streaming_near_dup_with_index
+        from log2seq_spark.operators import dedup
+        inp = os.path.join(tmpdir_path, "nin")
+        out = os.path.join(tmpdir_path, "nout")
+        ck = os.path.join(tmpdir_path, "nck")
+        ix = os.path.join(tmpdir_path, "nix")
+        schema = "doc_id long, text string"
+        base = "the quick brown fox jumps over the lazy sleeping dog"
+
+        def run(rows):
+            (spark.createDataFrame(rows, schema)
+                  .coalesce(1).write.mode("append").parquet(inp))
+            stream = spark.readStream.schema(schema).parquet(inp)
+            q = (streaming_near_dup_with_index(
+                    stream, out, ck, ix, n_hashes=8, bands=4)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        b1 = [(0, base), (1, "completely different content about spark")]
+        b2 = [(10, base.replace("jumps", "leaps")),   # near dup of 0
+              (11, "a third unrelated text on columnar execution")]
+        run(b1)
+        run(b2)
+        got = {r["doc_id"]: (r["is_near_dup"], r["match_id"])
+               for r in spark.read.parquet(out).collect()}
+        assert got[0] == (False, None) and got[1] == (False, None)
+        assert got[10] == (True, 0)
+        assert got[11] == (False, None)
+        # index == batch minhash_index over the union
+        import glob
+        latest = sorted(glob.glob(os.path.join(ix, "epoch=*")))[-1]
+        stream_idx = {(r["band"], r["band_hash"], r["keep_id"])
+                      for r in spark.read.parquet(latest).collect()}
+        batch_idx = {(r["band"], r["band_hash"], r["keep_id"])
+                     for r in dedup.minhash_index(
+                         spark.createDataFrame(b1 + b2, schema),
+                         n_hashes=8, bands=4).collect()}
+        assert stream_idx == batch_idx
+
+    def test_streaming_near_dup_rejects_param_drift(self, spark,
+                                                    tmpdir_path):
+        # restarting against the same index with different LSH params
+        # must fail loudly, not silently miss every historical bucket
+        import os
+        from log2seq_spark.streaming import streaming_near_dup_with_index
+        inp = os.path.join(tmpdir_path, "pin")
+        schema = "doc_id long, text string"
+
+        def run(rows, n_hashes):
+            (spark.createDataFrame(rows, schema)
+                  .coalesce(1).write.mode("append").parquet(inp))
+            stream = spark.readStream.schema(schema).parquet(inp)
+            q = (streaming_near_dup_with_index(
+                    stream, os.path.join(tmpdir_path, "pout"),
+                    os.path.join(tmpdir_path, "pck"),
+                    os.path.join(tmpdir_path, "pix"), n_hashes=n_hashes)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        run([(0, "some text here for signing")], n_hashes=8)
+        with pytest.raises(Exception, match="matching parameters"):
+            run([(1, "more text")], n_hashes=16)
+
     def test_streaming_tool_latency_matches_batch(self, spark, tmpdir_path):
         import os
         from log2seq_spark.sources.transcripts import transcripts
