@@ -318,7 +318,13 @@ def streaming_template_mining(lines: DataFrame, checkpoint_dir: str,
 
     from ..operators.templates import merge_profiles, position_profiles
 
+    # profiles merged across epochs must come from one tokenization:
+    # folding a `\s+`-split epoch into a parsed-words epoch would mix
+    # incompatible position spaces without any error
+    params = {"text_col": text_col, "tokens_col": tokens_col}
+
     def _write(batch_df: DataFrame, batch_id: int) -> None:
+        _check_epoch_params(profile_dir, params)
         prior = _read_prior_epoch(batch_df.sparkSession, profile_dir,
                                   batch_id, _PROFILE_SCHEMA)
         batch_prof = position_profiles(batch_df, text_col,

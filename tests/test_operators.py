@@ -1017,6 +1017,32 @@ class TestStreaming:
                             os.path.join(tmpdir_path, "tpprof", "epoch=*")))
         assert epochs == [1, 2]
 
+    def test_streaming_template_rejects_tokenization_drift(
+            self, spark, tmpdir_path):
+        # profiles merged across restarts must come from ONE
+        # tokenization — a tokens_col epoch folded into a text-split
+        # epoch would mix incompatible position spaces
+        import os
+        from log2seq_spark.streaming import streaming_template_mining
+        inp = os.path.join(tmpdir_path, "dtin")
+
+        def run(rows, **kw):
+            (spark.createDataFrame([(t, t.split()) for t in rows],
+                                   "text string, words array<string>")
+                  .coalesce(1).write.mode("append").parquet(inp))
+            stream = (spark.readStream
+                      .schema("text string, words array<string>")
+                      .parquet(inp))
+            q = (streaming_template_mining(
+                    stream, os.path.join(tmpdir_path, "dtck"),
+                    os.path.join(tmpdir_path, "dtprof"), **kw)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        run(["alpha beta"])
+        with pytest.raises(Exception, match="matching parameters"):
+            run(["gamma delta"], tokens_col="words")
+
     def test_streaming_near_dup_with_index_across_restarts(
             self, spark, tmpdir_path):
         # near-dup screening across RUNS: content near-identical to a
