@@ -914,8 +914,8 @@ def minhash_index(docs: DataFrame, text_col: str = "text",
 def near_dup_against_index(new_docs: DataFrame, index: DataFrame,
                            text_col: str = "text",
                            id_col: str = "doc_id", n_hashes: int = 8,
-                           bands: int = 4,
-                           shingle_n: int = 3) -> DataFrame:
+                           bands: int = 4, shingle_n: int = 3,
+                           signatures: DataFrame | None = None) -> DataFrame:
     """Incremental MinHash-LSH near-dup screening of a new batch against
     the historical :func:`minhash_index` (the near-dup twin of
     :func:`dedup_against_index`; parameters must match the index's).
@@ -931,10 +931,16 @@ def near_dup_against_index(new_docs: DataFrame, index: DataFrame,
     Shape at scale: signatures are one aggregate over the batch's
     shingles; the screen is one equi-join on (band, band_hash) against
     the index plus one batch-local window — history is never re-read.
+
+    ``signatures`` accepts the batch's precomputed (persisted)
+    :func:`minhash_band_signatures` so a caller that also feeds
+    :func:`updated_minhash_index` pays the signature aggregate ONCE
+    per batch, not twice (the streaming wrapper does this).
     """
     from pyspark.sql import Window
-    sigs = minhash_band_signatures(new_docs, text_col, id_col, n_hashes,
-                                   bands, shingle_n)
+    sigs = (signatures if signatures is not None
+            else minhash_band_signatures(new_docs, text_col, id_col,
+                                         n_hashes, bands, shingle_n))
     wb = Window.partitionBy("band", "band_hash")
     sigs = sigs.withColumn("_batch_min", F.min("_id").over(wb))
     joined = sigs.join(
@@ -957,14 +963,17 @@ def near_dup_against_index(new_docs: DataFrame, index: DataFrame,
 def updated_minhash_index(index: DataFrame, new_docs: DataFrame,
                           text_col: str = "text",
                           id_col: str = "doc_id", n_hashes: int = 8,
-                          bands: int = 4,
-                          shingle_n: int = 3) -> DataFrame:
+                          bands: int = 4, shingle_n: int = 3,
+                          signatures: DataFrame | None = None) -> DataFrame:
     """The LSH index after absorbing a batch: min owner per bucket over
     (prior index ∪ batch signatures) — same no-history-rescan contract
-    as :func:`updated_dedup_index`."""
-    fresh = (minhash_band_signatures(new_docs, text_col, id_col, n_hashes,
-                                     bands, shingle_n)
-             .select("band", "band_hash", F.col("_id").alias("keep_id")))
+    as :func:`updated_dedup_index`. ``signatures`` = precomputed
+    :func:`minhash_band_signatures`, see
+    :func:`near_dup_against_index`."""
+    sigs = (signatures if signatures is not None
+            else minhash_band_signatures(new_docs, text_col, id_col,
+                                         n_hashes, bands, shingle_n))
+    fresh = sigs.select("band", "band_hash", F.col("_id").alias("keep_id"))
     return (index.unionByName(fresh)
                  .groupBy("band", "band_hash")
                  .agg(F.min("keep_id").alias("keep_id")))

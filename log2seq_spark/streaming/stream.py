@@ -194,8 +194,13 @@ def streaming_dedup_with_index(docs: DataFrame, out_dir: str,
 
     from ..operators.dedup import dedup_against_index, updated_dedup_index
 
+    # same drift stamp as the near-dup/template state: an index built
+    # over a different text_col would miss every historical duplicate
+    params = {"text_col": text_col, "id_col": id_col}
+
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _check_epoch_params(index_dir, params)
         # keep_id typed off the batch's actual id column — a long
         # default would silently widen/clash with string/other ids
         id_type = batch_df.schema[id_col].dataType.simpleString()
@@ -320,8 +325,12 @@ def streaming_template_mining(lines: DataFrame, checkpoint_dir: str,
 
     # profiles merged across epochs must come from one tokenization:
     # folding a `\s+`-split epoch into a parsed-words epoch would mix
-    # incompatible position spaces without any error
-    params = {"text_col": text_col, "tokens_col": tokens_col}
+    # incompatible position spaces without any error. Stamp only the
+    # EFFECTIVE tokenization — position_profiles ignores text_col when
+    # tokens_col is set, so renaming the unread text column must not
+    # spuriously reject a restart
+    params = {"tokens_col": tokens_col,
+              "text_col": text_col if tokens_col is None else None}
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         _check_epoch_params(profile_dir, params)
@@ -378,23 +387,36 @@ def _check_epoch_params(state_dir: str, params: dict) -> None:
     operator parameters across restarts (e.g. an LSH index signed with
     n_hashes=8 screened with n_hashes=16 would miss every historical
     bucket): the first epoch stamps ``params.json`` beside the epoch
-    dirs; every later run must present the identical dict."""
+    dirs; every later run must present the identical dict.
+
+    The stamp is written atomically (temp file + ``os.replace``) and
+    only ENFORCED once a committed epoch exists — parameters can be
+    freely corrected after a failed first batch, and a stamp truncated
+    by a pre-atomic-write crash is restamped rather than wedging the
+    directory forever."""
     import json
     import os
 
     os.makedirs(state_dir, exist_ok=True)
     path = os.path.join(state_dir, "params.json")
+    seen = None
     if os.path.exists(path):
-        with open(path) as f:
-            seen = json.load(f)
+        try:
+            with open(path) as f:
+                seen = json.load(f)
+        except ValueError:
+            seen = None   # corrupt stamp (pre-atomic crash): restamp
+    if seen is not None and _committed_epochs(state_dir):
         if seen != params:
             raise ValueError(
                 f"epoch state at {state_dir} was built with {seen}, "
                 f"got {params}: matching parameters are required "
                 "(or point at a fresh state directory)")
-    else:
-        with open(path, "w") as f:
-            json.dump(params, f)
+        return
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(params, f)
+    os.replace(tmp, path)
 
 
 def streaming_near_dup_with_index(docs: DataFrame, out_dir: str,
@@ -436,11 +458,17 @@ def streaming_near_dup_with_index(docs: DataFrame, out_dir: str,
     """
     import os
 
-    from ..operators.dedup import (near_dup_against_index,
+    from ..operators.dedup import (minhash_band_signatures,
+                                   near_dup_against_index,
                                    updated_minhash_index)
 
+    # every knob that changes what gets signed or how buckets are keyed
+    # belongs in the drift stamp — a different text_col signs different
+    # content against the same historical buckets just as silently as a
+    # different n_hashes
     params = {"n_hashes": int(n_hashes), "bands": int(bands),
-              "shingle_n": int(shingle_n)}
+              "shingle_n": int(shingle_n),
+              "text_col": text_col, "id_col": id_col}
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -449,18 +477,40 @@ def streaming_near_dup_with_index(docs: DataFrame, out_dir: str,
         idx = _read_prior_epoch(
             spark, index_dir, batch_id,
             f"band int, band_hash string, keep_id {id_type}")
-        verdicts = near_dup_against_index(
-            batch_df, idx, text_col, id_col,
-            n_hashes=n_hashes, bands=bands, shingle_n=shingle_n)
-        annotated = (batch_df.join(verdicts, id_col)
-                     .withColumn("batch_id", F.lit(int(batch_id))))
-        (annotated.write.mode("overwrite")
-                  .parquet(os.path.join(out_dir, f"batch_id={batch_id}")))
-        new_idx = updated_minhash_index(
-            idx, batch_df, text_col, id_col,
-            n_hashes=n_hashes, bands=bands, shingle_n=shingle_n)
-        (new_idx.write.mode("overwrite")
-                .parquet(os.path.join(index_dir, f"epoch={batch_id}")))
+        # the signature aggregate (shingle posexplode + per-seed mins)
+        # is the dominant per-batch cost: compute it ONCE and feed both
+        # the screen and the index update (the `dec.persist()`
+        # discipline of streaming_dedup_with_index)
+        sigs = minhash_band_signatures(
+            batch_df, text_col, id_col,
+            n_hashes=n_hashes, bands=bands, shingle_n=shingle_n).persist()
+        try:
+            verdicts = near_dup_against_index(
+                batch_df, idx, text_col, id_col,
+                n_hashes=n_hashes, bands=bands, shingle_n=shingle_n,
+                signatures=sigs)
+            # null-safe left join: a null-id row still lands in the
+            # sink annotated (the docstring promises ALL rows written);
+            # null ids collapse to one verdict group by LSH semantics
+            annotated = (
+                batch_df.alias("b")
+                .join(verdicts.alias("v"),
+                      F.col(f"b.{id_col}").eqNullSafe(
+                          F.col(f"v.{id_col}")), "left")
+                .select("b.*", "v.is_near_dup", "v.match_id")
+                .withColumn("batch_id", F.lit(int(batch_id))))
+            (annotated.write.mode("overwrite")
+                      .parquet(os.path.join(out_dir,
+                                            f"batch_id={batch_id}")))
+            new_idx = updated_minhash_index(
+                idx, batch_df, text_col, id_col,
+                n_hashes=n_hashes, bands=bands, shingle_n=shingle_n,
+                signatures=sigs)
+            (new_idx.write.mode("overwrite")
+                    .parquet(os.path.join(index_dir,
+                                          f"epoch={batch_id}")))
+        finally:
+            sigs.unpersist()
         _prune_epochs(index_dir, batch_id, keep_epochs)
 
     return (docs.writeStream.foreachBatch(_write)

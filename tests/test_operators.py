@@ -1089,6 +1089,27 @@ class TestStreaming:
                          n_hashes=8, bands=4).collect()}
         assert stream_idx == batch_idx
 
+    def test_epoch_params_guard_recovery(self, tmpdir_path):
+        # enforcement starts only once an epoch has COMMITTED (a failed
+        # first batch must not lock in its parameters), and a stamp
+        # truncated by a pre-atomic-write crash restamps instead of
+        # wedging the directory
+        import os
+        from log2seq_spark.streaming.stream import _check_epoch_params
+        d = os.path.join(tmpdir_path, "gstate")
+        _check_epoch_params(d, {"a": 1})
+        _check_epoch_params(d, {"a": 2})          # no committed epoch yet
+        os.makedirs(os.path.join(d, "epoch=0"))
+        open(os.path.join(d, "epoch=0", "_SUCCESS"), "w").close()
+        _check_epoch_params(d, {"a": 2})
+        with pytest.raises(ValueError, match="matching parameters"):
+            _check_epoch_params(d, {"a": 3})
+        with open(os.path.join(d, "params.json"), "w") as f:
+            f.write("{trunc")                      # corrupt stamp
+        _check_epoch_params(d, {"a": 4})           # restamped
+        with pytest.raises(ValueError, match="matching parameters"):
+            _check_epoch_params(d, {"a": 5})
+
     def test_streaming_near_dup_rejects_param_drift(self, spark,
                                                     tmpdir_path):
         # restarting against the same index with different LSH params
