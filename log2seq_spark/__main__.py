@@ -323,6 +323,36 @@ def cmd_clean(args) -> int:
     return 0
 
 
+def cmd_templates(args) -> int:
+    """Batch template mining (``operators/templates.py`` — the amulog
+    hand-off the reference preprocesses for): mine over raw log lines,
+    a parquet/table text column, or a pre-tokenized ``array<string>``
+    column; prints ``n_lines<TAB>n_groups<TAB>template`` sorted by
+    count to stdout."""
+    from pyspark.sql import SparkSession
+    from .session import get_spark
+    from .operators.templates import mine_templates
+    pre_existing = SparkSession.getActiveSession() is not None
+    spark = get_spark(app_name="log2seq-spark-templates")
+    spark.sparkContext.setLogLevel("ERROR")
+    if args.input_kind == "parquet":
+        lines = spark.read.parquet(args.input)
+    elif args.input_kind == "table":
+        lines = spark.table(args.input)
+    else:
+        lines = spark.read.text(args.input).withColumnRenamed(
+            "value", args.text_col)
+    out = mine_templates(lines, args.text_col, min_count=args.min_count,
+                         tokens_col=args.tokens_col)
+    rows = (out.orderBy(F.desc("n_lines"), "template")
+               .limit(args.top).collect())
+    for r in rows:
+        print(f"{r['n_lines']}\t{r['n_groups']}\t{r['template']}")
+    if not pre_existing:
+        spark.stop()
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="log2seq_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -407,6 +437,22 @@ def main(argv=None) -> int:
                    help="write only kept docs (default writes verdicts "
                         "for every doc)")
     p.set_defaults(fn=cmd_clean)
+
+    p = sub.add_parser(
+        "templates", help="Drain-style template mining over log lines "
+                          "or a table column")
+    p.add_argument("--input", required=True,
+                   help="text/gz log path glob, parquet path, or table")
+    p.add_argument("--input-kind", choices=["text", "parquet", "table"],
+                   default="text")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--tokens-col", default=None,
+                   help="mine a pre-tokenized array<string> column "
+                        "(e.g. the pipeline's parsed words) instead of "
+                        "splitting --text-col")
+    p.add_argument("--min-count", type=int, default=1)
+    p.add_argument("--top", type=int, default=100)
+    p.set_defaults(fn=cmd_templates)
 
     args = ap.parse_args(argv)
     return args.fn(args)

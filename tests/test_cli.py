@@ -260,3 +260,28 @@ class TestCleanCommand:
         assert code == 0
         rows = spark.read.parquet(dest).collect()
         assert rows[0]["kept"] is True and rows[0]["drop_reason"] is None
+
+
+class TestTemplatesCommand:
+    def test_text_input(self, spark, capsys, tmpdir_path):
+        p = os.path.join(tmpdir_path, "t.log")
+        with open(p, "w") as f:
+            f.write("connect from h1\nconnect from h2\nsession closed\n")
+        code = main(["templates", "--input", p])
+        out = capsys.readouterr().out
+        assert code == 0
+        lines = out.strip().splitlines()
+        assert lines[0] == "2\t1\tconnect from <*>"
+        assert "1\t1\tsession closed" in lines
+
+    def test_tokens_col_parquet(self, spark, capsys, tmpdir_path):
+        src = os.path.join(tmpdir_path, "wdocs")
+        rows = [(["job", "1", "done"],), (["job", "2", "done"],)]
+        (spark.createDataFrame(rows, "words array<string>")
+              .write.mode("overwrite").parquet(src))
+        code = main(["templates", "--input", src, "--input-kind",
+                     "parquet", "--tokens-col", "words"])
+        out = capsys.readouterr().out
+        assert code == 0
+        # numeric-head routing keeps 'job' as head; position 2 varies
+        assert out.strip().splitlines() == ["2\t1\tjob <*> done"]
