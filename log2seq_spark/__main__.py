@@ -298,7 +298,12 @@ def cmd_clean(args) -> int:
     pre_existing = SparkSession.getActiveSession() is not None
     spark = get_spark(app_name="log2seq-spark-clean")
     spark.sparkContext.setLogLevel("ERROR")
-    docs = spark.read.parquet(args.input)
+    # normalize ingest parallelism: a documents table arriving as few
+    # parquet files would serialize the CPU-bound scrub/quality regexes
+    # on as few cores (measured 37s -> 12s at sf0.1 on local[32]); the
+    # raw-text shuffle is cheap next to the per-char regex work
+    docs = (spark.read.parquet(args.input)
+            .repartition(spark.sparkContext.defaultParallelism))
     out = clean_corpus(
         docs, text_col=args.text_col, id_col=args.id_col,
         do_scrub=not args.no_scrub,
