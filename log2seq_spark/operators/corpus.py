@@ -71,18 +71,29 @@ quality_features` score on the cleaned text ``>= quality_min``.
     q = (textstats.quality_features(cur, text_col)
          if quality_min is not None else cur)
 
-    # whitespace-class emptiness: trim() strips only spaces, and a doc
-    # whose duplicated lines were all removed reassembles to bare
-    # newlines — that must classify as empty, not ship to training
-    empty = (F.coalesce(
-        F.regexp_replace(F.col(text_col), r"\s", ""), F.lit("")) == "")
-    reason = (F.when(empty, F.lit("empty"))
-               .when(F.col(id_col) != F.col("_keeper"),
-                     F.lit("exact_dup")))
-    if quality_min is not None:
-        reason = reason.when(F.col("quality_score") < quality_min,
-                             F.lit("low_quality"))
+    reason = drop_reason_expr(
+        text_col, F.col(id_col) != F.col("_keeper"), quality_min)
     return (q.select(F.col(id_col),
                      F.col(text_col).alias("clean_text"),
                      reason.isNull().alias("kept"),
                      reason.alias("drop_reason")))
+
+
+def drop_reason_expr(text_col: str, is_dup, quality_min: float | None):
+    """The recipe's verdict column (null = kept), shared by the batch
+    and streaming variants so the precedence can never drift:
+    empty → exact_dup → low_quality. ``is_dup`` is a boolean Column;
+    when ``quality_min`` is set the frame must already carry
+    ``quality_score``.
+
+    Whitespace-class emptiness: trim() strips only spaces, and a doc
+    whose duplicated lines were all removed reassembles to bare
+    newlines — that must classify as empty, not ship to training."""
+    empty = (F.coalesce(
+        F.regexp_replace(F.col(text_col), r"\s", ""), F.lit("")) == "")
+    reason = (F.when(empty, F.lit("empty"))
+               .when(is_dup, F.lit("exact_dup")))
+    if quality_min is not None:
+        reason = reason.when(F.col("quality_score") < quality_min,
+                             F.lit("low_quality"))
+    return reason

@@ -5,7 +5,8 @@ from .stream import (streaming_parse, streaming_sink_counts,
                      streaming_dedup_exact, streaming_dedup_with_index,
                      streaming_route_to_sink,
                      streaming_template_mining, current_templates,
-                     streaming_near_dup_with_index)
+                     streaming_near_dup_with_index,
+                     streaming_clean_corpus)
 from .stateful import conversation_summaries, CONV_SUMMARY_SCHEMA
 
 __all__ = ["streaming_parse", "streaming_sink_counts",
@@ -13,5 +14,5 @@ __all__ = ["streaming_parse", "streaming_sink_counts",
            "streaming_dedup_exact", "streaming_dedup_with_index",
            "streaming_route_to_sink",
            "streaming_template_mining", "current_templates",
-           "streaming_near_dup_with_index",
+           "streaming_near_dup_with_index", "streaming_clean_corpus",
            "conversation_summaries", "CONV_SUMMARY_SCHEMA"]

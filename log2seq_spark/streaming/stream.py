@@ -515,3 +515,86 @@ def streaming_near_dup_with_index(docs: DataFrame, out_dir: str,
 
     return (docs.writeStream.foreachBatch(_write)
                 .option("checkpointLocation", checkpoint_dir))
+
+
+def streaming_clean_corpus(docs: DataFrame, out_dir: str,
+                           checkpoint_dir: str, index_dir: str,
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           do_scrub: bool = True,
+                           quality_min: float | None = 0.5,
+                           keep_epochs: int = 3):
+    """Streaming counterpart of
+    :func:`~log2seq_spark.operators.corpus.clean_corpus`: PII/URL scrub
+    (map-only) → exact dedup of the CLEANED text against the
+    epoch-versioned unbounded-horizon hash index → quality gate. One
+    verdict row per batch doc — (``id_col``, clean_text, kept,
+    drop_reason ∈ (null, 'empty', 'exact_dup', 'low_quality'), same
+    precedence as the batch recipe via
+    :func:`~log2seq_spark.operators.corpus.drop_reason_expr`) — lands
+    under ``out_dir/batch_id=<epoch>``; the index absorbs each batch's
+    first-seen content hashes (shared epoch protocol: replay-safe,
+    predecessor survives every prune).
+
+    Deliberately OMITS the batch recipe's corpus-level line dedup:
+    line ownership is a corpus-wide aggregate with no incremental
+    index (yet) — when cross-doc boilerplate-line removal matters, run
+    the batch operator over a bounded re-window of the sink.
+
+    State-affecting knobs (what gets hashed) are drift-stamped;
+    ``quality_min`` is per-batch-verdict only and may change across
+    restarts without corrupting the index.
+    """
+    import os
+
+    from ..operators.corpus import drop_reason_expr
+    from ..operators.dedup import (dedup_against_index,
+                                   updated_dedup_index)
+    from ..operators.scrub import scrub_expr
+    from ..operators.textstats import quality_features
+
+    params = {"text_col": text_col, "id_col": id_col,
+              "do_scrub": bool(do_scrub)}
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _check_epoch_params(index_dir, params)
+        id_type = batch_df.schema[id_col].dataType.simpleString()
+        idx = _read_prior_epoch(spark, index_dir, batch_id,
+                                f"text_hash string, keep_id {id_type}")
+        clean = (scrub_expr(F.col(text_col)) if do_scrub
+                 else F.col(text_col))
+        cleaned = batch_df.select(F.col(id_col),
+                                  clean.alias("_clean")).persist()
+        try:
+            # decisions feed the verdict rows AND the index rewrite
+            dec = dedup_against_index(cleaned, idx, "_clean", id_col) \
+                .persist()
+            try:
+                q = (quality_features(cleaned, "_clean")
+                     if quality_min is not None else cleaned)
+                reason = drop_reason_expr(
+                    "_clean", F.col("decision") != "keep", quality_min)
+                verdicts = (
+                    q.join(dec.select(id_col, "decision"), id_col)
+                     .select(F.col(id_col),
+                             F.col("_clean").alias("clean_text"),
+                             reason.isNull().alias("kept"),
+                             reason.alias("drop_reason"))
+                     .withColumn("batch_id", F.lit(int(batch_id))))
+                (verdicts.write.mode("overwrite")
+                         .parquet(os.path.join(out_dir,
+                                               f"batch_id={batch_id}")))
+                new_idx = updated_dedup_index(idx, dec, cleaned,
+                                              "_clean", id_col)
+                (new_idx.write.mode("overwrite")
+                        .parquet(os.path.join(index_dir,
+                                              f"epoch={batch_id}")))
+            finally:
+                dec.unpersist()
+        finally:
+            cleaned.unpersist()
+        _prune_epochs(index_dir, batch_id, keep_epochs)
+
+    return (docs.writeStream.foreachBatch(_write)
+                .option("checkpointLocation", checkpoint_dir))

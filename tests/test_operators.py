@@ -1089,6 +1089,42 @@ class TestStreaming:
                          n_hashes=8, bands=4).collect()}
         assert stream_idx == batch_idx
 
+    def test_streaming_clean_corpus_across_restarts(self, spark,
+                                                    tmpdir_path):
+        # the streaming recipe: scrub applies, a doc re-ingested in a
+        # LATER run is exact_dup against the historical index, empties
+        # and low-quality docs get their reasons, precedence matches
+        # the batch recipe (empty > exact_dup > low_quality)
+        import os
+        from log2seq_spark.streaming import streaming_clean_corpus
+        inp = os.path.join(tmpdir_path, "cin")
+        out = os.path.join(tmpdir_path, "cout")
+        schema = "doc_id long, text string"
+        good = ("please contact bob@example.com for the details "
+                "and that is all there is to say about it")
+
+        def run(rows):
+            (spark.createDataFrame(rows, schema)
+                  .coalesce(1).write.mode("append").parquet(inp))
+            stream = spark.readStream.schema(schema).parquet(inp)
+            q = (streaming_clean_corpus(
+                    stream, out, os.path.join(tmpdir_path, "cck"),
+                    os.path.join(tmpdir_path, "cix"))
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        run([(0, good), (1, "   \n "), (2, "### ???")])
+        run([(10, good), (11, "a fresh second-run doc that is fine "
+                              "and the text of it is long enough")])
+        got = {r["doc_id"]: (r["kept"], r["drop_reason"],
+                             r["clean_text"])
+               for r in spark.read.parquet(out).collect()}
+        assert got[0][0] is True and "<email>" in got[0][2]
+        assert got[1][:2] == (False, "empty")
+        assert got[2][:2] == (False, "low_quality")
+        assert got[10][:2] == (False, "exact_dup")   # cross-run dup
+        assert got[11][:2] == (True, None)
+
     def test_epoch_params_guard_recovery(self, tmpdir_path):
         # enforcement starts only once an epoch has COMMITTED (a failed
         # first batch must not lock in its parameters), and a stamp
