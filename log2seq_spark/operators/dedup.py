@@ -845,11 +845,16 @@ def dedup_against_index(new_docs: DataFrame, index: DataFrame,
     continuously-growing corpus: the history is never re-scanned, only
     its (small) hash index is joined.
 
-    Returns one row per new doc: (``id_col``, decision, keep_id) where
-    decision is ``drop_seen`` (content already in the index),
-    ``drop_batch`` (duplicate within this batch, an earlier batch id
-    keeps it), or ``keep``; ``keep_id`` is the retained owner. The
-    invariant (unit-tested): decisions equal what batch-mode
+    Returns one row per distinct (``id_col``, content) in the batch:
+    (``id_col``, text_hash, decision, keep_id) where decision is
+    ``drop_seen`` (content already in the index), ``drop_batch``
+    (duplicate within this batch, an earlier batch id keeps it), or
+    ``keep``; ``keep_id`` is the retained owner and ``text_hash`` the
+    null-safe content hash — carrying it lets consumers join decisions
+    back to rows on (id, hash) without re-hashing and without the
+    fan-out / null-drop pathologies of an id-only equi-join (ids may
+    repeat with different payloads, or be null). The invariant
+    (unit-tested): decisions equal what batch-mode
     :func:`exact_duplicates` over history ∪ batch would decide for the
     batch rows, provided batch ids sort after history ids.
 
@@ -859,8 +864,9 @@ def dedup_against_index(new_docs: DataFrame, index: DataFrame,
     """
     from pyspark.sql import Window
     wh = Window.partitionBy("_h")
-    h = new_docs.select(F.col(id_col),
-                        _nullsafe_text_hash(text_col).alias("_h"))
+    h = (new_docs.select(F.col(id_col),
+                         _nullsafe_text_hash(text_col).alias("_h"))
+                 .distinct())
     batch = h.select(
         id_col, "_h",
         F.min(id_col).over(wh).alias("_batch_keeper"))
@@ -868,31 +874,44 @@ def dedup_against_index(new_docs: DataFrame, index: DataFrame,
         index.select(F.col("text_hash").alias("_h"),
                      F.col("keep_id").alias("_seen_keeper")),
         "_h", "left")
+    # null-safe keeper comparison: a null-id row sharing content with a
+    # real-id row must be drop_batch (plain != yields NULL -> would
+    # fall through to a second bogus keep)
     decision = (
         F.when(F.col("_seen_keeper").isNotNull(), F.lit("drop_seen"))
-         .when(F.col(id_col) != F.col("_batch_keeper"),
+         .when(~F.col(id_col).eqNullSafe(F.col("_batch_keeper")),
                F.lit("drop_batch"))
          .otherwise(F.lit("keep")))
     keep_id = F.coalesce("_seen_keeper", "_batch_keeper")
-    return joined.select(id_col, decision.alias("decision"),
+    return joined.select(id_col, F.col("_h").alias("text_hash"),
+                         decision.alias("decision"),
                          keep_id.alias("keep_id"))
 
 
 def updated_dedup_index(index: DataFrame,
                         batch_decisions: DataFrame,
-                        new_docs: DataFrame, text_col: str = "text",
+                        new_docs: DataFrame | None = None,
+                        text_col: str = "text",
                         id_col: str = "doc_id") -> DataFrame:
     """The index after absorbing a batch: prior entries plus one row per
     content first seen in this batch (its batch keeper). Feed the result
-    of :func:`dedup_against_index` as ``batch_decisions``; rewriting the
-    index is a union + one aggregate over (index ∪ batch-keepers), both
-    hash-partitioned on text_hash — no history rescan."""
-    fresh = (batch_decisions.filter(F.col("decision") == "keep")
-             .join(new_docs.select(
-                       F.col(id_col),
-                       _nullsafe_text_hash(text_col).alias("text_hash")),
-                   id_col)
-             .select("text_hash", F.col(id_col).alias("keep_id")))
+    of :func:`dedup_against_index` as ``batch_decisions`` — it carries
+    the content hash, so no join back to the docs is needed (and a
+    null or repeated id can't lose its hash). ``new_docs``/``text_col``
+    remain only for decision frames predating the carried hash.
+    Rewriting the index is a union + one aggregate over
+    (index ∪ batch-keepers), hash-partitioned on text_hash — no
+    history rescan."""
+    keeps = batch_decisions.filter(F.col("decision") == "keep")
+    if "text_hash" in batch_decisions.columns:
+        fresh = keeps.select("text_hash", F.col(id_col).alias("keep_id"))
+    else:
+        fresh = (keeps.join(
+                     new_docs.select(
+                         F.col(id_col),
+                         _nullsafe_text_hash(text_col).alias("text_hash")),
+                     id_col)
+                 .select("text_hash", F.col(id_col).alias("keep_id")))
     return (index.unionByName(fresh)
                  .groupBy("text_hash")
                  .agg(F.min("keep_id").alias("keep_id")))

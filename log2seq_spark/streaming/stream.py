@@ -192,7 +192,9 @@ def streaming_dedup_with_index(docs: DataFrame, out_dir: str,
     """
     import os
 
-    from ..operators.dedup import dedup_against_index, updated_dedup_index
+    from ..operators.dedup import (_nullsafe_text_hash,
+                                   dedup_against_index,
+                                   updated_dedup_index)
 
     # same drift stamp as the near-dup/template state: an index built
     # over a different text_col would miss every historical duplicate
@@ -208,17 +210,25 @@ def streaming_dedup_with_index(docs: DataFrame, out_dir: str,
                                 f"text_hash string, keep_id {id_type}")
         # decisions feed BOTH the kept-rows sink and the index rewrite:
         # persist so the index read + hash window + join run once per
-        # epoch, not twice
+        # epoch, not twice. Decisions join back on (id, content hash),
+        # null-safely — an id-only join would drop null-id rows and
+        # fan out when an id repeats with different payloads
         dec = dedup_against_index(batch_df, idx, text_col, id_col).persist()
         try:
-            kept = (batch_df.join(
-                        dec.filter(F.col("decision") == "keep")
-                           .select(id_col, "decision"), id_col)
+            keeps = (dec.filter(F.col("decision") == "keep")
+                        .select(F.col(id_col).alias("_kid"),
+                                "text_hash", "decision"))
+            hashed = batch_df.withColumn(
+                "_h", _nullsafe_text_hash(text_col))
+            kept = (hashed.join(
+                        keeps,
+                        hashed["_h"].eqNullSafe(keeps["text_hash"])
+                        & hashed[id_col].eqNullSafe(keeps["_kid"]))
+                    .drop("_h", "_kid", "text_hash")
                     .withColumn("batch_id", F.lit(int(batch_id))))
             (kept.write.mode("overwrite")
                  .parquet(os.path.join(out_dir, f"batch_id={batch_id}")))
-            new_idx = updated_dedup_index(idx, dec, batch_df,
-                                          text_col, id_col)
+            new_idx = updated_dedup_index(idx, dec, id_col=id_col)
             (new_idx.write.mode("overwrite")
                     .parquet(os.path.join(index_dir, f"epoch={batch_id}")))
         finally:
@@ -548,7 +558,8 @@ def streaming_clean_corpus(docs: DataFrame, out_dir: str,
     import os
 
     from ..operators.corpus import drop_reason_expr
-    from ..operators.dedup import (dedup_against_index,
+    from ..operators.dedup import (_nullsafe_text_hash,
+                                   dedup_against_index,
                                    updated_dedup_index)
     from ..operators.scrub import scrub_expr
     from ..operators.textstats import quality_features
@@ -564,19 +575,25 @@ def streaming_clean_corpus(docs: DataFrame, out_dir: str,
                                 f"text_hash string, keep_id {id_type}")
         clean = (scrub_expr(F.col(text_col)) if do_scrub
                  else F.col(text_col))
-        cleaned = batch_df.select(F.col(id_col),
-                                  clean.alias("_clean")).persist()
+        cleaned = (batch_df.select(F.col(id_col), clean.alias("_clean"))
+                   .withColumn("_h", _nullsafe_text_hash("_clean"))
+                   .persist())
         try:
-            # decisions feed the verdict rows AND the index rewrite
+            # decisions feed the verdict rows AND the index rewrite;
+            # they join back on (id, content hash) null-safely — an
+            # id-only join drops null-id rows and fans out repeated ids
             dec = dedup_against_index(cleaned, idx, "_clean", id_col) \
                 .persist()
             try:
                 q = (quality_features(cleaned, "_clean")
                      if quality_min is not None else cleaned)
+                d = dec.select(F.col(id_col).alias("_did"),
+                               "text_hash", "decision")
                 reason = drop_reason_expr(
                     "_clean", F.col("decision") != "keep", quality_min)
                 verdicts = (
-                    q.join(dec.select(id_col, "decision"), id_col)
+                    q.join(d, q["_h"].eqNullSafe(d["text_hash"])
+                              & q[id_col].eqNullSafe(d["_did"]))
                      .select(F.col(id_col),
                              F.col("_clean").alias("clean_text"),
                              reason.isNull().alias("kept"),
@@ -585,8 +602,7 @@ def streaming_clean_corpus(docs: DataFrame, out_dir: str,
                 (verdicts.write.mode("overwrite")
                          .parquet(os.path.join(out_dir,
                                                f"batch_id={batch_id}")))
-                new_idx = updated_dedup_index(idx, dec, cleaned,
-                                              "_clean", id_col)
+                new_idx = updated_dedup_index(idx, dec, id_col=id_col)
                 (new_idx.write.mode("overwrite")
                         .parquet(os.path.join(index_dir,
                                               f"epoch={batch_id}")))

@@ -1125,6 +1125,48 @@ class TestStreaming:
         assert got[10][:2] == (False, "exact_dup")   # cross-run dup
         assert got[11][:2] == (True, None)
 
+    def test_streaming_clean_corpus_pathological_ids(self, spark,
+                                                     tmpdir_path):
+        # a null-id doc must still get a verdict AND its hash must
+        # enter the index (so a later identical doc is exact_dup);
+        # an id repeated with different payloads must not fan out or
+        # cross-label
+        import os
+        from log2seq_spark.streaming import streaming_clean_corpus
+        inp = os.path.join(tmpdir_path, "xin")
+        out = os.path.join(tmpdir_path, "xout")
+        schema = "doc_id string, text string"
+        t1 = ("the first document and that one is long enough to be "
+              "counted as real text for the gate")
+        t2 = ("the second document and it is also long enough to be "
+              "counted as real text for the gate")
+
+        def run(rows):
+            (spark.createDataFrame(rows, schema)
+                  .coalesce(1).write.mode("append").parquet(inp))
+            stream = spark.readStream.schema(schema).parquet(inp)
+            q = (streaming_clean_corpus(
+                    stream, out, os.path.join(tmpdir_path, "xck"),
+                    os.path.join(tmpdir_path, "xix"))
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        run([(None, t1), ("a", t2), ("a", t1)])   # null id + repeated id
+        run([("z", t1)])                          # dup of batch-1 content
+        rows = spark.read.parquet(out).collect()
+        got = {(r["doc_id"], r["clean_text"][:9]): (r["kept"],
+                                                    r["drop_reason"])
+               for r in rows}
+        assert len(rows) == 4                      # no fan-out, no loss
+        # min(id) ignores nulls, so 'a' keeps t1 and the null-id doc is
+        # the in-batch duplicate (null-safe comparison: NOT a second
+        # bogus keep); the repeated id 'a' carries both its payloads
+        # without cross-labeling
+        assert got[("a", t1[:9])] == (True, None)
+        assert got[("a", t2[:9])] == (True, None)
+        assert got[(None, t1[:9])] == (False, "exact_dup")
+        assert got[("z", t1[:9])] == (False, "exact_dup")
+
     def test_epoch_params_guard_recovery(self, tmpdir_path):
         # enforcement starts only once an epoch has COMMITTED (a failed
         # first batch must not lock in its parameters), and a stamp
