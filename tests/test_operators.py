@@ -269,6 +269,67 @@ class TestDedup:
         exp = {r["text_hash"]: r["keep_id"] for r in scratch.collect()}
         assert got == exp
 
+    @pytest.mark.parametrize("seed", [7, 21, 99])
+    def test_incremental_dedup_fuzz_equals_batch(self, spark, seed):
+        # randomized equivalence: split a collision-heavy corpus (tiny
+        # alphabet, nulls, repeated/null ids) into history + batch;
+        # dedup_against_index decisions must equal a pure-Python replay
+        # of the contract (batch ids sort after history ids), and the
+        # updated index must equal indexing the union from scratch.
+        import random
+        rng = random.Random(seed)
+        alphabet = ["aa", "bb", "cc", None]
+        hist = [(i, rng.choice(alphabet)) for i in range(20)]
+        batch = [(rng.choice([100 + i, 100 + i, None]),
+                  rng.choice(alphabet)) for i in range(15)]
+        schema = "doc_id long, text string"
+        hdf = spark.createDataFrame(hist, schema)
+        bdf = spark.createDataFrame(batch, schema)
+        idx = dedup.exact_dedup_index(hdf)
+        got = {(r["doc_id"], r["text_hash"]): (r["decision"], r["keep_id"])
+               for r in dedup.dedup_against_index(bdf, idx).collect()}
+
+        def key(t):
+            return t if t is not None else ":null:"
+        seen = {}
+        for i, t in sorted(hist, key=lambda x: x[0]):
+            seen.setdefault(key(t), i)
+        batch_min = {}
+        for i, t in batch:
+            k = key(t)
+            if i is not None and (k not in batch_min
+                                  or batch_min[k] is None
+                                  or i < batch_min[k]):
+                batch_min[k] = i
+            batch_min.setdefault(k, i)
+        exp = {}
+        for i, t in set(batch):
+            k = key(t)
+            if k in seen:
+                exp[i, k] = ("drop_seen", seen[k])
+            elif i is not None and i == batch_min[k] or \
+                    (i is None and batch_min[k] is None):
+                exp[i, k] = ("keep", i)
+            else:
+                exp[i, k] = ("drop_batch", batch_min[k])
+        # spark hashes, python raw keys: compare on (id, decision set)
+        from log2seq_spark.operators.dedup import _nullsafe_text_hash
+        hmap = {r["text"]: r["h"] for r in spark.createDataFrame(
+            [(a,) for a in alphabet], "text string")
+            .select("text", _nullsafe_text_hash("text").alias("h"))
+            .collect()}
+        exp_hashed = {(i, hmap[None if k == ":null:" else k]): v
+                      for (i, k), v in exp.items()}
+        assert got == exp_hashed
+        new_idx = dedup.updated_dedup_index(
+            idx, dedup.dedup_against_index(bdf, idx))
+        scratch = dedup.exact_dedup_index(hdf.unionByName(bdf))
+        got_idx = {r["text_hash"]: r["keep_id"]
+                   for r in new_idx.collect()}
+        exp_idx = {r["text_hash"]: r["keep_id"]
+                   for r in scratch.collect()}
+        assert got_idx == exp_idx
+
     def test_incremental_dedup_null_text(self, spark):
         # batch exact_duplicates groups null texts (groupBy NULL key);
         # the incremental index must too — a plain md5 would emit NULL
