@@ -27,6 +27,18 @@ from pathlib import Path
 from pyspark.sql import functions as F
 
 
+def _cli_spark(app_name: str, log_level: str = "ERROR"):
+    """Session for one CLI command: ``(spark, owns)`` where ``owns`` is
+    False when an active session pre-existed (in-process harness,
+    notebook) — the command must then leave it running on exit."""
+    from pyspark.sql import SparkSession
+    from .session import get_spark
+    pre_existing = SparkSession.getActiveSession() is not None
+    spark = get_spark(app_name=app_name)
+    spark.sparkContext.setLogLevel(log_level)
+    return spark, not pre_existing
+
+
 def load_program_script(path: str):
     spec = importlib.util.spec_from_file_location("user_parser_script",
                                                   os.path.abspath(path))
@@ -118,12 +130,8 @@ def cmd_parse(args) -> int:
                 print(f"cannot read input: {fp}", file=sys.stderr)
                 return 2
 
-    from pyspark.sql import SparkSession
-    from .session import get_spark
     from .functions.udf import with_parsed, tokenize_statement_udf
-    pre_existing = SparkSession.getActiveSession() is not None
-    spark = get_spark(app_name="log2seq-spark-cli")
-    spark.sparkContext.setLogLevel("ERROR")
+    spark, owns = _cli_spark("log2seq-spark-cli")
 
     nonutf8 = args.encoding.lower().replace("_", "-") not in ("utf-8", "utf8")
     ts_col = None
@@ -249,13 +257,12 @@ def cmd_parse(args) -> int:
 
     print(f"# processed {n_ok + n_fail} lines: {n_ok} ok, {n_fail} failed",
           file=sys.stderr)
-    if not pre_existing:
+    if owns:
         spark.stop()
     return 0 if n_ok > 0 else 1
 
 
 def cmd_pipeline(args) -> int:
-    from .session import get_spark
     from .plans.pipeline import PipelineConfig, run_pipeline
     try:
         program = _program(args)
@@ -263,8 +270,7 @@ def cmd_pipeline(args) -> int:
         print(f"cannot load parser script {args.parser_script}: {e}",
               file=sys.stderr)
         return 2
-    spark = get_spark(app_name="log2seq-spark-pipeline")
-    spark.sparkContext.setLogLevel("WARN")
+    spark, owns = _cli_spark("log2seq-spark-pipeline", log_level="WARN")
     turns = (spark.table(args.input) if args.input_kind == "table"
              else spark.read.parquet(args.input))
     cfg = PipelineConfig(out_dir=args.out, n_buckets=args.buckets,
@@ -274,17 +280,17 @@ def cmd_pipeline(args) -> int:
     print(f"lineage={res.lineage_id} processed={res.buckets_processed} "
           f"skipped={res.buckets_skipped} metrics={res.metrics}",
           file=sys.stderr)
-    spark.stop()
+    if owns:
+        spark.stop()
     return 0
 
 
 def cmd_generate(args) -> int:
-    from .session import get_spark
     from .sources.transcripts import write_transcripts
-    spark = get_spark(app_name="log2seq-spark-generate")
-    spark.sparkContext.setLogLevel("ERROR")
+    spark, owns = _cli_spark("log2seq-spark-generate")
     write_transcripts(spark, args.out, args.convs, seed=args.seed)
-    spark.stop()
+    if owns:
+        spark.stop()
     return 0
 
 
@@ -292,12 +298,8 @@ def cmd_clean(args) -> int:
     """Corpus-cleaning recipe over a documents parquet table: writes the
     per-doc verdicts (doc_id, clean_text, kept, drop_reason) and prints
     the drop-reason tally to stderr."""
-    from pyspark.sql import SparkSession
-    from .session import get_spark
     from .operators.corpus import clean_corpus
-    pre_existing = SparkSession.getActiveSession() is not None
-    spark = get_spark(app_name="log2seq-spark-clean")
-    spark.sparkContext.setLogLevel("ERROR")
+    spark, owns = _cli_spark("log2seq-spark-clean")
     # normalize ingest parallelism: a documents table arriving as few
     # parquet files would serialize the CPU-bound scrub/quality regexes
     # on as few cores (measured 37s -> 12s at sf0.1 on local[32]); the
@@ -323,7 +325,7 @@ def cmd_clean(args) -> int:
     for r in sorted(tally, key=lambda r: str(r["drop_reason"])):
         reason = r["drop_reason"] if r["drop_reason"] is not None else "kept"
         print(f"# {reason}: {r['count']}", file=sys.stderr)
-    if not pre_existing:
+    if owns:
         spark.stop()
     return 0
 
@@ -334,12 +336,8 @@ def cmd_templates(args) -> int:
     a parquet/table text column, or a pre-tokenized ``array<string>``
     column; prints ``n_lines<TAB>n_groups<TAB>template`` sorted by
     count to stdout."""
-    from pyspark.sql import SparkSession
-    from .session import get_spark
     from .operators.templates import mine_templates
-    pre_existing = SparkSession.getActiveSession() is not None
-    spark = get_spark(app_name="log2seq-spark-templates")
-    spark.sparkContext.setLogLevel("ERROR")
+    spark, owns = _cli_spark("log2seq-spark-templates")
     if args.input_kind == "parquet":
         lines = spark.read.parquet(args.input)
     elif args.input_kind == "table":
@@ -353,7 +351,7 @@ def cmd_templates(args) -> int:
                .limit(args.top).collect())
     for r in rows:
         print(f"{r['n_lines']}\t{r['n_groups']}\t{r['template']}")
-    if not pre_existing:
+    if owns:
         spark.stop()
     return 0
 
