@@ -356,6 +356,36 @@ def cmd_templates(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Keep/drop dedup policy over a documents parquet table
+    (``operators/dedup.py::dedup_decisions``): per-doc decision
+    (keep | drop_exact | drop_near) written to ``--out``, tally to
+    stderr. ``--mode exact`` skips the near-dup (n-gram Jaccard) leg."""
+    from .operators.dedup import dedup_decisions
+    spark, owns = _cli_spark("log2seq-spark-dedup")
+    docs = (spark.read.parquet(args.input)
+            .repartition(spark.sparkContext.defaultParallelism))
+    near_pairs = None
+    if args.mode == "exact":
+        id_type = docs.schema[args.id_col].dataType.simpleString()
+        near_pairs = spark.createDataFrame(
+            [], f"id_a {id_type}, id_b {id_type}, jaccard double")
+    out = dedup_decisions(docs, text_col=args.text_col,
+                          id_col=args.id_col,
+                          threshold=args.threshold,
+                          near_pairs=near_pairs).persist()
+    try:
+        out.write.mode("overwrite").parquet(args.out)
+        tally = out.groupBy("decision").count().collect()
+    finally:
+        out.unpersist()
+    for r in sorted(tally, key=lambda r: r["decision"]):
+        print(f"# {r['decision']}: {r['count']}", file=sys.stderr)
+    if owns:
+        spark.stop()
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="log2seq_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -456,6 +486,19 @@ def main(argv=None) -> int:
     p.add_argument("--min-count", type=int, default=1)
     p.add_argument("--top", type=int, default=100)
     p.set_defaults(fn=cmd_templates)
+
+    p = sub.add_parser(
+        "dedup", help="keep/drop dedup policy: exact content hash + "
+                      "optional n-gram Jaccard near-dups")
+    p.add_argument("--input", required=True,
+                   help="documents parquet path")
+    p.add_argument("--out", required=True)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--mode", choices=["near", "exact"], default="near")
+    p.add_argument("--threshold", type=float, default=0.5,
+                   help="Jaccard threshold for the near-dup leg")
+    p.set_defaults(fn=cmd_dedup)
 
     args = ap.parse_args(argv)
     return args.fn(args)

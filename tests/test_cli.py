@@ -285,3 +285,42 @@ class TestTemplatesCommand:
         assert code == 0
         # numeric-head routing keeps 'job' as head; position 2 varies
         assert out.strip().splitlines() == ["2\t1\tjob <*> done"]
+
+
+class TestDedupCommand:
+    def test_decisions_and_tally(self, spark, capsys, tmpdir_path):
+        src = os.path.join(tmpdir_path, "ddocs")
+        base = "the quick brown fox jumps over the lazy sleeping dog"
+        rows = [("d1", base), ("d2", base),                    # exact dup
+                ("d3", base.replace("jumps", "leaps")),        # near dup
+                ("d4", "entirely different content here today")]
+        (spark.createDataFrame(rows, "doc_id string, text string")
+              .write.mode("overwrite").parquet(src))
+        dest = os.path.join(tmpdir_path, "ddec")
+        # one word changed in a 10-word doc = 5 shared / 11 total
+        # 3-gram shingles -> jaccard 0.4545; threshold below that
+        code = main(["dedup", "--input", src, "--out", dest,
+                     "--threshold", "0.4"])
+        err = capsys.readouterr().err
+        assert code == 0
+        got = {r["doc_id"]: r["decision"]
+               for r in spark.read.parquet(dest).collect()}
+        assert got == {"d1": "keep", "d2": "drop_exact",
+                       "d3": "drop_near", "d4": "keep"}
+        assert "# keep: 2" in err and "# drop_exact: 1" in err
+        assert "# drop_near: 1" in err
+
+    def test_exact_mode_skips_near(self, spark, capsys, tmpdir_path):
+        src = os.path.join(tmpdir_path, "edocs")
+        base = "the quick brown fox jumps over the lazy sleeping dog"
+        rows = [("d1", base), ("d3", base.replace("jumps", "leaps"))]
+        (spark.createDataFrame(rows, "doc_id string, text string")
+              .write.mode("overwrite").parquet(src))
+        dest = os.path.join(tmpdir_path, "edec")
+        code = main(["dedup", "--input", src, "--out", dest,
+                     "--mode", "exact"])
+        capsys.readouterr()
+        assert code == 0
+        got = {r["doc_id"]: r["decision"]
+               for r in spark.read.parquet(dest).collect()}
+        assert got == {"d1": "keep", "d3": "keep"}
