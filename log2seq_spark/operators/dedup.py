@@ -598,6 +598,23 @@ def line_ownership(docs: DataFrame, text_col: str = "text",
     volume), a distinct + one hash aggregate on the line's md5 (small
     shuffle keys instead of raw line strings), one equi-join back.
     """
+    keyed = _keyed_lines(docs, text_col, id_col, sep)
+    own = (keyed.filter(F.col("_h").isNotNull())
+                .select("_id", "_h").distinct()
+                .groupBy("_h")
+                .agg(F.min("_id").alias("_keeper"),
+                     F.count("*").alias("_ndocs")))
+    return keyed.join(own, "_h", "left").drop("_h")
+
+
+def _keyed_lines(docs: DataFrame, text_col: str, id_col: str,
+                 sep: str) -> DataFrame:
+    """One row per (doc, line position): (_id, pos, line, _h) with
+    ``_h`` the line's md5, null for empty lines (never dup candidates —
+    deduplicating blank separators would reflow every document). The
+    split stage shared by the batch and incremental line-dedup family;
+    ``sep`` is stamped into the ``pos`` schema metadata for the
+    consumer-side granularity check."""
     import re as _re
     lines = docs.select(
         F.col(id_col).alias("_id"),
@@ -607,14 +624,8 @@ def line_ownership(docs: DataFrame, text_col: str = "text",
     # a precomputed ownership frame can verify their sep matches (a
     # mismatch would silently reassemble with the wrong separator)
     lines = lines.withMetadata("pos", {"sep": sep})
-    keyed = lines.withColumn(
+    return lines.withColumn(
         "_h", F.when(F.col("line") != "", F.md5("line")))
-    own = (keyed.filter(F.col("_h").isNotNull())
-                .select("_id", "_h").distinct()
-                .groupBy("_h")
-                .agg(F.min("_id").alias("_keeper"),
-                     F.count("*").alias("_ndocs")))
-    return keyed.join(own, "_h", "left").drop("_h")
 
 
 def _checked_ownership(ownership: DataFrame, sep: str) -> DataFrame:
@@ -675,16 +686,92 @@ def drop_duplicate_lines(docs: DataFrame, text_col: str = "text",
     kept = own.filter(F.col("_ndocs").isNull()
                       | (F.col("_ndocs") == 1)
                       | (F.col("_id") == F.col("_keeper")))
-    clean = (kept.groupBy("_id")
-                 .agg(F.array_sort(F.collect_list(
-                     F.struct("pos", "line"))).alias("_arr"))
-                 .select("_id", F.concat_ws(
-                     sep, F.col("_arr.line")).alias("clean_text")))
+    return _reassembled_docs(docs, kept, id_col, sep)
+
+
+def _reassembled_docs(docs: DataFrame, kept_lines: DataFrame,
+                      id_col: str, sep: str) -> DataFrame:
+    """Rebuild (``id_col``, clean_text) from surviving (_id, pos, line)
+    rows — a per-doc sort of (position, line) structs, partitioned by
+    doc id, no global sort. Every input doc returns a row: a doc whose
+    lines were all removed comes back with empty text, not silently
+    dropped."""
+    clean = (kept_lines.groupBy("_id")
+             .agg(F.array_sort(F.collect_list(
+                 F.struct("pos", "line"))).alias("_arr"))
+             .select("_id", F.concat_ws(
+                 sep, F.col("_arr.line")).alias("clean_text")))
     return (docs.select(F.col(id_col).alias("_id")).distinct()
                 .join(clean, "_id", "left")
                 .select(F.col("_id").alias(id_col),
                         F.coalesce("clean_text", F.lit(""))
                          .alias("clean_text")))
+
+
+def line_dedup_index(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     sep: str = "\n") -> DataFrame:
+    """Line-hash index for INCREMENTAL corpus-level line dedup: one row
+    per distinct non-empty line ever seen, (line_hash, keep_id) with
+    ``keep_id`` = the lowest owning doc id — the line-granularity twin
+    of :func:`exact_dedup_index`. Size is bounded by distinct-line
+    novelty, not corpus volume."""
+    return (_keyed_lines(docs, text_col, id_col, sep)
+            .filter(F.col("_h").isNotNull())
+            .select(F.col("_h").alias("line_hash"), "_id").distinct()
+            .groupBy("line_hash")
+            .agg(F.min("_id").alias("keep_id")))
+
+
+def drop_duplicate_lines_against_index(new_docs: DataFrame,
+                                       index: DataFrame,
+                                       text_col: str = "text",
+                                       id_col: str = "doc_id",
+                                       sep: str = "\n") -> DataFrame:
+    """Incremental :func:`drop_duplicate_lines`: a non-empty line is
+    kept only in the document where it was FIRST seen — the historical
+    :func:`line_dedup_index` keeper when the line is known, else the
+    batch's lowest-id owner — and removed from every other document.
+    Empty lines always survive. Returns (``id_col``, clean_text) for
+    every input doc. Same contract as :func:`dedup_against_index`:
+    equals the batch operator over history ∪ batch provided batch ids
+    sort after history ids (with an empty index it IS the batch
+    operator — unit-tested).
+
+    Shape at scale: the batch's lines join the (small) line index on
+    the 32-char hash plus one batch-local ownership aggregate —
+    history is never re-split."""
+    keyed = _keyed_lines(new_docs, text_col, id_col, sep)
+    batch_own = (keyed.filter(F.col("_h").isNotNull())
+                      .select("_id", "_h").distinct()
+                      .groupBy("_h")
+                      .agg(F.min("_id").alias("_bk")))
+    j = (keyed.join(batch_own, "_h", "left")
+              .join(index.select(F.col("line_hash").alias("_h"),
+                                 F.col("keep_id").alias("_seen")),
+                    "_h", "left"))
+    # keep: empty line | this doc is the historical keeper (re-ingested)
+    # | line is new and this doc is its first (min-id) batch owner;
+    # null-safe comparisons so null-id docs behave like the exact twin
+    keep = (F.col("_h").isNull()
+            | F.when(F.col("_seen").isNotNull(),
+                     F.col("_id").eqNullSafe(F.col("_seen")))
+               .otherwise(F.col("_id").eqNullSafe(F.col("_bk"))))
+    return _reassembled_docs(new_docs, j.filter(keep), id_col, sep)
+
+
+def updated_line_dedup_index(index: DataFrame, new_docs: DataFrame,
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             sep: str = "\n") -> DataFrame:
+    """The line index after absorbing a batch: min owner per line hash
+    over (prior index ∪ batch lines) — associative under the
+    ids-sort-after-history contract, same as
+    :func:`updated_dedup_index`."""
+    return (index.unionByName(
+                line_dedup_index(new_docs, text_col, id_col, sep))
+            .groupBy("line_hash")
+            .agg(F.min("keep_id").alias("keep_id")))
 
 
 def duplicate_window_ownership(docs: DataFrame, k: int = 8,

@@ -6,7 +6,8 @@ from .stream import (streaming_parse, streaming_sink_counts,
                      streaming_route_to_sink,
                      streaming_template_mining, current_templates,
                      streaming_near_dup_with_index,
-                     streaming_clean_corpus)
+                     streaming_clean_corpus,
+                     streaming_line_dedup_with_index)
 from .stateful import conversation_summaries, CONV_SUMMARY_SCHEMA
 
 __all__ = ["streaming_parse", "streaming_sink_counts",
@@ -15,4 +16,5 @@ __all__ = ["streaming_parse", "streaming_sink_counts",
            "streaming_route_to_sink",
            "streaming_template_mining", "current_templates",
            "streaming_near_dup_with_index", "streaming_clean_corpus",
+           "streaming_line_dedup_with_index",
            "conversation_summaries", "CONV_SUMMARY_SCHEMA"]

@@ -546,10 +546,10 @@ def streaming_clean_corpus(docs: DataFrame, out_dir: str,
     first-seen content hashes (shared epoch protocol: replay-safe,
     predecessor survives every prune).
 
-    Deliberately OMITS the batch recipe's corpus-level line dedup:
-    line ownership is a corpus-wide aggregate with no incremental
-    index (yet) — when cross-doc boilerplate-line removal matters, run
-    the batch operator over a bounded re-window of the sink.
+    Deliberately OMITS the batch recipe's corpus-level line dedup —
+    when cross-document boilerplate-line removal matters on a stream,
+    compose :func:`streaming_line_dedup_with_index` upstream of this
+    operator (it maintains its own line-hash index).
 
     State-affecting knobs (what gets hashed) are drift-stamped;
     ``quality_min`` is per-batch-verdict only and may change across
@@ -610,6 +610,62 @@ def streaming_clean_corpus(docs: DataFrame, out_dir: str,
                 dec.unpersist()
         finally:
             cleaned.unpersist()
+        _prune_epochs(index_dir, batch_id, keep_epochs)
+
+    return (docs.writeStream.foreachBatch(_write)
+                .option("checkpointLocation", checkpoint_dir))
+
+
+def streaming_line_dedup_with_index(docs: DataFrame, out_dir: str,
+                                    checkpoint_dir: str, index_dir: str,
+                                    text_col: str = "text",
+                                    id_col: str = "doc_id",
+                                    sep: str = "\n",
+                                    keep_epochs: int = 3):
+    """Streaming C4-style corpus-level line dedup with an UNBOUNDED
+    horizon — the line-granularity member of the epoch-state family: a
+    non-empty line is kept only in the document where the corpus FIRST
+    saw it (:func:`~log2seq_spark.operators.dedup.\
+drop_duplicate_lines_against_index` against the persistent
+    :func:`~log2seq_spark.operators.dedup.line_dedup_index`), and every
+    later document containing it verbatim reassembles without it.
+    (``id_col``, clean_text) rows land under ``out_dir/batch_id=N``;
+    the index absorbs each batch's first-seen line hashes (shared epoch
+    protocol: replay-safe, predecessor survives every prune; ``sep``
+    sets line vs paragraph granularity and is drift-stamped along with
+    the column names).
+
+    This closes the gap :func:`streaming_clean_corpus` documents —
+    compose this upstream of it when cross-document boilerplate-line
+    removal matters on a stream.
+
+    Scale shape: each micro-batch explodes ITS lines once, joins the
+    (novelty-bounded) line index on the 32-char hash, and reassembles
+    per-doc — history is never re-split.
+    """
+    import os
+
+    from ..operators.dedup import (drop_duplicate_lines_against_index,
+                                   line_dedup_index,
+                                   updated_line_dedup_index)
+
+    params = {"text_col": text_col, "id_col": id_col, "sep": sep}
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _check_epoch_params(index_dir, params)
+        id_type = batch_df.schema[id_col].dataType.simpleString()
+        idx = _read_prior_epoch(spark, index_dir, batch_id,
+                                f"line_hash string, keep_id {id_type}")
+        clean = (drop_duplicate_lines_against_index(
+                    batch_df, idx, text_col, id_col, sep)
+                 .withColumn("batch_id", F.lit(int(batch_id))))
+        (clean.write.mode("overwrite")
+              .parquet(os.path.join(out_dir, f"batch_id={batch_id}")))
+        new_idx = updated_line_dedup_index(idx, batch_df, text_col,
+                                           id_col, sep)
+        (new_idx.write.mode("overwrite")
+                .parquet(os.path.join(index_dir, f"epoch={batch_id}")))
         _prune_epochs(index_dir, batch_id, keep_epochs)
 
     return (docs.writeStream.foreachBatch(_write)

@@ -269,6 +269,53 @@ class TestDedup:
         exp = {r["text_hash"]: r["keep_id"] for r in scratch.collect()}
         assert got == exp
 
+    @pytest.mark.parametrize("seed", [3, 17])
+    def test_incremental_line_dedup_equals_batch(self, spark, seed):
+        # with an EMPTY index the incremental operator IS the batch
+        # operator — randomized multi-line docs with heavy line reuse
+        import random
+        rng = random.Random(seed)
+        pool = [f"line {i}" for i in range(6)] + [""]
+        docs = [(i, "\n".join(rng.choice(pool)
+                              for _ in range(rng.randint(1, 6))))
+                for i in range(12)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        empty_idx = spark.createDataFrame(
+            [], "line_hash string, keep_id long")
+        inc = {r["doc_id"]: r["clean_text"]
+               for r in dedup.drop_duplicate_lines_against_index(
+                   df, empty_idx).collect()}
+        bat = {r["doc_id"]: r["clean_text"]
+               for r in dedup.drop_duplicate_lines(df).collect()}
+        assert inc == bat
+        # and the updated index equals indexing the corpus from scratch
+        upd = {(r["line_hash"], r["keep_id"])
+               for r in dedup.updated_line_dedup_index(
+                   empty_idx, df).collect()}
+        scr = {(r["line_hash"], r["keep_id"])
+               for r in dedup.line_dedup_index(df).collect()}
+        assert upd == scr
+
+    def test_incremental_line_dedup_cross_batch(self, spark):
+        # a line first seen in batch 1 is removed from every batch-2
+        # doc; the re-ingested keeper doc keeps its line; empty lines
+        # survive; a doc reduced to nothing comes back as ""
+        h = spark.createDataFrame(
+            [(0, "shared line\nunique zero"), (1, "other text")],
+            "doc_id long, text string")
+        idx = dedup.line_dedup_index(h)
+        batch = spark.createDataFrame(
+            [(10, "shared line\n\nfresh ten"),   # loses 'shared line'
+             (11, "shared line"),                # reduced to nothing
+             (0, "shared line\nnew tail")],      # keeper re-ingested
+            "doc_id long, text string")
+        got = {r["doc_id"]: r["clean_text"]
+               for r in dedup.drop_duplicate_lines_against_index(
+                   batch, idx).collect()}
+        assert got[10] == "\nfresh ten"
+        assert got[11] == ""
+        assert got[0] == "shared line\nnew tail"
+
     @pytest.mark.parametrize("seed", [7, 21, 99])
     def test_incremental_dedup_fuzz_equals_batch(self, spark, seed):
         # randomized equivalence: split a collision-heavy corpus (tiny
@@ -1149,6 +1196,35 @@ class TestStreaming:
                          spark.createDataFrame(b1 + b2, schema),
                          n_hashes=8, bands=4).collect()}
         assert stream_idx == batch_idx
+
+    def test_streaming_line_dedup_across_restarts(self, spark,
+                                                  tmpdir_path):
+        # a boilerplate line first seen in run 1 is stripped from every
+        # run-2 doc; fresh lines survive; the line index persists
+        import os
+        from log2seq_spark.streaming import streaming_line_dedup_with_index
+        inp = os.path.join(tmpdir_path, "lin")
+        out = os.path.join(tmpdir_path, "lout")
+        schema = "doc_id long, text string"
+
+        def run(rows):
+            (spark.createDataFrame(rows, schema)
+                  .coalesce(1).write.mode("append").parquet(inp))
+            stream = spark.readStream.schema(schema).parquet(inp)
+            q = (streaming_line_dedup_with_index(
+                    stream, out, os.path.join(tmpdir_path, "lck"),
+                    os.path.join(tmpdir_path, "lix"))
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        run([(0, "COPYRIGHT FOOTER\nreal content zero")])
+        run([(10, "real content ten\nCOPYRIGHT FOOTER"),
+             (11, "only fresh lines here")])
+        got = {r["doc_id"]: r["clean_text"]
+               for r in spark.read.parquet(out).collect()}
+        assert got[0] == "COPYRIGHT FOOTER\nreal content zero"
+        assert got[10] == "real content ten"    # footer stripped
+        assert got[11] == "only fresh lines here"
 
     def test_streaming_clean_corpus_across_restarts(self, spark,
                                                     tmpdir_path):
