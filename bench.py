@@ -111,6 +111,35 @@ def time_queries(spark, passes: int | None = None) -> tuple[dict, dict]:
     return {n: min(v) for n, v in samples.items()}, samples
 
 
+def compact_line(pipe: dict, queries: dict, calib: list,
+                 sf_dir: str = SF_DIR, cpus: int = CPUS) -> str:
+    """The ONE stdout JSON line the driver records.
+
+    The driver keeps only the last ~2000 chars of stdout and parses the
+    final JSON line out of that tail — round 3's line carried per-query
+    sample arrays, overflowed the tail, and was recorded unparsed
+    (BENCH_r03.json "parsed": null). So: per-query mins at 2 decimals,
+    no sample arrays, and a hard length assert. Full diagnostics go to
+    BENCH/last_run_detail.json + stderr instead."""
+    total = round(pipe["seconds"] + sum(queries.values()), 3)
+    line = {
+        "metric": "pipeline+queries wall sec "
+                  f"({pipe['rows']}-turn parse->route + "
+                  f"{len(queries)} driver queries)",
+        "value": total,
+        "unit": "sec",
+        "queries": {"pipeline": pipe["seconds"],
+                    **{n: round(v, 2) for n, v in queries.items()}},
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "cpus": cpus,
+        "turns_per_sec": pipe["turns_per_sec"],
+        "calib_lines_per_sec": calib,
+    }
+    out = json.dumps(line)
+    assert len(out) < 1900, f"bench stdout line too long: {len(out)}"
+    return out
+
+
 def main():
     from log2seq_spark.session import get_spark
     spark = get_spark(app_name="log2seq-spark-bench",
@@ -123,26 +152,27 @@ def main():
         pipe = time_pipeline(spark, turns_path)
         queries, query_samples = time_queries(spark)
         calib1 = cpu_calibration()
-        total = round(pipe["seconds"] + sum(queries.values()), 3)
-        line = {
-            "metric": "pipeline+queries wall seconds (parse->enrich->route->aggregate "
-                      f"over {pipe['rows']} turns + all driver queries)",
-            "value": total,
-            "unit": "sec",
-            "queries": {"pipeline": pipe["seconds"], **queries},
-            "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+        detail = {
             "pipeline": pipe,
-            "cpus": CPUS,
+            "query_samples": query_samples,
             # host-speed anchors (single-core regex lines/s) taken before
             # and after the timed section: the sandbox's effective clock
             # swings 2-3x within a session, so cross-round wall compares
             # must normalize by these
             "calib_lines_per_sec": [calib0, calib1],
-            # raw per-pass samples behind the per-query min (throttle
-            # spikes show up here as one-pass outliers)
-            "query_samples": query_samples,
+            "sf_dir": SF_DIR,
+            "cpus": CPUS,
+            "total_sec": round(pipe["seconds"] + sum(queries.values()), 3),
         }
-        print(json.dumps(line))
+        detail_path = os.path.join(REPO, "BENCH", "last_run_detail.json")
+        try:
+            os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+            with open(detail_path, "w") as f:
+                json.dump(detail, f, indent=1)
+        except OSError:
+            pass
+        print(json.dumps(detail), file=sys.stderr)
+        print(compact_line(pipe, queries, [calib0, calib1]))
     finally:
         spark.stop()
 

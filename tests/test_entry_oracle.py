@@ -46,3 +46,22 @@ def test_query_matches_oracle(spark, ddb, name):
     ms = rows_multiset(sdf.columns, [[r[c] for c in sdf.columns] for r in srows])
     md = rows_multiset(dcols, list(drows))
     assert ms == md, f"{name}: values differ"
+
+
+def test_bench_stdout_line_fits_driver_tail():
+    """The driver records only the last ~2000 chars of bench stdout and
+    parses the final JSON line from that tail. Round 3's line overflowed
+    it (BENCH_r03.json "parsed": null). Build the line with the REAL
+    query-name set and worst-case-width values and assert the margin."""
+    import bench
+    names = list(entrymod.queries().keys())
+    pipe = {"rows": 99_999_999, "seconds": 9999.999,
+            "turns_per_sec": 999999.9}
+    queries = {n: 9999.999 for n in names}
+    out = bench.compact_line(pipe, queries, [999999, 999999],
+                             sf_dir="/root/testdata/sf0.1", cpus=32)
+    assert len(out) < 1900
+    import json
+    parsed = json.loads(out)
+    assert parsed["unit"] == "sec"
+    assert set(parsed["queries"]) == set(names) | {"pipeline"}
