@@ -695,14 +695,18 @@ def _reassembled_docs(docs: DataFrame, kept_lines: DataFrame,
     rows — a per-doc sort of (position, line) structs, partitioned by
     doc id, no global sort. Every input doc returns a row: a doc whose
     lines were all removed comes back with empty text, not silently
-    dropped."""
+    dropped. The join back to the doc roster is null-safe: a plain
+    ``_id`` equi-join never matches a null key, which would blank the
+    whole text of any null-id document (its kept lines group under the
+    null key but the join discards them)."""
     clean = (kept_lines.groupBy("_id")
              .agg(F.array_sort(F.collect_list(
                  F.struct("pos", "line"))).alias("_arr"))
-             .select("_id", F.concat_ws(
+             .select(F.col("_id").alias("_cid"), F.concat_ws(
                  sep, F.col("_arr.line")).alias("clean_text")))
     return (docs.select(F.col(id_col).alias("_id")).distinct()
-                .join(clean, "_id", "left")
+                .join(clean, F.col("_id").eqNullSafe(F.col("_cid")),
+                      "left")
                 .select(F.col("_id").alias(id_col),
                         F.coalesce("clean_text", F.lit(""))
                          .alias("clean_text")))
@@ -710,14 +714,21 @@ def _reassembled_docs(docs: DataFrame, kept_lines: DataFrame,
 
 def line_dedup_index(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id",
-                     sep: str = "\n") -> DataFrame:
+                     sep: str = "\n",
+                     keyed: DataFrame | None = None) -> DataFrame:
     """Line-hash index for INCREMENTAL corpus-level line dedup: one row
     per distinct non-empty line ever seen, (line_hash, keep_id) with
     ``keep_id`` = the lowest owning doc id — the line-granularity twin
     of :func:`exact_dedup_index`. Size is bounded by distinct-line
-    novelty, not corpus volume."""
-    return (_keyed_lines(docs, text_col, id_col, sep)
-            .filter(F.col("_h").isNotNull())
+    novelty, not corpus volume.
+
+    ``keyed`` accepts a precomputed (persisted) :func:`_keyed_lines`
+    frame so a caller that also screens the batch pays the line
+    explode + md5 ONCE per batch (the ``signatures=`` pattern of
+    :func:`near_dup_against_index`; the streaming wrapper does this)."""
+    lines = (_checked_ownership(keyed, sep) if keyed is not None
+             else _keyed_lines(docs, text_col, id_col, sep))
+    return (lines.filter(F.col("_h").isNotNull())
             .select(F.col("_h").alias("line_hash"), "_id").distinct()
             .groupBy("line_hash")
             .agg(F.min("_id").alias("keep_id")))
@@ -727,7 +738,9 @@ def drop_duplicate_lines_against_index(new_docs: DataFrame,
                                        index: DataFrame,
                                        text_col: str = "text",
                                        id_col: str = "doc_id",
-                                       sep: str = "\n") -> DataFrame:
+                                       sep: str = "\n",
+                                       keyed: DataFrame | None = None) \
+        -> DataFrame:
     """Incremental :func:`drop_duplicate_lines`: a non-empty line is
     kept only in the document where it was FIRST seen — the historical
     :func:`line_dedup_index` keeper when the line is known, else the
@@ -740,21 +753,28 @@ def drop_duplicate_lines_against_index(new_docs: DataFrame,
 
     Shape at scale: the batch's lines join the (small) line index on
     the 32-char hash plus one batch-local ownership aggregate —
-    history is never re-split."""
-    keyed = _keyed_lines(new_docs, text_col, id_col, sep)
+    history is never re-split. ``keyed`` = precomputed (persisted)
+    :func:`_keyed_lines`, see :func:`line_dedup_index`."""
+    keyed = (_checked_ownership(keyed, sep) if keyed is not None
+             else _keyed_lines(new_docs, text_col, id_col, sep))
     batch_own = (keyed.filter(F.col("_h").isNotNull())
                       .select("_id", "_h").distinct()
                       .groupBy("_h")
                       .agg(F.min("_id").alias("_bk")))
+    # "_in_index" is an explicit presence marker (same reason as
+    # dedup_against_index): a line first seen under a null-id doc has a
+    # null index keeper, and testing _seen.isNotNull() would hand the
+    # line back to the batch owner in every later batch
     j = (keyed.join(batch_own, "_h", "left")
               .join(index.select(F.col("line_hash").alias("_h"),
-                                 F.col("keep_id").alias("_seen")),
+                                 F.col("keep_id").alias("_seen"),
+                                 F.lit(True).alias("_in_index")),
                     "_h", "left"))
     # keep: empty line | this doc is the historical keeper (re-ingested)
     # | line is new and this doc is its first (min-id) batch owner;
     # null-safe comparisons so null-id docs behave like the exact twin
     keep = (F.col("_h").isNull()
-            | F.when(F.col("_seen").isNotNull(),
+            | F.when(F.col("_in_index").isNotNull(),
                      F.col("_id").eqNullSafe(F.col("_seen")))
                .otherwise(F.col("_id").eqNullSafe(F.col("_bk"))))
     return _reassembled_docs(new_docs, j.filter(keep), id_col, sep)
@@ -763,15 +783,22 @@ def drop_duplicate_lines_against_index(new_docs: DataFrame,
 def updated_line_dedup_index(index: DataFrame, new_docs: DataFrame,
                              text_col: str = "text",
                              id_col: str = "doc_id",
-                             sep: str = "\n") -> DataFrame:
-    """The line index after absorbing a batch: min owner per line hash
-    over (prior index ∪ batch lines) — associative under the
-    ids-sort-after-history contract, same as
-    :func:`updated_dedup_index`."""
-    return (index.unionByName(
-                line_dedup_index(new_docs, text_col, id_col, sep))
-            .groupBy("line_hash")
-            .agg(F.min("keep_id").alias("keep_id")))
+                             sep: str = "\n",
+                             keyed: DataFrame | None = None) -> DataFrame:
+    """The line index after absorbing a batch: prior entries win
+    (first-seen-keeps, matching the screen's verdicts), plus one row
+    per line hash first seen in this batch. First-wins via anti-join
+    rather than min-over-union: min() ignores NULL ids, so a line whose
+    historical keeper is a null-id doc would silently hand ownership to
+    the first real-id batch doc — contradicting the screen, which
+    already told that doc to drop the line. Equals min-over-union under
+    the ids-sort-after-history contract (and is cheaper: the history
+    rows are never re-aggregated). ``keyed`` = precomputed (persisted)
+    :func:`_keyed_lines`, see :func:`line_dedup_index`."""
+    fresh = (line_dedup_index(new_docs, text_col, id_col, sep,
+                              keyed=keyed)
+             .join(index.select("line_hash"), "line_hash", "left_anti"))
+    return index.unionByName(fresh)
 
 
 def duplicate_window_ownership(docs: DataFrame, k: int = 8,
@@ -957,19 +984,28 @@ def dedup_against_index(new_docs: DataFrame, index: DataFrame,
     batch = h.select(
         id_col, "_h",
         F.min(id_col).over(wh).alias("_batch_keeper"))
+    # "_in_index" is an explicit presence marker: an index entry whose
+    # keep_id is null (content first seen under a null-id doc) must
+    # still read as SEEN — testing _seen_keeper.isNotNull() would
+    # re-keep that content in every later batch
     joined = batch.join(
         index.select(F.col("text_hash").alias("_h"),
-                     F.col("keep_id").alias("_seen_keeper")),
+                     F.col("keep_id").alias("_seen_keeper"),
+                     F.lit(True).alias("_in_index")),
         "_h", "left")
     # null-safe keeper comparison: a null-id row sharing content with a
     # real-id row must be drop_batch (plain != yields NULL -> would
     # fall through to a second bogus keep)
     decision = (
-        F.when(F.col("_seen_keeper").isNotNull(), F.lit("drop_seen"))
+        F.when(F.col("_in_index").isNotNull(), F.lit("drop_seen"))
          .when(~F.col(id_col).eqNullSafe(F.col("_batch_keeper")),
                F.lit("drop_batch"))
          .otherwise(F.lit("keep")))
-    keep_id = F.coalesce("_seen_keeper", "_batch_keeper")
+    # for drop_seen the historical owner is authoritative even when it
+    # is a null id (coalesce would misattribute it to the batch keeper)
+    keep_id = F.when(F.col("_in_index").isNotNull(),
+                     F.col("_seen_keeper")) \
+               .otherwise(F.col("_batch_keeper"))
     return joined.select(id_col, F.col("_h").alias("text_hash"),
                          decision.alias("decision"),
                          keep_id.alias("keep_id"))
@@ -1030,7 +1066,8 @@ def near_dup_against_index(new_docs: DataFrame, index: DataFrame,
     ``is_near_dup`` when any of the doc's band signatures hits an
     already-occupied historical bucket OR a bucket an earlier doc of
     this batch signed into; ``match_id`` is the lowest such prior owner
-    (null when fresh). LSH semantics are unchanged from the batch
+    (null when fresh — and also null, with ``is_near_dup`` still true,
+    when the only prior owner is a null-id doc). LSH semantics are unchanged from the batch
     operator: a band collision is a CANDIDATE near-dup — verify with
     :func:`ngram_jaccard_pairs` where exactness matters.
 
@@ -1049,20 +1086,32 @@ def near_dup_against_index(new_docs: DataFrame, index: DataFrame,
                                          n_hashes, bands, shingle_n))
     wb = Window.partitionBy("band", "band_hash")
     sigs = sigs.withColumn("_batch_min", F.min("_id").over(wb))
+    # "_occ" is an explicit occupancy marker: a bucket whose historical
+    # owner is a null-id doc carries keep_id NULL, and F.least would
+    # silently drop it — the bucket would read as unoccupied and the
+    # collision would be missed
     joined = sigs.join(
         index.select("band", "band_hash",
-                     F.col("keep_id").alias("_seen")),
+                     F.col("keep_id").alias("_seen"),
+                     F.lit(True).alias("_occ")),
         ["band", "band_hash"], "left")
     prior = F.least(
         F.col("_seen"),
         F.when(F.col("_batch_min") < F.col("_id"), F.col("_batch_min")))
+    hit = (F.col("_occ").isNotNull()
+           | F.coalesce(F.col("_batch_min") < F.col("_id"),
+                        F.lit(False)))
     per_doc = (joined.groupBy("_id")
-                     .agg(F.min(prior).alias("match_id")))
-    return (new_docs.select(F.col(id_col).alias("_id"))
+                     .agg(F.max(hit).alias("_hit"),
+                          F.min(prior).alias("match_id")))
+    # null-safe roster join: a null-id doc's verdict groups under the
+    # null key, which a plain _id equi-join would discard
+    return (new_docs.select(F.col(id_col).alias("_rid"))
             .distinct()
-            .join(per_doc, "_id", "left")
-            .select(F.col("_id").alias(id_col),
-                    F.col("match_id").isNotNull().alias("is_near_dup"),
+            .join(per_doc, F.col("_rid").eqNullSafe(F.col("_id")),
+                  "left")
+            .select(F.col("_rid").alias(id_col),
+                    F.coalesce("_hit", F.lit(False)).alias("is_near_dup"),
                     "match_id"))
 
 
@@ -1071,18 +1120,24 @@ def updated_minhash_index(index: DataFrame, new_docs: DataFrame,
                           id_col: str = "doc_id", n_hashes: int = 8,
                           bands: int = 4, shingle_n: int = 3,
                           signatures: DataFrame | None = None) -> DataFrame:
-    """The LSH index after absorbing a batch: min owner per bucket over
-    (prior index ∪ batch signatures) — same no-history-rescan contract
-    as :func:`updated_dedup_index`. ``signatures`` = precomputed
+    """The LSH index after absorbing a batch: prior bucket owners win
+    (first-seen-keeps, matching the screen's verdicts), plus one row
+    per bucket first occupied in this batch. First-wins via anti-join
+    rather than min-over-union: min() ignores NULL ids, so a bucket
+    owned by a null-id doc would silently hand ownership to the first
+    real-id batch doc the screen just told to drop. Equals
+    min-over-union under the ids-sort-after-history contract (and never
+    re-aggregates the history rows). ``signatures`` = precomputed
     :func:`minhash_band_signatures`, see
     :func:`near_dup_against_index`."""
     sigs = (signatures if signatures is not None
             else minhash_band_signatures(new_docs, text_col, id_col,
                                          n_hashes, bands, shingle_n))
-    fresh = sigs.select("band", "band_hash", F.col("_id").alias("keep_id"))
-    return (index.unionByName(fresh)
-                 .groupBy("band", "band_hash")
-                 .agg(F.min("keep_id").alias("keep_id")))
+    fresh = (sigs.groupBy("band", "band_hash")
+                 .agg(F.min("_id").alias("keep_id"))
+                 .join(index.select("band", "band_hash"),
+                       ["band", "band_hash"], "left_anti"))
+    return index.unionByName(fresh)
 
 
 def conversation_hashes(turns: DataFrame, conv_col: str = "conv_id",

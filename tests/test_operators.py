@@ -390,6 +390,82 @@ class TestDedup:
         assert [(r["decision"], r["keep_id"]) for r in dec] == \
             [("drop_seen", 0)]
 
+    def test_line_dedup_null_id_doc_keeps_text(self, spark):
+        # reassembly joins kept lines back to the doc roster; a plain
+        # _id equi-join never matches a null key, silently blanking the
+        # whole text of a null-id document
+        docs = spark.createDataFrame(
+            [(None, "unique content line\nsecond line")],
+            "doc_id long, text string")
+        batch = dedup.drop_duplicate_lines(docs).collect()
+        assert batch == [(None, "unique content line\nsecond line")]
+        empty_idx = spark.createDataFrame(
+            [], "line_hash string, keep_id long")
+        inc = dedup.drop_duplicate_lines_against_index(
+            docs, empty_idx).collect()
+        assert inc == [(None, "unique content line\nsecond line")]
+
+    def test_incremental_dedup_null_keeper_is_seen(self, spark):
+        # content first seen under a null-id doc indexes with
+        # keep_id NULL; the hash is still IN the index, so a later
+        # identical doc must be drop_seen — testing keeper.isNotNull()
+        # as the presence signal re-keeps it every batch
+        hist = spark.createDataFrame(
+            [(None, "T")], "doc_id long, text string")
+        batch = spark.createDataFrame(
+            [(7, "T")], "doc_id long, text string")
+        idx = dedup.exact_dedup_index(hist)
+        dec = dedup.dedup_against_index(batch, idx).collect()
+        assert [(r["decision"], r["keep_id"]) for r in dec] == \
+            [("drop_seen", None)]
+        # and the absorbed index must NOT hand ownership to doc 7
+        new_idx = dedup.updated_dedup_index(
+            idx, dedup.dedup_against_index(batch, idx))
+        assert {r["keep_id"] for r in new_idx.collect()} == {None}
+
+    def test_incremental_line_dedup_null_keeper_is_seen(self, spark):
+        # line-granularity twin: a line first seen under a null-id doc
+        # must be removed from every later real-id doc, and the updated
+        # index must keep the null-keeper entry (first-wins), not hand
+        # the line to the batch doc that was just told to drop it
+        hist = spark.createDataFrame(
+            [(None, "shared line")], "doc_id long, text string")
+        batch = spark.createDataFrame(
+            [(7, "shared line\nown line")], "doc_id long, text string")
+        idx = dedup.line_dedup_index(hist)
+        out = dedup.drop_duplicate_lines_against_index(
+            batch, idx).collect()
+        assert out == [(7, "own line")]
+        new_idx = {r["line_hash"]: r["keep_id"]
+                   for r in dedup.updated_line_dedup_index(
+                       idx, batch).collect()}
+        assert sorted(new_idx.values(), key=lambda v: (v is not None, v)) \
+            == [None, 7]
+
+    def test_incremental_near_dup_null_owner_bucket(self, spark):
+        # an LSH bucket whose historical owner is a null-id doc is
+        # OCCUPIED: a colliding batch doc must flag is_near_dup (with
+        # match_id null — there is no orderable owner), and a null-id
+        # batch doc must still receive its verdict row
+        text = "the quick brown fox jumps over the lazy dog"
+        hist = spark.createDataFrame(
+            [(None, text)], "doc_id long, text string")
+        batch = spark.createDataFrame(
+            [(7, text), (None, "fresh unrelated words nothing shared")],
+            "doc_id long, text string")
+        idx = dedup.minhash_index(hist)
+        dec = {r["doc_id"]: (r["is_near_dup"], r["match_id"])
+               for r in dedup.near_dup_against_index(batch, idx).collect()}
+        assert dec[7] == (True, None)
+        assert dec[None] == (False, None)
+        # first-wins absorption: the null-owner buckets stay null-owned
+        new_idx = dedup.updated_minhash_index(idx, batch)
+        hist_buckets = {(r["band"], r["band_hash"])
+                        for r in idx.collect()}
+        for r in new_idx.collect():
+            if (r["band"], r["band_hash"]) in hist_buckets:
+                assert r["keep_id"] is None
+
     def test_line_dedup_sep_mismatch_raises(self, spark):
         docs = spark.createDataFrame(
             [(0, "a\n\nb")], "doc_id long, text string")
