@@ -33,6 +33,16 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
     for every doc, including dropped ones (audits want to see WHAT was
     dropped).
 
+    Document identity is the composite (``id_col``, post-scrub content
+    hash), NOT the id alone — matching the streaming twin's (id, hash)
+    discipline: an id repeated with different payloads is two separate
+    documents (keyed by id alone, their lines would interleave into one
+    garbled row), and null ids are ordinary values throughout. Rows
+    identical in BOTH id and payload collapse to one logical doc and
+    share a verdict (there is no per-row identity to tell them apart).
+    Keeper election (line dedup and exact dedup) orders real ids before
+    null ids, lowest id first, content hash as the tiebreak.
+
     Stages (each optional):
 
     1. :func:`~log2seq_spark.operators.scrub.with_scrubbed` — mask
@@ -54,25 +64,45 @@ quality_features` score on the cleaned text ``>= quality_min``.
     if do_scrub:
         cur = (scrub.with_scrubbed(cur, text_col, out_col="_scrubbed")
                     .select(id_col, F.col("_scrubbed").alias(text_col)))
+
+    # composite row identity (see docstring): the leading null flag
+    # makes struct-min elect "lowest REAL id" (bare struct ordering
+    # sorts null fields first, which would hand every keeper to a
+    # null-id doc — diverging from exact_duplicates' null-ignoring min)
+    cur = cur.withColumn(
+        "_ck", F.struct(F.col(id_col).isNull().alias("z"),
+                        F.col(id_col).alias("i"),
+                        dedup._nullsafe_text_hash(text_col).alias("h")))
+
     if do_line_dedup:
-        cur = (dedup.drop_duplicate_lines(cur, text_col, id_col)
-                    .select(id_col, F.col("clean_text").alias(text_col)))
+        keyed = cur.select("_ck", text_col).distinct()
+        cleaned = (dedup.drop_duplicate_lines(keyed, text_col, "_ck")
+                   .select(F.col("_ck").alias("_ck2"),
+                           F.col("clean_text").alias("_ldtext")))
+        # join back by identity so input multiplicity survives (struct
+        # equality is element-wise null-safe, verified by unit test)
+        cur = (cur.drop(text_col)
+                  .join(cleaned, F.col("_ck").eqNullSafe(F.col("_ck2")))
+                  .drop("_ck2")
+                  .withColumnRenamed("_ldtext", text_col))
 
     # exact-dup keeper via map-side-combined aggregate + equi-join on
     # the 32-char hash (the exact_duplicates / line_ownership pattern) —
     # NOT a window over the hash: after line dedup, every fully-emptied
     # doc shares md5(""), and a hash-partitioned window would funnel all
     # of them (full rows) into one task at scale
-    cur = cur.withColumn(
-        "_h", F.coalesce(F.md5(F.col(text_col)), F.lit(":null:")))
-    keepers = cur.groupBy("_h").agg(F.min(id_col).alias("_keeper"))
+    cur = cur.withColumn("_h", dedup._nullsafe_text_hash(text_col))
+    keepers = cur.groupBy("_h").agg(F.min("_ck").alias("_keeper"))
     cur = cur.join(keepers, "_h")
 
     q = (textstats.quality_features(cur, text_col)
          if quality_min is not None else cur)
 
+    # null-safe identity compare: id != keeper yields NULL for null-id
+    # rows and would never flag their duplicates
     reason = drop_reason_expr(
-        text_col, F.col(id_col) != F.col("_keeper"), quality_min)
+        text_col, ~F.col("_ck").eqNullSafe(F.col("_keeper")),
+        quality_min)
     return (q.select(F.col(id_col),
                      F.col(text_col).alias("clean_text"),
                      reason.isNull().alias("kept"),

@@ -2245,3 +2245,40 @@ class TestCleanCorpus:
         out = {r["doc_id"]: r["drop_reason"]
                for r in clean_corpus(docs).collect()}
         assert out == {0: "empty", 1: "empty", 2: "empty"}
+
+    def test_repeated_id_payloads_stay_separate(self, spark):
+        # identity is (id, content hash), not id alone: keyed by id, an
+        # id repeated with different payloads would interleave both
+        # docs' lines into one garbled row under line dedup
+        from log2seq_spark.operators.corpus import clean_corpus
+        docs = spark.createDataFrame(
+            [("a", "alpha one\nbeta two"), ("a", "gamma three")],
+            "doc_id string, text string")
+        out = sorted(r["clean_text"] for r in clean_corpus(
+            docs, do_scrub=False, quality_min=None).collect())
+        assert out == ["alpha one\nbeta two", "gamma three"]
+
+    def test_null_id_duplicates_flagged(self, spark):
+        # a null-id row sharing content with a real-id row must be
+        # exact_dup (plain id != keeper yields NULL -> never flags);
+        # keeper election prefers the real id
+        from log2seq_spark.operators.corpus import clean_corpus
+        t = ("the quick brown fox jumps over the lazy dog and then "
+             "the dog sleeps in the sun while the fox runs away")
+        docs = spark.createDataFrame(
+            [(None, t), (7, t)], "doc_id long, text string")
+        out = {r["doc_id"]: r["drop_reason"] for r in clean_corpus(
+            docs, do_line_dedup=False).collect()}
+        assert out == {7: None, None: "exact_dup"}
+
+    def test_null_id_doc_text_not_blanked(self, spark):
+        # line dedup reassembles per identity; a null-id doc with
+        # unique content must come back intact, not as ''
+        from log2seq_spark.operators.corpus import clean_corpus
+        docs = spark.createDataFrame(
+            [(None, "unique content line\nsecond line")],
+            "doc_id long, text string")
+        row = clean_corpus(docs, do_scrub=False,
+                           quality_min=None).collect()[0]
+        assert row["clean_text"] == "unique content line\nsecond line"
+        assert row["kept"]
