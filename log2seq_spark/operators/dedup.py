@@ -77,13 +77,24 @@ def minhash_band_signatures(docs: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", n_hashes: int = 8,
                             bands: int = 4,
                             shingle_n: int = 3) -> DataFrame:
-    """(_id, band, band_hash) LSH band signatures — the shared feed for
-    batch bucketing (:func:`minhash_near_duplicates`) and the
+    """(_id, _th, band, band_hash) LSH band signatures — the shared
+    feed for batch bucketing (:func:`minhash_near_duplicates`) and the
     incremental index (:func:`minhash_index` /
     :func:`near_dup_against_index`). One map-side-combining groupBy over
-    the shingle rows; band hashing is a pure projection."""
+    the shingle rows; band hashing is a pure projection.
+
+    One signature set per distinct (id, content) — ``_th`` is the
+    null-safe content hash. Signing per id alone would fold the
+    shingles of an id repeated with different payloads into ONE merged
+    signature that matches neither document (missing true near-dups of
+    both and poisoning the bucket index); on unique-id corpora the two
+    keyings sign identically."""
     rows_per_band = n_hashes // bands
-    sh = shingle_rows(docs, text_col, id_col, shingle_n)
+    keyed = docs.select(
+        F.struct(F.col(id_col).alias("i"),
+                 _nullsafe_text_hash(text_col).alias("h")).alias("_k"),
+        F.col(text_col).alias("_t"))
+    sh = shingle_rows(keyed, "_t", "_k", shingle_n)
     mins = [F.min(F.md5(F.concat(F.lit(f"{s}#"), F.col("shingle"))))
              .alias(f"_m{s}") for s in range(1, n_hashes + 1)]
     sig = sh.groupBy("_id").agg(*mins)
@@ -94,7 +105,9 @@ def minhash_band_signatures(docs: DataFrame, text_col: str = "text",
                     for r in range(rows_per_band)])).alias("band_hash"))
             for b in range(bands)]
     return (sig.select("_id", F.explode(F.array(*bnds)).alias("bb"))
-               .select("_id", "bb.band", "bb.band_hash"))
+               .select(F.col("_id.i").alias("_id"),
+                       F.col("_id.h").alias("_th"),
+                       "bb.band", "bb.band_hash"))
 
 
 def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
@@ -1062,14 +1075,20 @@ def near_dup_against_index(new_docs: DataFrame, index: DataFrame,
     the historical :func:`minhash_index` (the near-dup twin of
     :func:`dedup_against_index`; parameters must match the index's).
 
-    Returns one row per new doc: (``id_col``, is_near_dup, match_id) —
+    Returns one row per distinct (``id_col``, content) in the batch:
+    (``id_col``, text_hash, is_near_dup, match_id) — the
+    :func:`dedup_against_index` convention: carrying the null-safe
+    content hash lets consumers join verdicts back to rows on
+    (id, hash), so an id repeated with different payloads gets one
+    verdict PER PAYLOAD instead of one cross-labeled verdict for all.
     ``is_near_dup`` when any of the doc's band signatures hits an
     already-occupied historical bucket OR a bucket an earlier doc of
     this batch signed into; ``match_id`` is the lowest such prior owner
     (null when fresh — and also null, with ``is_near_dup`` still true,
-    when the only prior owner is a null-id doc). LSH semantics are unchanged from the batch
-    operator: a band collision is a CANDIDATE near-dup — verify with
-    :func:`ngram_jaccard_pairs` where exactness matters.
+    when the only prior owner is a null-id doc). LSH semantics are
+    unchanged from the batch operator: a band collision is a CANDIDATE
+    near-dup — verify with :func:`ngram_jaccard_pairs` where exactness
+    matters.
 
     Shape at scale: signatures are one aggregate over the batch's
     shingles; the screen is one equi-join on (band, band_hash) against
@@ -1101,16 +1120,22 @@ def near_dup_against_index(new_docs: DataFrame, index: DataFrame,
     hit = (F.col("_occ").isNotNull()
            | F.coalesce(F.col("_batch_min") < F.col("_id"),
                         F.lit(False)))
-    per_doc = (joined.groupBy("_id")
+    per_doc = (joined.groupBy("_id", "_th")
                      .agg(F.max(hit).alias("_hit"),
                           F.min(prior).alias("match_id")))
-    # null-safe roster join: a null-id doc's verdict groups under the
-    # null key, which a plain _id equi-join would discard
-    return (new_docs.select(F.col(id_col).alias("_rid"))
-            .distinct()
-            .join(per_doc, F.col("_rid").eqNullSafe(F.col("_id")),
-                  "left")
+    # null-safe roster join on (id, content hash): a null-id doc's
+    # verdict groups under the null key, which a plain equi-join would
+    # discard
+    roster = (new_docs.select(
+                  F.col(id_col).alias("_rid"),
+                  _nullsafe_text_hash(text_col).alias("_rth"))
+              .distinct())
+    return (roster
+            .join(per_doc,
+                  F.col("_rid").eqNullSafe(F.col("_id"))
+                  & F.col("_rth").eqNullSafe(F.col("_th")), "left")
             .select(F.col("_rid").alias(id_col),
+                    F.col("_rth").alias("text_hash"),
                     F.coalesce("_hit", F.lit(False)).alias("is_near_dup"),
                     "match_id"))
 

@@ -538,6 +538,28 @@ class TestDedup:
                    hist.unionByName(batch)).collect()}
         assert got == exp
 
+    def test_near_dup_repeated_id_per_payload_verdicts(self, spark):
+        # an id repeated with different payloads signs one signature
+        # set PER PAYLOAD (keyed by id alone, both docs' shingles fold
+        # into one merged signature matching neither) and receives one
+        # verdict per (id, content hash)
+        text = "the quick brown fox jumps over the lazy sleeping dog"
+        hist = spark.createDataFrame(
+            [(0, text)], "doc_id long, text string")
+        batch = spark.createDataFrame(
+            [(7, text),
+             (7, "totally unrelated words about columnar engines here")],
+            "doc_id long, text string")
+        idx = dedup.minhash_index(hist)
+        dec = {r["text_hash"]: (r["is_near_dup"], r["match_id"])
+               for r in dedup.near_dup_against_index(batch, idx).collect()}
+        assert len(dec) == 2
+        verdicts = sorted(dec.values())
+        assert verdicts == [(False, None), (True, 0)]
+        # the signature feed itself is per (id, content)
+        sigs = dedup.minhash_band_signatures(batch)
+        assert sigs.select("_id", "_th").distinct().count() == 2
+
     def test_paragraph_dedup_via_sep(self, spark):
         # sep="\n\n" switches the unit to paragraphs: a repeated footer
         # block survives only in the lowest-id doc while the docs' own
