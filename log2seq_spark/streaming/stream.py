@@ -468,7 +468,8 @@ def streaming_near_dup_with_index(docs: DataFrame, out_dir: str,
     """
     import os
 
-    from ..operators.dedup import (minhash_band_signatures,
+    from ..operators.dedup import (_nullsafe_text_hash,
+                                   minhash_band_signatures,
                                    near_dup_against_index,
                                    updated_minhash_index)
 
@@ -499,15 +500,22 @@ def streaming_near_dup_with_index(docs: DataFrame, out_dir: str,
                 batch_df, idx, text_col, id_col,
                 n_hashes=n_hashes, bands=bands, shingle_n=shingle_n,
                 signatures=sigs)
-            # null-safe left join: a null-id row still lands in the
-            # sink annotated (the docstring promises ALL rows written);
-            # null ids collapse to one verdict group by LSH semantics
+            # null-safe left join on (id, content hash) — the
+            # dedup_against_index convention: an id-only join would
+            # drop null-id rows (the docstring promises ALL rows
+            # written) and cross-label an id repeated with different
+            # payloads with one merged verdict
             annotated = (
-                batch_df.alias("b")
+                batch_df
+                .withColumn("_bth", _nullsafe_text_hash(text_col))
+                .alias("b")
                 .join(verdicts.alias("v"),
                       F.col(f"b.{id_col}").eqNullSafe(
-                          F.col(f"v.{id_col}")), "left")
+                          F.col(f"v.{id_col}"))
+                      & F.col("b._bth").eqNullSafe(
+                          F.col("v.text_hash")), "left")
                 .select("b.*", "v.is_near_dup", "v.match_id")
+                .drop("_bth")
                 .withColumn("batch_id", F.lit(int(batch_id))))
             (annotated.write.mode("overwrite")
                       .parquet(os.path.join(out_dir,
@@ -645,8 +653,8 @@ drop_duplicate_lines_against_index` against the persistent
     """
     import os
 
-    from ..operators.dedup import (drop_duplicate_lines_against_index,
-                                   line_dedup_index,
+    from ..operators.dedup import (_keyed_lines,
+                                   drop_duplicate_lines_against_index,
                                    updated_line_dedup_index)
 
     params = {"text_col": text_col, "id_col": id_col, "sep": sep}
@@ -657,15 +665,26 @@ drop_duplicate_lines_against_index` against the persistent
         id_type = batch_df.schema[id_col].dataType.simpleString()
         idx = _read_prior_epoch(spark, index_dir, batch_id,
                                 f"line_hash string, keep_id {id_type}")
-        clean = (drop_duplicate_lines_against_index(
-                    batch_df, idx, text_col, id_col, sep)
-                 .withColumn("batch_id", F.lit(int(batch_id))))
-        (clean.write.mode("overwrite")
-              .parquet(os.path.join(out_dir, f"batch_id={batch_id}")))
-        new_idx = updated_line_dedup_index(idx, batch_df, text_col,
-                                           id_col, sep)
-        (new_idx.write.mode("overwrite")
-                .parquet(os.path.join(index_dir, f"epoch={batch_id}")))
+        # the line explode + per-line md5 is the dominant per-batch
+        # cost: compute it ONCE and feed both the reassembly and the
+        # index update (the sigs.persist() discipline of
+        # streaming_near_dup_with_index)
+        keyed = _keyed_lines(batch_df, text_col, id_col, sep).persist()
+        try:
+            clean = (drop_duplicate_lines_against_index(
+                        batch_df, idx, text_col, id_col, sep,
+                        keyed=keyed)
+                     .withColumn("batch_id", F.lit(int(batch_id))))
+            (clean.write.mode("overwrite")
+                  .parquet(os.path.join(out_dir,
+                                        f"batch_id={batch_id}")))
+            new_idx = updated_line_dedup_index(idx, batch_df, text_col,
+                                               id_col, sep, keyed=keyed)
+            (new_idx.write.mode("overwrite")
+                    .parquet(os.path.join(index_dir,
+                                          f"epoch={batch_id}")))
+        finally:
+            keyed.unpersist()
         _prune_epochs(index_dir, batch_id, keep_epochs)
 
     return (docs.writeStream.foreachBatch(_write)
