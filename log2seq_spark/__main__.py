@@ -294,6 +294,27 @@ def cmd_generate(args) -> int:
     return 0
 
 
+def _write_with_tally(df, out_path: str, tally_col: str, *, only=None,
+                      null_label: str = "None") -> None:
+    """Shared sink discipline for the corpus subcommands: write ``df``
+    to parquet (optionally only the rows matching ``only``) and print a
+    per-``tally_col`` row-count tally to stderr. The tally always
+    covers the FULL frame — under a kept-only write the dropped rows
+    never reach the sink, and tallying the written table would silently
+    lose the per-reason counts the command exists to report; persist so
+    write + tally share one computation."""
+    df = df.persist()
+    try:
+        to_write = df.filter(only) if only is not None else df
+        to_write.write.mode("overwrite").parquet(out_path)
+        tally = df.groupBy(tally_col).count().collect()
+    finally:
+        df.unpersist()
+    for r in sorted(tally, key=lambda r: str(r[tally_col])):
+        label = r[tally_col] if r[tally_col] is not None else null_label
+        print(f"# {label}: {r['count']}", file=sys.stderr)
+
+
 def cmd_clean(args) -> int:
     """Corpus-cleaning recipe over a documents parquet table: writes the
     per-doc verdicts (doc_id, clean_text, kept, drop_reason) and prints
@@ -311,20 +332,9 @@ def cmd_clean(args) -> int:
         do_scrub=not args.no_scrub,
         do_line_dedup=not args.no_line_dedup,
         quality_min=None if args.quality_min < 0 else args.quality_min)
-    # the tally always reports the FULL verdicts — under --kept-only the
-    # dropped rows never reach the sink, so tallying the written table
-    # would silently lose the per-reason drop counts the command exists
-    # to report; persist so write + tally share one computation
-    out = out.persist()
-    try:
-        to_write = out.filter("kept") if args.kept_only else out
-        to_write.write.mode("overwrite").parquet(args.out)
-        tally = out.groupBy("drop_reason").count().collect()
-    finally:
-        out.unpersist()
-    for r in sorted(tally, key=lambda r: str(r["drop_reason"])):
-        reason = r["drop_reason"] if r["drop_reason"] is not None else "kept"
-        print(f"# {reason}: {r['count']}", file=sys.stderr)
+    _write_with_tally(out, args.out, "drop_reason",
+                      only="kept" if args.kept_only else None,
+                      null_label="kept")
     if owns:
         spark.stop()
     return 0
@@ -373,14 +383,8 @@ def cmd_dedup(args) -> int:
     out = dedup_decisions(docs, text_col=args.text_col,
                           id_col=args.id_col,
                           threshold=args.threshold,
-                          near_pairs=near_pairs).persist()
-    try:
-        out.write.mode("overwrite").parquet(args.out)
-        tally = out.groupBy("decision").count().collect()
-    finally:
-        out.unpersist()
-    for r in sorted(tally, key=lambda r: r["decision"]):
-        print(f"# {r['decision']}: {r['count']}", file=sys.stderr)
+                          near_pairs=near_pairs)
+    _write_with_tally(out, args.out, "decision")
     if owns:
         spark.stop()
     return 0
