@@ -1295,6 +1295,39 @@ class TestStreaming:
                          n_hashes=8, bands=4).collect()}
         assert stream_idx == batch_idx
 
+    def test_streaming_near_dup_repeated_id_rows(self, spark,
+                                                 tmpdir_path):
+        # a micro-batch carrying one id with two different payloads
+        # must land TWO annotated rows with per-payload verdicts — an
+        # id-only verdict join would stamp one merged verdict on both
+        import os
+        from log2seq_spark.streaming import streaming_near_dup_with_index
+        inp = os.path.join(tmpdir_path, "rin")
+        out = os.path.join(tmpdir_path, "rout")
+        schema = "doc_id long, text string"
+        base = "the quick brown fox jumps over the lazy sleeping dog"
+
+        def run(rows):
+            (spark.createDataFrame(rows, schema)
+                  .coalesce(1).write.mode("append").parquet(inp))
+            stream = spark.readStream.schema(schema).parquet(inp)
+            q = (streaming_near_dup_with_index(
+                    stream, out, os.path.join(tmpdir_path, "rck"),
+                    os.path.join(tmpdir_path, "rix"),
+                    n_hashes=8, bands=4)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        run([(0, base)])
+        run([(7, base.replace("jumps", "leaps")),          # near dup of 0
+             (7, "totally unrelated words about columnar engines")])
+        got = {(r["doc_id"], r["text"]): (r["is_near_dup"], r["match_id"])
+               for r in spark.read.parquet(out).collect()}
+        assert len(got) == 3
+        assert got[(7, base.replace("jumps", "leaps"))] == (True, 0)
+        assert got[(7, "totally unrelated words about columnar "
+                       "engines")] == (False, None)
+
     def test_streaming_line_dedup_across_restarts(self, spark,
                                                   tmpdir_path):
         # a boilerplate line first seen in run 1 is stripped from every
