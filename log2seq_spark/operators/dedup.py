@@ -181,10 +181,15 @@ def dedup_decisions(docs: DataFrame, text_col: str = "text",
     # and added a join exchange for the same answer)
     from pyspark.sql import Window
     wh = Window.partitionBy("_h")
-    h = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h"))
+    h = docs.select(F.col(id_col),
+                    _nullsafe_text_hash(text_col).alias("_h"))
+    # null-safe keeper compare: a null-id duplicate of a real-id doc
+    # must be drop_exact (plain != yields NULL -> never flags); all-null
+    # owner groups elect a null keeper, so null-id docs sharing content
+    # behave as one doc (the family-wide convention)
     ex = h.select(id_col,
                   ((F.count("*").over(wh) > 1)
-                   & (F.col(id_col) != F.min(id_col).over(wh)))
+                   & ~F.col(id_col).eqNullSafe(F.min(id_col).over(wh)))
                   .alias("_ex"))
     # near_pairs lets a caller reuse an already-materialized pair feed
     # (the expensive step) across several consumers; must be the output

@@ -390,6 +390,23 @@ class TestDedup:
         assert [(r["decision"], r["keep_id"]) for r in dec] == \
             [("drop_seen", 0)]
 
+    def test_dedup_decisions_null_id_duplicate_flagged(self, spark):
+        # a null-id row sharing content with a real-id row must be
+        # drop_exact (plain id != keeper yields NULL -> never flags);
+        # null-id rows sharing content with each other behave as one
+        # doc (the family-wide convention) and keep
+        docs = spark.createDataFrame(
+            [(None, "T"), (7, "T"), (None, "U"), (None, "U")],
+            "doc_id long, text string")
+        rows = dedup.dedup_decisions(
+            docs, near_pairs=spark.createDataFrame(
+                [], "id_a long, id_b long, jaccard double")).collect()
+        decs = {}
+        for r in rows:
+            decs.setdefault(r["doc_id"], []).append(r["decision"])
+        assert decs[7] == ["keep"]
+        assert sorted(decs[None]) == ["drop_exact", "keep", "keep"]
+
     def test_line_dedup_null_id_doc_keeps_text(self, spark):
         # reassembly joins kept lines back to the doc roster; a plain
         # _id equi-join never matches a null key, silently blanking the
