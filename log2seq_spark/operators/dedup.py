@@ -697,6 +697,12 @@ def drop_duplicate_lines(docs: DataFrame, text_col: str = "text",
     (``id_col``, clean_text) for EVERY input doc — a doc whose lines
     were all removed comes back with empty text, not silently dropped.
 
+    ``id_col`` IS the document identity: rows sharing an id reassemble
+    as ONE doc (their kept lines interleave by position). When ids may
+    repeat with different payloads, key by a composite — any orderable
+    value works, including a struct (:func:`~log2seq_spark.operators.\
+corpus.clean_corpus` feeds ``struct(id-null-flag, id, content-hash)``).
+
     Reassembly is a per-doc sort of (position, line) structs collected
     from the kept rows — partitioned by doc id, no global sort."""
     own = (_checked_ownership(ownership, sep) if ownership is not None
@@ -767,7 +773,10 @@ def drop_duplicate_lines_against_index(new_docs: DataFrame,
     every input doc. Same contract as :func:`dedup_against_index`:
     equals the batch operator over history ∪ batch provided batch ids
     sort after history ids (with an empty index it IS the batch
-    operator — unit-tested).
+    operator — unit-tested). ``id_col`` IS the document identity
+    (see :func:`drop_duplicate_lines`) — and unlike the batch twin,
+    here it must be a STABLE SCALAR, because keepers persist in the
+    index across batches.
 
     Shape at scale: the batch's lines join the (small) line index on
     the 32-char hash plus one batch-local ownership aggregate —

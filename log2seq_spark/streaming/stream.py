@@ -641,7 +641,9 @@ drop_duplicate_lines_against_index` against the persistent
     the index absorbs each batch's first-seen line hashes (shared epoch
     protocol: replay-safe, predecessor survives every prune; ``sep``
     sets line vs paragraph granularity and is drift-stamped along with
-    the column names).
+    the column names). ``id_col`` IS the document identity and must be
+    a stable scalar (keepers persist in the index): rows sharing an id
+    within a batch reassemble as ONE doc.
 
     This closes the gap :func:`streaming_clean_corpus` documents —
     compose this upstream of it when cross-document boilerplate-line

@@ -377,6 +377,92 @@ class TestDedup:
                    for r in scratch.collect()}
         assert got_idx == exp_idx
 
+    @pytest.mark.parametrize("seed", [3, 14])
+    def test_incremental_line_dedup_fuzz_null_id_history(self, spark,
+                                                         seed):
+        # history carries null ids too (the case the earlier fuzz never
+        # generated — precisely where the null-keeper-reads-as-unseen
+        # bug lived): the incremental screen must equal a pure-Python
+        # replay, and absorbing the batch must be first-wins (history
+        # keepers never change)
+        import random
+        rng = random.Random(seed)
+        pool = [f"line {i}" for i in range(5)] + [""]
+
+        def mk(ids, n):
+            return [(rng.choice(ids),
+                     "\n".join(rng.choice(pool)
+                               for _ in range(rng.randint(1, 5))))
+                    for _ in range(n)]
+
+        hist = mk([0, 1, None], 8)
+        batch = mk([100, 101, None], 8)
+        schema = "doc_id long, text string"
+        hdf = spark.createDataFrame(hist, schema)
+        bdf = spark.createDataFrame(batch, schema)
+        idx = dedup.line_dedup_index(hdf)
+
+        # python model of the index: min real id per line, None if the
+        # only owners are null-id docs (min ignores nulls)
+        owners = {}
+        for i, t in hist:
+            for ln in set(t.split("\n")):
+                if ln != "":
+                    owners.setdefault(ln, set()).add(i)
+        model_idx = {ln: min((x for x in s if x is not None),
+                             default=None)
+                     for ln, s in owners.items()}
+        got_idx = {}
+        lines_by_hash = {}
+        from log2seq_spark.operators.dedup import _keyed_lines  # noqa
+        for r in idx.collect():
+            got_idx[r["line_hash"]] = r["keep_id"]
+        # spark keys are md5 hashes; compare via per-line hash map
+        import hashlib
+        hm = {ln: hashlib.md5(ln.encode()).hexdigest()
+              for ln in model_idx}
+        assert got_idx == {hm[ln]: v for ln, v in model_idx.items()}
+
+        # screen: per distinct doc id (nulls group as one doc), keep a
+        # line if empty | in-index and this id IS the keeper | fresh
+        # and this id is the batch min-real-id owner (None if all-null)
+        batch_owner = {}
+        for i, t in batch:
+            for ln in set(t.split("\n")):
+                if ln != "":
+                    batch_owner.setdefault(ln, set()).add(i)
+        batch_min = {ln: min((x for x in s if x is not None),
+                             default=None)
+                     for ln, s in batch_owner.items()}
+        merged = {}
+        for i, t in batch:
+            merged.setdefault(i, []).extend(
+                (pos, ln) for pos, ln in enumerate(t.split("\n")))
+        exp = {}
+        for i, positioned in merged.items():
+            kept = [(p, ln) for p, ln in positioned
+                    if ln == ""
+                    or (ln in model_idx and model_idx[ln] == i)
+                    or (ln not in model_idx and batch_min[ln] == i)]
+            exp[i] = "\n".join(ln for _, ln in sorted(kept))
+        got = {r["doc_id"]: r["clean_text"]
+               for r in dedup.drop_duplicate_lines_against_index(
+                   bdf, idx).collect()}
+        assert got == exp, seed
+
+        # first-wins absorption: every historical entry unchanged
+        new_idx = {r["line_hash"]: r["keep_id"]
+                   for r in dedup.updated_line_dedup_index(
+                       idx, bdf).collect()}
+        for h, v in got_idx.items():
+            assert new_idx[h] == v, seed
+        # fresh lines enter with their batch min-real-id owner
+        for ln, v in batch_min.items():
+            if ln not in model_idx:
+                assert new_idx[hm.get(ln) or
+                               hashlib.md5(ln.encode()).hexdigest()] \
+                    == v, seed
+
     def test_incremental_dedup_null_text(self, spark):
         # batch exact_duplicates groups null texts (groupBy NULL key);
         # the incremental index must too — a plain md5 would emit NULL
