@@ -56,9 +56,13 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
     4. quality gate: :func:`~log2seq_spark.operators.textstats.\
 quality_features` score on the cleaned text ``>= quality_min``.
 
-    Scale shape: stages 1 and 4 are map-only; stages 2 and 3 are the
-    line-ownership aggregate + one window over the content hash — the
-    same shuffles their standalone operators cost; nothing quadratic.
+    Scale shape: stages 1 and 4 are map-only; stage 3 is one hash
+    aggregate + one equi-join on the 32-char hash. Stage 2 costs the
+    standalone line-dedup shuffles PLUS two identity-keyed exchanges
+    the composite keying adds: one aggregate to one-row-per-identity
+    (text carried as a value, not a key) and one join shipping each
+    identity's cleaned text back to its input rows. Everything is
+    hash-partitioned on ids or 32-char hashes; nothing quadratic.
     """
     cur = docs.select(F.col(id_col), F.col(text_col))
     if do_scrub:
@@ -75,7 +79,11 @@ quality_features` score on the cleaned text ``>= quality_min``.
                         dedup._nullsafe_text_hash(text_col).alias("h")))
 
     if do_line_dedup:
-        keyed = cur.select("_ck", text_col).distinct()
+        # one row per identity, text shipped as a VALUE (first()), not
+        # as part of a distinct key — distinct on (_ck, text) would
+        # shuffle every document's full text inside the exchange key
+        keyed = cur.groupBy("_ck").agg(
+            F.first(text_col).alias(text_col))
         cleaned = (dedup.drop_duplicate_lines(keyed, text_col, "_ck")
                    .select(F.col("_ck").alias("_ck2"),
                            F.col("clean_text").alias("_ldtext")))

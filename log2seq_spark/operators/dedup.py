@@ -134,7 +134,14 @@ def ngram_jaccard_pairs(docs: DataFrame, text_col: str = "text",
     right after the inverted-index join, BEFORE the per-pair groupBy —
     pairs it drops provably cannot reach the threshold, so output is
     unchanged while the pair-counting shuffle shrinks (dramatically for
-    high thresholds over size-diverse corpora)."""
+    high thresholds over size-diverse corpora).
+
+    ``id_col`` IS the document identity: rows sharing an id contribute
+    to ONE shingle set (an id repeated with different payloads compares
+    as their union), and null-id docs never pair (``id_a < id_b`` has
+    no ordering for null). Key by a composite orderable value upstream
+    when ids may repeat or be null — pair outputs are ids, so the
+    identity must be meaningful to the caller."""
     sh = (shingle_rows(docs, text_col, id_col, shingle_n)
           .filter(F.col("pos") < max_shingles_per_doc)
           .select("_id", "shingle").distinct())
@@ -174,7 +181,14 @@ def dedup_decisions(docs: DataFrame, text_col: str = "text",
     (:func:`ngram_jaccard_pairs` at ``threshold``); else ``keep``.
     Pairwise (non-transitive) rule: deterministic, order-free, and
     replayable in ANSI SQL — no union-find / iterative clustering.
-    Returns (id, decision)."""
+    Returns (id, decision).
+
+    The NEAR leg treats ``id_col`` as the document identity (see
+    :func:`ngram_jaccard_pairs`): it requires unique ids and never
+    marks null-id docs drop_near (``id_a < id_b`` has no ordering for
+    them — they can still be drop_exact). Policy decisions keyed by an
+    id only make sense when the id names one document; de-duplicate or
+    synthesize ids upstream when they may repeat."""
     # exact-dup flag via one window over the content hash: a single
     # shuffle on _h and ONE scan of docs (the earlier groupBy + self-join
     # formulation scanned docs twice — md5 over the full corpus twice —
@@ -870,8 +884,12 @@ def duplicate_window_ownership(docs: DataFrame, k: int = 8,
 
 def _is_dup_window():
     """A window occurrence is removable when its content exists in more
-    than one doc and this doc is not the designated keeper."""
-    return (F.col("_ndocs") > 1) & (F.col("_id") != F.col("_keeper"))
+    than one doc and this doc is not the designated keeper. Null-safe:
+    a null-id doc sharing a window with a real-id keeper must read
+    removable (plain != yields NULL -> never removable); all-null owner
+    groups collapse to one distinct owner and stay _ndocs=1."""
+    return ((F.col("_ndocs") > 1)
+            & ~F.col("_id").eqNullSafe(F.col("_keeper")))
 
 
 def duplicate_span_stats(docs: DataFrame, k: int = 8,
@@ -934,21 +952,30 @@ def drop_duplicate_spans(docs: DataFrame, k: int = 8,
     own = (ownership if ownership is not None
            else duplicate_window_ownership(docs, k, text_col, id_col))
     covered = (own.filter(_is_dup_window())
-                  .select("_id", F.explode(F.sequence(
-                      "pos", F.col("pos") + F.lit(k - 1))).alias("idx"))
+                  .select(F.col("_id").alias("_cid"),
+                          F.explode(F.sequence(
+                      "pos", F.col("pos") + F.lit(k - 1))).alias("_cidx"))
                   .distinct())
     toks = F.filter(F.split(normalized_text(F.col(text_col)), " "),
                     lambda t: t != "")
     tok_rows = (docs.select(F.col(id_col).alias("_id"), toks.alias("_w"))
                     .select("_id", F.posexplode("_w").alias("idx", "tok")))
-    kept = tok_rows.join(covered, ["_id", "idx"], "left_anti")
+    # null-safe anti join: a plain _id key never matches the null key,
+    # so a null-id doc's removable tokens would all survive
+    kept = tok_rows.join(
+        covered,
+        F.col("_id").eqNullSafe(F.col("_cid"))
+        & (F.col("idx") == F.col("_cidx")), "left_anti")
     clean = (kept.groupBy("_id")
                  .agg(F.array_sort(F.collect_list(
                      F.struct("idx", "tok"))).alias("_arr"))
-                 .select("_id", F.concat_ws(
+                 .select(F.col("_id").alias("_kid"), F.concat_ws(
                      " ", F.col("_arr.tok")).alias("clean_text")))
+    # null-safe roster join (same reason as _reassembled_docs): a doc
+    # whose id is null must come back with its text, not ''
     return (docs.select(F.col(id_col).alias("_id")).distinct()
-                .join(clean, "_id", "left")
+                .join(clean, F.col("_id").eqNullSafe(F.col("_kid")),
+                      "left")
                 .select(F.col("_id").alias(id_col),
                         F.coalesce("clean_text", F.lit(""))
                          .alias("clean_text")))
@@ -1097,9 +1124,11 @@ def near_dup_against_index(new_docs: DataFrame, index: DataFrame,
     verdict PER PAYLOAD instead of one cross-labeled verdict for all.
     ``is_near_dup`` when any of the doc's band signatures hits an
     already-occupied historical bucket OR a bucket an earlier doc of
-    this batch signed into; ``match_id`` is the lowest such prior owner
-    (null when fresh — and also null, with ``is_near_dup`` still true,
-    when the only prior owner is a null-id doc). LSH semantics are
+    this batch signed into — "earlier" by the (real-ids-first, lowest
+    id, content hash) identity ordering, so null-id and repeated-id
+    batch collisions are surfaced too; ``match_id`` is the lowest such
+    prior owner (null when fresh — and also null, with ``is_near_dup``
+    still true, when the only prior owner is a null-id doc). LSH semantics are
     unchanged from the batch operator: a band collision is a CANDIDATE
     near-dup — verify with :func:`ngram_jaccard_pairs` where exactness
     matters.
@@ -1118,7 +1147,15 @@ def near_dup_against_index(new_docs: DataFrame, index: DataFrame,
             else minhash_band_signatures(new_docs, text_col, id_col,
                                          n_hashes, bands, shingle_n))
     wb = Window.partitionBy("band", "band_hash")
-    sigs = sigs.withColumn("_batch_min", F.min("_id").over(wb))
+    # in-batch priority follows the (real-ids-first, lowest id, content
+    # hash) identity ordering — null-safe by construction: a plain
+    # `min(id) < id` test is NULL for null-id rows (a null-id doc
+    # colliding with a real-id batch peer was never flagged) and blind
+    # to two same-id payloads sharing a bucket
+    sk = F.struct(F.col("_id").isNull().alias("z"),
+                  F.col("_id").alias("i"), F.col("_th").alias("h"))
+    sigs = (sigs.withColumn("_sk", sk)
+                .withColumn("_bmin", F.min("_sk").over(wb)))
     # "_occ" is an explicit occupancy marker: a bucket whose historical
     # owner is a null-id doc carries keep_id NULL, and F.least would
     # silently drop it — the bucket would read as unoccupied and the
@@ -1128,12 +1165,11 @@ def near_dup_against_index(new_docs: DataFrame, index: DataFrame,
                      F.col("keep_id").alias("_seen"),
                      F.lit(True).alias("_occ")),
         ["band", "band_hash"], "left")
+    batch_prior = ~F.col("_sk").eqNullSafe(F.col("_bmin"))
     prior = F.least(
         F.col("_seen"),
-        F.when(F.col("_batch_min") < F.col("_id"), F.col("_batch_min")))
-    hit = (F.col("_occ").isNotNull()
-           | F.coalesce(F.col("_batch_min") < F.col("_id"),
-                        F.lit(False)))
+        F.when(batch_prior, F.col("_bmin.i")))
+    hit = F.col("_occ").isNotNull() | batch_prior
     per_doc = (joined.groupBy("_id", "_th")
                      .agg(F.max(hit).alias("_hit"),
                           F.min(prior).alias("match_id")))

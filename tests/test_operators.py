@@ -641,6 +641,49 @@ class TestDedup:
                    hist.unionByName(batch)).collect()}
         assert got == exp
 
+    def test_span_dedup_null_id_doc(self, spark):
+        # the span twin of the line-reassembly fix: a null-id doc's
+        # unique text survives, and its removable duplicate windows are
+        # removed in favor of the real-id keeper
+        uniq = "completely unshared words live here today friends"
+        solo = spark.createDataFrame(
+            [(None, uniq)], "doc_id long, text string")
+        assert dedup.drop_duplicate_spans(solo, k=8).collect() == \
+            [(None, uniq)]
+        # and a null-id doc's removable windows ARE removed in favor
+        # of the real-id keeper (plain != never flagged them)
+        shared = "one two three four five six seven eight"
+        docs = spark.createDataFrame(
+            [(3, shared + " alpha"), (None, shared + " omega")],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r["clean_text"]
+               for r in dedup.drop_duplicate_spans(docs, k=8).collect()}
+        assert got == {3: shared + " alpha", None: "omega"}
+
+    def test_near_dup_in_batch_null_and_same_id_collisions(self, spark):
+        # in-batch priority follows the identity ordering: a null-id
+        # doc colliding with a real-id batch peer is flagged against
+        # it (a plain min(id) < id test is NULL and never fires), and
+        # two same-id payloads sharing a bucket surface exactly one
+        # flagged verdict
+        text = "the quick brown fox jumps over the lazy sleeping dog"
+        empty = spark.createDataFrame(
+            [], "band int, band_hash string, keep_id long")
+        batch = spark.createDataFrame(
+            [(None, text), (7, text)], "doc_id long, text string")
+        dec = {r["doc_id"]: (r["is_near_dup"], r["match_id"])
+               for r in dedup.near_dup_against_index(batch, empty).collect()}
+        assert dec[7] == (False, None)
+        assert dec[None] == (True, 7)
+
+        batch2 = spark.createDataFrame(
+            [(7, text), (7, text.replace("jumps", "leaps"))],
+            "doc_id long, text string")
+        dec2 = sorted((r["is_near_dup"], r["match_id"])
+                      for r in dedup.near_dup_against_index(
+                          batch2, empty).collect())
+        assert dec2 == [(False, None), (True, 7)]
+
     def test_near_dup_repeated_id_per_payload_verdicts(self, spark):
         # an id repeated with different payloads signs one signature
         # set PER PAYLOAD (keyed by id alone, both docs' shingles fold
