@@ -2447,6 +2447,74 @@ class TestCleanCorpus:
                for r in clean_corpus(docs).collect()}
         assert out == {0: "empty", 1: "empty", 2: "empty"}
 
+    @pytest.mark.parametrize("seed", [5, 23])
+    def test_clean_corpus_fuzz_matches_python_model(self, spark, seed):
+        # randomized equivalence of the composite-identity recipe
+        # (scrub/quality off to isolate identity + line + exact
+        # semantics) against a pure-Python replay: null and repeated
+        # ids, null texts, heavy cross-doc line reuse, multiplicity
+        # preserved row-for-row
+        import hashlib
+        import random
+        import re
+        from log2seq_spark.operators.corpus import clean_corpus
+        rng = random.Random(seed)
+        pool = [f"ln {i}" for i in range(5)] + [""]
+        ids = [0, 1, 2, None, 1]
+        rows = []
+        for _ in range(14):
+            i = rng.choice(ids)
+            t = (None if rng.random() < 0.1 else
+                 "\n".join(rng.choice(pool)
+                           for _ in range(rng.randint(0, 4))))
+            rows.append((i, t))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = sorted(
+            ((r["doc_id"], r["clean_text"], r["kept"], r["drop_reason"])
+             for r in clean_corpus(docs, do_scrub=False,
+                                   quality_min=None).collect()),
+            key=str)
+
+        def h(t):
+            return (hashlib.md5(t.encode()).hexdigest()
+                    if t is not None else ":null:")
+
+        def ident(i, t):
+            return (i is None, i if i is not None else 0, h(t))
+
+        idents = {ident(i, t): t for i, t in rows}
+        owners = {}
+        for k, t in idents.items():
+            if t is None:
+                continue
+            for ln in set(t.split("\n")):
+                if ln != "":
+                    owners.setdefault(ln, set()).add(k)
+        cleaned = {}
+        for k, t in idents.items():
+            if t is None:
+                cleaned[k] = ""
+                continue
+            cleaned[k] = "\n".join(
+                ln for ln in t.split("\n")
+                if ln == "" or len(owners[ln]) == 1
+                or min(owners[ln]) == k)
+        groups = {}
+        for k, c in cleaned.items():
+            groups.setdefault(h(c), set()).add(k)
+        exp = []
+        for i, t in rows:
+            k = ident(i, t)
+            c = cleaned[k]
+            if re.sub(r"\s", "", c) == "":
+                reason = "empty"
+            elif min(groups[h(c)]) != k:
+                reason = "exact_dup"
+            else:
+                reason = None
+            exp.append((i, c, reason is None, reason))
+        assert got == sorted(exp, key=str), seed
+
     def test_repeated_id_payloads_stay_separate(self, spark):
         # identity is (id, content hash), not id alone: keyed by id, an
         # id repeated with different payloads would interleave both
