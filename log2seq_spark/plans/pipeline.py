@@ -96,7 +96,11 @@ def enriched_turns(spark: SparkSession, turns: DataFrame,
     df = with_parsed(df, cfg.program, text_col="text", ts_col="ts")
 
     ok = F.col("parsed.message").isNotNull()
-    severity = F.when(ok, F.element_at("parsed.words", 3)).otherwise(F.lit(None))
+    # try_element_at: ANSI mode (Spark 4 default) makes element_at
+    # THROW on a <3-word message — a single short-but-parseable line
+    # would kill the whole job; null falls through to "unrouted"
+    severity = (F.when(ok, F.try_element_at("parsed.words", F.lit(3)))
+                 .otherwise(F.lit(None)))
     df = df.withColumn("severity", severity)
     df = (df.join(F.broadcast(role_dim(spark)), "role", "left")
             .join(F.broadcast(tool_dim(spark)), "tool", "left")

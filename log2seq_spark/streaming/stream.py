@@ -32,7 +32,11 @@ def streaming_parse(spark: SparkSession, input_dir: str,
     stream = (spark.readStream.schema(schema).parquet(input_dir))
     parsed = with_parsed(stream, program, text_col="text", ts_col="ts")
     ok = F.col("parsed.message").isNotNull()
-    severity = F.when(ok, F.element_at("parsed.words", 3))
+    # try_element_at: ANSI mode (Spark 4 default) makes element_at
+    # THROW on a <3-word message, and one short line would poison the
+    # stream permanently (replay hits the same row); null routes to
+    # "unrouted" instead
+    severity = F.when(ok, F.try_element_at("parsed.words", F.lit(3)))
     out = (parsed.withColumn("severity", severity)
                  .join(F.broadcast(severity_dim(spark)), "severity", "left")
                  .join(F.broadcast(tool_dim(spark)), "tool", "left"))
@@ -81,7 +85,8 @@ def streaming_tool_latency(turns: DataFrame,
     """Watermarked stream-stream self-join: each assistant turn is
     correlated with the tool-result turns that follow it in the same
     conversation within ``horizon``; emits
-    (conv_id, a_idx, t_idx, tool, latency_sec).
+    (conv_id, a_idx, t_idx, tool, latency_us) — latency in
+    MICROSECONDS (unix_micros difference).
 
     Both sides carry a watermark and the join predicate time-bounds the
     right side against the left (``t_ts ∈ [a_ts, a_ts + horizon]``), so
@@ -256,7 +261,10 @@ def _committed_epochs(dir_path: str):
     import re as _re
 
     out = []
-    for p in glob.glob(os.path.join(dir_path, "epoch=*")):
+    # glob.escape: a state dir whose PATH contains glob metacharacters
+    # ([, ?, *) would silently match nothing — every batch would read
+    # an empty index and replay safety would never engage
+    for p in glob.glob(os.path.join(glob.escape(dir_path), "epoch=*")):
         m = _re.fullmatch(r"epoch=(\d+)", os.path.basename(p))
         if m and os.path.exists(os.path.join(p, "_SUCCESS")):
             out.append(int(m.group(1)))
@@ -401,9 +409,13 @@ def _check_epoch_params(state_dir: str, params: dict) -> None:
 
     The stamp is written atomically (temp file + ``os.replace``) and
     only ENFORCED once a committed epoch exists — parameters can be
-    freely corrected after a failed first batch, and a stamp truncated
-    by a pre-atomic-write crash is restamped rather than wedging the
-    directory forever."""
+    freely corrected after a failed first batch (no committed epoch →
+    restamp freely). Once committed epochs EXIST, a missing or
+    unreadable stamp is refused rather than restamped: silently
+    stamping the CURRENT run's params would accept exactly the drift
+    the guard exists to reject (atomic writes make a truncated stamp
+    impossible in normal operation, so this state means the file was
+    lost or hand-edited — restore it, or rebuild the state dir)."""
     import json
     import os
 
@@ -415,8 +427,14 @@ def _check_epoch_params(state_dir: str, params: dict) -> None:
             with open(path) as f:
                 seen = json.load(f)
         except ValueError:
-            seen = None   # corrupt stamp (pre-atomic crash): restamp
-    if seen is not None and _committed_epochs(state_dir):
+            seen = None   # unreadable stamp
+    if _committed_epochs(state_dir):
+        if seen is None:
+            raise ValueError(
+                f"epoch state at {state_dir} has committed epochs but "
+                "no readable params.json stamp; refusing to restamp "
+                "with this run's parameters — restore the stamp or "
+                "rebuild the state directory")
         if seen != params:
             raise ValueError(
                 f"epoch state at {state_dir} was built with {seen}, "

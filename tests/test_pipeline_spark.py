@@ -251,3 +251,27 @@ def test_backend_mismatch_on_resume_raises(spark, tmpdir_path, turns):
     # holds only parquet data files and the orc read-back must fail
     with pytest.raises(Exception):
         run_pipeline(spark, turns.limit(200), bad, resume=True)
+
+
+class TestShortMessageRouting:
+    def test_short_message_routes_unrouted_not_crash(self, spark):
+        # ANSI mode (Spark 4's default, live in this session) makes
+        # element_at THROW on a <3-word parsed message — one short but
+        # perfectly parseable line must route to 'unrouted', not kill
+        # the whole job (or permanently poison a streaming replay)
+        from datetime import datetime
+        rows = [
+            ("c1", 0, "user", "Jan  1 12:34:56 host1 hi",
+             None, datetime(2024, 1, 1, 12, 34, 56)),
+            ("c1", 1, "assistant", "Jan  1 12:34:57 host1 app[2]: INFO ok",
+             None, datetime(2024, 1, 1, 12, 34, 57)),
+        ]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, "
+                  "text string, tool string, ts timestamp")
+        cfg = PipelineConfig(out_dir="/tmp/unused-short", n_buckets=2,
+                             partitions=2)
+        got = {r["turn_idx"]: (r["sink"], r["severity"])
+               for r in enriched_turns(spark, df, cfg).collect()}
+        assert got[0] == ("unrouted", None)   # 1-word message, parsed ok
+        assert got[1][1] == "INFO"            # 3+ words still routed
