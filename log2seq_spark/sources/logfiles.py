@@ -41,6 +41,11 @@ SCHEMA = "path string, member string, line_no bigint, text string"
 class _LogPart(InputPartition):
     path: str
     member: str  # "" for non-archive files
+    # positional index into tar.getmembers(): tar -u/--append archives
+    # can hold the SAME member name several times, and extractfile(name)
+    # resolves to the LAST occurrence — reading by name would emit the
+    # newest copy N times and silently drop every earlier copy
+    midx: int = -1
 
 
 def _expand(path_opt: str) -> list[str]:
@@ -127,9 +132,9 @@ class LogTextReader(DataSourceReader):
             if fp.endswith(_TAR_SUFFIXES):
                 import tarfile
                 with tarfile.open(fp, "r") as tar:
-                    for info in tar.getmembers():
+                    for i, info in enumerate(tar.getmembers()):
                         if info.isfile():
-                            parts.append(_LogPart(fp, info.name))
+                            parts.append(_LogPart(fp, info.name, i))
             else:
                 parts.append(_LogPart(fp, ""))
         return [p for p in parts if self._keep(p)]
@@ -143,7 +148,9 @@ class LogTextReader(DataSourceReader):
         if part.member:
             import tarfile
             with tarfile.open(part.path, "r") as tar:
-                f = tar.extractfile(part.member)
+                # extract by POSITION (see _LogPart.midx) — getmembers()
+                # order is the archive order, stable across opens
+                f = tar.extractfile(tar.getmembers()[part.midx])
                 for i, raw in enumerate(f, start=1):
                     yield (part.path, part.member, i,
                            raw.decode(enc, errors="replace").rstrip("\r\n"))
@@ -259,7 +266,11 @@ class LogTailStreamReader(SimpleDataSourceStreamReader):
                 end[fp] = [off, lineno, gen, st.st_ino]
                 continue
             complete = chunk[:last_nl + 1]
-            for raw in complete.splitlines():
+            # split on \n ONLY: bytes.splitlines() also splits on bare
+            # \r (progress-bar rewrites), inflating line_no and
+            # diverging from the batch logtext source over the same
+            # bytes; complete ends with \n, so the last piece is empty
+            for raw in complete.split(b"\n")[:-1]:
                 lineno += 1
                 rows.append((fp, lineno,
                              raw.decode(self._encoding, errors="replace")))
@@ -270,6 +281,7 @@ class LogTailStreamReader(SimpleDataSourceStreamReader):
         return self._read_from(start)
 
     def readBetweenOffsets(self, start: dict, end: dict):
+        import os
         rows = []
         for fp, ev in end.items():
             eoff, _elines, egen, _eino = _tail_entry(ev)
@@ -280,10 +292,36 @@ class LogTailStreamReader(SimpleDataSourceStreamReader):
                 soff, lineno = 0, 0
             if eoff <= soff:
                 continue
+            # validate the recorded identity BEFORE re-reading: after a
+            # rotation during downtime the path holds a DIFFERENT file,
+            # and blindly seeking [soff, eoff) would silently emit bytes
+            # the original batch never produced — the one thing a
+            # byte-identical replay must never do. Fail loudly instead:
+            # the original bytes are unrecoverable.
+            try:
+                st = os.stat(fp)
+            except OSError as ex:
+                raise RuntimeError(
+                    f"logtail replay of {fp} bytes [{soff}, {eoff}) is "
+                    f"impossible: the file is gone ({ex}); the original "
+                    "batch's bytes are unrecoverable — clear the "
+                    "checkpoint (accepting the gap) or restore the "
+                    "file") from ex
+            if (_eino is not None and st.st_ino != _eino) \
+                    or st.st_size < eoff:
+                raise RuntimeError(
+                    f"logtail replay of {fp} bytes [{soff}, {eoff}) is "
+                    "impossible: the file was rotated or truncated "
+                    f"during downtime (inode {st.st_ino} vs recorded "
+                    f"{_eino}, size {st.st_size}); the original batch's "
+                    "bytes are unrecoverable — clear the checkpoint "
+                    "(accepting the gap) or restore the file")
             with open(fp, "rb") as f:
                 f.seek(soff)
                 chunk = f.read(eoff - soff)
-            for raw in chunk.splitlines():
+            # \n-only split (see _read_from); the recorded eoff is a
+            # newline boundary, so the final empty piece is dropped
+            for raw in chunk.split(b"\n")[:-1]:
                 lineno += 1
                 rows.append((fp, lineno,
                              raw.decode(self._encoding, errors="replace")))
