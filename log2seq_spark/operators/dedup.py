@@ -1076,9 +1076,10 @@ def updated_dedup_index(index: DataFrame,
     the content hash, so no join back to the docs is needed (and a
     null or repeated id can't lose its hash). ``new_docs``/``text_col``
     remain only for decision frames predating the carried hash.
-    Rewriting the index is a union + one aggregate over
-    (index ∪ batch-keepers), hash-partitioned on text_hash — no
-    history rescan."""
+    First-wins via anti-join, like :func:`updated_line_dedup_index` /
+    :func:`updated_minhash_index`: prior entries are appended to, never
+    re-aggregated — per-epoch cost scales with the BATCH, not with the
+    (corpus-novelty-sized) index a long-running stream accumulates."""
     keeps = batch_decisions.filter(F.col("decision") == "keep")
     if "text_hash" in batch_decisions.columns:
         fresh = keeps.select("text_hash", F.col(id_col).alias("keep_id"))
@@ -1089,9 +1090,14 @@ def updated_dedup_index(index: DataFrame,
                          _nullsafe_text_hash(text_col).alias("text_hash")),
                      id_col)
                  .select("text_hash", F.col(id_col).alias("keep_id")))
-    return (index.unionByName(fresh)
-                 .groupBy("text_hash")
-                 .agg(F.min("keep_id").alias("keep_id")))
+    # flag-carrying decisions only keep unseen hashes, so fresh is
+    # disjoint from the index by construction; the aggregate + anti-join
+    # (both batch-sized probes) also normalize legacy no-hash frames
+    fresh = (fresh.groupBy("text_hash")
+                  .agg(F.min("keep_id").alias("keep_id"))
+                  .join(index.select("text_hash"), "text_hash",
+                        "left_anti"))
+    return index.unionByName(fresh)
 
 
 def minhash_index(docs: DataFrame, text_col: str = "text",

@@ -49,9 +49,24 @@ _DURATION_MS = {"millisecond": 1, "second": 1000, "minute": 60_000,
 
 
 def duration_ms(spec: str) -> int:
-    """Parse a Spark-style interval string like '30 minutes' / '1 hour'."""
-    n, unit = spec.strip().split()
-    return int(n) * _DURATION_MS[unit.rstrip("s").lower()]
+    """Parse a Spark-style interval string like '30 minutes', '1 hour'
+    or the compound form '1 hour 30 minutes' — any spec ``withWatermark``
+    accepts must parse here too, or a caller tuning the watermark from
+    Spark docs crashes at plan construction."""
+    toks = spec.strip().split()
+    if not toks or len(toks) % 2:
+        raise ValueError(
+            f"cannot parse interval {spec!r}: expected 'N unit "
+            "[N unit ...]' (e.g. '30 minutes', '1 hour 30 minutes')")
+    total = 0
+    for n, unit in zip(toks[::2], toks[1::2]):
+        try:
+            total += int(n) * _DURATION_MS[unit.rstrip("s").lower()]
+        except (ValueError, KeyError):
+            raise ValueError(
+                f"cannot parse interval {spec!r}: bad component "
+                f"{n!r} {unit!r}") from None
+    return total
 
 
 def _make_assemble(timeout_ms: int):

@@ -1583,24 +1583,53 @@ class TestStreaming:
 
     def test_epoch_params_guard_recovery(self, tmpdir_path):
         # enforcement starts only once an epoch has COMMITTED (a failed
-        # first batch must not lock in its parameters), and a stamp
-        # truncated by a pre-atomic-write crash restamps instead of
-        # wedging the directory
+        # first batch must not lock in its parameters); once epochs
+        # exist, a missing/corrupt stamp REFUSES rather than silently
+        # restamping with the current run's params — that would accept
+        # exactly the drift the guard exists to reject
         import os
         from log2seq_spark.streaming.stream import _check_epoch_params
         d = os.path.join(tmpdir_path, "gstate")
         _check_epoch_params(d, {"a": 1})
         _check_epoch_params(d, {"a": 2})          # no committed epoch yet
+        # corrupt stamp before any commit: restamp freely
+        with open(os.path.join(d, "params.json"), "w") as f:
+            f.write("{trunc")
+        _check_epoch_params(d, {"a": 2})
         os.makedirs(os.path.join(d, "epoch=0"))
         open(os.path.join(d, "epoch=0", "_SUCCESS"), "w").close()
         _check_epoch_params(d, {"a": 2})
         with pytest.raises(ValueError, match="matching parameters"):
             _check_epoch_params(d, {"a": 3})
         with open(os.path.join(d, "params.json"), "w") as f:
-            f.write("{trunc")                      # corrupt stamp
-        _check_epoch_params(d, {"a": 4})           # restamped
-        with pytest.raises(ValueError, match="matching parameters"):
-            _check_epoch_params(d, {"a": 5})
+            f.write("{trunc")                      # lost/corrupt stamp
+        with pytest.raises(ValueError, match="refusing to restamp"):
+            _check_epoch_params(d, {"a": 2})
+        os.remove(os.path.join(d, "params.json"))  # lost stamp
+        with pytest.raises(ValueError, match="refusing to restamp"):
+            _check_epoch_params(d, {"a": 2})
+
+    def test_committed_epochs_glob_metachars(self, tmpdir_path):
+        # a state dir whose PATH contains glob metacharacters must not
+        # silently read as empty (every batch would see an empty index
+        # and replay safety would never engage)
+        import os
+        from log2seq_spark.streaming.stream import _committed_epochs
+        d = os.path.join(tmpdir_path, "run[2024]", "idx")
+        os.makedirs(os.path.join(d, "epoch=3"))
+        open(os.path.join(d, "epoch=3", "_SUCCESS"), "w").close()
+        assert _committed_epochs(d) == [3]
+
+    def test_duration_ms_compound_intervals(self):
+        # any spec withWatermark accepts must parse here too
+        from log2seq_spark.streaming.stateful import duration_ms
+        assert duration_ms("30 minutes") == 1_800_000
+        assert duration_ms("1 hour 30 minutes") == 5_400_000
+        assert duration_ms("1 day 2 hours 3 seconds") == 93_603_000
+        with pytest.raises(ValueError, match="cannot parse"):
+            duration_ms("90")
+        with pytest.raises(ValueError, match="cannot parse"):
+            duration_ms("1 fortnight")
 
     def test_streaming_near_dup_rejects_param_drift(self, spark,
                                                     tmpdir_path):
@@ -2122,6 +2151,26 @@ class TestLogTextDataSource:
                 tar.addfile(info, io.BytesIO(body))
         return d
 
+    def test_tar_duplicate_member_names(self, spark, tmpdir_path):
+        # tar -u / --append archives hold the SAME member name several
+        # times; extractfile(name) resolves to the LAST occurrence, so
+        # reading by name would emit the newest copy twice and silently
+        # drop the earlier one — partitions must extract by position
+        import io
+        import os
+        import tarfile
+        from log2seq_spark.sources import logfiles
+        t = os.path.join(tmpdir_path, "dup.tar")
+        with tarfile.open(t, "w") as tar:
+            for body in [b"old version\n", b"new version\nsecond line\n"]:
+                info = tarfile.TarInfo("app.log")
+                info.size = len(body)
+                tar.addfile(info, io.BytesIO(body))
+        logfiles.register(spark)
+        df = spark.read.format("logtext").option("path", t).load()
+        texts = sorted(r["text"] for r in df.collect())
+        assert texts == ["new version", "old version", "second line"]
+
     def test_reads_files_gz_and_tar_members(self, spark, tmpdir_path):
         from log2seq_spark.sources import logfiles
         d = self._fixture(tmpdir_path)
@@ -2260,6 +2309,46 @@ class TestLogTailReaderUnit:
     def _reader(self, path):
         from log2seq_spark.sources.logfiles import LogTailStreamReader
         return LogTailStreamReader({"path": path})
+
+    def test_carriage_return_stays_one_row(self, tmpdir_path):
+        # bytes.splitlines() also splits on bare \r (progress-bar
+        # rewrites), inflating line_no and diverging from the batch
+        # logtext source over the same bytes — only \n delimits rows
+        import os
+        log = os.path.join(tmpdir_path, "cr.log")
+        r = self._reader(log)
+        with open(log, "wb") as f:
+            f.write(b"progress 10%\rprogress 100%\ndone\n")
+        rows, off = r.read(r.initialOffset())
+        got = [(n, t) for (_, n, t) in rows]
+        assert got == [(1, "progress 10%\rprogress 100%"), (2, "done")]
+        # replay is byte-identical, including the embedded \r
+        assert [(n, t) for (_, n, t)
+                in r.readBetweenOffsets(r.initialOffset(), off)] == got
+
+    def test_replay_after_downtime_rotation_fails_loudly(self,
+                                                         tmpdir_path):
+        # crash, then logrotate replaces the file while the stream is
+        # DOWN: the recorded byte range now addresses a different file,
+        # and replay must refuse (silently emitting the new file's
+        # bytes would violate the byte-identical replay contract)
+        import os
+        log = os.path.join(tmpdir_path, "dt.log")
+        r = self._reader(log)
+        with open(log, "w") as f:
+            f.write("aaa\nbbb\n")
+        start = r.initialOffset()
+        rows, off = r.read(start)
+        assert len(list(rows)) == 2
+        os.rename(log, log + ".1")
+        with open(log, "w") as f:           # new inode, same length
+            f.write("xxx\nyyy\n")
+        with pytest.raises(RuntimeError, match="rotated or truncated"):
+            list(r.readBetweenOffsets(start, off))
+        # and a deleted file refuses too, with the gap made explicit
+        os.remove(log)
+        with pytest.raises(RuntimeError, match="gone"):
+            list(r.readBetweenOffsets(start, off))
 
     def test_rotation_restarts_from_zero(self, tmpdir_path):
         import os
