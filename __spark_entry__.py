@@ -1482,7 +1482,7 @@ def q_stratified_sample_counts(spark, sf_dir):
 
 _SQL_STRATIFIED = """
 SELECT lang, count(*) AS n_docs FROM documents
-WHERE ('0x' || substr(md5('0#' || doc_id), 1, 4))::INT % 10000 <
+WHERE ('0x' || substr(md5('0#' || doc_id), 1, 8))::BIGINT % 10000 <
       CASE lang WHEN 'de' THEN 5000 WHEN 'en' THEN 10000
                 WHEN 'es' THEN 1000 WHEN 'fr' THEN 2500 ELSE 500 END
 GROUP BY lang

@@ -46,3 +46,15 @@ class TestHashSample:
         assert by["en"] == 1334            # every en row kept
         assert "fr" not in by              # default 0
         assert 0.15 < by["de"] / 1333 < 0.35
+
+
+def test_rate_unbiased(spark):
+    # regression for the 4-hex-char modulo bias: 65536 values mod 10000
+    # made buckets 0-5535 7/6 as likely, so rate=0.1 actually kept
+    # ~10.68% and rate=0.5 kept ~53.4%. With 8 hex chars the observed
+    # rates over 20k sequential ids sit within sampling noise.
+    from log2seq_spark.operators import sampling
+    t = spark.range(20000).withColumnRenamed("id", "doc_id")
+    for rate in (0.1, 0.5):
+        got = sampling.hash_sample(t, rate).count() / 20000
+        assert abs(got - rate) < 0.005, (rate, got)
