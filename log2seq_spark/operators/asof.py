@@ -44,7 +44,24 @@ def asof_join(left: DataFrame, right: DataFrame, on: Sequence[str],
                          if c not in on and c != right_ts])
     ts_out = f"{right_ts}{suffix}"
 
-    r = right.select(
+    # assert-don't-shadow (the repetition_stats discipline): a left
+    # frame already carrying an output or internal name — e.g. the
+    # result of a previous asof_join chained with the same suffix —
+    # would be silently merged by unionByName, and its STALE payload
+    # values would be carried forward as if they were right-side events
+    clash = [c for c in ([ts_out, "_ts", "_side", "_stale"]
+                         + [f"{c}{suffix}" for c in payload_cols])
+             if c in set(left.columns)]
+    if clash:
+        raise ValueError(
+            f"asof_join output/internal columns {clash} already exist "
+            "on the left frame; rename them or pass a different suffix")
+
+    # a right row with a NULL timestamp cannot be 'as of' anything —
+    # unsorted under nulls-first it would carry its payload into left
+    # rows with NO valid right.ts <= left.ts match (a torn row: payload
+    # set, ts_out null, and tolerance_sec blind to it)
+    r = right.filter(F.col(right_ts).isNotNull()).select(
         *on,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),

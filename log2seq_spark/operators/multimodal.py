@@ -103,18 +103,25 @@ def extract_features(media: DataFrame, payload_col: str = "payload",
     the binary column in bounded batches, so executor memory stays flat
     regardless of per-row payload size. ``decode`` selects the codec
     path: fake | real | auto (see module docstring)."""
-    if decode == "auto":
+    auto = decode == "auto"
+    if auto:
         decode = "real" if pil_available() else "fake"
     if decode not in ("fake", "real"):
         raise ValueError(f"decode must be fake|real|auto, got {decode!r}")
     decoder = _real_decode if decode == "real" else _fake_decode
+    # auto dispatches PER media_type: the real path has no video codec
+    # (needs ffmpeg), so a global 'real' choice would crash on the first
+    # video row of any mixed-modality table
+    fallback = _fake_decode if auto else None
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, widths, heights, hashes, sizes = [], [], [], [], []
             for payload, mtype in zip(pdf[payload_col], pdf["media_type"]):
                 data = bytes(payload) if payload is not None else b""
-                f, w, h = decoder(data, mtype)
+                dec = (fallback if fallback is not None
+                       and mtype == "video" else decoder)
+                f, w, h = dec(data, mtype)
                 feats.append(np.asarray(f, dtype=np.float32).tolist())
                 widths.append(w)
                 heights.append(h)
@@ -137,10 +144,15 @@ def frame_sample_plan(video: DataFrame, every_n: int = 30) -> DataFrame:
     """Plumbing for frame sampling: explode frame indices from metadata
     (n_frames) WITHOUT touching payloads — the decode of selected frames
     happens in extract_features on the exploded rows."""
+    # guard n_frames < 1: sequence(0, -1, +step) is a runtime error
+    # (ANSI or not), so one corrupt/empty video row would fail the job
+    # instead of contributing no frames
+    idxs = F.when(F.col("n_frames") >= 1,
+                  F.sequence(F.lit(0), F.col("n_frames") - 1,
+                             F.lit(every_n))) \
+            .otherwise(F.array().cast("array<int>"))
     return video.select(
-        "media_id",
-        F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
-                  ).alias("frame_idx"))
+        "media_id", F.explode(idxs).alias("frame_idx"))
 
 
 def synthetic_media(spark, n: int = 64) -> DataFrame:

@@ -55,9 +55,13 @@ def with_global_cumsum(df: DataFrame, value_col: str, order_col: str,
     for r in sorted(totals, key=lambda r: r["_pid"]):
         offsets[r["_pid"]] = acc
         acc += r["_tot"] or 0
-    # offsets enter the plan as a literal map: no join, no shuffle
-    omap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]) \
-        if offsets else F.create_map()
+    # offsets enter the plan as a literal map: no join, no shuffle.
+    # The empty fallback must be TYPED — a bare create_map() is
+    # map<void,void>, and omap[_pid] fails analysis on an empty input
+    # frame (any upstream filter yielding zero rows crashed here)
+    omap = (F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+            if offsets else
+            F.create_map().cast("map<int,bigint>"))
     return (local.withColumn(out_col,
                              F.col("_local")
                              + F.coalesce(omap[F.col("_pid")], F.lit(0)))

@@ -67,14 +67,22 @@ def range_join(facts: DataFrame, windows: DataFrame, *,
     if how == "left":
         matched = joined
         win_cols = [c for c in windows.columns if c not in on]
-        unmatched = (facts.join(
-            windows.select(*on).distinct().withColumn("_has", F.lit(1)),
-            list(on), "left"))
         # facts whose key never appears in windows OR whose ts missed
-        # every window of its key: anti-join against matched fact identity
+        # every window of its key: NULL-SAFE anti-join against matched
+        # fact identity — a plain column-list anti-join compares with
+        # null-unsafe equality, so any matched fact carrying a NULL in
+        # any column also survived as "unmatched" and came back twice.
+        # Identical fact rows share one match set (same key, same ts →
+        # same windows), so identity-level anti-join preserves input
+        # multiplicity exactly.
         fact_cols = facts.columns
-        unmatched = (facts.join(matched.select(*fact_cols).distinct(),
-                                fact_cols, "left_anti"))
+        m = matched.select(*fact_cols).distinct().alias("_rjm")
+        fa = facts.alias("_rjf")
+        acond = None
+        for c in fact_cols:
+            e = F.col(f"_rjf.{c}").eqNullSafe(F.col(f"_rjm.{c}"))
+            acond = e if acond is None else acond & e
+        unmatched = fa.join(m, acond, "left_anti")
         for c in win_cols:
             unmatched = unmatched.withColumn(
                 c, F.lit(None).cast(windows.schema[c].dataType))

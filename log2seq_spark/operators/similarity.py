@@ -32,7 +32,12 @@ def norm_expr(a):
 
 
 def cosine_expr(a, b):
-    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+    """Cosine similarity with a zero-norm guard: under ANSI mode
+    (Spark 4's default) a bare division THROWS DIVIDE_BY_ZERO, so one
+    all-zero (padded/corrupt) embedding would kill the whole query.
+    cosine against a zero vector is defined as 0 (no similarity)."""
+    denom = norm_expr(a) * norm_expr(b)
+    return F.when(denom > 0, dot_expr(a, b) / denom).otherwise(F.lit(0.0))
 
 
 def _vec_lit(vec: Sequence[float]):

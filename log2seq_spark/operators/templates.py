@@ -36,12 +36,14 @@ WILDCARD = "<*>"
 
 
 def line_tokens_expr(text_col):
-    """Whitespace tokens of a raw line, empties dropped — robust to
-    consecutive spaces/tabs (same convention as
-    ``textstats.tokens_expr``; raw single-space splitting would turn
-    ``"a  b"`` into a phantom empty position and fragment Drain groups).
-    """
-    return F.filter(F.split(text_col, r"\s+"), lambda t: t != "")
+    """Whitespace tokens of a raw line, empties dropped — the ONE
+    tokenization shared with :func:`~log2seq_spark.operators.textstats.\
+tokens_expr` (raw single-space splitting would turn ``"a  b"`` into a
+    phantom empty position and fragment Drain groups; sharing the
+    definition keeps template mining and token counting from ever
+    tokenizing differently)."""
+    from .textstats import tokens_expr
+    return tokens_expr(text_col)
 
 
 def position_profiles(lines: DataFrame, text_col: str = "text",

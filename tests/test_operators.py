@@ -756,6 +756,21 @@ class TestDedup:
 
 
 class TestSimilarity:
+    def test_zero_vector_does_not_crash(self, spark):
+        # ANSI mode (Spark 4 default) makes a bare division THROW
+        # DIVIDE_BY_ZERO — one all-zero (padded/corrupt) embedding must
+        # score 0, not kill the query
+        embs = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 0.0])],
+            "vec_id long, embedding array<float>")
+        got = {r["vec_id"]: r["cosine"]
+               for r in similarity.cosine_topk(embs, [1.0, 0.0],
+                                               k=2).collect()}
+        assert got[1] == 1.0 and got[2] == 0.0
+        # a zero QUERY vector scores everything 0
+        out = similarity.cosine_topk(embs, [0.0, 0.0], k=2).collect()
+        assert {r["cosine"] for r in out} == {0.0}
+
     def test_brute_topk(self, spark):
         rows = [(i, [math.cos(i / 10.0), math.sin(i / 10.0)]) for i in range(50)]
         embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
@@ -1122,6 +1137,27 @@ class TestTextstats:
 
 
 class TestMultimodal:
+    def test_zero_frame_video_yields_no_frames(self, spark):
+        # sequence(0, -1, +step) is a runtime error: one corrupt/empty
+        # video row must contribute no frames, not fail the job
+        from log2seq_spark.operators.multimodal import frame_sample_plan
+        vid = spark.createDataFrame(
+            [(1, 90), (2, 0), (3, 1)], "media_id long, n_frames int")
+        got = sorted((r["media_id"], r["frame_idx"])
+                     for r in frame_sample_plan(vid, every_n=30).collect())
+        assert got == [(1, 0), (1, 30), (1, 60), (3, 0)]
+
+    def test_auto_decode_mixed_modalities(self, spark):
+        # decode='auto' with Pillow importable resolved globally to
+        # 'real', which has no video codec — it must dispatch per
+        # media_type (real image/audio, fake video), not crash on the
+        # first video row
+        media = synthetic_media(spark, 24)
+        assert media.filter("media_type = 'video'").count() > 0
+        out = extract_features(media, decode="auto").collect()
+        assert len(out) == 24
+        assert all(len(r["feature"]) == FEATURE_DIM for r in out)
+
     def test_feature_extraction_plumbing(self, spark):
         media = synthetic_media(spark, 32)
         out = extract_features(media).collect()
@@ -1856,6 +1892,41 @@ class TestStreamingSink:
 
 
 class TestAsofJoin:
+    def test_null_right_ts_is_not_a_match(self, spark):
+        # a right row with NULL ts sorts before everything (nulls
+        # first) and its payload was carried into left rows with no
+        # valid right.ts <= left.ts match — a torn row (payload set,
+        # ts_asof null) that also blinded tolerance_sec
+        from log2seq_spark.operators.asof import asof_join
+        left = spark.createDataFrame(
+            [("k1", "2024-01-01 00:00:10")], "k string, ts_s string"
+        ).select("k", F.col("ts_s").cast("timestamp").alias("ts"))
+        right = spark.createDataFrame(
+            [("k1", None, "ghost"), ("k1", "2024-01-01 00:00:50", "later")],
+            "k string, ts_s string, val string"
+        ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "val")
+        row = asof_join(left, right, on=["k"]).collect()[0]
+        assert row["val_asof"] is None and row["ts_asof"] is None
+
+    def test_output_column_collision_raises(self, spark):
+        # chaining two asof_joins with the same suffix silently merged
+        # the first join's stale outputs into the second's carry — must
+        # raise instead (the assert-don't-shadow discipline)
+        from log2seq_spark.operators.asof import asof_join
+        left = spark.createDataFrame(
+            [("k1", "2024-01-01 00:00:10")], "k string, ts_s string"
+        ).select("k", F.col("ts_s").cast("timestamp").alias("ts"))
+        right = spark.createDataFrame(
+            [("k1", "2024-01-01 00:00:05", 1.0)],
+            "k string, ts_s string, val double"
+        ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "val")
+        once = asof_join(left, right, on=["k"])
+        with pytest.raises(ValueError, match="already exist"):
+            asof_join(once, right, on=["k"])
+        # a different suffix chains fine
+        twice = asof_join(once, right, on=["k"], suffix="_asof2")
+        assert "val_asof2" in twice.columns
+
     def _frames(self, spark):
         from pyspark.sql import functions as F
         left = spark.createDataFrame(
@@ -1911,6 +1982,30 @@ class TestAsofJoin:
 
 
 class TestRangeJoin:
+    def test_left_matched_fact_with_null_column_not_duplicated(self,
+                                                               spark):
+        # the unmatched leg anti-joined on all fact columns with
+        # null-UNSAFE equality, so a matched fact carrying a NULL in
+        # any column also survived as "unmatched" and came back twice
+        from log2seq_spark.operators.rangejoin import range_join
+        facts = spark.createDataFrame(
+            [(1, "u1", "2024-01-01 10:10:00", None),
+             (2, "u1", "2024-01-01 11:10:00", None)],  # outside window
+            "id long, user string, ts_s string, note string"
+        ).select("id", "user",
+                 F.col("ts_s").cast("timestamp").alias("ts"), "note")
+        wins = spark.createDataFrame(
+            [(100, "u1", "2024-01-01 10:00:00", "2024-01-01 10:30:00")],
+            "wid long, user string, s string, e string"
+        ).select("wid", "user",
+                 F.col("s").cast("timestamp").alias("w_start"),
+                 F.col("e").cast("timestamp").alias("w_end"))
+        out = range_join(facts, wins, on=["user"], fact_ts="ts",
+                         win_start="w_start", win_end="w_end",
+                         how="left").collect()
+        got = sorted((r["id"], r["wid"]) for r in out)
+        assert got == [(1, 100), (2, None)]
+
     def _frames(self, spark):
         from pyspark.sql import functions as F
         facts = spark.createDataFrame(
@@ -2054,6 +2149,16 @@ class TestPacking:
         rows = [(i * 3 + 1, rng.randint(1, 400)) for i in range(n)]
         rng.shuffle(rows)
         return spark.createDataFrame(rows, "doc_id long, n_tokens int")
+
+    def test_empty_input_yields_empty_output(self, spark):
+        # the empty-offsets fallback map must be TYPED: a bare
+        # create_map() is map<void,void> and omap[_pid] failed analysis
+        # whenever an upstream filter produced zero rows
+        from log2seq_spark.operators.packing import (pack_sequences,
+                                                     with_global_cumsum)
+        empty = spark.createDataFrame([], "doc_id long, n_tokens int")
+        assert with_global_cumsum(empty, "n_tokens", "doc_id").count() == 0
+        assert pack_sequences(empty, "n_tokens", "doc_id").count() == 0
 
     def test_global_cumsum_matches_serial(self, spark):
         from log2seq_spark.operators.packing import with_global_cumsum
