@@ -121,11 +121,19 @@ def run_pipeline(spark: SparkSession, turns: DataFrame,
     # program / input) would otherwise leak its stale (sink, bucket)
     # partitions into this run's read-back aggregates: clear the data
     # dirs when the manifest has no records for the current lineage, and
-    # belt-and-braces filter the read-back on a lineage stamp below
+    # belt-and-braces filter the read-back on a lineage stamp below.
+    # The MANIFEST must go too: keeping the other lineage's records
+    # while deleting its data would make a later run of that lineage
+    # "resume" — skip every bucket — against output that no longer
+    # exists and report success with zero rows.
     if not done:
         import shutil
         for sub in (ROUTED, AGG_SINK, AGG_TOKEN, AGG_TEMPLATE):
             shutil.rmtree(os.path.join(cfg.out_dir, sub), ignore_errors=True)
+        try:
+            os.remove(os.path.join(cfg.out_dir, mf.MANIFEST_NAME))
+        except OSError:
+            pass
 
     df = enriched_turns(spark, turns, cfg)
     if done:
@@ -144,7 +152,14 @@ def run_pipeline(spark: SparkSession, turns: DataFrame,
         # to store) so the aggregate read-back never has to decode the
         # message/error string columns just to test nullity
         F.col("parsed.message").isNotNull().alias("ok"),
-        F.col("parsed.error").isNotNull().alias("fail"),
+        # fail/ok/empty PARTITION the rows: a row can carry BOTH a
+        # parsed message and a soft error (e.g. 'timestamp part
+        # missing'), and flagging fail on error alone double-counted it
+        # (n_ok + n_fail + n_empty > n_rows, disagreeing with
+        # cmd_parse's ~ok & ~empty definition over the same data)
+        (F.col("parsed.message").isNull()
+         & (F.coalesce(F.col("parsed.rule_id"), F.lit(-1)) != -2))
+        .alias("fail"),
         (F.col("parsed.rule_id") == -2).alias("empty"),
         "severity", "role_group", "tool_family", "sink", "bucket",
         F.lit(lineage).alias("lineage"))

@@ -51,9 +51,15 @@ def conversations(spark: SparkSession, n_convs: int, seed: int = 42) -> DataFram
     """conv-level frame: conv_id, conv_len, conv_start_epoch."""
     conv = spark.range(n_convs).withColumnRenamed("id", "cid")
     u = F.pmod(F.xxhash64("cid", F.lit(seed)), F.lit(10000))
-    conv_len = (F.when(u < 9500, 2 + F.pmod(u, F.lit(19)))
-                 .when(u < 9900, 100 + F.pmod(u, F.lit(401)))
-                 .otherwise(2000 + F.pmod(u, F.lit(8001)))).cast("int")
+    # length hashed with its OWN salt: reusing the bucket selector u for
+    # the huge branch pinned it to [9900, 9999], so "huge" conversations
+    # were only ever 3899-3998 turns — below the pipeline's 4096
+    # turn_chunk, and the chunk-salted repartition the Zipf tail exists
+    # to exercise never actually split a conversation
+    u2 = F.pmod(F.xxhash64("cid", F.lit(seed + 2)), F.lit(10000))
+    conv_len = (F.when(u < 9500, 2 + F.pmod(u2, F.lit(19)))
+                 .when(u < 9900, 100 + F.pmod(u2, F.lit(401)))
+                 .otherwise(2000 + F.pmod(u2, F.lit(8001)))).cast("int")
     start = F.lit(BASE_EPOCH) + F.pmod(F.xxhash64("cid", F.lit(seed + 1)),
                                        F.lit(86400 * 180))
     return conv.select(

@@ -275,3 +275,38 @@ class TestShortMessageRouting:
                for r in enriched_turns(spark, df, cfg).collect()}
         assert got[0] == ("unrouted", None)   # 1-word message, parsed ok
         assert got[1][1] == "INFO"            # 3+ words still routed
+
+
+class TestSyntheticSkew:
+    def test_zipf_tail_crosses_turn_chunk(self, spark):
+        # the 1% huge bucket must actually produce conversations longer
+        # than the pipeline's turn_chunk (4096), or the chunk-salted
+        # repartition path is never exercised by any fixture or bench —
+        # the old generator reused the bucket-selector hash as the
+        # length, pinning "huge" to 3899-3998 turns
+        from log2seq_spark.sources.transcripts import conversations
+        conv = conversations(spark, 1200, seed=42)
+        mx = conv.agg(F.max("conv_len")).first()[0]
+        assert mx > PipelineConfig.turn_chunk, mx
+
+
+class TestLineageSwitch:
+    def test_manifest_wiped_with_data_on_lineage_switch(self, spark,
+                                                        tmpdir_path):
+        # switching lineages on a shared out_dir wipes the data dirs;
+        # the OTHER lineage's manifest records must go too, or a later
+        # run of that lineage "resumes" against deleted output and
+        # reports success with zero rows
+        from log2seq_spark.sources.transcripts import transcripts
+        turns = transcripts(spark, 40, seed=21, partitions=2)
+        out = tmpdir_path + "/lsw"
+        c1 = PipelineConfig(out_dir=out, n_buckets=4, partitions=4,
+                            input_id="L1")
+        c2 = PipelineConfig(out_dir=out, n_buckets=4, partitions=4,
+                            input_id="L2")
+        r1 = run_pipeline(spark, turns, c1, resume=True)
+        assert r1.metrics["n_rows"] > 0
+        run_pipeline(spark, turns, c2, resume=True)   # wipes L1 data
+        r1b = run_pipeline(spark, turns, c1, resume=True)
+        assert r1b.buckets_processed == [0, 1, 2, 3]
+        assert r1b.metrics["n_rows"] == r1.metrics["n_rows"]
