@@ -6,8 +6,10 @@ parquet/Iceberg table, parses with a preset or a user parser script
 (a python module exporting a module-global ``program: RuleProgram`` —
 the Spark-first analog of the reference's ``parser`` convention,
 ``_common.py:11``; ship it with ``spark-submit --py-files``), and writes
-results or prints a sample. Exit codes mirror the reference: 0 all ok,
-1 nothing parsed, 2 partial failures.
+results or prints a sample. Exit codes mirror the reference
+(``__main__.py:89-148``): 0 when at least one line parses (partial
+failures still exit 0 — they are reported on stderr), 1 when nothing
+parses, 2 on a startup error.
 
 Examples:
     python -m log2seq_spark parse --input logs/*.gz --format words
@@ -94,6 +96,11 @@ def _iter_local_lines(files, encoding="utf-8"):
                         with tar.extractfile(info) as f:
                             for raw in f:
                                 yield raw.decode(encoding).rstrip("\r\n")
+        elif fp.endswith(".xz"):
+            import lzma
+            with lzma.open(fp, "rt", encoding=encoding) as f:
+                for line in f:
+                    yield line.rstrip("\r\n")
         elif fp.endswith(".bz2"):
             import bz2
             with bz2.open(fp, "rt", encoding=encoding) as f:
@@ -125,10 +132,31 @@ def cmd_parse(args) -> int:
     if args.input:
         files.append(args.input)
     if args.input_kind == "text":
+        # expand globs ONCE, driver-side, for every downstream reader —
+        # the tar and non-UTF-8 branches open paths literally, so an
+        # unexpanded 'logs/*.gz' crashed them with a raw
+        # FileNotFoundError instead of the validated exit 2 (and
+        # has_magic covers ?/[] patterns, which the old '*' test
+        # rejected as missing files)
+        expanded = []
         for fp in files:
-            if not os.path.exists(fp) and "*" not in fp:
+            if _glob.has_magic(fp):
+                hits = sorted(_glob.glob(fp))
+                if not hits:
+                    print(f"cannot read input: {fp}", file=sys.stderr)
+                    return 2
+                expanded.extend(hits)
+            else:
+                expanded.append(fp)
+        files = expanded
+        for fp in files:
+            if not os.path.exists(fp):
                 print(f"cannot read input: {fp}", file=sys.stderr)
                 return 2
+    elif not files:
+        print("no input given: --input or a positional path is required "
+              f"for --input-kind {args.input_kind}", file=sys.stderr)
+        return 2
 
     from .functions.udf import with_parsed, tokenize_statement_udf
     spark, owns = _cli_spark("log2seq-spark-cli")
@@ -163,7 +191,11 @@ def cmd_parse(args) -> int:
                                "line_no").alias("_ord"),
                       "text"))
     elif not files or nonutf8 or any(fp.endswith(_TAR_SUFFIXES)
+                                     or fp.endswith(".xz")
                                      for fp in files):
+        # plain .xz included: Hadoop ships no XZ codec, so
+        # spark.read.text would emit the raw compressed bytes as
+        # mojibake "lines" — the driver-side lzma path reads it right
         lines = list(_iter_local_lines(files, args.encoding))
         df = spark.createDataFrame(
             list(enumerate(lines)), "_ord long, text string")
@@ -204,8 +236,13 @@ def cmd_parse(args) -> int:
         if default_year is None and ts_col is None:
             import datetime
             default_year = datetime.datetime.now().year
+        # persist: the counts aggregate, the failures collect, and the
+        # success output each re-execute the plan, and the Arrow parse
+        # UDF is the dominant cost — without this the full input is
+        # parsed up to three times (the _write_with_tally discipline)
         parsed = with_parsed(df.filter(nonempty), program, text_col="text",
-                             ts_col=ts_col, default_year=default_year)
+                             ts_col=ts_col, default_year=default_year) \
+            .persist()
         ok = F.col("parsed.message").isNotNull()
         is_empty = F.col("parsed.rule_id") == -2
         counts = parsed.agg(
@@ -236,8 +273,20 @@ def cmd_parse(args) -> int:
     # successes to stdout / --output (streamed — no full collect)
     wrote_parquet = False
     if args.output and args.output.endswith(".parquet"):
-        sel = ok_rows.select("*", "parsed.*").drop("parsed", "_ord") \
-            if not args.statement else ok_rows.drop("_ord")
+        if args.statement:
+            sel = ok_rows.drop("_ord")
+        else:
+            # collision-safe flatten: a turns table already carries ts
+            # (and could carry host/...), and a bare select("*",
+            # "parsed.*") would emit duplicate column names that the
+            # parquet writer rejects — colliding parsed fields get a
+            # parsed_ prefix
+            base = [c for c in ok_rows.columns
+                    if c not in ("parsed", "_ord")]
+            flat = [F.col(f"parsed.{c}").alias(
+                        f"parsed_{c}" if c in base else c)
+                    for c in ok_rows.select("parsed.*").columns]
+            sel = ok_rows.select(*base, *flat)
         sel.write.mode("overwrite").parquet(args.output)
         wrote_parquet = True
     if not args.failures_only and not wrote_parquet:
@@ -257,6 +306,8 @@ def cmd_parse(args) -> int:
 
     print(f"# processed {n_ok + n_fail} lines: {n_ok} ok, {n_fail} failed",
           file=sys.stderr)
+    if not args.statement:
+        parsed.unpersist()
     if owns:
         spark.stop()
     return 0 if n_ok > 0 else 1

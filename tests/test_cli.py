@@ -324,3 +324,60 @@ class TestDedupCommand:
         got = {r["doc_id"]: r["decision"]
                for r in spark.read.parquet(dest).collect()}
         assert got == {"d1": "keep", "d3": "keep"}
+
+
+class TestParseInputRobustness:
+    """Review regressions: glob expansion on every reader path, plain
+    .xz, missing-input validation for table/parquet kinds, and the
+    parquet round-trip with colliding column names."""
+
+    def test_glob_expands_for_gz_and_qmark(self, run_cli, tmpdir_path):
+        # the tar/non-UTF-8 branches open paths literally, so globs must
+        # expand driver-side; '?' patterns count as globs too
+        p1 = os.path.join(tmpdir_path, "g1.log.gz")
+        with gzip.open(p1, "wt") as f:
+            f.write("Jan  1 12:34:56 host app[1]: gz line\n")
+        code, out, err = run_cli(
+            [os.path.join(tmpdir_path, "g?.log.gz"),
+             "--encoding", "latin-1", "-t", "words"])
+        assert code == 0
+        assert out.splitlines() == ["app 1 gz line"]
+
+    def test_glob_matching_nothing_exits_2(self, run_cli, tmpdir_path):
+        code, out, err = run_cli(
+            [os.path.join(tmpdir_path, "nope*.log")])
+        assert code == 2
+        assert "cannot read input" in err
+
+    def test_plain_xz(self, run_cli, tmpdir_path):
+        # Hadoop has no XZ codec: spark.read.text would return the raw
+        # compressed bytes as mojibake "lines"
+        import lzma
+        p = os.path.join(tmpdir_path, "x.log.xz")
+        with lzma.open(p, "wt") as f:
+            f.write("Jan  1 12:34:56 host app[1]: xz line\n")
+        code, out, err = run_cli([p, "-t", "words"])
+        assert code == 0
+        assert out.splitlines() == ["app 1 xz line"]
+
+    def test_parquet_kind_without_input_exits_2(self, run_cli):
+        code, out, err = run_cli(["--input-kind", "parquet"])
+        assert code == 2
+        assert "no input given" in err
+
+    def test_parquet_roundtrip_with_ts_column(self, spark, run_cli,
+                                              tmpdir_path):
+        # the turns table carries ts and the parsed struct has a ts
+        # field: a bare select("*", "parsed.*") emitted duplicate
+        # columns and the advertised parquet-in/parquet-out path always
+        # crashed — colliding parsed fields get a parsed_ prefix
+        from log2seq_spark.sources.transcripts import transcripts
+        inp = os.path.join(tmpdir_path, "turns_rt")
+        outp = os.path.join(tmpdir_path, "parsed_rt.parquet")
+        transcripts(spark, 10, seed=3, partitions=2).write.parquet(inp)
+        code, out, err = run_cli(
+            ["--input", inp, "--input-kind", "parquet", "-o", outp])
+        assert code == 0
+        got = spark.read.parquet(outp)
+        assert "ts" in got.columns and "parsed_ts" in got.columns
+        assert got.count() > 0
