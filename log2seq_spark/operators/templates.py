@@ -66,7 +66,13 @@ def position_profiles(lines: DataFrame, text_col: str = "text",
     toks = (F.col(tokens_col) if tokens_col is not None
             else line_tokens_expr(F.col(text_col)))
     split_stage = lines.select(toks.alias("_w"))
-    head = F.element_at(F.col("_w"), 1)
+    # try_element_at: ANSI mode (Spark 4 default) makes element_at THROW
+    # on an empty array. Zero-token lines (blank/whitespace-only text)
+    # currently survive only because Catalyst fuses this projection into
+    # the Generate, so _head is never evaluated for rows posexplode
+    # drops — an optimizer accident, not a contract. try_ makes the
+    # NULL-head explicit; such lines contribute no positions either way.
+    head = F.try_element_at(F.col("_w"), F.lit(1))
     head = F.when(head.rlike(r"^[0-9]+$"), F.lit(WILDCARD)).otherwise(head)
     keyed = split_stage.select(F.size("_w").alias("_ntok"),
                                head.alias("_head"),

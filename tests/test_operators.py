@@ -908,6 +908,19 @@ class TestTemplates:
         out = self._mine(spark, lines)
         assert out == {t: (n, g) for t, (n, g) in expected.items()}
 
+    def test_blank_lines_contribute_nothing(self, spark):
+        # zero-token lines (blank / whitespace-only / NULL) must neither
+        # crash (ANSI element_at on the empty token array threw before
+        # the try_element_at hardening whenever Catalyst materialized
+        # the head projection) nor mint a phantom group
+        from log2seq_spark.operators import templates
+        df = spark.createDataFrame(
+            [("error foo bar",), ("",), ("   ",), ("\t",), (None,),
+             ("error baz bar",)], "text string")
+        out = {r["template"]: (r["n_lines"], r["n_groups"])
+               for r in templates.mine_templates(df).collect()}
+        assert out == {"error <*> bar": (2, 1)}
+
     def test_incremental_merge_equals_full(self, spark):
         # profile(A) ⊕ profile(B) == profile(A ∪ B): the mergeable-state
         # property that makes mining incrementally updatable (fold each
