@@ -80,6 +80,15 @@ def init_parser(program: Optional[RuleProgram] = None,
     return LogParser(program, default_year)
 
 
+def grok_program(expressions, **kwargs) -> RuleProgram:
+    """Grok front-end (north rule: "grok/regex parse"): compile one or
+    more ``%{SYNTAX:semantic}`` expressions into a :class:`RuleProgram`
+    running on the same vectorized machinery as item-built rules. See
+    :mod:`log2seq_spark.rules.grok`."""
+    from .rules.grok import grok_program as _gp
+    return _gp(expressions, **kwargs)
+
+
 def load_parser_script(script_filepath: str) -> RuleProgram:
     """Load a user parser script by path (reference convention,
     _common.py:190-205): a python module exporting a module-global
@@ -89,7 +98,8 @@ def load_parser_script(script_filepath: str) -> RuleProgram:
 
 
 __all__ = [
-    "LogParser", "init_parser", "load_parser_script", "RuleProgram",
+    "LogParser", "init_parser", "load_parser_script", "grok_program",
+    "RuleProgram",
     "ParserDefinitionError", "LogParseFailure",
     "RuleDefinitionError", "ParseFailure",
     "KEY_TIMESTAMP", "KEY_STATEMENT", "KEY_WORDS", "KEY_SYMBOLS",

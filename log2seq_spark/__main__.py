@@ -52,6 +52,12 @@ def load_program_script(path: str):
 def _program(args):
     if args.parser_script:
         return load_program_script(args.parser_script)
+    if getattr(args, "grok", None):
+        # grok front-end: one rule per --grok, cascaded first-match-wins;
+        # year_from_ts so year-less timestamps (%{SYSLOGTIMESTAMP:...})
+        # ride the same --year / wall-clock-year plumbing as the presets
+        from .rules.grok import grok_program
+        return grok_program(args.grok, year_from_ts=True)
     from .rules import presets
     named = {"default": presets.default_program,
              "apache": presets.apache_errorlog_program,
@@ -125,8 +131,11 @@ def cmd_parse(args) -> int:
     try:
         program = _program(args)
     except Exception as e:
-        print(f"cannot load parser script {args.parser_script}: {e}",
-              file=sys.stderr)
+        what = (f"parser script {args.parser_script}"
+                if args.parser_script else
+                "grok expression" if getattr(args, "grok", None)
+                else f"preset {args.preset}")
+        print(f"cannot load {what}: {e}", file=sys.stderr)
         return 2
     files = list(args.files)
     if args.input:
@@ -318,8 +327,11 @@ def cmd_pipeline(args) -> int:
     try:
         program = _program(args)
     except Exception as e:
-        print(f"cannot load parser script {args.parser_script}: {e}",
-              file=sys.stderr)
+        what = (f"parser script {args.parser_script}"
+                if args.parser_script else
+                "grok expression" if getattr(args, "grok", None)
+                else f"preset {args.preset}")
+        print(f"cannot load {what}: {e}", file=sys.stderr)
         return 2
     spark, owns = _cli_spark("log2seq-spark-pipeline", log_level="WARN")
     turns = (spark.table(args.input) if args.input_kind == "table"
@@ -480,6 +492,12 @@ def main(argv=None) -> int:
     p.add_argument("--sample", type=int, default=None,
                    help="print at most N successful results (default: all)")
     p.add_argument("-p", "--parser-script", default=None)
+    p.add_argument("--grok", action="append", default=None,
+                   metavar="EXPR",
+                   help="parse with a grok expression instead of a "
+                        "preset (%%{PATTERN:name} syntax; repeat for a "
+                        "first-match-wins cascade; ignored when "
+                        "-p/--parser-script is given)")
     p.add_argument("--preset", default="default")
     p.add_argument("--year", type=int, default=None,
                    help="year for year-less headers (raw text inputs "

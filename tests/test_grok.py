@@ -1,0 +1,227 @@
+"""Grok front-end tests: expression compilation, error surface, engine
+goldens, grok-vs-item-rule equivalence, Spark vectorized parity, CLI.
+
+Grok rules are ordinary HeaderRules (full_format + user fields), so
+these tests pin the COMPILER; execution is the machinery already
+parity-tested against the reference library."""
+
+import datetime
+import io
+
+import pytest
+
+from log2seq_spark.rules.engine import LineEngine
+from log2seq_spark.rules.grok import (GROK_PATTERNS, expand_pattern,
+                                      grok_program, grok_rule)
+from log2seq_spark.rules.spec import RuleDefinitionError
+
+
+class TestExpansion:
+    def test_nested_references_resolve(self):
+        # IPORHOST -> IPV4 -> literal fragment, all non-capturing
+        pat = expand_pattern("IPORHOST")
+        assert "%{" not in pat
+        assert "(?P<" not in pat
+        import re
+        assert re.fullmatch(pat, "10.0.0.1")
+        assert re.fullmatch(pat, "web-01.example.com")
+        assert not re.fullmatch(pat, "not a host!")
+
+    def test_unknown_pattern_raises(self):
+        with pytest.raises(RuleDefinitionError, match="unknown grok"):
+            expand_pattern("NO_SUCH_PATTERN")
+
+    def test_cycle_raises(self):
+        with pytest.raises(RuleDefinitionError, match="nesting exceeds"):
+            expand_pattern("A", {"A": "%{B}", "B": "%{A}"})
+
+    def test_nested_semantic_rejected(self):
+        with pytest.raises(RuleDefinitionError, match="semantic"):
+            expand_pattern("A", {"A": "x%{WORD:leak}y"})
+
+    def test_builtin_patterns_all_expand_and_compile(self):
+        import re
+        for name in GROK_PATTERNS:
+            re.compile(expand_pattern(name))
+
+
+class TestCompileErrors:
+    def test_no_references(self):
+        with pytest.raises(RuleDefinitionError, match="no %"):
+            grok_rule("just literal text")
+
+    def test_missing_message(self):
+        with pytest.raises(RuleDefinitionError, match="statement field"):
+            grok_rule("%{LOGLEVEL:sev}")
+
+    def test_duplicate_semantics(self):
+        with pytest.raises(RuleDefinitionError, match="duplicate"):
+            grok_rule("%{WORD:a} %{WORD:a} %{GREEDYDATA:message}")
+
+    def test_int_hint_needs_digits_only(self):
+        with pytest.raises(RuleDefinitionError, match="digits-only"):
+            grok_rule("%{NUMBER:x:int} %{GREEDYDATA:message}")
+
+    def test_unsupported_type_hint(self):
+        with pytest.raises(RuleDefinitionError, match="type hint"):
+            grok_rule("%{NUMBER:x:float} %{GREEDYDATA:message}")
+
+    def test_timestamp_semantic_restricted(self):
+        with pytest.raises(RuleDefinitionError, match="TIMESTAMP_ISO8601"):
+            grok_rule("%{TIME:timestamp} %{GREEDYDATA:message}")
+
+    def test_placeholder_collision_in_literal(self):
+        with pytest.raises(RuleDefinitionError, match="<N>"):
+            grok_rule("literal <0> %{GREEDYDATA:message}")
+
+
+class TestEngineGolden:
+    def test_syslog_timestamp_assembles(self):
+        prog = grok_program(
+            "%{SYSLOGTIMESTAMP:timestamp} %{HOSTNAME:host} "
+            "%{GREEDYDATA:message}",
+            defaults=(("year", 2023),))
+        r = LineEngine(prog).parse_line(
+            "Jan  1 12:34:56 host1 app[1]: INFO hi")
+        assert r["timestamp"] == datetime.datetime(2023, 1, 1, 12, 34, 56)
+        assert r["host"] == "host1"
+        # default statement actions tokenize exactly like the preset
+        assert r["words"] == ["app", "1", "INFO", "hi"]
+        assert r["symbols"] == ["", "[", "]: ", " ", ""]
+
+    def test_iso_timestamp_tz_and_fraction(self):
+        prog = grok_program(
+            "%{TIMESTAMP_ISO8601:timestamp} %{LOGLEVEL:severity} "
+            "pid=%{POSINT:pid:int} %{GREEDYDATA:message}")
+        r = LineEngine(prog).parse_line(
+            "2024-03-04T05:06:07.123+02:00 WARN pid=991 disk low")
+        assert r["timestamp"] == datetime.datetime(
+            2024, 3, 4, 5, 6, 7, 123000,
+            tzinfo=datetime.timezone(datetime.timedelta(hours=2)))
+        assert r["severity"] == "WARN"
+        assert r["pid"] == 991 and isinstance(r["pid"], int)
+
+    def test_dummy_reference_matched_not_extracted(self):
+        prog = grok_program("[%{LOGLEVEL}] (%{WORD:unit}) "
+                            "%{GREEDYDATA:message}")
+        r = LineEngine(prog).parse_line("[ERROR] (kernel) panic at 0xff")
+        assert r["unit"] == "kernel"
+        assert "timestamp" not in r          # reformat off, nothing to build
+        assert not any(k in r for k in ("severity", "loglevel"))
+
+    def test_dummy_alternation_does_not_leak(self):
+        # LOGLEVEL is a top-level alternation; unwrapped it would turn
+        # the whole template into "...|INFO|..." and match garbage
+        prog = grok_program("[%{LOGLEVEL}] %{GREEDYDATA:message}")
+        eng = LineEngine(prog)
+        assert eng.parse_line("[WARN] ok")["message"] == "ok"
+        with pytest.raises(Exception):
+            eng.parse_line("WARN without brackets")
+
+    def test_literal_regex_chars_escaped(self):
+        prog = grok_program("(a+b) [x] %{GREEDYDATA:message}")
+        r = LineEngine(prog).parse_line("(a+b) [x] rest")
+        assert r["message"] == "rest"
+        with pytest.raises(Exception):
+            LineEngine(prog).parse_line("aab x rest")   # '+' must be literal
+
+    def test_space_runs_match_whitespace_runs(self):
+        # the engine's full_format convention: " " -> \s+
+        prog = grok_program("%{WORD:a} %{GREEDYDATA:message}")
+        r = LineEngine(prog).parse_line("go \t  now")
+        assert r["a"] == "go" and r["message"] == "now"
+
+    def test_custom_pattern_definitions(self):
+        prog = grok_program(
+            "%{REQID:req} %{GREEDYDATA:message}",
+            pattern_definitions={"REQID": r"req-%{POSINT}"})
+        r = LineEngine(prog).parse_line("req-778 handled")
+        assert r["req"] == "req-778"
+
+    def test_cascade_first_match_wins(self):
+        prog = grok_program([
+            "%{TIMESTAMP_ISO8601:timestamp} %{GREEDYDATA:message}",
+            "%{SYSLOGTIMESTAMP:timestamp} %{GREEDYDATA:message}",
+        ], defaults=(("year", 2022),))
+        eng = LineEngine(prog)
+        assert eng.parse_line("2024-01-02T03:04:05 iso")["rule_id"] == 0
+        assert eng.parse_line("Mar  3 04:05:06 syslog")["rule_id"] == 1
+
+    def test_equivalent_to_item_built_rule(self):
+        # the grok syslog rule and the hand-built item rule must produce
+        # byte-identical records over matching lines
+        from log2seq_spark.rules.presets import default_actions
+        from log2seq_spark.rules.spec import (HeaderRule, RuleProgram,
+                                              digit, group, hostname,
+                                              month_abbr, statement,
+                                              time_of_day)
+        items = RuleProgram(
+            header_rules=(HeaderRule(
+                fields=(group([month_abbr(), digit("day"), time_of_day()],
+                              separator=" "),
+                        hostname("host"), statement()),
+                defaults=(("year", 2023),)),),
+            actions=default_actions())
+        grok = grok_program(
+            "%{SYSLOGTIMESTAMP:timestamp} %{HOSTNAME:host} "
+            "%{GREEDYDATA:message}", defaults=(("year", 2023),))
+        e1, e2 = LineEngine(items), LineEngine(grok)
+        for line in ("Jan  1 12:34:56 host1 app[1]: ok go",
+                     "Dec 31 23:59:59 10.9.8.7 kern: x=1, y=[2]",
+                     "Feb  2 01:02:03 a b c d"):
+            assert e1.parse_line(line) == e2.parse_line(line)
+
+
+class TestSparkParity:
+    def test_vectorized_matches_engine(self, spark):
+        prog = grok_program(
+            "%{TIMESTAMP_ISO8601:timestamp} %{LOGLEVEL:severity} "
+            "pid=%{POSINT:pid:int} %{IPORHOST:src} %{GREEDYDATA:message}")
+        lines = [
+            f"2024-03-0{1 + i % 9}T0{i % 10}:06:07 "
+            f"{['INFO', 'WARN', 'error'][i % 3]} pid={i} "
+            f"{['10.0.0.%d' % i, 'node-%d.local' % i][i % 2]} "
+            f"event {i} at 0x{i:x}, unit=[u{i % 4}]"
+            for i in range(40)
+        ] + ["no match at all", ""]
+        from log2seq_spark.functions.udf import with_parsed
+        df = spark.createDataFrame([(t,) for t in lines], "text string")
+        rows = (with_parsed(df, prog, ts_col=None)
+                .select("text", "parsed.*").collect())
+        eng = LineEngine(prog)
+        by_text = {r["text"]: r for r in rows}
+        for t in lines:
+            got = by_text[t]
+            if t == "" or t == "no match at all":
+                assert got["message"] is None
+                continue
+            want = eng.parse_line(t)
+            assert got["ts"] == want["timestamp"].replace(tzinfo=None)
+            assert got["severity"] == want["severity"]
+            assert got["pid"] == want["pid"]
+            assert got["src"] == want["src"]
+            assert got["message"] == want["message"]
+            assert list(got["words"]) == want["words"]
+            assert list(got["symbols"]) == want["symbols"]
+
+
+class TestCLI:
+    def test_parse_with_grok_flag(self, spark, capsys, monkeypatch):
+        from log2seq_spark.__main__ import main
+        monkeypatch.setattr("sys.stdin", io.StringIO(
+            "Jan  1 12:34:56 host1 app[1]: ok one\n"
+            "GARBAGE\n"))
+        code = main(["parse", "--year", "2023", "--grok",
+                     "%{SYSLOGTIMESTAMP:timestamp} %{HOSTNAME:host} "
+                     "%{GREEDYDATA:message}", "-t", "words"])
+        cap = capsys.readouterr()
+        assert code == 0
+        assert cap.out.splitlines() == ["app 1 ok one"]
+        assert "1 ok, 1 failed" in cap.err
+
+    def test_grok_compile_error_is_startup_error(self, spark, capsys,
+                                                 monkeypatch):
+        from log2seq_spark.__main__ import main
+        monkeypatch.setattr("sys.stdin", io.StringIO("x\n"))
+        code = main(["parse", "--grok", "%{NOPE:x} %{GREEDYDATA:message}"])
+        assert code == 2
