@@ -518,6 +518,10 @@ def main(argv=None) -> int:
                         "(iceberg requires its runtime jar + catalog)")
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("-p", "--parser-script", default=None)
+    p.add_argument("--grok", action="append", default=None,
+                   metavar="EXPR",
+                   help="parse the text column with a grok expression "
+                        "cascade instead of a preset")
     p.add_argument("--preset", default="default")
     p.set_defaults(fn=cmd_pipeline)
 

@@ -28,11 +28,12 @@ pinned by tests):
   engine's ``statement`` field (pattern ``.*``) regardless of the
   referenced dictionary pattern, because the words/symbols tokenization
   contract needs the one statement field per rule.
-* ``%{TIMESTAMP_ISO8601:timestamp}`` / ``%{SYSLOGTIMESTAMP:timestamp}``
-  compile to the engine's timestamp ITEMS (``iso_datetime`` /
-  month-day-time group), so the parsed ``ts`` is assembled exactly like
-  an item-built rule (year defaults / ``year_from_ts`` apply). Any
-  other pattern with semantic name ``timestamp`` is an error.
+* ``%{TIMESTAMP_ISO8601:timestamp}`` / ``%{DATESTAMP:timestamp}`` /
+  ``%{SYSLOGTIMESTAMP:timestamp}`` compile to the engine's timestamp
+  ITEMS (``iso_datetime`` / date+time group / month-day-time group), so
+  the parsed ``ts`` is assembled exactly like an item-built rule (year
+  defaults / ``year_from_ts`` apply). Any other pattern with semantic
+  name ``timestamp`` is an error.
 * Runs of literal spaces match ``\\s+`` (the engine's ``full_format``
   convention), not exactly-one-space.
 * ``IP`` is IPv4 (no IPv6 alternation in the base dictionary; supply a
@@ -100,6 +101,8 @@ GROK_PATTERNS: Dict[str, str] = {
     "TIMESTAMP_ISO8601":
         r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?"
         r"(?:Z|[+-]\d{2}:?\d{2})?",
+    "DATESTAMP": r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}(?:\.\d+)?"
+                 r"(?:Z|[+-]\d{2}:?\d{2})?",
     "SYSLOGTIMESTAMP": r"(?:%{MONTH}) +(?:%{MONTHDAY}) (?:%{TIME})",
 }
 
@@ -170,11 +173,14 @@ def _field_for(name: str, semantic: str, type_hint: Optional[str],
         if name == "SYSLOGTIMESTAMP":
             return group([month_abbr(), digit("day"), time_of_day()],
                          separator=" ")
+        if name == "DATESTAMP":
+            from .spec import date
+            return group([date(), time_of_day()], separator=" ")
         raise RuleDefinitionError(
-            f"%{{{name}:timestamp}}: only TIMESTAMP_ISO8601 and "
-            "SYSLOGTIMESTAMP compile to assembled timestamps; capture "
-            "any other pattern under a different semantic name (it "
-            "surfaces as a string attr)")
+            f"%{{{name}:timestamp}}: only TIMESTAMP_ISO8601, DATESTAMP "
+            "and SYSLOGTIMESTAMP compile to assembled timestamps; "
+            "capture any other pattern under a different semantic name "
+            "(it surfaces as a string attr)")
     expanded = _expand(defs[name], defs, depth=1) if name in defs else None
     if expanded is None:
         raise RuleDefinitionError(f"unknown grok pattern %{{{name}}}")

@@ -7,6 +7,7 @@ parity-tested against the reference library."""
 
 import datetime
 import io
+import re
 
 import pytest
 
@@ -225,3 +226,26 @@ class TestCLI:
         monkeypatch.setattr("sys.stdin", io.StringIO("x\n"))
         code = main(["parse", "--grok", "%{NOPE:x} %{GREEDYDATA:message}"])
         assert code == 2
+
+    def test_pipeline_with_grok_cascade(self, spark, tmp_path, capsys):
+        # the pipeline's parse stage accepts a grok cascade like any
+        # other program; both fixture header formats must route
+        from log2seq_spark.__main__ import main
+        turns, out = str(tmp_path / "turns"), str(tmp_path / "pipe")
+        assert main(["generate", "--out", turns, "--convs", "30"]) == 0
+        capsys.readouterr()
+        code = main([
+            "pipeline", "--input", turns, "--out", out, "--buckets", "2",
+            "--grok", "%{SYSLOGTIMESTAMP:timestamp} %{HOSTNAME:host} "
+                      "%{GREEDYDATA:message}",
+            "--grok", "%{DATESTAMP:timestamp} %{HOSTNAME:host} "
+                      "%{GREEDYDATA:message}",
+        ])
+        err = capsys.readouterr().err
+        assert code == 0
+        m = re.search(r"'n_ok': (\d+), 'n_fail': (\d+)", err)
+        n_ok, n_fail = int(m.group(1)), int(m.group(2))
+        assert n_ok > 0
+        # the two-rule grok cascade covers both generator header formats
+        # as completely as the default preset does
+        assert n_fail / (n_ok + n_fail) < 0.05
