@@ -96,26 +96,49 @@ def q_parse_syslog_extract(spark, sf_dir):
     # text shuffle is cheap relative to parsing it (2.5x measured here)
     lines = (ev.select("event_id", _synth_line(ev).alias("text"), "ts")
                .repartition(spark.sparkContext.defaultParallelism))
-    parsed = with_parsed(lines, default_program(), text_col="text", ts_col="ts")
-    return parsed.select(
-        "event_id",
-        F.col("parsed.host").alias("host"),
-        F.col("parsed.message").alias("message"),
-        F.date_format("parsed.ts", "yyyy-MM-dd HH:mm:ss").alias("parsed_ts"),
-        F.array_join("parsed.words", " ").alias("words_joined"),
-        F.array_join("parsed.symbols", "|").alias("symbols_joined"))
+
+    def _sel(parsed, tag):
+        return parsed.select(
+            F.lit(tag).alias("source"),
+            "event_id",
+            F.col("parsed.host").alias("host"),
+            F.col("parsed.message").alias("message"),
+            F.date_format("parsed.ts", "yyyy-MM-dd HH:mm:ss")
+             .alias("parsed_ts"),
+            F.array_join("parsed.words", " ").alias("words_joined"),
+            F.array_join("parsed.symbols", "|").alias("symbols_joined"))
+
+    # same row set through BOTH parse front-ends in one driver row: the
+    # item-built default preset, and the equivalent grok expression
+    # (rules/grok.py — the north rule's "grok/regex parse" surface);
+    # both compile to the same vectorized machinery, so every field must
+    # come out identical and the oracle replays each under its tag
+    preset = with_parsed(lines, default_program(), text_col="text",
+                         ts_col="ts")
+    from log2seq_spark.rules.grok import grok_program
+    grok = with_parsed(
+        lines,
+        grok_program("%{DATESTAMP:timestamp} %{HOSTNAME:host} "
+                     "%{GREEDYDATA:message}"),
+        text_col="text", ts_col="ts")
+    return _sel(preset, "preset").unionByName(_sel(grok, "grok"))
 
 
 _SQL_PARSE = """
-SELECT event_id,
-       'host-' || (user_id % 50) || '.example.org' AS host,
-       event_type || '[' || event_id || ']: INFO checkpoint '
-                  || (event_id % 97) || ' written' AS message,
-       strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS parsed_ts,
-       event_type || ' ' || event_id || ' INFO checkpoint '
-                  || (event_id % 97) || ' written' AS words_joined,
-       '|[|]: | | | |' AS symbols_joined
-FROM events
+WITH p AS (
+  SELECT event_id,
+         'host-' || (user_id % 50) || '.example.org' AS host,
+         event_type || '[' || event_id || ']: INFO checkpoint '
+                    || (event_id % 97) || ' written' AS message,
+         strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS parsed_ts,
+         event_type || ' ' || event_id || ' INFO checkpoint '
+                    || (event_id % 97) || ' written' AS words_joined,
+         '|[|]: | | | |' AS symbols_joined
+  FROM events
+)
+SELECT 'preset' AS source, * FROM p
+UNION ALL
+SELECT 'grok' AS source, * FROM p
 """
 
 
