@@ -367,32 +367,64 @@ FROM events GROUP BY 1
 
 
 def q_csv_line_parse(spark, sf_dir):
-    """Schema'd CSV line parsing (``from_csv`` — JVM-side Univocity, the
-    delimited half of the semi-structured matrix alongside JSON/VARIANT/
-    XML): events serialized to CSV lines, parsed back with a typed
-    schema (bigint, string, decimal), then aggregated on the PARSED
-    typed columns — proving the round-trip is lossless. One narrow
-    projection + one map-side-combined shuffle."""
+    """Line-format parsing, two formats in one labeled row set (the
+    delimited/telemetry half of the semi-structured matrix alongside
+    JSON/VARIANT/XML):
+
+    * ``source='csv'`` — events serialized to CSV lines, parsed back
+      with a typed ``from_csv`` schema (JVM-side Univocity);
+    * ``source='logfmt'`` — the same events serialized to logfmt
+      ``key=value`` lines (with a QUOTED value, exercising the
+      quote/unescape path), parsed back with
+      :func:`log2seq_spark.functions.logfmt.with_logfmt` (pure built-in
+      expressions, one regex scan per row).
+
+    Both legs aggregate the PARSED typed columns — proving each
+    round-trip is lossless; the oracle replays the identical aggregate
+    under each tag. One narrow projection + one map-side-combined
+    shuffle per leg."""
     ev = _t(spark, sf_dir, "events")
     vdec = F.col("value").cast("decimal(18,2)")
-    line = F.concat_ws(",", F.col("event_id").cast("string"),
-                       "event_type", vdec.cast("string"))
-    parsed = (ev.select(line.alias("line"))
-                .select(F.from_csv(
-                    "line", "event_id bigint, event_type string, "
-                            "v decimal(18,2)").alias("c"))
-                .select("c.*"))
-    return (parsed.groupBy("event_type")
-                  .agg(F.count("*").alias("n_events"),
-                       F.sum("v").cast("double").alias("total_value"),
-                       F.max("event_id").alias("max_event_id")))
+
+    csv_line = F.concat_ws(",", F.col("event_id").cast("string"),
+                           "event_type", vdec.cast("string"))
+    csv = (ev.select(csv_line.alias("line"))
+             .select(F.from_csv(
+                 "line", "event_id bigint, event_type string, "
+                         "v decimal(18,2)").alias("c"))
+             .select("c.*"))
+
+    from log2seq_spark.functions.logfmt import with_logfmt
+    lf_line = F.concat(
+        F.lit("type="), F.col("event_type"),
+        F.lit(" id="), F.col("event_id").cast("string"),
+        F.lit(' v="'), vdec.cast("string"), F.lit('" note=ok'))
+    lf = (with_logfmt(ev.select(lf_line.alias("line")), "line",
+                      keys=["type", "id", "v"])
+          .select(F.col("type").alias("event_type"),
+                  F.col("id").cast("bigint").alias("event_id"),
+                  F.col("v").cast("decimal(18,2)").alias("v")))
+
+    def _agg(parsed, tag):
+        return (parsed.groupBy("event_type")
+                      .agg(F.count("*").alias("n_events"),
+                           F.sum("v").cast("double").alias("total_value"),
+                           F.max("event_id").alias("max_event_id"))
+                      .select(F.lit(tag).alias("source"), "*"))
+
+    return _agg(csv, "csv").unionByName(_agg(lf, "logfmt"))
 
 
 _SQL_CSV_PARSE = """
-SELECT event_type, count(*) AS n_events,
-       cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value,
-       max(event_id) AS max_event_id
-FROM events GROUP BY event_type
+WITH a AS (
+  SELECT event_type, count(*) AS n_events,
+         cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value,
+         max(event_id) AS max_event_id
+  FROM events GROUP BY event_type
+)
+SELECT 'csv' AS source, * FROM a
+UNION ALL
+SELECT 'logfmt' AS source, * FROM a
 """
 
 
@@ -419,7 +451,13 @@ def q_xml_event_parse(spark, sf_dir):
                        F.max("_id").alias("max_event_id")))
 
 
-_SQL_XML_PARSE = _SQL_CSV_PARSE
+# the XML row keeps the single-leg aggregate (no source tag)
+_SQL_XML_PARSE = """
+SELECT event_type, count(*) AS n_events,
+       cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value,
+       max(event_id) AS max_event_id
+FROM events GROUP BY event_type
+"""
 
 
 def q_anti_join_idle_customers(spark, sf_dir):
