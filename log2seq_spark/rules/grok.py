@@ -104,6 +104,11 @@ GROK_PATTERNS: Dict[str, str] = {
     "DATESTAMP": r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}(?:\.\d+)?"
                  r"(?:Z|[+-]\d{2}:?\d{2})?",
     "SYSLOGTIMESTAMP": r"(?:%{MONTH}) +(?:%{MONTHDAY}) (?:%{TIME})",
+    # syslog wire-format helpers (RFC 3164 / 5424; see functions/syslog.py
+    # for PRI decoding into facility/severity)
+    "SYSLOG5424PRI": r"<\d{1,3}>",
+    "SYSLOGHOST": r"%{IPORHOST}",
+    "SYSLOGPROG": r"[\w._/%-]+(?:\[\d+\])?",
 }
 
 _REF_RE = re.compile(r"%\{(\w+)(?::([^:}]+))?(?::(\w+))?\}")
