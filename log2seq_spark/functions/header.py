@@ -335,6 +335,7 @@ class VectorHeaderParser:
                 continue
             mext = ext[matched]
             midx = mext.index  # positions in the batch
+            claimed = midx     # every matched row leaves the cascade
 
             if cr.rule.reformat_timestamp:
                 dy = default_year[midx] if default_year is not None else None
@@ -345,17 +346,30 @@ class VectorHeaderParser:
                     utc = wall - pd.to_timedelta(off.fillna(0), unit="s")
                     wall = utc + pd.to_timedelta(astz, unit="s")
                     off = pd.Series(astz, index=off.index)
+                # a matched rule whose timestamp cannot assemble FAILS
+                # the whole line, exactly like the reference / oracle
+                # engine (the LogParseFailure from header.py:73-114
+                # propagates out of the cascade — no record, no retry of
+                # later rules): demote those rows to failures instead of
+                # emitting a half-parsed record the reference never would
+                okmask = ok.to_numpy(dtype=bool)
+                bad = midx[~okmask]
+                if len(bad):
+                    error[bad] = ("timestamp part missing; "
+                                  "use rule defaults to add it")
+                    midx = midx[okmask]
+                    mext = mext.loc[midx]
+                    wall, off = wall.loc[midx], off.loc[midx]
                 ts[midx] = wall
                 tz_sec[midx] = off
-                bad = midx[~ok.to_numpy(dtype=bool)]
-                if len(bad):
-                    error[bad] = "timestamp part missing"
             message[midx] = mext["message"]
             for name, col in plan.attr_columns(mext).items():
                 attrs[name][midx] = col
             rule_id[midx] = rid
             pending = pending.copy()
-            pending[midx] = False
+            # even assembly-failed rows leave the cascade (the
+            # reference's raise propagates; later rules never run)
+            pending[claimed] = False
 
         fail_idx = np.flatnonzero(pending.to_numpy() if hasattr(pending, "to_numpy")
                                   else pending)

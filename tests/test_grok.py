@@ -249,3 +249,195 @@ class TestCLI:
         # the two-rule grok cascade covers both generator header formats
         # as completely as the default preset does
         assert n_fail / (n_ok + n_fail) < 0.05
+
+
+class TestGrokFuzz:
+    """Compositional fuzz: random grok expressions assembled from the
+    dictionary, lines rendered from KNOWN field values — so the expected
+    extraction is ground truth by construction, not an oracle replay.
+    Asserts (a) the pure-Python engine recovers exactly the planted
+    values, (b) the vectorized BatchParser agrees with the engine row by
+    row (match and failure alike), covering the grok compiler surface
+    the fixed goldens cannot enumerate."""
+
+    N_PROGRAMS = 120
+
+    _LEVELS = ["INFO", "warn", "Error", "debug", "CRITICAL", "notice"]
+    _MONTHS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+               "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+
+    def _pool(self, rng):
+        def ip():
+            return ".".join(str(rng.randrange(256)) for _ in range(4))
+
+        def uuid():
+            h = "%032x" % rng.getrandbits(128)
+            return "-".join((h[:8], h[8:12], h[12:16], h[16:20], h[20:]))
+
+        # (dict name, sampler, wrap-safe) — wrap-safe means the sample
+        # can sit inside [..] (..) <..> decorations without the pattern
+        # being able to eat the closing bracket
+        return [
+            ("WORD", lambda: rng.choice(["alpha", "Beta9", "x_1", "Z"]), True),
+            ("POSINT", lambda: str(rng.randrange(100000)), True),
+            ("INT", lambda: rng.choice(["-12", "+4", "900"]), True),
+            ("IPV4", ip, True),
+            ("HOSTNAME", lambda: rng.choice(
+                ["db-1.example.org", "n1", "a.b-c.d", "10.2.3.4"]), True),
+            ("LOGLEVEL", lambda: rng.choice(self._LEVELS), True),
+            ("UUID", uuid, True),
+            ("USERNAME", lambda: rng.choice(["alice", "bob_2", "x.y-z"]), True),
+            ("NOTSPACE", lambda: rng.choice(["a=b!", "#5%", "q:r/s"]), False),
+            ("BASE16NUM", lambda: rng.choice(["0xDEAD", "ff00", "0X1a2b"]), True),
+        ]
+
+    def _timestamp(self, rng):
+        """(grok ref, rendered text, expected datetime, rule kwargs)"""
+        y, mo, d = 2024, rng.randrange(1, 13), rng.randrange(1, 29)
+        h, mi, s = rng.randrange(24), rng.randrange(60), rng.randrange(60)
+        kind = rng.choice(["iso", "syslog", "datestamp"])
+        if kind == "iso":
+            frac = rng.choice(["", ".123"])
+            tz = rng.choice(["", "Z", "+09:00"])
+            txt = f"{y:04d}-{mo:02d}-{d:02d}T{h:02d}:{mi:02d}:{s:02d}{frac}{tz}"
+            tzi = {"": None, "Z": datetime.timezone.utc,
+                   "+09:00": datetime.timezone(datetime.timedelta(hours=9))}[tz]
+            want = datetime.datetime(y, mo, d, h, mi, s,
+                                     123000 if frac else 0, tzinfo=tzi)
+            return "%{TIMESTAMP_ISO8601:timestamp}", txt, want, {}
+        if kind == "syslog":
+            day = f"{d:2d}" if rng.random() < 0.5 else str(d)
+            txt = f"{self._MONTHS[mo - 1]} {day} {h:02d}:{mi:02d}:{s:02d}"
+            want = datetime.datetime(y, mo, d, h, mi, s)
+            return ("%{SYSLOGTIMESTAMP:timestamp}", txt, want,
+                    {"defaults": (("year", y),)})
+        txt = f"{y:04d}-{mo:02d}-{d:02d} {h:02d}:{mi:02d}:{s:02d}"
+        return ("%{DATESTAMP:timestamp}", txt, datetime.datetime(
+            y, mo, d, h, mi, s), {})
+
+    def _random_expression(self, rng):
+        """→ (expression, rule_kwargs, line_maker) where line_maker()
+        returns (line, expected-attrs dict, expected timestamp or None,
+        statement)."""
+        pool = self._pool(rng)
+        glues = [" ", " - ", " | ", "  ", " :: "]
+        parts, makers = [], []   # template parts / per-line samplers
+        kwargs = {}
+        ts_want = None
+        if rng.random() < 0.7:
+            ref, txt, ts_want, kwargs = self._timestamp(rng)
+            parts.append(ref)
+            makers.append(txt)          # plain pre-rendered text
+        n_fields = rng.randrange(1, 5)
+        for i in range(n_fields):
+            name, sample, wrap_safe = pool[rng.randrange(len(pool))]
+            dummy = rng.random() < 0.15
+            as_int = (name == "POSINT" and not dummy and rng.random() < 0.5)
+            sem = None if dummy else f"f{i}"
+            ref = ("%{" + name + "}" if dummy else
+                   "%{" + name + ":" + sem + (":int" if as_int else "") + "}")
+            if wrap_safe and rng.random() < 0.25:
+                pre, post = rng.choice([("[", "]"), ("(", ")"), ("<", ">")])
+                ref = pre + ref + post
+            parts.append(ref)
+            makers.append((sample, sem, as_int))
+        expr = parts[0]
+        seps = []
+        for p in parts[1:]:
+            g = rng.choice(glues)
+            seps.append(g)
+            expr += g + p
+        stmt_glue = rng.choice(glues)
+        expr += stmt_glue + "%{GREEDYDATA:message}"
+
+        def line_maker():
+            attrs = {}
+            rendered = []
+            for m in makers:
+                if isinstance(m, tuple):
+                    sample, sem, as_int = m
+                    v = sample()
+                    if sem is not None:
+                        attrs[sem] = int(v) if as_int else v
+                    rendered.append(v)
+                else:
+                    rendered.append(m)
+            # re-wrap decorated fields: rebuild from the template by
+            # replacing each %{...} reference left to right
+            line = expr
+            for v in rendered:
+                line = re.sub(r"%\{[^}]*\}", v.replace("\\", "\\\\"),
+                              line, count=1)
+            stmt = " ".join(rng.choice(["ok", "failed", "x=1", "(a)", "9.9"])
+                            for _ in range(rng.randrange(1, 4)))
+            line = re.sub(r"%\{[^}]*\}", stmt, line, count=1)
+            return line, attrs, stmt
+
+        return expr, kwargs, line_maker, ts_want
+
+    def test_random_grok_programs_recover_planted_values(self):
+        import random
+
+        import pandas as pd
+
+        from log2seq_spark.functions.parse import BatchParser
+
+        rng = random.Random(20260818)
+        n_ok = 0
+        for _ in range(self.N_PROGRAMS):
+            expr, kwargs, line_maker, ts_want = self._random_expression(rng)
+            try:
+                prog = grok_program(expr, **kwargs)
+            except RuleDefinitionError:
+                # duplicate-semantic or similar compile rejections are
+                # themselves valid behavior; the generator avoids them,
+                # so reaching here is a bug
+                raise
+            eng = LineEngine(prog)
+            lines, expected = [], []
+            for _ in range(5):
+                line, attrs, stmt = line_maker()
+                if rng.random() < 0.15:     # failure-path agreement
+                    line = "~~" + line
+                    expected.append(None)
+                else:
+                    expected.append((attrs, stmt))
+                lines.append(line)
+            batch = BatchParser(prog).parse(pd.Series(lines, dtype=object))
+            for i, (line, exp) in enumerate(zip(lines, expected)):
+                try:
+                    rec = eng.parse_line(line)
+                except Exception:   # noqa: BLE001 — failure parity
+                    rec = None
+                brow = batch.iloc[i]
+                if rec is None:
+                    # an uncorrupted line must always parse; a corrupted
+                    # one may legitimately fail — either way the batch
+                    # path must agree it failed
+                    assert exp is None, (expr, line)
+                    assert brow["rule_id"] == -1 and brow["message"] is None
+                    continue
+                # corrupted lines MAY still parse (a tolerant pattern
+                # like NOTSPACE absorbs the "~~" prefix); ground-truth
+                # checks only apply to uncorrupted ones
+                attrs, stmt = exp if exp is not None else ({}, None)
+                if exp is not None:
+                    for k, v in attrs.items():
+                        assert rec[k] == v, (expr, line, k, rec.get(k))
+                    assert rec["message"] == stmt, (expr, line)
+                    if ts_want is not None:
+                        assert rec["timestamp"] == ts_want, (expr, line)
+                # batch ≡ engine on every extracted surface
+                assert brow["rule_id"] == 0
+                assert brow["message"] == rec["message"], (expr, line)
+                for k in attrs:
+                    got = brow[k]
+                    want = rec[k]
+                    assert got == want, (expr, line, k, got, want)
+                if "timestamp" in rec:
+                    want_wall = rec["timestamp"].replace(tzinfo=None)
+                    assert brow["ts"].to_pydatetime() == want_wall, (expr, line)
+                assert list(brow["words"]) == rec["words"], (expr, line)
+                n_ok += 1
+        # the fuzz must exercise the success path heavily
+        assert n_ok > 350, n_ok

@@ -2354,7 +2354,11 @@ class TestLogTextDataSource:
         logfiles.register(spark)
         df = (spark.read.format("logtext")
               .option("path", f"{d}/sys.log").load())
-        parsed = with_parsed(df, default_program(), text_col="text")
+        # year-less syslog line: a default year is required now that a
+        # matched-rule assembly failure fails the line (reference
+        # header.py:73-114 semantics)
+        parsed = with_parsed(df, default_program(), text_col="text",
+                             default_year=2024)
         row = parsed.select("parsed.host", "parsed.words").first()
         assert row["host"] == "host1"
         assert row["words"] == ["app", "1", "INFO", "hi"]

@@ -152,6 +152,25 @@ class TestBatchParserEquality:
             else:
                 assert np.isnan(row["tz_sec"])
 
+    def test_assembly_failure_fails_line_like_oracle(self):
+        # a rule that MATCHES but cannot assemble its timestamp (year-less
+        # syslog line, no default, no year_from_ts feed) must fail the
+        # whole line — the reference's LogParseFailure propagates out of
+        # the cascade (header.py:73-114), no half-parsed record, no retry
+        # of later rules. The vectorized path used to emit the record
+        # with an error annotation instead.
+        program = default_program()
+        line = "Jan  1 12:34:56 host1 app[1]: hi"
+        with pytest.raises(ParseFailure, match="year"):
+            LineEngine(program, default_year=None).parse_line(line)
+        out = BatchParser(program).parse(pd.Series([line], dtype=object),
+                                         default_year=None)
+        row = out.iloc[0]
+        assert row["rule_id"] == -1
+        assert row["message"] is None and row["words"] is None
+        assert row["host"] is None               # no attrs either
+        assert "timestamp part missing" in row["error"]
+
     def test_apache_program_vs_oracle(self):
         program = apache_errorlog_program()
         oracle = LineEngine(program)
