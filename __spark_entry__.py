@@ -377,9 +377,15 @@ def q_csv_line_parse(spark, sf_dir):
       ``key=value`` lines (with a QUOTED value, exercising the
       quote/unescape path), parsed back with
       :func:`log2seq_spark.functions.logfmt.with_logfmt` (pure built-in
-      expressions, one regex scan per row).
+      expressions, one regex scan per row);
+    * ``source='pri'`` — the logfmt lines prefixed with a syslog
+      ``<PRI>`` covering the full valid 0..191 code space, decoded with
+      :func:`log2seq_spark.functions.syslog.pri_expr` (RFC 3164/5424
+      facility*8+severity); groups on the decoded
+      ``facility.severity`` names and aggregates the logfmt-parsed
+      REST — gating both the PRI lookup tables and the prefix strip.
 
-    Both legs aggregate the PARSED typed columns — proving each
+    Every leg aggregates the PARSED typed columns — proving each
     round-trip is lossless; the oracle replays the identical aggregate
     under each tag. One narrow projection + one map-side-combined
     shuffle per leg."""
@@ -405,6 +411,20 @@ def q_csv_line_parse(spark, sf_dir):
                   F.col("id").cast("bigint").alias("event_id"),
                   F.col("v").cast("decimal(18,2)").alias("v")))
 
+    from log2seq_spark.functions.syslog import pri_expr
+    pri_line = F.concat(F.lit("<"),
+                        (F.col("event_id") % 192).cast("int").cast("string"),
+                        F.lit(">"), lf_line)
+    dec = (ev.select(pri_line.alias("line"))
+             .select(pri_expr(F.col("line")).alias("p"))
+             .select(F.concat_ws(".", "p.facility_name",
+                                 "p.severity_name").alias("fs"),
+                     F.col("p.rest").alias("line")))
+    pri = (with_logfmt(dec, "line", keys=["id", "v"])
+           .select(F.col("fs").alias("event_type"),
+                   F.col("id").cast("bigint").alias("event_id"),
+                   F.col("v").cast("decimal(18,2)").alias("v")))
+
     def _agg(parsed, tag):
         return (parsed.groupBy("event_type")
                       .agg(F.count("*").alias("n_events"),
@@ -412,7 +432,8 @@ def q_csv_line_parse(spark, sf_dir):
                            F.max("event_id").alias("max_event_id"))
                       .select(F.lit(tag).alias("source"), "*"))
 
-    return _agg(csv, "csv").unionByName(_agg(lf, "logfmt"))
+    return (_agg(csv, "csv").unionByName(_agg(lf, "logfmt"))
+            .unionByName(_agg(pri, "pri")))
 
 
 _SQL_CSV_PARSE = """
@@ -421,10 +442,26 @@ WITH a AS (
          cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value,
          max(event_id) AS max_event_id
   FROM events GROUP BY event_type
+),
+pri AS (
+  SELECT (['kern','user','mail','daemon','auth','syslog','lpr','news',
+           'uucp','cron','authpriv','ftp','ntp','audit','alert','clock',
+           'local0','local1','local2','local3','local4','local5',
+           'local6','local7'])[(event_id % 192) // 8 + 1]
+         || '.' ||
+         (['emerg','alert','crit','err','warning','notice','info',
+           'debug'])[(event_id % 192) % 8 + 1] AS event_type,
+         event_id, value
+  FROM events
 )
 SELECT 'csv' AS source, * FROM a
 UNION ALL
 SELECT 'logfmt' AS source, * FROM a
+UNION ALL
+SELECT 'pri' AS source, event_type, count(*) AS n_events,
+       cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value,
+       max(event_id) AS max_event_id
+FROM pri GROUP BY event_type
 """
 
 
