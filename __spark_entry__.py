@@ -382,8 +382,10 @@ def q_csv_line_parse(spark, sf_dir):
       ``<PRI>`` covering the full valid 0..191 code space, decoded with
       :func:`log2seq_spark.functions.syslog.pri_expr` (RFC 3164/5424
       facility*8+severity); groups on the decoded
-      ``facility.severity`` names and aggregates the logfmt-parsed
-      REST — gating both the PRI lookup tables and the prefix strip.
+      ``facility.severity/type`` names (type is the logfmt-parsed FIRST
+      key of the rest, so any prefix-strip residue trips the oracle)
+      and aggregates the logfmt-parsed rest — gating the PRI lookup
+      tables and the prefix strip together.
 
     Every leg aggregates the PARSED typed columns — proving each
     round-trip is lossless; the oracle replays the identical aggregate
@@ -406,7 +408,7 @@ def q_csv_line_parse(spark, sf_dir):
         F.lit(" id="), F.col("event_id").cast("string"),
         F.lit(' v="'), vdec.cast("string"), F.lit('" note=ok'))
     lf = (with_logfmt(ev.select(lf_line.alias("line")), "line",
-                      keys=["type", "id", "v"])
+                      keys=["type", "id", "v"], unique_keys=True)
           .select(F.col("type").alias("event_type"),
                   F.col("id").cast("bigint").alias("event_id"),
                   F.col("v").cast("decimal(18,2)").alias("v")))
@@ -420,8 +422,12 @@ def q_csv_line_parse(spark, sf_dir):
              .select(F.concat_ws(".", "p.facility_name",
                                  "p.severity_name").alias("fs"),
                      F.col("p.rest").alias("line")))
-    pri = (with_logfmt(dec, "line", keys=["id", "v"])
-           .select(F.col("fs").alias("event_type"),
+    # group key = facility.severity/type — the logfmt-parsed FIRST key
+    # of the rest is folded in, so any prefix-strip residue (which would
+    # null the type) trips the oracle, not just the lookup tables
+    pri = (with_logfmt(dec, "line", keys=["type", "id", "v"],
+                       unique_keys=True)
+           .select(F.concat_ws("/", "fs", "type").alias("event_type"),
                    F.col("id").cast("bigint").alias("event_id"),
                    F.col("v").cast("decimal(18,2)").alias("v")))
 
@@ -450,7 +456,8 @@ pri AS (
            'local6','local7'])[(event_id % 192) // 8 + 1]
          || '.' ||
          (['emerg','alert','crit','err','warning','notice','info',
-           'debug'])[(event_id % 192) % 8 + 1] AS event_type,
+           'debug'])[(event_id % 192) % 8 + 1]
+         || '/' || event_type AS event_type,
          event_id, value
   FROM events
 )

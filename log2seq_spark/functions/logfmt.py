@@ -73,21 +73,35 @@ def _map_from_entries_keeplast(entries):
 
 def with_logfmt(df: DataFrame, text_col: str = "text",
                 out_col: str = "logfmt",
-                keys: Optional[Sequence[str]] = None) -> DataFrame:
+                keys: Optional[Sequence[str]] = None,
+                unique_keys: bool = False) -> DataFrame:
     """Adds ``out_col`` (``map<string,string>``, keep-last for repeated
     keys — ANSI ``map_from_entries`` refuses duplicates); with ``keys``
     given, also lifts each into its own string column (null when
     absent) — the projection shape downstream filters and aggregates
     prune to. The entry array is staged as a bound column so the
-    tokenizing regex runs ONCE per row, not once per lambda capture."""
+    tokenizing regex runs ONCE per row, not once per lambda capture.
+
+    ``unique_keys=True`` skips the keep-last dedup pass (an interpreted
+    O(pairs²) higher-order filter) for sources whose schema guarantees
+    each key appears at most once per line — the right knob for
+    fixed-schema telemetry at scale. It is an assertion, not a cast:
+    ANSI ``map_from_entries`` raises DUPLICATED_MAP_KEY loudly if a
+    line violates it (never a silent first/last pick)."""
     tmp = f"__{out_col}_entries"
     if tmp in df.columns:
         raise ValueError(f"input frame already has internal column "
                          f"{tmp!r}; rename it before with_logfmt")
     staged = df.select(
         "*", logfmt_entries_expr(F.col(text_col)).alias(tmp))
-    out = staged.select(
-        "*", _map_from_entries_keeplast(F.col(tmp)).alias(out_col))
+    if unique_keys:
+        ent = F.col(tmp)
+        mapped = (F.when(F.size(ent) > 0, F.map_from_entries(ent))
+                   .when(F.size(ent) == 0,
+                         F.create_map().cast("map<string,string>")))
+    else:
+        mapped = _map_from_entries_keeplast(F.col(tmp))
+    out = staged.select("*", mapped.alias(out_col))
     for k in keys or ():
         out = out.withColumn(k, F.try_element_at(out_col, F.lit(k)))
     return out.drop(tmp)

@@ -111,3 +111,32 @@ class TestLogfmt:
         rows = with_logfmt(df).collect()
         for r in rows:
             assert dict(r["logfmt"]) == model(r["text"]), r["text"]
+
+
+class TestUniqueKeysFastPath:
+    def test_equal_to_keeplast_on_unique_keys(self, spark):
+        from log2seq_spark.functions.logfmt import with_logfmt
+        df = spark.createDataFrame(
+            [('a=1 b="x y" c=',), ("",), (None,), ("no pairs here",)],
+            "text string")
+        slow = {r["text"]: r["m"] for r in
+                with_logfmt(df, out_col="m").collect()}
+        fast = {r["text"]: r["m"] for r in
+                with_logfmt(df, out_col="m", unique_keys=True).collect()}
+        assert fast == slow
+
+    def test_duplicate_key_raises_loudly(self, spark):
+        import pytest
+        from log2seq_spark.functions.logfmt import with_logfmt
+        df = spark.createDataFrame([("a=1 a=2",)], "text string")
+        with pytest.raises(Exception, match="DUPLICATED_MAP_KEY|duplicate"):
+            with_logfmt(df, out_col="m", unique_keys=True).collect()
+
+    def test_no_hof_filter_in_fast_plan(self, spark):
+        # the fast path must not carry the O(pairs^2) keep-last filter
+        from log2seq_spark.functions.logfmt import with_logfmt
+        df = spark.createDataFrame([("a=1",)], "text string")
+        plan = with_logfmt(df, out_col="m", unique_keys=True) \
+            ._jdf.queryExecution().optimizedPlan().toString()
+        assert "exists(" not in plan and "filter(" not in plan.replace(
+            "Filter (", "")
