@@ -1,13 +1,31 @@
 """Per-partition (salt-bucket) checkpoint manifest: lineage + metrics.
 
 The pipeline processes the turns table in ``n_buckets`` hash buckets of
-``conv_id``. After a successful run, one JSON line per completed bucket is
-appended to ``manifest.jsonl`` carrying the lineage id (hash of rule
-program + input + bucketing), row/ok/fail counters, and token totals.
-Resume = read completed bucket ids for the same lineage and skip them;
+``conv_id``. After a successful run, one record per completed bucket is
+committed carrying the lineage id (hash of rule program + input +
+bucketing), row/ok/fail counters, and token totals. Resume = read
+completed bucket ids for the same lineage and skip them;
 partially-written bucket partitions from a crashed run are repaired by
 dynamic partition overwrite on the rerun (north rule: "resumable from
 checkpoint with per-partition lineage + metrics").
+
+Two physical layouts behind one API, selected by the path:
+
+* **local path** (no URI scheme): one JSON line per record appended to
+  ``manifest.jsonl`` — simple, greppable, atomic enough on a POSIX
+  driver disk.
+* **URI path** (``hdfs://``, ``s3a://``, ``file://``, …): one marker
+  FILE per record under ``<out_dir>/manifest/`` named
+  ``<lineage>-<bucket>.json``, written through the Hadoop FileSystem
+  API. Object stores have no reliable append, so the jsonl protocol
+  cannot commit there; per-record files make each bucket commit an
+  independent, atomically-visible object, and resume is a directory
+  listing. This is the layout a real cluster run (out_dir on shared
+  storage) uses; the ``file://`` scheme exercises the same code path
+  on local disk in tests.
+
+URI-path calls must pass the SparkSession (the Hadoop conf lives on
+it); local-path calls never need it.
 """
 
 from __future__ import annotations
@@ -15,9 +33,15 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-from typing import Dict, List, Set
+import posixpath
+import re
+import shutil
+from typing import Dict, Iterable, List, Optional, Set
 
 MANIFEST_NAME = "manifest.jsonl"
+MANIFEST_DIR = "manifest"
+
+_URI_RE = re.compile(r"^[a-z][a-z0-9+.\-]*://", re.IGNORECASE)
 
 
 # routed-sink schema version: bumped when the routed parquet layout
@@ -33,12 +57,52 @@ def lineage_id(program, input_id: str, n_buckets: int) -> str:
 
 
 def manifest_path(out_dir: str) -> str:
+    if is_uri_path(out_dir):
+        return posixpath.join(out_dir, MANIFEST_DIR)
     return os.path.join(out_dir, MANIFEST_NAME)
 
 
-def completed_buckets(out_dir: str, lineage: str) -> Set[int]:
-    path = manifest_path(out_dir)
+def is_uri_path(path: str) -> bool:
+    """True for scheme-qualified paths (hdfs://, s3a://, file://, …)
+    that must go through the Hadoop FileSystem API rather than the
+    driver's local filesystem."""
+    return _URI_RE.match(path) is not None
+
+
+def _hadoop_fs(spark, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath, jvm
+
+
+def _require_spark(spark, path: str):
+    if spark is None:
+        raise ValueError(
+            f"manifest path {path!r} has a filesystem scheme; pass the "
+            "SparkSession (spark=) so manifest I/O can go through the "
+            "Hadoop FileSystem API")
+
+
+def _record_name(lineage: str, bucket: int) -> str:
+    return f"{lineage}-{int(bucket):06d}.json"
+
+
+def completed_buckets(out_dir: str, lineage: str,
+                      spark=None) -> Set[int]:
     done: Set[int] = set()
+    if is_uri_path(out_dir):
+        _require_spark(spark, out_dir)
+        fs, jdir, _ = _hadoop_fs(spark, manifest_path(out_dir))
+        if not fs.exists(jdir):
+            return done
+        pat = re.compile(re.escape(lineage) + r"-(\d+)\.json$")
+        for st in fs.listStatus(jdir):
+            m = pat.fullmatch(st.getPath().getName())
+            if m:
+                done.add(int(m.group(1)))
+        return done
+    path = manifest_path(out_dir)
     if not os.path.exists(path):
         return done
     with open(path) as fh:
@@ -53,7 +117,25 @@ def completed_buckets(out_dir: str, lineage: str) -> Set[int]:
 
 
 def append_bucket_records(out_dir: str, lineage: str,
-                          records: List[Dict]) -> None:
+                          records: List[Dict], spark=None) -> None:
+    if is_uri_path(out_dir):
+        _require_spark(spark, out_dir)
+        fs, jdir, jvm = _hadoop_fs(spark, manifest_path(out_dir))
+        fs.mkdirs(jdir)
+        for rec in records:
+            rec = dict(rec)
+            rec["lineage_id"] = lineage
+            jpath = jvm.org.apache.hadoop.fs.Path(
+                jdir, _record_name(lineage, rec["bucket"]))
+            # overwrite=True: re-committing the same bucket (a rerun
+            # that reprocessed it) is idempotent, not an error
+            out = fs.create(jpath, True)
+            try:
+                out.write(bytearray(
+                    (json.dumps(rec, sort_keys=True) + "\n").encode()))
+            finally:
+                out.close()
+        return
     os.makedirs(out_dir, exist_ok=True)
     with open(manifest_path(out_dir), "a") as fh:
         for rec in records:
@@ -62,9 +144,49 @@ def append_bucket_records(out_dir: str, lineage: str,
             fh.write(json.dumps(rec, sort_keys=True) + "\n")
 
 
-def read_manifest(out_dir: str) -> List[Dict]:
+def read_manifest(out_dir: str, spark=None) -> List[Dict]:
+    if is_uri_path(out_dir):
+        _require_spark(spark, out_dir)
+        fs, jdir, jvm = _hadoop_fs(spark, manifest_path(out_dir))
+        if not fs.exists(jdir):
+            return []
+        recs: List[Dict] = []
+        for st in sorted(fs.listStatus(jdir),
+                         key=lambda s: s.getPath().getName()):
+            name = st.getPath().getName()
+            if not name.endswith(".json"):
+                continue
+            stream = fs.open(st.getPath())
+            try:
+                txt = jvm.org.apache.commons.io.IOUtils.toString(
+                    stream, "UTF-8")
+            finally:
+                stream.close()
+            recs.append(json.loads(txt))
+        return recs
     path = manifest_path(out_dir)
     if not os.path.exists(path):
         return []
     with open(path) as fh:
         return [json.loads(x) for x in fh if x.strip()]
+
+
+def wipe_outputs(out_dir: str, subdirs: Iterable[str],
+                 spark=None) -> None:
+    """Remove the pipeline's data subdirs AND the manifest — the
+    lineage-switch reset (see run_pipeline: keeping another lineage's
+    manifest records while deleting its data would make a later run of
+    that lineage "resume" against output that no longer exists)."""
+    if is_uri_path(out_dir):
+        _require_spark(spark, out_dir)
+        fs, _, jvm = _hadoop_fs(spark, out_dir)
+        for sub in list(subdirs) + [MANIFEST_DIR]:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(
+                posixpath.join(out_dir, sub)), True)
+        return
+    for sub in subdirs:
+        shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)
+    try:
+        os.remove(os.path.join(out_dir, MANIFEST_NAME))
+    except OSError:
+        pass

@@ -115,7 +115,8 @@ def enriched_turns(spark: SparkSession, turns: DataFrame,
 def run_pipeline(spark: SparkSession, turns: DataFrame,
                  cfg: PipelineConfig, resume: bool = True) -> PipelineResult:
     lineage = mf.lineage_id(cfg.program, cfg.input_id, cfg.n_buckets)
-    done = mf.completed_buckets(cfg.out_dir, lineage) if resume else set()
+    done = (mf.completed_buckets(cfg.out_dir, lineage, spark=spark)
+            if resume else set())
 
     # a reused out_dir holding another lineage's output (different rule
     # program / input) would otherwise leak its stale (sink, bucket)
@@ -127,13 +128,8 @@ def run_pipeline(spark: SparkSession, turns: DataFrame,
     # "resume" — skip every bucket — against output that no longer
     # exists and report success with zero rows.
     if not done:
-        import shutil
-        for sub in (ROUTED, AGG_SINK, AGG_TOKEN, AGG_TEMPLATE):
-            shutil.rmtree(os.path.join(cfg.out_dir, sub), ignore_errors=True)
-        try:
-            os.remove(os.path.join(cfg.out_dir, mf.MANIFEST_NAME))
-        except OSError:
-            pass
+        mf.wipe_outputs(cfg.out_dir, (ROUTED, AGG_SINK, AGG_TOKEN,
+                                      AGG_TEMPLATE), spark=spark)
 
     df = enriched_turns(spark, turns, cfg)
     if done:
@@ -276,7 +272,7 @@ def run_pipeline(spark: SparkSession, turns: DataFrame,
         for k in ("n_rows", "n_ok", "n_fail", "n_empty", "n_tokens"):
             rec[k] += int(r[k])
     records = sorted(by_bucket.values(), key=lambda x: x["bucket"])
-    mf.append_bucket_records(cfg.out_dir, lineage, records)
+    mf.append_bucket_records(cfg.out_dir, lineage, records, spark=spark)
 
     totals = {k: int(sum(r[k] for r in records))
               for k in ("n_rows", "n_ok", "n_fail", "n_empty", "n_tokens")}

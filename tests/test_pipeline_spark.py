@@ -310,3 +310,75 @@ class TestLineageSwitch:
         r1b = run_pipeline(spark, turns, c1, resume=True)
         assert r1b.buckets_processed == [0, 1, 2, 3]
         assert r1b.metrics["n_rows"] == r1.metrics["n_rows"]
+
+
+class TestUriPathManifest:
+    """The resume protocol on scheme-qualified out_dirs (hdfs://, s3a://)
+    — exercised through file:// which routes through the same Hadoop
+    FileSystem code path on local disk. Object stores have no reliable
+    append, so URI paths commit one marker file per bucket under
+    <out_dir>/manifest/ instead of appending to manifest.jsonl."""
+
+    def test_full_run_resume_and_lineage_switch(self, spark, turns,
+                                                tmpdir_path):
+        uri = "file://" + tmpdir_path
+        cfg = PipelineConfig(out_dir=uri, n_buckets=8, partitions=8)
+        res1 = run_pipeline(spark, turns, cfg, resume=True)
+        assert sorted(res1.buckets_processed) == list(range(8))
+        assert res1.metrics["n_rows"] == turns.count()
+
+        # per-record marker files, not a jsonl
+        mdir = os.path.join(tmpdir_path, "manifest")
+        # the Hadoop local FS adds .crc sidecars; the manifest reader
+        # filters on the .json suffix, mirror that here
+        names = sorted(n for n in os.listdir(mdir)
+                       if not n.startswith("."))
+        assert len(names) == 8
+        assert all(n.startswith(res1.lineage_id) and n.endswith(".json")
+                   for n in names)
+        assert not os.path.exists(os.path.join(tmpdir_path,
+                                               "manifest.jsonl"))
+
+        # read_manifest sees the same record schema as the jsonl layout
+        recs = mf.read_manifest(uri, spark=spark)
+        assert len(recs) == 8
+        assert all("lineage_id" in r and "n_rows" in r for r in recs)
+        assert sum(r["n_rows"] for r in recs) == turns.count()
+
+        # rerun resumes: everything skipped, output intact
+        res2 = run_pipeline(spark, turns, cfg, resume=True)
+        assert res2.buckets_processed == []
+        assert sorted(res2.buckets_skipped) == list(range(8))
+        routed = spark.read.parquet(os.path.join(tmpdir_path, "routed"))
+        assert routed.count() == turns.count()
+
+        # lineage switch wipes data AND the manifest dir through the FS
+        # API, then reprocesses everything
+        cfg_b = PipelineConfig(out_dir=uri, n_buckets=8, partitions=8,
+                               input_id="inputB")
+        res3 = run_pipeline(spark, turns, cfg_b, resume=True)
+        assert sorted(res3.buckets_processed) == list(range(8))
+        names_b = sorted(n for n in os.listdir(mdir)
+                         if not n.startswith("."))
+        assert names_b and all(n.startswith(res3.lineage_id)
+                               for n in names_b)
+
+    def test_uri_path_without_spark_raises(self, tmpdir_path):
+        with pytest.raises(ValueError, match="filesystem scheme"):
+            mf.completed_buckets("file://" + tmpdir_path, "abc")
+        with pytest.raises(ValueError, match="filesystem scheme"):
+            mf.append_bucket_records("file://" + tmpdir_path, "abc",
+                                     [{"bucket": 0}])
+
+    def test_recommit_same_bucket_is_idempotent(self, spark, tmpdir_path):
+        uri = "file://" + tmpdir_path
+        rec = {"bucket": 3, "n_rows": 10, "n_ok": 9, "n_fail": 1,
+               "n_empty": 0, "n_tokens": 50}
+        mf.append_bucket_records(uri, "deadbeefdeadbeef", [rec],
+                                 spark=spark)
+        mf.append_bucket_records(uri, "deadbeefdeadbeef", [rec],
+                                 spark=spark)
+        assert mf.completed_buckets(uri, "deadbeefdeadbeef",
+                                    spark=spark) == {3}
+        recs = mf.read_manifest(uri, spark=spark)
+        assert len(recs) == 1 and recs[0]["n_rows"] == 10
