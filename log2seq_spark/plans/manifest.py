@@ -36,13 +36,13 @@ import os
 import posixpath
 import re
 import shutil
-from typing import Dict, Iterable, List, Optional, Set
+from typing import Dict, Iterable, List, Set
+
+from .. import fsio
+from ..fsio import is_uri_path
 
 MANIFEST_NAME = "manifest.jsonl"
 MANIFEST_DIR = "manifest"
-
-_URI_RE = re.compile(r"^[a-z][a-z0-9+.\-]*://", re.IGNORECASE)
-
 
 # routed-sink schema version: bumped when the routed parquet layout
 # changes (v2: precomputed ok/fail/empty flag columns). Folded into the
@@ -62,43 +62,28 @@ def manifest_path(out_dir: str) -> str:
     return os.path.join(out_dir, MANIFEST_NAME)
 
 
-def is_uri_path(path: str) -> bool:
-    """True for scheme-qualified paths (hdfs://, s3a://, file://, …)
-    that must go through the Hadoop FileSystem API rather than the
-    driver's local filesystem."""
-    return _URI_RE.match(path) is not None
-
-
-def _hadoop_fs(spark, path: str):
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs, jpath, jvm
-
-
-def _require_spark(spark, path: str):
-    if spark is None:
-        raise ValueError(
-            f"manifest path {path!r} has a filesystem scheme; pass the "
-            "SparkSession (spark=) so manifest I/O can go through the "
-            "Hadoop FileSystem API")
-
-
 def _record_name(lineage: str, bucket: int) -> str:
     return f"{lineage}-{int(bucket):06d}.json"
+
+
+def _manifest_spark(spark, out_dir: str):
+    try:
+        return fsio.resolve_spark(spark, out_dir)
+    except ValueError:
+        raise ValueError(
+            f"manifest path {out_dir!r} has a filesystem scheme; pass "
+            "the SparkSession (spark=) so manifest I/O can go through "
+            "the Hadoop FileSystem API") from None
 
 
 def completed_buckets(out_dir: str, lineage: str,
                       spark=None) -> Set[int]:
     done: Set[int] = set()
     if is_uri_path(out_dir):
-        _require_spark(spark, out_dir)
-        fs, jdir, _ = _hadoop_fs(spark, manifest_path(out_dir))
-        if not fs.exists(jdir):
-            return done
+        spark = _manifest_spark(spark, out_dir)
         pat = re.compile(re.escape(lineage) + r"-(\d+)\.json$")
-        for st in fs.listStatus(jdir):
-            m = pat.fullmatch(st.getPath().getName())
+        for name in fsio.list_child_names(spark, manifest_path(out_dir)):
+            m = pat.fullmatch(name)
             if m:
                 done.add(int(m.group(1)))
         return done
@@ -119,22 +104,18 @@ def completed_buckets(out_dir: str, lineage: str,
 def append_bucket_records(out_dir: str, lineage: str,
                           records: List[Dict], spark=None) -> None:
     if is_uri_path(out_dir):
-        _require_spark(spark, out_dir)
-        fs, jdir, jvm = _hadoop_fs(spark, manifest_path(out_dir))
-        fs.mkdirs(jdir)
+        spark = _manifest_spark(spark, out_dir)
+        mdir = manifest_path(out_dir)
+        fsio.mkdirs(spark, mdir)
         for rec in records:
             rec = dict(rec)
             rec["lineage_id"] = lineage
-            jpath = jvm.org.apache.hadoop.fs.Path(
-                jdir, _record_name(lineage, rec["bucket"]))
-            # overwrite=True: re-committing the same bucket (a rerun
-            # that reprocessed it) is idempotent, not an error
-            out = fs.create(jpath, True)
-            try:
-                out.write(bytearray(
-                    (json.dumps(rec, sort_keys=True) + "\n").encode()))
-            finally:
-                out.close()
+            # overwrite: re-committing the same bucket (a rerun that
+            # reprocessed it) is idempotent, not an error
+            fsio.write_text(
+                spark,
+                posixpath.join(mdir, _record_name(lineage, rec["bucket"])),
+                json.dumps(rec, sort_keys=True) + "\n")
         return
     os.makedirs(out_dir, exist_ok=True)
     with open(manifest_path(out_dir), "a") as fh:
@@ -146,23 +127,15 @@ def append_bucket_records(out_dir: str, lineage: str,
 
 def read_manifest(out_dir: str, spark=None) -> List[Dict]:
     if is_uri_path(out_dir):
-        _require_spark(spark, out_dir)
-        fs, jdir, jvm = _hadoop_fs(spark, manifest_path(out_dir))
-        if not fs.exists(jdir):
-            return []
+        spark = _manifest_spark(spark, out_dir)
+        mdir = manifest_path(out_dir)
         recs: List[Dict] = []
-        for st in sorted(fs.listStatus(jdir),
-                         key=lambda s: s.getPath().getName()):
-            name = st.getPath().getName()
+        for name in sorted(fsio.list_child_names(spark, mdir)):
             if not name.endswith(".json"):
                 continue
-            stream = fs.open(st.getPath())
-            try:
-                txt = jvm.org.apache.commons.io.IOUtils.toString(
-                    stream, "UTF-8")
-            finally:
-                stream.close()
-            recs.append(json.loads(txt))
+            txt = fsio.read_text(spark, posixpath.join(mdir, name))
+            if txt is not None:
+                recs.append(json.loads(txt))
         return recs
     path = manifest_path(out_dir)
     if not os.path.exists(path):
@@ -178,11 +151,9 @@ def wipe_outputs(out_dir: str, subdirs: Iterable[str],
     manifest records while deleting its data would make a later run of
     that lineage "resume" against output that no longer exists)."""
     if is_uri_path(out_dir):
-        _require_spark(spark, out_dir)
-        fs, _, jvm = _hadoop_fs(spark, out_dir)
+        spark = _manifest_spark(spark, out_dir)
         for sub in list(subdirs) + [MANIFEST_DIR]:
-            fs.delete(jvm.org.apache.hadoop.fs.Path(
-                posixpath.join(out_dir, sub)), True)
+            fsio.delete(spark, posixpath.join(out_dir, sub))
         return
     for sub in subdirs:
         shutil.rmtree(os.path.join(out_dir, sub), ignore_errors=True)

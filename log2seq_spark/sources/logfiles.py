@@ -20,6 +20,14 @@ only — tar headers, no decompression of content); executors then open
 just their own member. This mirrors how Spark's own FileScan plans
 splits centrally and reads remotely, expressed through the public
 Python DataSource API.
+
+Filesystem visibility: partitions open their file with Python's local
+file APIs, so on a multi-node cluster ``path`` must be visible at the
+same location on every executor (shared mount: NFS, FUSE-mounted object
+store, …) — the Python DataSource worker has no JVM, so the Hadoop
+connector stack is not reachable here. For data already on HDFS/S3 as
+parquet/text, use Spark's native readers; this source exists for the
+raw rotated/archived log-file shape those readers cannot split.
 """
 
 from __future__ import annotations

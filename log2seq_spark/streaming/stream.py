@@ -177,12 +177,13 @@ def streaming_dedup_with_index(docs: DataFrame, out_dir: str,
     each micro-batch is one equi-join against it plus a batch-local
     window; Spark sizes both off the files, so a small index broadcasts.
 
-    Epoch discovery/pruning runs driver-side over ``index_dir`` with
-    local-filesystem calls (glob/rmtree) — correct wherever the driver
-    mounts the directory (local, NFS, FUSE). Pointing ``index_dir`` at a
-    raw object-store URI requires swapping those two calls for the
-    Hadoop FileSystem API; the read/write paths already go through
-    Spark and need no change.
+    Epoch discovery/pruning/stamping runs driver-side over
+    ``index_dir``: plain paths use local-filesystem calls (glob/rmtree
+    — correct wherever the driver mounts the directory: local, NFS,
+    FUSE); URI paths (``hdfs://``, ``s3a://``, ``file://``, …) go
+    through the Hadoop FileSystem API (``fsio``), so a raw object-store
+    state dir works with the same connectors and credentials as the
+    data writes.
 
     Both the kept-rows sink and the index are deliberately plain
     per-epoch parquet directories (each epoch one self-contained
@@ -207,7 +208,7 @@ def streaming_dedup_with_index(docs: DataFrame, out_dir: str,
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        _check_epoch_params(index_dir, params)
+        _check_epoch_params(index_dir, params, spark=spark)
         # keep_id typed off the batch's actual id column — a long
         # default would silently widen/clash with string/other ids
         id_type = batch_df.schema[id_col].dataType.simpleString()
@@ -238,7 +239,8 @@ def streaming_dedup_with_index(docs: DataFrame, out_dir: str,
                     .parquet(os.path.join(index_dir, f"epoch={batch_id}")))
         finally:
             dec.unpersist()
-        _prune_epochs(index_dir, batch_id, keep_epochs)
+        _prune_epochs(index_dir, batch_id, keep_epochs,
+                      spark=spark)
 
     return (docs.writeStream.foreachBatch(_write)
                 .option("checkpointLocation", checkpoint_dir))
@@ -249,18 +251,32 @@ def streaming_dedup_with_index(docs: DataFrame, out_dir: str,
 # self-contained parquet overwrite whose `_SUCCESS` marker IS the commit;
 # micro-batch b reads the newest committed epoch < b and overwrites only
 # epoch=b, so crash-replay recomputes from exactly the state the first
-# attempt saw. Discovery/pruning is driver-side glob/rmtree — correct
-# wherever the driver mounts the directory (local/NFS/FUSE); a raw
-# object-store URI needs these two swapped for the Hadoop FileSystem API.
+# attempt saw. Discovery/pruning/stamping is driver-side: plain paths use
+# glob/rmtree/open (local/NFS/FUSE mounts); URI paths (hdfs://, s3a://,
+# file://, …) route through the Hadoop FileSystem API (fsio) — the same
+# connector stack the stream's data writes use, so any state dir Spark
+# can write, the protocol can manage. foreachBatch runs on the driver
+# with an active session, which fsio resolves when spark isn't passed.
 
-def _committed_epochs(dir_path: str):
+def _committed_epochs(dir_path: str, spark=None):
     """Sorted epoch ids under ``dir_path/epoch=N`` whose parquet commit
     marker (`_SUCCESS`) exists."""
-    import glob
     import os
+    import posixpath
     import re as _re
 
+    from .. import fsio
+
     out = []
+    if fsio.is_uri_path(dir_path):
+        spark = fsio.resolve_spark(spark, dir_path)
+        for name in fsio.list_child_names(spark, dir_path):
+            m = _re.fullmatch(r"epoch=(\d+)", name)
+            if m and fsio.exists(spark, posixpath.join(
+                    dir_path, name, "_SUCCESS")):
+                out.append(int(m.group(1)))
+        return sorted(out)
+    import glob
     # glob.escape: a state dir whose PATH contains glob metacharacters
     # ([, ?, *) would silently match nothing — every batch would read
     # an empty index and replay safety would never engage
@@ -278,27 +294,38 @@ def _read_prior_epoch(spark: SparkSession, dir_path: str, batch_id: int,
     or a replay of it)."""
     import os
 
-    prior = [e for e in _committed_epochs(dir_path) if e < batch_id]
+    prior = [e for e in _committed_epochs(dir_path, spark=spark)
+             if e < batch_id]
     if prior:
         return spark.read.parquet(
             os.path.join(dir_path, f"epoch={prior[-1]}"))
     return spark.createDataFrame([], empty_schema)
 
 
-def _prune_epochs(dir_path: str, batch_id: int, keep_epochs: int) -> None:
+def _prune_epochs(dir_path: str, batch_id: int, keep_epochs: int,
+                  spark=None) -> None:
     """Replay safety: epoch b can be replayed until its checkpoint
     offset commits (after foreachBatch returns), and a replay reads the
     newest epoch < b — so b-1 must ALWAYS survive this call. Prune
     strictly below b - keep_epochs (clamped to >= 1): keep_epochs=1
     keeps exactly {b-1, b}, never less."""
     import os
+    import posixpath
     import shutil
 
+    from .. import fsio
+
     horizon = batch_id - max(int(keep_epochs), 1)
-    for e in _committed_epochs(dir_path):
+    uri = fsio.is_uri_path(dir_path)
+    if uri:
+        spark = fsio.resolve_spark(spark, dir_path)
+    for e in _committed_epochs(dir_path, spark=spark):
         if e < horizon:
-            shutil.rmtree(os.path.join(dir_path, f"epoch={e}"),
-                          ignore_errors=True)
+            if uri:
+                fsio.delete(spark, posixpath.join(dir_path, f"epoch={e}"))
+            else:
+                shutil.rmtree(os.path.join(dir_path, f"epoch={e}"),
+                              ignore_errors=True)
 
 
 # position_profiles output layout (operators/templates.py): the empty
@@ -331,9 +358,9 @@ def streaming_template_mining(lines: DataFrame, checkpoint_dir: str,
     one posexplode + hash aggregate over ITS rows plus a merge
     aggregate against the small state read. History is never re-read.
 
-    Epoch discovery/pruning is driver-side glob/rmtree (same
-    local/NFS/FUSE caveat as ``streaming_dedup_with_index``; swap for
-    the Hadoop FileSystem API on raw object-store URIs).
+    Epoch discovery/pruning is driver-side: local-FS calls on plain
+    paths, the Hadoop FileSystem API on URI paths (same protocol as
+    ``streaming_dedup_with_index``).
 
     Returns an un-started ``DataStreamWriter``.
     """
@@ -351,7 +378,8 @@ def streaming_template_mining(lines: DataFrame, checkpoint_dir: str,
               "text_col": text_col if tokens_col is None else None}
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
-        _check_epoch_params(profile_dir, params)
+        _check_epoch_params(profile_dir, params,
+                            spark=batch_df.sparkSession)
         prior = _read_prior_epoch(batch_df.sparkSession, profile_dir,
                                   batch_id, _PROFILE_SCHEMA)
         batch_prof = position_profiles(batch_df, text_col,
@@ -359,7 +387,8 @@ def streaming_template_mining(lines: DataFrame, checkpoint_dir: str,
         (merge_profiles(prior, batch_prof)
             .write.mode("overwrite")
             .parquet(os.path.join(profile_dir, f"epoch={batch_id}")))
-        _prune_epochs(profile_dir, batch_id, keep_epochs)
+        _prune_epochs(profile_dir, batch_id, keep_epochs,
+                      spark=batch_df.sparkSession)
 
     return (lines.writeStream.foreachBatch(_write)
                  .option("checkpointLocation", checkpoint_dir))
@@ -386,7 +415,7 @@ def current_templates(spark: SparkSession, profile_dir: str,
 
     last_err = None
     for _ in range(3):
-        epochs = _committed_epochs(profile_dir)
+        epochs = _committed_epochs(profile_dir, spark=spark)
         if not epochs:
             return spark.createDataFrame(
                 [], "template string, n_lines bigint, n_groups bigint")
@@ -400,24 +429,46 @@ def current_templates(spark: SparkSession, profile_dir: str,
     raise last_err
 
 
-def _check_epoch_params(state_dir: str, params: dict) -> None:
+def _check_epoch_params(state_dir: str, params: dict,
+                        spark=None) -> None:
     """Guard against silently mixing state built under different
     operator parameters across restarts (e.g. an LSH index signed with
     n_hashes=8 screened with n_hashes=16 would miss every historical
     bucket): the first epoch stamps ``params.json`` beside the epoch
     dirs; every later run must present the identical dict.
 
-    The stamp is written atomically (temp file + ``os.replace``) and
-    only ENFORCED once a committed epoch exists — parameters can be
-    freely corrected after a failed first batch (no committed epoch →
-    restamp freely). Once committed epochs EXIST, a missing or
-    unreadable stamp is refused rather than restamped: silently
-    stamping the CURRENT run's params would accept exactly the drift
-    the guard exists to reject (atomic writes make a truncated stamp
-    impossible in normal operation, so this state means the file was
-    lost or hand-edited — restore it, or rebuild the state dir)."""
+    The stamp is written atomically (temp file + ``os.replace`` on
+    local paths; one closed create on URI paths — atomic on HDFS and
+    object-store PUTs) and only ENFORCED once a committed epoch exists
+    — parameters can be freely corrected after a failed first batch (no
+    committed epoch → restamp freely). Once committed epochs EXIST, a
+    missing or unreadable stamp is refused rather than restamped:
+    silently stamping the CURRENT run's params would accept exactly the
+    drift the guard exists to reject (atomic writes make a truncated
+    stamp impossible in normal operation, so this state means the file
+    was lost or hand-edited — restore it, or rebuild the state dir)."""
     import json
     import os
+    import posixpath
+
+    from .. import fsio
+
+    if fsio.is_uri_path(state_dir):
+        spark = fsio.resolve_spark(spark, state_dir)
+        fsio.mkdirs(spark, state_dir)
+        path = posixpath.join(state_dir, "params.json")
+        txt = fsio.read_text(spark, path)
+        seen = None
+        if txt is not None:
+            try:
+                seen = json.loads(txt)
+            except ValueError:
+                seen = None   # unreadable stamp
+        if _committed_epochs(state_dir, spark=spark):
+            _enforce_epoch_params(state_dir, seen, params)
+            return
+        fsio.write_text(spark, path, json.dumps(params))
+        return
 
     os.makedirs(state_dir, exist_ok=True)
     path = os.path.join(state_dir, "params.json")
@@ -429,22 +480,26 @@ def _check_epoch_params(state_dir: str, params: dict) -> None:
         except ValueError:
             seen = None   # unreadable stamp
     if _committed_epochs(state_dir):
-        if seen is None:
-            raise ValueError(
-                f"epoch state at {state_dir} has committed epochs but "
-                "no readable params.json stamp; refusing to restamp "
-                "with this run's parameters — restore the stamp or "
-                "rebuild the state directory")
-        if seen != params:
-            raise ValueError(
-                f"epoch state at {state_dir} was built with {seen}, "
-                f"got {params}: matching parameters are required "
-                "(or point at a fresh state directory)")
+        _enforce_epoch_params(state_dir, seen, params)
         return
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(params, f)
     os.replace(tmp, path)
+
+
+def _enforce_epoch_params(state_dir: str, seen, params: dict) -> None:
+    if seen is None:
+        raise ValueError(
+            f"epoch state at {state_dir} has committed epochs but "
+            "no readable params.json stamp; refusing to restamp "
+            "with this run's parameters — restore the stamp or "
+            "rebuild the state directory")
+    if seen != params:
+        raise ValueError(
+            f"epoch state at {state_dir} was built with {seen}, "
+            f"got {params}: matching parameters are required "
+            "(or point at a fresh state directory)")
 
 
 def streaming_near_dup_with_index(docs: DataFrame, out_dir: str,
@@ -501,7 +556,7 @@ def streaming_near_dup_with_index(docs: DataFrame, out_dir: str,
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        _check_epoch_params(index_dir, params)
+        _check_epoch_params(index_dir, params, spark=spark)
         id_type = batch_df.schema[id_col].dataType.simpleString()
         idx = _read_prior_epoch(
             spark, index_dir, batch_id,
@@ -547,7 +602,8 @@ def streaming_near_dup_with_index(docs: DataFrame, out_dir: str,
                                           f"epoch={batch_id}")))
         finally:
             sigs.unpersist()
-        _prune_epochs(index_dir, batch_id, keep_epochs)
+        _prune_epochs(index_dir, batch_id, keep_epochs,
+                      spark=spark)
 
     return (docs.writeStream.foreachBatch(_write)
                 .option("checkpointLocation", checkpoint_dir))
@@ -595,7 +651,7 @@ def streaming_clean_corpus(docs: DataFrame, out_dir: str,
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        _check_epoch_params(index_dir, params)
+        _check_epoch_params(index_dir, params, spark=spark)
         id_type = batch_df.schema[id_col].dataType.simpleString()
         idx = _read_prior_epoch(spark, index_dir, batch_id,
                                 f"text_hash string, keep_id {id_type}")
@@ -636,7 +692,8 @@ def streaming_clean_corpus(docs: DataFrame, out_dir: str,
                 dec.unpersist()
         finally:
             cleaned.unpersist()
-        _prune_epochs(index_dir, batch_id, keep_epochs)
+        _prune_epochs(index_dir, batch_id, keep_epochs,
+                      spark=spark)
 
     return (docs.writeStream.foreachBatch(_write)
                 .option("checkpointLocation", checkpoint_dir))
@@ -681,7 +738,7 @@ drop_duplicate_lines_against_index` against the persistent
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        _check_epoch_params(index_dir, params)
+        _check_epoch_params(index_dir, params, spark=spark)
         id_type = batch_df.schema[id_col].dataType.simpleString()
         idx = _read_prior_epoch(spark, index_dir, batch_id,
                                 f"line_hash string, keep_id {id_type}")
@@ -705,7 +762,8 @@ drop_duplicate_lines_against_index` against the persistent
                                           f"epoch={batch_id}")))
         finally:
             keyed.unpersist()
-        _prune_epochs(index_dir, batch_id, keep_epochs)
+        _prune_epochs(index_dir, batch_id, keep_epochs,
+                      spark=spark)
 
     return (docs.writeStream.foreachBatch(_write)
                 .option("checkpointLocation", checkpoint_dir))

@@ -2762,3 +2762,71 @@ class TestCleanCorpus:
                            quality_min=None).collect()[0]
         assert row["clean_text"] == "unique content line\nsecond line"
         assert row["kept"]
+
+
+class TestEpochStateUriPaths:
+    """The epoch-state protocol on scheme-qualified state dirs (the
+    hdfs://s3a:// shape), exercised through file:// — it routes through
+    the same Hadoop FileSystem code path (fsio) on local disk."""
+
+    def test_streaming_dedup_with_uri_dirs(self, spark, tmpdir_path):
+        import os
+        from log2seq_spark.streaming import streaming_dedup_with_index
+        inp = os.path.join(tmpdir_path, "uin")
+        out = "file://" + os.path.join(tmpdir_path, "uout")
+        ck = os.path.join(tmpdir_path, "uck")          # checkpoint: Spark's own
+        ix = "file://" + os.path.join(tmpdir_path, "uix")
+        schema = "doc_id long, text string"
+
+        def run(rows):
+            (spark.createDataFrame(rows, schema)
+                  .coalesce(1).write.mode("append").parquet(inp))
+            stream = spark.readStream.schema(schema).parquet(inp)
+            q = (streaming_dedup_with_index(stream, out, ck, ix)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        run([(0, "alpha"), (1, "beta"), (2, "alpha")])
+        run([(10, "alpha"), (11, "gamma")])            # cross-run dup
+        kept = spark.read.parquet(out).collect()
+        assert sorted((r["doc_id"], r["text"]) for r in kept) == \
+            [(0, "alpha"), (1, "beta"), (11, "gamma")]
+        # epoch dirs + params stamp landed under the URI state dir
+        local_ix = os.path.join(tmpdir_path, "uix")
+        names = {n for n in os.listdir(local_ix) if not n.startswith(".")}
+        assert "params.json" in names
+        assert any(n.startswith("epoch=") for n in names)
+
+    def test_epoch_params_guard_uri(self, spark, tmpdir_path):
+        import json
+        import os
+        import pytest
+        from log2seq_spark.streaming.stream import (_check_epoch_params,
+                                                    _committed_epochs)
+        local = os.path.join(tmpdir_path, "ustate")
+        d = "file://" + local
+        _check_epoch_params(d, {"a": 1}, spark=spark)
+        _check_epoch_params(d, {"a": 2}, spark=spark)  # no committed epoch
+        os.makedirs(os.path.join(local, "epoch=0"))
+        open(os.path.join(local, "epoch=0", "_SUCCESS"), "w").close()
+        assert _committed_epochs(d, spark=spark) == [0]
+        _check_epoch_params(d, {"a": 2}, spark=spark)
+        with pytest.raises(ValueError, match="matching parameters"):
+            _check_epoch_params(d, {"a": 3}, spark=spark)
+        os.remove(os.path.join(local, "params.json"))  # lost stamp
+        with pytest.raises(ValueError, match="refusing to restamp"):
+            _check_epoch_params(d, {"a": 2}, spark=spark)
+
+    def test_prune_epochs_uri(self, spark, tmpdir_path):
+        import os
+        from log2seq_spark.streaming.stream import (_committed_epochs,
+                                                    _prune_epochs)
+        local = os.path.join(tmpdir_path, "uprune")
+        d = "file://" + local
+        for e in range(5):
+            os.makedirs(os.path.join(local, f"epoch={e}"))
+            open(os.path.join(local, f"epoch={e}", "_SUCCESS"),
+                 "w").close()
+        _prune_epochs(d, 4, keep_epochs=2, spark=spark)
+        # horizon = 4-2 = 2: epochs 0,1 pruned; 2,3,4 survive
+        assert _committed_epochs(d, spark=spark) == [2, 3, 4]

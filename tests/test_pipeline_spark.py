@@ -363,7 +363,15 @@ class TestUriPathManifest:
         assert names_b and all(n.startswith(res3.lineage_id)
                                for n in names_b)
 
-    def test_uri_path_without_spark_raises(self, tmpdir_path):
+    def test_uri_path_spark_resolution(self, spark, tmpdir_path,
+                                       monkeypatch):
+        # with an active session, spark= may be omitted (foreachBatch
+        # closures rely on this); with none at all, URI-path I/O raises
+        # with remediation instead of falling back to local open()
+        assert mf.completed_buckets("file://" + tmpdir_path, "abc") == set()
+        from pyspark.sql import SparkSession
+        monkeypatch.setattr(SparkSession, "getActiveSession",
+                            staticmethod(lambda: None))
         with pytest.raises(ValueError, match="filesystem scheme"):
             mf.completed_buckets("file://" + tmpdir_path, "abc")
         with pytest.raises(ValueError, match="filesystem scheme"):
