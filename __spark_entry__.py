@@ -989,36 +989,85 @@ def q_logtext_archive_scan(spark, sf_dir):
     per member — and every (member, line_no, text) row must match the
     oracle's closed-form reconstruction. Exercises the real source path:
     tar member listing at planning, per-member decompress+decode on
-    executors, 1-based line numbering."""
+    executors, 1-based line numbering.
+
+    ``kind='record'`` rows add the multiline assembly operator
+    (:func:`log2seq_spark.operators.multiline.assemble_multiline` — the
+    Logstash-multiline-codec shape): the archive's fourth member is a
+    stack-trace-style log whose 12 five-line records must come back
+    joined in line order with exact start positions and counts; the
+    oracle replays the assembly independently with a window running-sum
+    + ordered string_agg."""
     import io
     import os
     import tarfile
+    from log2seq_spark.operators.multiline import assemble_multiline
     from log2seq_spark.sources import logfiles
     base = "/tmp/log2seq_spark_logtext"
-    arch = os.path.join(base, "fixture.tar.gz")
+    arch = os.path.join(base, "fixture_v2.tar.gz")
     if not os.path.exists(arch):
         os.makedirs(base, exist_ok=True)
         tmp = arch + ".tmp"
         with tarfile.open(tmp, "w:gz") as tar:
-            for m in range(3):
-                body = "".join(f"member {m} line {i} checksum {(m * 1000 + i) % 97}\n"
-                               for i in range(1, 51)).encode()
-                info = tarfile.TarInfo(f"logs/part{m}.log")
+            def _add(name, body):
+                info = tarfile.TarInfo(name)
                 info.size = len(body)
                 tar.addfile(info, io.BytesIO(body))
+            for m in range(3):
+                _add(f"logs/part{m}.log",
+                     "".join(f"member {m} line {i} checksum {(m * 1000 + i) % 97}\n"
+                             for i in range(1, 51)).encode())
+            _add("logs/app.log",
+                 "".join((f"2024-01-01 00:00:00 ERROR job {i} failed\n"
+                          if i % 5 == 1 else
+                          f"    at com.example.Frame{i}(App.java:{i})\n")
+                         for i in range(1, 61)).encode())
         os.replace(tmp, arch)
     logfiles.register(spark)
     df = spark.read.format("logtext").option("path", arch).load()
-    return df.select("member", "line_no", "text")
+    lines = df.select(F.lit("line").alias("kind"), "member", "line_no",
+                      F.lit(1).cast("bigint").alias("n_lines"), "text")
+    recs = (assemble_multiline(df.filter(F.col("member") == "logs/app.log"),
+                               r"^\d{4}-")
+            .select(F.lit("record").alias("kind"), "member", "line_no",
+                    "n_lines", "text"))
+    return lines.unionByName(recs)
 
 
 _SQL_LOGTEXT_SCAN = """
-SELECT 'logs/part' || m || '.log' AS member,
-       CAST(i AS BIGINT) AS line_no,
-       'member ' || m || ' line ' || i || ' checksum ' || (m * 1000 + i) % 97
-         AS text
-FROM (SELECT unnest(generate_series(0, 2)) AS m),
-     (SELECT unnest(generate_series(1, 50)) AS i)
+WITH base AS (
+  SELECT 'logs/part' || m || '.log' AS member,
+         CAST(i AS BIGINT) AS line_no,
+         'member ' || m || ' line ' || i || ' checksum ' || (m * 1000 + i) % 97
+           AS text
+  FROM (SELECT unnest(generate_series(0, 2)) AS m),
+       (SELECT unnest(generate_series(1, 50)) AS i)
+),
+app AS (
+  SELECT 'logs/app.log' AS member, CAST(i AS BIGINT) AS line_no,
+         CASE WHEN i % 5 = 1
+              THEN '2024-01-01 00:00:00 ERROR job ' || i || ' failed'
+              ELSE '    at com.example.Frame' || i || '(App.java:' || i || ')'
+         END AS text
+  FROM (SELECT unnest(generate_series(1, 60)) AS i)
+),
+lines AS (SELECT * FROM base UNION ALL SELECT * FROM app),
+marked AS (
+  SELECT member, line_no, text,
+         sum(CASE WHEN regexp_matches(text, '^\\d{4}-') THEN 1 ELSE 0 END)
+           OVER (PARTITION BY member ORDER BY line_no) AS rid
+  FROM app
+),
+recs AS (
+  SELECT member, min(line_no) AS line_no,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         string_agg(text, chr(10) ORDER BY line_no) AS text
+  FROM marked GROUP BY member, rid
+)
+SELECT 'line' AS kind, member, line_no, CAST(1 AS BIGINT) AS n_lines, text
+FROM lines
+UNION ALL
+SELECT 'record' AS kind, member, line_no, n_lines, text FROM recs
 """
 
 

@@ -32,9 +32,6 @@ def get_spark(app_name: str = "log2seq-spark", master: str | None = None,
          # Arrow everywhere; batch size pinned so N- and 4N-core runs do
          # identical per-batch work (BASELINE.md protocol)
          .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-         # Python DataSource filter pushdown (sources/logfiles.py prunes
-         # files/tar-members on path/member predicates at planning time)
-         .config("spark.sql.python.filterPushdown.enabled", "true")
          .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
          .config("spark.sql.session.timeZone", "UTC")
          # local-mode driver IS the executor: an 8g default heap GC-thrashes

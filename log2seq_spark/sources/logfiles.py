@@ -13,7 +13,11 @@ executors. Schema::
 ``line_no`` is 1-based within its (file, member). Options:
 
 * ``path`` — comma-separated files / glob patterns (required);
-* ``encoding`` — text decoding, default utf-8 (errors replaced).
+* ``encoding`` — text decoding, default utf-8 (errors replaced);
+* ``members`` — comma-separated fnmatch patterns selecting archive
+  members (plain files match on basename) at PLANNING time: unmatched
+  members are never decompressed. This replaces the removed
+  filter-pushdown pruning (see LogTextReader) with a stateless knob.
 
 Planning opens archives ONCE on the driver for the member list (metadata
 only — tar headers, no decompression of content); executors then open
@@ -91,66 +95,58 @@ def _open_plain(path: str):
 
 
 class LogTextReader(DataSourceReader):
+    """NO ``pushFilters``, deliberately. Earlier versions pruned archive
+    members via filter pushdown; removed after a live-reproduced
+    correctness bug: Spark plans a Python data source scan once per
+    relation and CACHES the planned partitions, ignoring that the pushed
+    filters belonged to one consumer — so ``df.filter(member=...)``
+    pruned the partitions for EVERY branch sharing ``df`` (a self-union
+    returned 120 of 270 rows, and even ``df.filter(...).count()``
+    followed by ``df.count()`` returned the pruned count). Pruning by
+    mutating ``partitions()`` output is therefore unsafe for any plan
+    that reuses the relation; select members STATELESSLY at planning
+    time with the ``members`` option instead (same effect, applied
+    uniformly to the whole relation, visible in the read options)."""
+
     def __init__(self, options):
         self._paths = _expand(options["path"])
         self._encoding = options.get("encoding", "utf-8")
-        self._preds = []
+        m = options.get("members")
+        self._members = ([p.strip() for p in m.split(",") if p.strip()]
+                         if m else None)
 
-    def pushFilters(self, filters):
-        """Partition-pruning pushdown: ``path``/``member`` are constant
-        within a partition, so equality/membership/prefix-suffix-contains
-        predicates on them prune whole files or archive members before
-        any byte is read (the Python-source analog of Hive partition
-        pruning). Everything else is returned for Spark to evaluate."""
-        from pyspark.sql.datasource import (EqualTo, In, StringContains,
-                                            StringEndsWith,
-                                            StringStartsWith)
-        for f in filters:
-            attr = getattr(f, "attribute", None)
-            if (attr and len(attr) == 1 and attr[0] in ("path", "member")
-                    and isinstance(f, (EqualTo, In, StringStartsWith,
-                                       StringEndsWith, StringContains))):
-                self._preds.append(f)
-            else:
-                yield f
-
-    def _keep(self, part: "_LogPart") -> bool:
-        from pyspark.sql.datasource import (EqualTo, In, StringContains,
-                                            StringEndsWith,
-                                            StringStartsWith)
-        for f in self._preds:
-            val = part.path if f.attribute[0] == "path" else part.member
-            if isinstance(f, EqualTo):
-                ok = val == f.value
-            elif isinstance(f, In):
-                ok = val in f.value
-            elif isinstance(f, StringStartsWith):
-                ok = val.startswith(f.value)
-            elif isinstance(f, StringEndsWith):
-                ok = val.endswith(f.value)
-            else:  # StringContains
-                ok = f.value in val
-            if not ok:
-                return False
-        return True
+    def _member_match(self, name: str) -> bool:
+        """fnmatch the ``members`` option patterns against an archive
+        member name, or against a plain file's basename (so one option
+        uniformly selects across mixed archive/plain inputs)."""
+        if self._members is None:
+            return True
+        import fnmatch
+        return any(fnmatch.fnmatchcase(name, pat) for pat in self._members)
 
     def partitions(self) -> Sequence[InputPartition]:
+        import os
+
         parts: list[InputPartition] = []
         for fp in self._paths:
             if fp.endswith(_TAR_SUFFIXES):
                 import tarfile
                 with tarfile.open(fp, "r") as tar:
                     for i, info in enumerate(tar.getmembers()):
-                        if info.isfile():
+                        if info.isfile() and self._member_match(info.name):
                             parts.append(_LogPart(fp, info.name, i))
-            else:
+            elif self._member_match(os.path.basename(fp)):
                 parts.append(_LogPart(fp, ""))
-        return [p for p in parts if self._keep(p)]
+        if self._members is not None and not parts:
+            raise FileNotFoundError(
+                f"logtext: no file or archive member matches "
+                f"members={self._members!r} under path={self._paths!r}")
+        return parts
 
     def read(self, part: _LogPart) -> Iterator[tuple]:
         if part is None:
-            # partitions() returned [] (empty tar / no glob hits / all
-            # pruned): Spark still schedules one default partition
+            # partitions() returned [] (empty tar): Spark still
+            # schedules one default partition
             return
         enc = self._encoding
         if part.member:
@@ -182,9 +178,7 @@ class LogTextDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotently register the ``logtext`` format on this session (and
-    enable Python-source filter pushdown, which guards pushFilters)."""
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    """Idempotently register the ``logtext`` format on this session."""
     spark.dataSource.register(LogTextDataSource)
 
 

@@ -2311,20 +2311,45 @@ class TestLogTextDataSource:
         # a.log + b.log.gz + 2 tar members = 4 independent read partitions
         assert df.rdd.getNumPartitions() == 4
 
-    def test_member_filter_prunes_partitions(self, spark, tmpdir_path):
-        """A filter on member/path prunes whole archive members at
-        planning time (pushFilters), not per-row after reading."""
+    def test_members_option_prunes_partitions(self, spark, tmpdir_path):
+        """The stateless planning-time member selection (replacing the
+        removed pushFilters pruning): unmatched members never become
+        partitions, a no-match selection fails fast."""
+        from log2seq_spark.sources import logfiles
+        d = self._fixture(tmpdir_path)
+        logfiles.register(spark)
+        paths = f"{d}/a.log,{d}/b.log.gz,{d}/c.tar.gz"
+        one = (spark.read.format("logtext").option("path", paths)
+               .option("members", "one.log").load())
+        assert one.rdd.getNumPartitions() == 1   # 3 of 4 pruned
+        assert {r["text"] for r in one.collect()} == {"line c1", "line c2"}
+        pre = (spark.read.format("logtext").option("path", paths)
+               .option("members", "sub/*").load())
+        assert pre.rdd.getNumPartitions() == 1
+        assert [r["text"] for r in pre.collect()] == ["line c3"]
+        import pytest as _pytest
+        with _pytest.raises(Exception, match="no file or archive member"):
+            (spark.read.format("logtext").option("path", paths)
+             .option("members", "nope-*").load().collect())
+
+    def test_relation_reuse_not_pruned_by_filters(self, spark, tmpdir_path):
+        """Regression for the removed pushFilters pruning: Spark caches
+        the planned Python-source scan per relation, so a filter pushed
+        for one consumer pruned partitions for EVERY branch sharing the
+        relation — a self-union lost rows, and df.count() after
+        df.filter(...).count() returned the filtered count. With
+        pushdown gone, filters are ordinary post-scan predicates."""
         from log2seq_spark.sources import logfiles
         d = self._fixture(tmpdir_path)
         logfiles.register(spark)
         df = (spark.read.format("logtext")
               .option("path", f"{d}/a.log,{d}/b.log.gz,{d}/c.tar.gz").load())
-        one = df.filter("member = 'one.log'")
-        assert one.rdd.getNumPartitions() == 1   # 3 of 4 pruned
-        assert {r["text"] for r in one.collect()} == {"line c1", "line c2"}
-        pre = df.filter("member LIKE 'sub/%'")
-        assert pre.rdd.getNumPartitions() == 1
-        assert [r["text"] for r in pre.collect()] == ["line c3"]
+        total = df.count()
+        filtered = df.filter("member = 'one.log'")
+        assert filtered.count() == 2
+        assert df.count() == total                 # unchanged after filter
+        u = df.select("text").unionByName(filtered.select("text"))
+        assert u.count() == total + 2
 
     def test_empty_tar_and_fail_fast_on_missing(self, spark, tmpdir_path):
         import os
@@ -2830,3 +2855,92 @@ class TestEpochStateUriPaths:
         _prune_epochs(d, 4, keep_epochs=2, spark=spark)
         # horizon = 4-2 = 2: epochs 0,1 pruned; 2,3,4 survive
         assert _committed_epochs(d, spark=spark) == [2, 3, 4]
+
+
+class TestMultiline:
+    """assemble_multiline: stack-trace collapse, orphan head, per-file
+    isolation, order invariance under repartition, null lines."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "path string, member string, line_no long, text string")
+
+    def test_stack_trace_collapse(self, spark):
+        from log2seq_spark.operators.multiline import assemble_multiline
+        rows = [("f", "", 1, "2024-01-01 00:00:01 ERROR job failed"),
+                ("f", "", 2, "    at com.example.A(file.java:10)"),
+                ("f", "", 3, "    at com.example.B(file.java:20)"),
+                ("f", "", 4, "2024-01-01 00:00:02 INFO recovered"),
+                ("f", "", 5, "2024-01-01 00:00:03 WARN slow"),
+                ("f", "", 6, "    retry in 5s")]
+        out = assemble_multiline(self._df(spark, rows), r"^\d{4}-")
+        got = {r["line_no"]: r for r in out.collect()}
+        assert set(got) == {1, 4, 5}
+        assert got[1]["n_lines"] == 3 and got[1]["has_start"]
+        assert got[1]["text"].splitlines() == [rows[0][3], rows[1][3],
+                                               rows[2][3]]
+        assert got[4]["n_lines"] == 1
+        assert got[5]["n_lines"] == 2
+        assert got[5]["text"].endswith("retry in 5s")
+
+    def test_orphan_head_kept_and_flagged(self, spark):
+        from log2seq_spark.operators.multiline import assemble_multiline
+        rows = [("f", "", 1, "    orphan continuation"),
+                ("f", "", 2, "    still orphan"),
+                ("f", "", 3, "2024-01-01 00:00:01 INFO ok")]
+        out = assemble_multiline(self._df(spark, rows), r"^\d{4}-")
+        got = sorted(out.collect(), key=lambda r: r["line_no"])
+        assert len(got) == 2
+        assert got[0]["has_start"] is False and got[0]["n_lines"] == 2
+        assert got[1]["has_start"] is True and got[1]["n_lines"] == 1
+
+    def test_per_file_isolation_and_repartition_invariance(self, spark):
+        from log2seq_spark.operators.multiline import assemble_multiline
+        rows = []
+        for f in ("a", "b"):
+            rows += [(f, "m", 1, f"2024-01-01 00:00:01 start {f}"),
+                     (f, "m", 2, f"    tail {f}")]
+        df = self._df(spark, rows).repartition(16)   # scrambled layout
+        out = assemble_multiline(df, r"^\d{4}-").collect()
+        assert len(out) == 2
+        for r in out:
+            assert r["n_lines"] == 2
+            assert r["text"] == (f"2024-01-01 00:00:01 start {r['path']}"
+                                 f"\n    tail {r['path']}")
+
+    def test_null_text_joins_as_empty_line(self, spark):
+        from log2seq_spark.operators.multiline import assemble_multiline
+        rows = [("f", "", 1, "2024-01-01 00:00:01 A"),
+                ("f", "", 2, None),
+                ("f", "", 3, "    b")]
+        out = assemble_multiline(self._df(spark, rows), r"^\d{4}-").collect()
+        assert len(out) == 1
+        assert out[0]["text"].splitlines() == ["2024-01-01 00:00:01 A",
+                                               "", "    b"]
+
+    def test_internal_column_collision_raises(self, spark):
+        from log2seq_spark.operators.multiline import assemble_multiline
+        df = self._df(spark, [("f", "", 1, "x")]).withColumn(
+            "__ml_rid", F.lit(1))
+        with pytest.raises(ValueError, match="__ml_rid"):
+            assemble_multiline(df, r"^\d{4}-")
+
+    def test_feeds_header_cascade(self, spark):
+        # the operator's purpose: a stack-trace body that would
+        # quarantine as N parse failures rides inside its record
+        from log2seq_spark.functions.udf import with_parsed
+        from log2seq_spark.operators.multiline import assemble_multiline
+        from log2seq_spark.rules.presets import default_program
+        rows = [("f", "", 1, "Jan  1 12:34:56 host1 app[1]: ERROR boom"),
+                ("f", "", 2, "  at com.example.A(file.java:10)"),
+                ("f", "", 3, "Jan  1 12:34:57 host1 app[1]: INFO ok")]
+        recs = assemble_multiline(self._df(spark, rows),
+                                  r"^[A-Z][a-z]{2} ", sep=" | ")
+        parsed = with_parsed(recs, default_program(), text_col="text",
+                             default_year=2024)
+        got = {r["line_no"]: r for r in
+               parsed.select("line_no", "parsed.host",
+                             "parsed.message").collect()}
+        assert got[1]["host"] == "host1"
+        assert got[1]["message"].endswith("at com.example.A(file.java:10)")
+        assert got[3]["message"] == "app[1]: INFO ok"
