@@ -21,8 +21,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-from pyspark.sql.types import (IntegerType, LongType, StringType,
-                               StructField, StructType, TimestampType)
+from pyspark.sql.types import (BooleanType, IntegerType, LongType,
+                               StringType, StructField, StructType,
+                               TimestampType)
 
 CONV_SUMMARY_SCHEMA = StructType([
     StructField("conv_id", StringType()),
@@ -125,3 +126,133 @@ def conversation_summaries(parsed_stream: DataFrame,
                      _make_assemble(duration_ms(watermark)),
                      CONV_SUMMARY_SCHEMA, _STATE_SCHEMA,
                      "append", GroupStateTimeout.EventTimeTimeout))
+
+
+# --- streaming multiline record assembly --------------------------------
+
+MULTILINE_RECORD_SCHEMA = StructType([
+    StructField("path", StringType()),
+    StructField("line_no", LongType()),
+    StructField("n_lines", LongType()),
+    StructField("has_start", BooleanType()),
+    StructField("flushed", BooleanType()),
+    StructField("text", StringType()),
+])
+
+_ML_STATE_SCHEMA = StructType([
+    StructField("line_no", LongType()),
+    StructField("n_lines", LongType()),
+    StructField("has_start", BooleanType()),
+    StructField("buf", StringType()),
+])
+
+
+def _make_multiline(start_pattern: str, text_col: str, order_col: str,
+                    sep: str, flush_ms: int):
+    import re
+    start_re = re.compile(start_pattern)
+
+    def _fn(key, frames: Iterable[pd.DataFrame],
+            state: GroupState) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in MULTILINE_RECORD_SCHEMA.fields]
+
+        def rows(recs, flushed):
+            return pd.DataFrame(
+                [(key[0], ln, n, hs, flushed, txt)
+                 for ln, n, hs, txt in recs], columns=cols)
+
+        if state.hasTimedOut:
+            ln, n, hs, buf = state.get
+            state.remove()
+            yield rows([(ln, n, hs, buf)], flushed=True)
+            return
+
+        dfs = [f for f in frames if len(f)]
+        if not dfs:
+            # data-less invocation: keep the open record, refresh the
+            # idle-flush clock
+            if state.exists:
+                state.setTimeoutDuration(flush_ms)
+            yield rows([], flushed=False)
+            return
+        pdf = pd.concat(dfs, ignore_index=True)
+        pdf = pdf.sort_values(order_col, kind="stable")
+        texts = pdf[text_col].fillna("")
+        # vectorized record segmentation within the batch: cumsum of
+        # start flags; rid 0 continues the carried open record
+        is_start = texts.map(lambda t: start_re.search(t) is not None)
+        rid = is_start.cumsum()
+
+        carried = state.get if state.exists else None
+        done = []
+        open_rec = None
+        for r, grp in pdf.groupby(rid.values, sort=True):
+            g_texts = texts.loc[grp.index]
+            body = sep.join(g_texts)
+            first_ln = int(grp[order_col].iloc[0])
+            n = len(grp)
+            if r == 0:
+                if carried is not None:
+                    c_ln, c_n, c_hs, c_buf = carried
+                    rec = (c_ln, c_n + n, c_hs, c_buf + sep + body)
+                else:
+                    rec = (first_ln, n, False, body)   # orphan head
+            else:
+                rec = (first_ln, n, True, body)
+            if open_rec is not None:
+                done.append(open_rec)
+            open_rec = rec
+        if open_rec is None:                 # empty batch frames
+            open_rec = carried
+        elif rid.max() == 0 and carried is not None:
+            pass                             # merged above; stays open
+        if carried is not None and rid.max() > 0 and 0 not in rid.values:
+            # batch began with a start line: the carried record is done
+            done.insert(0, carried)
+        if open_rec is not None:
+            state.update(tuple(open_rec))
+            state.setTimeoutDuration(flush_ms)
+        else:
+            if state.exists:
+                state.remove()
+        yield rows(done, flushed=False)
+
+    return _fn
+
+
+def streaming_assemble_multiline(lines: DataFrame, start_pattern: str,
+                                 text_col: str = "text",
+                                 group_col: str = "path",
+                                 order_col: str = "line_no",
+                                 sep: str = "\n",
+                                 flush: str = "30 seconds") -> DataFrame:
+    """Streaming twin of
+    :func:`log2seq_spark.operators.multiline.assemble_multiline` — the
+    missing half of a tail-follow log shipper: ``logtail`` emits
+    physical lines as they are appended; this operator reassembles
+    logical records ACROSS micro-batch boundaries, keeping at most one
+    open record per file in Spark's state store
+    (``applyInPandasWithState`` — Arrow-batched, checkpointed, so a
+    restart resumes with the open record intact).
+
+    A record emits as soon as the line OPENING THE NEXT record arrives
+    (``flushed=false``), or when its file goes idle for ``flush`` of
+    processing time (``flushed=true`` — the Logstash
+    ``auto_flush_interval`` semantic: a continuation line arriving
+    after the flush starts a new ``has_start=false`` orphan record
+    rather than mutating emitted history).
+
+    Requires per-file line order across batches — exactly what
+    ``logtail`` provides (appends are read sequentially; ``line_no``
+    is monotonic per path). State size: one open record per active
+    file, independent of stream volume.
+    """
+    keyed = lines.select(F.col(group_col).alias("path"),
+                         F.col(order_col).alias("line_no"),
+                         F.col(text_col).alias("text"))
+    return (keyed.groupBy("path")
+                 .applyInPandasWithState(
+                     _make_multiline(start_pattern, "text", "line_no",
+                                     sep, duration_ms(flush)),
+                     MULTILINE_RECORD_SCHEMA, _ML_STATE_SCHEMA,
+                     "append", GroupStateTimeout.ProcessingTimeTimeout))

@@ -2944,3 +2944,88 @@ class TestMultiline:
         assert got[1]["host"] == "host1"
         assert got[1]["message"].endswith("at com.example.A(file.java:10)")
         assert got[3]["message"] == "app[1]: INFO ok"
+
+
+class TestStreamingMultiline:
+    def _run(self, spark, inp, out, ck, rows, flush):
+        import time
+        from log2seq_spark.streaming.stateful import (
+            streaming_assemble_multiline)
+        schema = "path string, line_no long, text string"
+        (spark.createDataFrame(rows, schema)
+              .coalesce(1).write.mode("append").parquet(inp))
+        stream = spark.readStream.schema(schema).parquet(inp)
+        recs = streaming_assemble_multiline(stream, r"^\d{4}-",
+                                            flush=flush)
+        q = (recs.writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    def test_records_emit_across_batches(self, spark, tmpdir_path):
+        # long flush: records close ONLY when the next start arrives,
+        # across micro-batches and restarts (state checkpointed)
+        import os
+        inp, out, ck = (os.path.join(tmpdir_path, n)
+                        for n in ("mlin", "mlout", "mlck"))
+        self._run(spark, inp, out, ck,
+                  [("f", 1, "2024-01-01 00:00:01 ERROR boom"),
+                   ("f", 2, "  at A(file:1)"),
+                   ("f", 3, "  at B(file:2)"),
+                   ("f", 4, "2024-01-01 00:00:02 WARN slow"),
+                   ("f", 5, "  retrying"),
+                   ("g", 1, "  orphan tail"),
+                   ("g", 2, "  more orphan")], flush="10 minutes")
+        got = {(r["path"], r["line_no"]): r
+               for r in spark.read.parquet(out).collect()}
+        assert set(got) == {("f", 1)}                 # only A closed
+        a = got[("f", 1)]
+        assert a["n_lines"] == 3 and a["has_start"] and not a["flushed"]
+        assert a["text"].splitlines() == [
+            "2024-01-01 00:00:01 ERROR boom", "  at A(file:1)",
+            "  at B(file:2)"]
+
+        # batch twin agrees on the closed record
+        from log2seq_spark.operators.multiline import assemble_multiline
+        batch = assemble_multiline(
+            spark.createDataFrame(
+                [("f", "", 1, "2024-01-01 00:00:01 ERROR boom"),
+                 ("f", "", 2, "  at A(file:1)"),
+                 ("f", "", 3, "  at B(file:2)"),
+                 ("f", "", 4, "2024-01-01 00:00:02 WARN slow")],
+                "path string, member string, line_no long, text string"),
+            r"^\d{4}-").filter("line_no = 1").first()
+        assert batch["text"] == a["text"]
+
+        # restart: a new start on f closes B; a start on g closes the
+        # orphan run (has_start=false)
+        self._run(spark, inp, out, ck,
+                  [("f", 6, "2024-01-01 00:00:03 INFO ok"),
+                   ("g", 3, "2024-01-01 00:00:04 INFO begin")],
+                  flush="10 minutes")
+        got = {(r["path"], r["line_no"]): r
+               for r in spark.read.parquet(out).collect()}
+        assert ("f", 4) in got and ("g", 1) in got
+        b = got[("f", 4)]
+        assert b["n_lines"] == 2 and b["has_start"] and not b["flushed"]
+        assert b["text"].endswith("  retrying")
+        orphan = got[("g", 1)]
+        assert orphan["has_start"] is False and orphan["n_lines"] == 2
+
+    def test_idle_flush_emits_open_record(self, spark, tmpdir_path):
+        # Logstash auto_flush semantics: with a tiny flush interval the
+        # availableNow run itself drains the expired state, emitting
+        # the open records with flushed=true
+        import os
+        inp, out, ck = (os.path.join(tmpdir_path, n)
+                        for n in ("flin", "flout", "flck"))
+        self._run(spark, inp, out, ck,
+                  [("f", 1, "2024-01-01 00:00:01 ERROR boom"),
+                   ("f", 2, "  at A(file:1)"),
+                   ("f", 3, "2024-01-01 00:00:02 WARN slow")],
+                  flush="1 millisecond")
+        got = {(r["path"], r["line_no"]): r
+               for r in spark.read.parquet(out).collect()}
+        assert got[("f", 1)]["flushed"] is False      # closed by next start
+        assert got[("f", 3)]["flushed"] is True       # drained by timeout
+        assert got[("f", 3)]["text"] == "2024-01-01 00:00:02 WARN slow"
