@@ -225,6 +225,39 @@ def cmd_parse(args) -> int:
                   file_seq.alias("file_seq"),
                   F.monotonically_increasing_id().alias("row_id"))))
 
+    if getattr(args, "multiline_start", None):
+        # Logstash-multiline-codec pre-pass: collapse continuation lines
+        # into the record opened by their start line BEFORE parsing, so a
+        # stack-trace body rides inside its record instead of failing as
+        # N separate lines. Default join is a single SPACE: continuation
+        # lines are whitespace-led, and the header cascade's statement
+        # field does not cross newlines — callers who want raw "\n"
+        # reconstruction use the operator API directly.
+        from .operators.multiline import assemble_multiline
+        if files and args.distributed and args.input_kind == "text":
+            # per-(file, member) records, assembled in parallel
+            split = df.select(F.col("_ord.file_seq").alias("_g1"),
+                              F.col("_ord.member").alias("_g2"),
+                              F.col("_ord.line_no").alias("_ln"), "text")
+            rec = assemble_multiline(split, args.multiline_start,
+                                     group_cols=("_g1", "_g2"),
+                                     order_col="_ln",
+                                     sep=args.multiline_sep)
+            df = rec.select(
+                F.struct(F.col("_g1").alias("file_seq"),
+                         F.col("_g2").alias("member"),
+                         F.col("_ln").alias("line_no")).alias("_ord"),
+                "text")
+        else:
+            # one ordered stream (stdin / driver-side files / text reader
+            # / table): a single window partition, matching the
+            # driver-side reading model these inputs already have
+            rec = assemble_multiline(
+                df.withColumn("_g", F.lit(1)), args.multiline_start,
+                group_cols=("_g",), order_col="_ord",
+                sep=args.multiline_sep)
+            df = rec.select("_ord", "text")
+
     nonempty = F.col("text") != ""
     if args.statement:
         tok = tokenize_statement_udf(tuple(program.actions))
@@ -491,6 +524,14 @@ def main(argv=None) -> int:
                    help="prefix each successful result with the input line")
     p.add_argument("--sample", type=int, default=None,
                    help="print at most N successful results (default: all)")
+    p.add_argument("--multiline-start", default=None, metavar="REGEX",
+                   help="collapse continuation lines into the record "
+                        "opened by the previous line matching REGEX "
+                        "(rlike semantics; anchor with ^) before parsing")
+    p.add_argument("--multiline-sep", default=" ",
+                   help="joiner between a record's lines (default: one "
+                        "space — newlines do not cross the header "
+                        "cascade's statement field)")
     p.add_argument("-p", "--parser-script", default=None)
     p.add_argument("--grok", action="append", default=None,
                    metavar="EXPR",

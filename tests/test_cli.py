@@ -381,3 +381,58 @@ class TestParseInputRobustness:
         got = spark.read.parquet(outp)
         assert "ts" in got.columns and "parsed_ts" in got.columns
         assert got.count() > 0
+
+
+class TestMultilineFlag:
+    TRACE = ("Jan  1 12:34:56 host1 app[1]: ERROR boom\n"
+             "  at com.example.A(file.java:10)\n"
+             "  at com.example.B(file.java:20)\n"
+             "Jan  1 12:34:57 host1 app[1]: INFO ok\n")
+
+    def test_stdin_collapse(self, run_cli):
+        code, out, err = run_cli(
+            ["--year", "2023", "--multiline-start", "^[A-Z][a-z]{2} ",
+             "-t", "words"], self.TRACE)
+        assert code == 0
+        lines = out.splitlines()
+        assert len(lines) == 2                       # 4 phys -> 2 records
+        assert lines[0].startswith("app 1 ERROR boom at com.example.A")
+        assert lines[0].endswith("at com.example.B file.java 20")
+        assert lines[1] == "app 1 INFO ok"
+        assert "# processed 2 lines: 2 ok, 0 failed" in err
+
+    def test_custom_sep(self, run_cli):
+        # '|' is a statement separator, so the sep lands in SYMBOLS
+        # (visible in object format), never in the words
+        code, out, err = run_cli(
+            ["--year", "2023", "--multiline-start", "^[A-Z][a-z]{2} ",
+             "--multiline-sep", " || "], self.TRACE)
+        assert code == 0
+        assert "||" in out.splitlines()[0]
+        wcode, wout, _ = run_cli(
+            ["--year", "2023", "--multiline-start", "^[A-Z][a-z]{2} ",
+             "--multiline-sep", " || ", "-t", "words"], self.TRACE)
+        assert wcode == 0 and "||" not in wout
+
+    def test_distributed_per_member(self, run_cli, tmpdir_path):
+        # the --distributed path assembles per (file, member) in
+        # parallel; records never leak across members
+        import io as _io
+        import os
+        import tarfile
+        arch = os.path.join(tmpdir_path, "ml.tar.gz")
+        with tarfile.open(arch, "w:gz") as tar:
+            for m, head in (("a.log", "ERROR one"), ("b.log", "WARN two")):
+                body = (f"Jan  1 12:00:00 host1 app[1]: {head}\n"
+                        "  continuation\n").encode()
+                info = tarfile.TarInfo(m)
+                info.size = len(body)
+                tar.addfile(info, _io.BytesIO(body))
+        code, out, err = run_cli(
+            ["--year", "2023", "--distributed", "--multiline-start",
+             "^[A-Z][a-z]{2} ", "-t", "words", arch])
+        assert code == 0
+        lines = sorted(out.splitlines())
+        assert lines == ["app 1 ERROR one continuation",
+                         "app 1 WARN two continuation"]
+        assert "# processed 2 lines: 2 ok, 0 failed" in err
