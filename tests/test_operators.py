@@ -3029,3 +3029,51 @@ class TestStreamingMultiline:
         assert got[("f", 1)]["flushed"] is False      # closed by next start
         assert got[("f", 3)]["flushed"] is True       # drained by timeout
         assert got[("f", 3)]["text"] == "2024-01-01 00:00:02 WARN slow"
+
+
+class TestMultilineProperty:
+    def test_matches_python_model_on_random_corpora(self, spark):
+        # randomized equivalence vs a sequential per-file model — the
+        # same discipline as the line/span dedup families
+        import random
+        import re
+        from log2seq_spark.operators.multiline import assemble_multiline
+        rng = random.Random(20260818)
+        pat = re.compile(r"^\d{4}-")
+        for trial in range(5):
+            rows = []
+            for f in range(rng.randrange(1, 6)):
+                n = rng.randrange(1, 20)
+                for i in range(1, n + 1):
+                    if rng.random() < 0.35:
+                        t = f"2024-01-0{rng.randrange(1, 9)} start {f}.{i}"
+                    elif rng.random() < 0.1:
+                        t = None
+                    else:
+                        t = f"  cont {f}.{i}"
+                    rows.append((f"f{f}", "", i, t))
+            # python model
+            want = {}
+            for path in sorted({r[0] for r in rows}):
+                cur = None
+                for _, _, ln, t in sorted(
+                        (r for r in rows if r[0] == path),
+                        key=lambda r: r[2]):
+                    s = t or ""
+                    if t is not None and pat.search(t):
+                        cur = (path, ln)
+                        want[cur] = [1, True, s]
+                    elif cur is None:
+                        cur = (path, ln)
+                        want[cur] = [1, False, s]
+                    else:
+                        rec = want[cur]
+                        rec[0] += 1
+                        rec[2] += "\n" + s
+            df = spark.createDataFrame(
+                rows, "path string, member string, line_no long, "
+                      "text string").repartition(8)
+            got = {(r["path"], r["line_no"]):
+                   (r["n_lines"], r["has_start"], r["text"])
+                   for r in assemble_multiline(df, r"^\d{4}-").collect()}
+            assert got == {k: tuple(v) for k, v in want.items()}, trial
