@@ -246,6 +246,14 @@ def streaming_assemble_multiline(lines: DataFrame, start_pattern: str,
     ``logtail`` provides (appends are read sequentially; ``line_no``
     is monotonic per path). State size: one open record per active
     file, independent of stream volume.
+
+    Drain semantics: an ``availableNow`` run with a pending idle flush
+    stays alive until the flush fires (Spark schedules an extra batch
+    at the timeout deadline), and ``processAllAvailable`` blocks on
+    that pending batch too. For drain-and-exit jobs either use a short
+    ``flush``, or poll ``recentProgress`` for a zero-input entry (the
+    data is committed) and ``stop()`` — the open records then flush on
+    the NEXT run.
     """
     keyed = lines.select(F.col(group_col).alias("path"),
                          F.col(order_col).alias("line_no"),

@@ -2960,7 +2960,25 @@ class TestStreamingMultiline:
         q = (recs.writeStream.format("parquet")
              .option("path", out).option("checkpointLocation", ck)
              .trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        if flush == "1 millisecond":
+            # the pending flush fires within the run; let the query
+            # drain it and self-terminate
+            q.awaitTermination(120)
+        else:
+            # an availableNow drain with a pending idle flush stays
+            # alive until the flush fires (and processAllAvailable
+            # blocks on that pending timeout batch) — poll progress
+            # until this run's rows are committed, then stop (see
+            # streaming_assemble_multiline docstring)
+            import time as _time
+            end = _time.time() + 120
+            while _time.time() < end:
+                done = sum(p["numInputRows"] for p in q.recentProgress)
+                if done >= len(rows):
+                    break
+                _time.sleep(0.5)
+            q.stop()
+            q.awaitTermination(60)
 
     def test_records_emit_across_batches(self, spark, tmpdir_path):
         # long flush: records close ONLY when the next start arrives,
