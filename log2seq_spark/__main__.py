@@ -443,11 +443,29 @@ def cmd_templates(args) -> int:
     column; prints ``n_lines<TAB>n_groups<TAB>template`` sorted by
     count to stdout."""
     from .operators.templates import mine_templates
+    if getattr(args, "multiline_start", None) and args.input_kind != "text":
+        print("--multiline-start needs raw text input (--input-kind text):"
+              " table rows carry no per-file line order to assemble by",
+              file=sys.stderr)
+        return 2
     spark, owns = _cli_spark("log2seq-spark-templates")
     if args.input_kind == "parquet":
         lines = spark.read.parquet(args.input)
     elif args.input_kind == "table":
         lines = spark.table(args.input)
+    elif getattr(args, "multiline_start", None):
+        # records, not physical lines, are the mining unit: read through
+        # the logtext source (native per-file/member line order) and
+        # collapse continuations first — a stack trace mines as ONE
+        # template instead of one per frame line
+        from .operators.multiline import assemble_multiline
+        from .sources import logfiles
+        logfiles.register(spark)
+        raw = (spark.read.format("logtext")
+               .option("path", args.input).load())
+        lines = (assemble_multiline(raw, args.multiline_start,
+                                    sep=args.multiline_sep)
+                 .withColumnRenamed("text", args.text_col))
     else:
         lines = spark.read.text(args.input).withColumnRenamed(
             "value", args.text_col)
@@ -603,6 +621,11 @@ def main(argv=None) -> int:
                         "splitting --text-col")
     p.add_argument("--min-count", type=int, default=1)
     p.add_argument("--top", type=int, default=100)
+    p.add_argument("--multiline-start", default=None, metavar="REGEX",
+                   help="collapse continuation lines into records before "
+                        "mining (text input only; rlike semantics)")
+    p.add_argument("--multiline-sep", default=" ",
+                   help="joiner between a record's lines (default: space)")
     p.set_defaults(fn=cmd_templates)
 
     p = sub.add_parser(

@@ -436,3 +436,31 @@ class TestMultilineFlag:
         assert lines == ["app 1 ERROR one continuation",
                          "app 1 WARN two continuation"]
         assert "# processed 2 lines: 2 ok, 0 failed" in err
+
+
+class TestTemplatesMultiline:
+    def test_records_are_the_mining_unit(self, spark, capsys, tmpdir_path):
+        import os
+        from log2seq_spark.__main__ import main
+        log = os.path.join(tmpdir_path, "trace.log")
+        with open(log, "w") as f:
+            for j in (1, 2):
+                f.write(f"2024-01-01 00:00:0{j} ERROR job {j} failed\n"
+                        f"  at com.example.A(file.java:1{j})\n"
+                        f"  at com.example.B(file.java:2{j})\n")
+        capsys.readouterr()
+        assert main(["templates", "--input", log,
+                     "--multiline-start", r"^\d{4}-", "--top", "5"]) == 0
+        out = capsys.readouterr().out.splitlines()
+        # two 3-line traces -> ONE record template with n_lines=2;
+        # without assembly this mines 'at <*>' 4x as its own template
+        assert len(out) == 1
+        n_lines, n_groups, template = out[0].split("\t")
+        assert n_lines == "2" and "failed at" in template
+
+    def test_table_input_rejected(self, spark, capsys):
+        from log2seq_spark.__main__ import main
+        code = main(["templates", "--input", "t", "--input-kind", "table",
+                     "--multiline-start", r"^\d{4}-"])
+        assert code == 2
+        assert "per-file line order" in capsys.readouterr().err
