@@ -3095,3 +3095,67 @@ class TestMultilineProperty:
                    (r["n_lines"], r["has_start"], r["text"])
                    for r in assemble_multiline(df, r"^\d{4}-").collect()}
             assert got == {k: tuple(v) for k, v in want.items()}, trial
+
+
+class TestShipperComposition:
+    def test_logtail_multiline_parse_end_to_end(self, spark, tmpdir_path):
+        """The full shipper pipeline the docstrings claim: logtail
+        (byte-offset tail-follow) → streaming_assemble_multiline (open
+        record carried ACROSS an append boundary in the state store) →
+        the vectorized header cascade. The stack-trace record closes
+        with a continuation line that arrived one run later."""
+        import os
+        import time
+        from log2seq_spark.functions.udf import with_parsed
+        from log2seq_spark.rules.presets import default_program
+        from log2seq_spark.sources import logfiles
+        from log2seq_spark.streaming.stateful import (
+            streaming_assemble_multiline)
+        logfiles.register_tail(spark)
+        log = os.path.join(tmpdir_path, "app.log")
+        out = os.path.join(tmpdir_path, "out")
+        ck = os.path.join(tmpdir_path, "ck")
+
+        def run(expect_rows):
+            lines = (spark.readStream.format("logtail")
+                     .option("path", log).load())
+            recs = streaming_assemble_multiline(
+                lines, r"^[A-Z][a-z]{2} ", sep=" | ", flush="10 minutes")
+            parsed = with_parsed(recs, default_program(), text_col="text",
+                                 default_year=2024)
+            q = (parsed.select("path", "line_no", "n_lines",
+                               F.col("parsed.host").alias("host"),
+                               F.col("parsed.words").alias("words"))
+                 .writeStream.format("parquet").option("path", out)
+                 .option("checkpointLocation", ck)
+                 .trigger(availableNow=True).start())
+            end = time.time() + 120
+            while time.time() < end:
+                if sum(p["numInputRows"]
+                       for p in q.recentProgress) >= expect_rows:
+                    break
+                time.sleep(0.5)
+            q.stop()
+            q.awaitTermination(60)
+
+        with open(log, "w") as f:
+            f.write("Jan  1 12:00:00 host1 app[1]: ERROR boom\n"
+                    "  at A(file:1)\n")
+        run(2)
+        assert not os.path.exists(out) or not [
+            fn for fn in os.listdir(out) if fn.endswith(".parquet")] or \
+            spark.read.parquet(out).count() == 0   # record still open
+
+        with open(log, "a") as f:
+            f.write("  at B(file:2)\n"
+                    "Jan  1 12:00:01 host1 app[1]: INFO ok\n")
+        run(2)
+        rows = spark.read.parquet(out).collect()
+        assert len(rows) == 1                      # INFO record still open
+        r = rows[0]
+        assert r["line_no"] == 1 and r["n_lines"] == 3
+        assert r["host"] == "host1"
+        w = list(r["words"])
+        # the cross-run continuation rode into the parsed record
+        assert w[:4] == ["app", "1", "ERROR", "boom"]
+        assert "B" in w and "file" in w and "2" in w
