@@ -17,8 +17,8 @@ from pyspark.sql import functions as F
 
 from log2seq_spark.rules.presets import default_program, default_actions
 from log2seq_spark.functions.udf import with_parsed, tokenize_words_udf
-from log2seq_spark.operators import (asof, dedup, scrub, similarity,
-                                     templates, textstats)
+from log2seq_spark.operators import (anomaly, asof, dedup, scrub,
+                                     similarity, templates, textstats)
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -1295,7 +1295,16 @@ def q_template_mining(spark, sf_dir):
     # arrays — the amulog hand-off (see q_template_mining_words)
     words = q_template_mining_words(spark, sf_dir).select(
         F.lit("words").alias("source"), "template", "n_lines", "n_groups")
-    return raw.unionByName(words)
+    # third leg, same row: two-period template DRIFT
+    # (operators/anomaly.py::template_drift — "what changed between
+    # yesterday's logs and today's"). source carries the verdict
+    # ('drift:surge' etc.); for drift rows n_lines = period-A line
+    # count, n_groups = period-B line count (both bigint).
+    drift = q_template_drift(spark, sf_dir).select(
+        F.concat(F.lit("drift:"), F.col("status")).alias("source"),
+        "template", F.col("n_a").alias("n_lines"),
+        F.col("n_b").alias("n_groups"))
+    return raw.unionByName(words).unionByName(drift)
 
 
 # shared mining body: replay of operators/templates.py over any
@@ -1371,10 +1380,100 @@ _SQL_TEMPLATES_WORDS = _sql_template_mine("""
   FROM events
 """)
 
+def _drift_line_expr(corpus: str):
+    """Deterministic two-period log synthesis for the drift leg: slot =
+    event_id % 20 allocates each event to a message family, with period
+    A and period B allocating the slots differently so every drift
+    verdict appears with a wide margin (heartbeat 80%→5% = drop, ping
+    5%→80% = surge, disk only in A = vanished, oom only in B = new,
+    status 10%→10% = stable)."""
+    slot = F.pmod("event_id", F.lit(20))
+    n = F.pmod("event_id", F.lit(13)).cast("string")
+    heartbeat = F.concat(F.lit("heartbeat seq "), n, F.lit(" ok"))
+    ping = F.concat(F.lit("ping from host "), n)
+    disk = F.concat(F.lit("disk failure on node "), n)
+    oom = F.concat(F.lit("oom killed pid "), n)
+    status = F.lit("status all good ok")
+    if corpus == "a":
+        return (F.when(slot <= 15, heartbeat)
+                 .when(slot == 16, disk)
+                 .when(slot == 17, ping)
+                 .otherwise(status))
+    return (F.when(slot == 0, heartbeat)
+             .when(((slot >= 1) & (slot <= 15)) | (slot == 17), ping)
+             .when(slot == 16, oom)
+             .otherwise(status))
+
+
+def q_template_drift(spark, sf_dir):
+    """Two-period template drift (``operators/anomaly.py::
+    template_drift``): mine templates over period A and period B of the
+    synthesized log and label each template new / vanished / surge /
+    drop / stable by comparing per-corpus SHARES via exact bigint
+    cross-multiplication (no float shares — the verdict is
+    ANSI-replayable bit-for-bit)."""
+    ev = _tp(spark, sf_dir, "events")
+    a = ev.select(_drift_line_expr("a").alias("text"))
+    b = ev.select(_drift_line_expr("b").alias("text"))
+    return anomaly.template_drift(a, b, factor=4)
+
+
+def _sql_drift_lines(corpus: str) -> str:
+    body = {
+        "a": """CASE WHEN event_id % 20 <= 15
+                 THEN 'heartbeat seq ' || (event_id % 13) || ' ok'
+             WHEN event_id % 20 = 16
+                 THEN 'disk failure on node ' || (event_id % 13)
+             WHEN event_id % 20 = 17
+                 THEN 'ping from host ' || (event_id % 13)
+             ELSE 'status all good ok' END""",
+        "b": """CASE WHEN event_id % 20 = 0
+                 THEN 'heartbeat seq ' || (event_id % 13) || ' ok'
+             WHEN (event_id % 20 BETWEEN 1 AND 15) OR event_id % 20 = 17
+                 THEN 'ping from host ' || (event_id % 13)
+             WHEN event_id % 20 = 16
+                 THEN 'oom killed pid ' || (event_id % 13)
+             ELSE 'status all good ok' END""",
+    }[corpus]
+    return f"  SELECT {body} AS text\n  FROM events"
+
+
+# replay of anomaly.template_drift: mine both periods with the shared
+# mining body, full-outer join on template, exact bigint
+# cross-multiplied share compare (factor 4)
+_SQL_TEMPLATE_DRIFT = f"""
+WITH ta AS (SELECT template, n_lines FROM
+            ({_sql_template_mine(_sql_drift_lines("a"))})),
+     tb AS (SELECT template, n_lines FROM
+            ({_sql_template_mine(_sql_drift_lines("b"))})),
+     j AS (
+  SELECT coalesce(ta.template, tb.template) AS template,
+         cast(coalesce(ta.n_lines, 0) AS BIGINT) AS n_a,
+         cast(coalesce(tb.n_lines, 0) AS BIGINT) AS n_b
+  FROM ta FULL OUTER JOIN tb ON ta.template = tb.template
+), tot AS (
+  SELECT n_a, n_b, template,
+         sum(n_a) OVER () AS tot_a, sum(n_b) OVER () AS tot_b
+  FROM j
+)
+SELECT template, n_a, n_b,
+       CASE WHEN n_a = 0 THEN 'new'
+            WHEN n_b = 0 THEN 'vanished'
+            WHEN n_b * tot_a > 4 * n_a * tot_b THEN 'surge'
+            WHEN n_a * tot_b > 4 * n_b * tot_a THEN 'drop'
+            ELSE 'stable' END AS status
+FROM tot
+"""
+
+
 _SQL_TEMPLATES_COMBINED = f"""
 SELECT 'text' AS source, t.* FROM ({_SQL_TEMPLATES}) t
 UNION ALL
 SELECT 'words' AS source, w.* FROM ({_SQL_TEMPLATES_WORDS}) w
+UNION ALL
+SELECT 'drift:' || d.status AS source, d.template,
+       d.n_a AS n_lines, d.n_b AS n_groups
+FROM ({_SQL_TEMPLATE_DRIFT}) d
 """
 
 

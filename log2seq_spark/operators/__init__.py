@@ -1,10 +1,12 @@
 """Training-data operators: dedup, similarity search, text analysis,
-template mining, sequence packing, range/as-of joins, sampling,
-multimodal plumbing, PII/URL scrubbing, composed corpus cleaning."""
+template mining, template-anomaly surfaces (drift/rarity/bursts),
+sequence packing, range/as-of joins, sampling, multimodal plumbing,
+PII/URL scrubbing, composed corpus cleaning."""
 
-from . import (asof, corpus, dedup, multimodal, packing, rangejoin,
-               sampling, scrub, similarity, templates, textstats)
+from . import (anomaly, asof, corpus, dedup, multimodal, packing,
+               rangejoin, sampling, scrub, similarity, templates,
+               textstats)
 
-__all__ = ["asof", "corpus", "dedup", "multimodal", "packing",
+__all__ = ["anomaly", "asof", "corpus", "dedup", "multimodal", "packing",
            "rangejoin", "sampling", "scrub", "similarity", "templates",
            "textstats"]

@@ -106,13 +106,16 @@ def merge_profiles(*profiles: DataFrame) -> DataFrame:
                   F.sum("_nl").alias("_nl")))
 
 
-def templates_from_profiles(profile: DataFrame,
-                            min_count: int = 1) -> DataFrame:
-    """Finalize ``(template, n_lines, n_groups)`` from profile rows —
-    touches only the tiny profile table, never the corpus."""
+def group_templates(profile: DataFrame) -> DataFrame:
+    """Per-(token-count, head-token) group templates
+    ``(_ntok, _head, template, _n_lines)`` — the group→template map.
+    Besides feeding :func:`templates_from_profiles`, this is the
+    broadcast side of per-line template assignment
+    (:func:`~log2seq_spark.operators.anomaly.assign_templates`): its
+    row count is bounded by #groups, never corpus size."""
     piece = (F.when(F.col("_mn") != F.col("_mx"), F.lit(WILDCARD))
               .otherwise(F.col("_mn")))
-    tmpl = (profile
+    return (profile
             .select("_ntok", "_head", "_nl",
                     F.struct(F.col("_pos"), piece.alias("_piece"))
                      .alias("_pp"))
@@ -121,6 +124,13 @@ def templates_from_profiles(profile: DataFrame,
                 " ", F.transform(F.array_sort(F.collect_list("_pp")),
                                  lambda x: x["_piece"])).alias("template"),
                  F.max("_nl").alias("_n_lines")))
+
+
+def templates_from_profiles(profile: DataFrame,
+                            min_count: int = 1) -> DataFrame:
+    """Finalize ``(template, n_lines, n_groups)`` from profile rows —
+    touches only the tiny profile table, never the corpus."""
+    tmpl = group_templates(profile)
     out = (tmpl.groupBy("template")
                .agg(F.sum("_n_lines").alias("n_lines"),
                     F.count("*").alias("n_groups")))
