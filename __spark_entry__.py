@@ -1304,7 +1304,29 @@ def q_template_mining(spark, sf_dir):
         F.concat(F.lit("drift:"), F.col("status")).alias("source"),
         "template", F.col("n_a").alias("n_lines"),
         F.col("n_b").alias("n_groups"))
-    return raw.unionByName(words).unionByName(drift)
+    # fourth leg, same row: per-line template ASSIGNMENT + rarity
+    # (operators/anomaly.py::assign_templates / rare_template_lines —
+    # "which lines match no common pattern"). source carries the rarity
+    # verdict; non-rare rows keep their template with n_groups =
+    # max(template_lines) (checks the rode-along count against the
+    # group-by count), the rare rows collapse to one '<rare>' row whose
+    # n_groups counts DISTINCT rare templates (checks the per-line
+    # assignment join, including null-template zero-token lines).
+    rare = q_rare_template_assign(spark, sf_dir)
+    # fifth leg, same row: event-rate BURST windows
+    # (operators/anomaly.py::burst_windows) over a deterministically
+    # spiky subset of events — keyed daily counts vs a 3-day trailing
+    # baseline; source encodes (key, base_windows, is_burst), template
+    # carries the epoch window_start, n_lines/n_groups carry n/base_n.
+    bursts = q_burst_windows(spark, sf_dir).select(
+        F.concat(F.lit("burst:"), F.col("event_type"), F.lit(":"),
+                 F.col("base_windows").cast("string"), F.lit(":"),
+                 F.col("is_burst").cast("string")).alias("source"),
+        F.col("window_start").cast("string").alias("template"),
+        F.col("n").alias("n_lines"),
+        F.col("base_n").alias("n_groups"))
+    return (raw.unionByName(words).unionByName(drift)
+               .unionByName(rare).unionByName(bursts))
 
 
 # shared mining body: replay of operators/templates.py over any
@@ -1466,6 +1488,155 @@ FROM tot
 """
 
 
+def q_rare_template_assign(spark, sf_dir):
+    """Per-line template assignment + rarity flagging
+    (``operators/anomaly.py::assign_templates`` /
+    ``rare_template_lines``). The synthesized corpus has two common
+    families (``login ok user <n%13>`` 47/50 of lines, ``logout user
+    <n%13>`` 1/50), a zero-token family (empty text, 1/50 — exercises
+    the null-template rare-by-definition path), and a singleton family
+    (``corrupt<event_id> sector bad``, 1/50 — unique head token per
+    line, so every line is its own Drain group and its template covers
+    exactly one line). Aggregated to one row per (rarity, template):
+    non-rare rows verify template_lines == the group-by line count,
+    the single '<rare>' row verifies the count of distinct rare
+    templates reached per line."""
+    ev = _t(spark, sf_dir, "events")
+    slot = F.pmod("event_id", F.lit(50))
+    n13 = F.pmod("event_id", F.lit(13)).cast("string")
+    text = (F.when(slot <= 46, F.concat(F.lit("login ok user "), n13))
+             .when(slot == 47, F.concat(F.lit("logout user "), n13))
+             .when(slot == 48, F.lit(""))
+             .otherwise(F.concat(F.lit("corrupt"),
+                                 F.col("event_id").cast("string"),
+                                 F.lit(" sector bad"))))
+    lines = ev.select(text.alias("text"))
+    out = anomaly.rare_template_lines(lines, "text", max_lines=1)
+    templ_key = (F.when(F.col("is_rare"), F.lit("<rare>"))
+                  .otherwise(F.col("template")))
+    src = F.concat(F.lit("rare:"), F.col("is_rare").cast("string"))
+    n_groups = (F.when(F.max(F.col("is_rare").cast("int")) == 1,
+                       F.count_distinct(F.coalesce("template", F.lit(""))))
+                 .otherwise(F.max("template_lines"))).cast("bigint")
+    return (out.groupBy(src.alias("source"), templ_key.alias("template"))
+               .agg(F.count("*").cast("bigint").alias("n_lines"),
+                    n_groups.alias("n_groups")))
+
+
+_SQL_RARE_LINES = """
+  SELECT CASE
+           WHEN event_id % 50 <= 46
+             THEN 'login ok user ' || (event_id % 13)
+           WHEN event_id % 50 = 47
+             THEN 'logout user ' || (event_id % 13)
+           WHEN event_id % 50 = 48 THEN ''
+           ELSE 'corrupt' || event_id || ' sector bad'
+         END AS text
+  FROM events
+"""
+
+# replay of anomaly.assign_templates + rare_template_lines: mine with
+# the shared body kept at GROUP granularity, attach template-level line
+# counts, left-join every line back onto its (token-count, head) group
+# (null head / zero-token lines miss -> rare by definition), aggregate
+# per (rarity, template).
+_SQL_RARE_ASSIGN = f"""
+WITH lines AS (
+{_SQL_RARE_LINES}
+), keyed AS (
+  SELECT list_filter(regexp_split_to_array(text, '\\s+'),
+                     t -> t <> '') AS w
+  FROM lines
+), headed AS (
+  SELECT len(w) AS n_tok,
+         CASE WHEN regexp_full_match(w[1], '[0-9]+')
+              THEN '<*>' ELSE w[1] END AS head,
+         w
+  FROM keyed
+), pos AS (
+  SELECT n_tok, head, u.p.pos AS pos, u.p.tok AS tok
+  FROM headed, unnest(list_transform(range(1, n_tok + 1),
+                      i -> {{'pos': i, 'tok': w[i]}})) AS u(p)
+), profile AS (
+  SELECT n_tok, head, pos, min(tok) AS mn, max(tok) AS mx,
+         count(*) AS nl
+  FROM pos GROUP BY 1, 2, 3
+), tmpl AS (
+  SELECT n_tok, head,
+         string_agg(CASE WHEN mn <> mx THEN '<*>' ELSE mn END, ' '
+                    ORDER BY pos) AS template,
+         max(nl) AS n_lines
+  FROM profile GROUP BY 1, 2
+), tlines AS (
+  SELECT template, cast(sum(n_lines) AS BIGINT) AS template_lines
+  FROM tmpl GROUP BY 1
+), gmap AS (
+  SELECT t.n_tok, t.head, t.template, tl.template_lines
+  FROM tmpl t JOIN tlines tl USING (template)
+), assigned AS (
+  SELECT g.template, g.template_lines,
+         (g.template_lines IS NULL OR g.template_lines <= 1) AS is_rare
+  FROM headed h
+  LEFT JOIN gmap g ON h.n_tok = g.n_tok AND h.head = g.head
+)
+SELECT 'rare:' || cast(is_rare AS VARCHAR) AS source,
+       CASE WHEN is_rare THEN '<rare>' ELSE template END AS template,
+       cast(count(*) AS BIGINT) AS n_lines,
+       cast(CASE WHEN max(cast(is_rare AS INT)) = 1
+                 THEN count(DISTINCT coalesce(template, ''))
+                 ELSE max(template_lines) END AS BIGINT) AS n_groups
+FROM assigned
+GROUP BY 1, 2
+"""
+
+
+def q_burst_windows(spark, sf_dir):
+    """Event-rate burst detection (``operators/anomaly.py::
+    burst_windows``): the events table is deterministically thinned to
+    1-in-5 except on days divisible by 7 (full traffic -> a 5x daily
+    spike every week), then daily per-event-type counts are flagged
+    against a 3-day trailing baseline with exact bigint
+    cross-multiplication (``n * base_windows > 2 * base_n``) — the
+    spike days must come back ``is_burst`` and the days after (baseline
+    now polluted by the spike) must not."""
+    ev = _t(spark, sf_dir, "events")
+    spiky = ev.filter((F.dayofmonth("ts") % 7 == 0)
+                      | (F.col("event_id") % 5 == 0))
+    return anomaly.burst_windows(spiky, "ts", key_col="event_type",
+                                 window="1 day", trailing=3, mult=2)
+
+
+# replay of anomaly.burst_windows: epoch-aligned daily buckets (Spark's
+# F.window('1 day') aligns tumbling windows to the epoch in the UTC
+# session timezone = floor(epoch/86400)), RANGE frame over epoch
+# seconds so zero-event gap days shrink base_windows instead of
+# stretching the baseline.
+_SQL_BURSTS = """
+WITH spiky AS (
+  SELECT event_type, ts FROM events
+  WHERE day(ts) % 7 = 0 OR event_id % 5 = 0
+), counts AS (
+  SELECT event_type,
+         cast(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS window_start,
+         cast(count(*) AS BIGINT) AS n
+  FROM spiky GROUP BY 1, 2
+), based AS (
+  SELECT event_type, window_start, n,
+         cast(coalesce(sum(n) OVER frame, 0) AS BIGINT) AS base_n,
+         cast(count(n) OVER frame AS BIGINT) AS base_windows
+  FROM counts
+  WINDOW frame AS (PARTITION BY event_type ORDER BY window_start
+                   RANGE BETWEEN 259200 PRECEDING AND 86400 PRECEDING)
+)
+SELECT 'burst:' || event_type || ':' || base_windows || ':'
+         || cast((base_windows >= 1 AND n * base_windows > 2 * base_n)
+                 AS VARCHAR) AS source,
+       cast(window_start AS VARCHAR) AS template,
+       n AS n_lines, base_n AS n_groups
+FROM based
+"""
+
+
 _SQL_TEMPLATES_COMBINED = f"""
 SELECT 'text' AS source, t.* FROM ({_SQL_TEMPLATES}) t
 UNION ALL
@@ -1474,6 +1645,10 @@ UNION ALL
 SELECT 'drift:' || d.status AS source, d.template,
        d.n_a AS n_lines, d.n_b AS n_groups
 FROM ({_SQL_TEMPLATE_DRIFT}) d
+UNION ALL
+SELECT * FROM ({_SQL_RARE_ASSIGN})
+UNION ALL
+SELECT * FROM ({_SQL_BURSTS})
 """
 
 

@@ -436,6 +436,31 @@ def cmd_clean(args) -> int:
     return 0
 
 
+def _read_lines(spark, path: str, kind: str, text_col: str,
+                multiline_start=None, multiline_sep=" "):
+    """Shared line-table reader for the template-family subcommands:
+    raw text files (optionally multiline-assembled through the logtext
+    source), a parquet path, or a catalog table."""
+    if kind == "parquet":
+        return spark.read.parquet(path)
+    if kind == "table":
+        return spark.table(path)
+    if multiline_start:
+        # records, not physical lines, are the mining unit: read through
+        # the logtext source (native per-file/member line order) and
+        # collapse continuations first — a stack trace mines as ONE
+        # template instead of one per frame line
+        from .operators.multiline import assemble_multiline
+        from .sources import logfiles
+        logfiles.register(spark)
+        raw = (spark.read.format("logtext")
+               .option("path", path).load())
+        return (assemble_multiline(raw, multiline_start,
+                                   sep=multiline_sep)
+                .withColumnRenamed("text", text_col))
+    return spark.read.text(path).withColumnRenamed("value", text_col)
+
+
 def cmd_templates(args) -> int:
     """Batch template mining (``operators/templates.py`` — the amulog
     hand-off the reference preprocesses for): mine over raw log lines,
@@ -449,26 +474,9 @@ def cmd_templates(args) -> int:
               file=sys.stderr)
         return 2
     spark, owns = _cli_spark("log2seq-spark-templates")
-    if args.input_kind == "parquet":
-        lines = spark.read.parquet(args.input)
-    elif args.input_kind == "table":
-        lines = spark.table(args.input)
-    elif getattr(args, "multiline_start", None):
-        # records, not physical lines, are the mining unit: read through
-        # the logtext source (native per-file/member line order) and
-        # collapse continuations first — a stack trace mines as ONE
-        # template instead of one per frame line
-        from .operators.multiline import assemble_multiline
-        from .sources import logfiles
-        logfiles.register(spark)
-        raw = (spark.read.format("logtext")
-               .option("path", args.input).load())
-        lines = (assemble_multiline(raw, args.multiline_start,
-                                    sep=args.multiline_sep)
-                 .withColumnRenamed("text", args.text_col))
-    else:
-        lines = spark.read.text(args.input).withColumnRenamed(
-            "value", args.text_col)
+    lines = _read_lines(spark, args.input, args.input_kind, args.text_col,
+                        getattr(args, "multiline_start", None),
+                        args.multiline_sep)
     out = mine_templates(lines, args.text_col, min_count=args.min_count,
                          tokens_col=args.tokens_col)
     rows = (out.orderBy(F.desc("n_lines"), "template")
@@ -499,6 +507,86 @@ def cmd_dedup(args) -> int:
                           threshold=args.threshold,
                           near_pairs=near_pairs)
     _write_with_tally(out, args.out, "decision")
+    if owns:
+        spark.stop()
+    return 0
+
+
+def cmd_drift(args) -> int:
+    """Two-period template drift (``operators/anomaly.py::
+    template_drift``): mine templates over period A and period B and
+    print ``status<TAB>n_a<TAB>n_b<TAB>template`` rows — "what changed
+    between yesterday's logs and today's"."""
+    from .operators.anomaly import template_drift
+    spark, owns = _cli_spark("log2seq-spark-drift")
+    a = _read_lines(spark, args.input_a, args.input_kind, args.text_col)
+    b = _read_lines(spark, args.input_b, args.input_kind, args.text_col)
+    out = template_drift(a, b, args.text_col, tokens_col=args.tokens_col,
+                         factor=args.factor)
+    if args.status:
+        keep = [s.strip() for s in args.status.split(",") if s.strip()]
+        out = out.filter(F.col("status").isin(keep))
+    rows = (out.orderBy(F.desc("n_b"), F.desc("n_a"), "template")
+               .limit(args.top).collect())
+    for r in rows:
+        print(f"{r['status']}\t{r['n_a']}\t{r['n_b']}\t{r['template']}")
+    if owns:
+        spark.stop()
+    return 0
+
+
+def cmd_rare(args) -> int:
+    """Rare-template line flagging (``operators/anomaly.py::
+    rare_template_lines``): mine templates, assign one to every line,
+    and surface the lines whose template covers at most ``--max-lines``
+    corpus lines. With ``--out`` writes per-line verdicts to parquet
+    (tally to stderr, like clean/dedup); otherwise prints up to
+    ``--top`` rare lines as ``template_lines<TAB>text``."""
+    from .operators.anomaly import rare_template_lines
+    spark, owns = _cli_spark("log2seq-spark-rare")
+    lines = _read_lines(spark, args.input, args.input_kind, args.text_col)
+    out = rare_template_lines(lines, args.text_col,
+                              tokens_col=args.tokens_col,
+                              max_lines=args.max_lines)
+    if args.out:
+        _write_with_tally(out, args.out, "is_rare",
+                          only=F.col("is_rare") if args.rare_only else None)
+    else:
+        rows = (out.filter("is_rare")
+                   .orderBy(F.coalesce("template_lines", F.lit(0)),
+                            args.text_col)
+                   .limit(args.top).collect())
+        for r in rows:
+            nl = r["template_lines"]
+            print(f"{0 if nl is None else nl}\t{r[args.text_col]}")
+    if owns:
+        spark.stop()
+    return 0
+
+
+def cmd_bursts(args) -> int:
+    """Event-rate burst detection (``operators/anomaly.py::
+    burst_windows``): tumbling-window counts per key flagged against a
+    trailing baseline; prints ``window_start<TAB>key?<TAB>n<TAB>
+    base_n/base_windows<TAB>BURST?`` rows."""
+    from .operators.anomaly import burst_windows
+    spark, owns = _cli_spark("log2seq-spark-bursts")
+    events = (spark.table(args.input) if args.input_kind == "table"
+              else spark.read.parquet(args.input))
+    out = burst_windows(events, args.ts_col, key_col=args.key_col,
+                        window=args.window, trailing=args.trailing,
+                        mult=args.mult, min_windows=args.min_windows)
+    if args.bursts_only:
+        out = out.filter("is_burst")
+    key_cols = [args.key_col] if args.key_col else []
+    rows = (out.orderBy("window_start", *key_cols)
+               .limit(args.top).collect())
+    for r in rows:
+        key = "\t".join(str(r[k]) for k in key_cols)
+        parts = [str(r["window_start"])] + ([key] if key else [])
+        parts += [str(r["n"]), f"{r['base_n']}/{r['base_windows']}",
+                  "BURST" if r["is_burst"] else "-"]
+        print("\t".join(parts))
     if owns:
         spark.stop()
     return 0
@@ -640,6 +728,67 @@ def main(argv=None) -> int:
     p.add_argument("--threshold", type=float, default=0.5,
                    help="Jaccard threshold for the near-dup leg")
     p.set_defaults(fn=cmd_dedup)
+
+    p = sub.add_parser(
+        "drift", help="two-period template drift: what changed between "
+                      "log corpus A and log corpus B")
+    p.add_argument("--input-a", required=True,
+                   help="period-A log path (text/gz glob, parquet, or table)")
+    p.add_argument("--input-b", required=True,
+                   help="period-B log path")
+    p.add_argument("--input-kind", choices=["text", "parquet", "table"],
+                   default="text")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--tokens-col", default=None,
+                   help="compare pre-tokenized array<string> columns")
+    p.add_argument("--factor", type=int, default=4,
+                   help="share ratio that flags surge/drop (default 4x)")
+    p.add_argument("--status", default=None,
+                   help="comma list to keep (new,vanished,surge,drop,"
+                        "stable); default prints all")
+    p.add_argument("--top", type=int, default=100)
+    p.set_defaults(fn=cmd_drift)
+
+    p = sub.add_parser(
+        "rare", help="flag log lines whose mined template is rare "
+                     "(matches no common pattern)")
+    p.add_argument("--input", required=True,
+                   help="log path (text/gz glob, parquet, or table)")
+    p.add_argument("--input-kind", choices=["text", "parquet", "table"],
+                   default="text")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--tokens-col", default=None)
+    p.add_argument("--max-lines", type=int, default=1,
+                   help="a template covering <= this many lines is rare")
+    p.add_argument("--out", default=None,
+                   help="write per-line verdicts to this parquet path "
+                        "instead of printing rare lines")
+    p.add_argument("--rare-only", action="store_true",
+                   help="with --out, write only the rare lines (tally "
+                        "still covers all)")
+    p.add_argument("--top", type=int, default=100)
+    p.set_defaults(fn=cmd_rare)
+
+    p = sub.add_parser(
+        "bursts", help="event-rate burst windows vs a trailing baseline")
+    p.add_argument("--input", required=True,
+                   help="events parquet path or table")
+    p.add_argument("--input-kind", choices=["parquet", "table"],
+                   default="parquet")
+    p.add_argument("--ts-col", default="ts")
+    p.add_argument("--key-col", default=None,
+                   help="optional grouping key (e.g. host)")
+    p.add_argument("--window", default="1 hour",
+                   help="tumbling window size (default '1 hour')")
+    p.add_argument("--trailing", type=int, default=3,
+                   help="trailing windows in the baseline (default 3)")
+    p.add_argument("--mult", type=int, default=3,
+                   help="burst when n > mult x trailing mean (default 3)")
+    p.add_argument("--min-windows", type=int, default=1,
+                   help="minimum baseline windows before flagging")
+    p.add_argument("--bursts-only", action="store_true")
+    p.add_argument("--top", type=int, default=100)
+    p.set_defaults(fn=cmd_bursts)
 
     args = ap.parse_args(argv)
     return args.fn(args)

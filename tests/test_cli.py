@@ -464,3 +464,79 @@ class TestTemplatesMultiline:
                      "--multiline-start", r"^\d{4}-"])
         assert code == 2
         assert "per-file line order" in capsys.readouterr().err
+
+
+class TestAnomalyCommands:
+    """CLI surfaces over operators/anomaly.py: drift, rare, bursts."""
+
+    def _write_log(self, tmpdir_path, name, lines):
+        p = os.path.join(tmpdir_path, name)
+        with open(p, "w") as f:
+            f.write("".join(l + "\n" for l in lines))
+        return p
+
+    def test_drift_new_and_stable(self, spark, capsys, tmpdir_path):
+        a = self._write_log(tmpdir_path, "a.log",
+                            ["connect from h1", "connect from h2"])
+        b = self._write_log(tmpdir_path, "b.log",
+                            ["connect from h3", "connect from h4",
+                             "disk failure on sda", "disk failure on sdb"])
+        capsys.readouterr()
+        assert main(["drift", "--input-a", a, "--input-b", b]) == 0
+        rows = {l.split("\t")[3]: l.split("\t")
+                for l in capsys.readouterr().out.splitlines()}
+        assert rows["disk failure on <*>"][0] == "new"
+        assert rows["disk failure on <*>"][1:3] == ["0", "2"]
+        assert rows["connect from <*>"][0] == "stable"
+
+    def test_drift_status_filter(self, spark, capsys, tmpdir_path):
+        a = self._write_log(tmpdir_path, "fa.log",
+                            ["session closed x1", "session closed x2"])
+        b = self._write_log(tmpdir_path, "fb.log",
+                            ["session closed y1", "session closed y2",
+                             "node up ok"])
+        capsys.readouterr()
+        assert main(["drift", "--input-a", a, "--input-b", b,
+                     "--status", "new"]) == 0
+        out = capsys.readouterr().out.splitlines()
+        assert [l.split("\t")[0] for l in out] == ["new"]
+        assert out[0].endswith("node up ok")
+
+    def test_rare_prints_rare_lines(self, spark, capsys, tmpdir_path):
+        p = self._write_log(tmpdir_path, "r.log",
+                            ["login ok user u1", "login ok user u2",
+                             "login ok user u3", "kernel panic now"])
+        capsys.readouterr()
+        assert main(["rare", "--input", p]) == 0
+        out = capsys.readouterr().out.splitlines()
+        assert out == ["1\tkernel panic now"]
+
+    def test_rare_out_parquet_with_tally(self, spark, capsys, tmpdir_path):
+        p = self._write_log(tmpdir_path, "ro.log",
+                            ["job 1 done", "job 2 done", "weird singleton"])
+        dest = os.path.join(tmpdir_path, "rare_out")
+        capsys.readouterr()
+        assert main(["rare", "--input", p, "--out", dest,
+                     "--rare-only"]) == 0
+        err = capsys.readouterr().err
+        rows = spark.read.parquet(dest).collect()
+        assert [r["text"] for r in rows] == ["weird singleton"]
+        # tally covers the FULL frame even under --rare-only
+        assert "# True: 1" in err and "# False: 2" in err
+
+    def test_bursts_flags_spike(self, spark, capsys, tmpdir_path):
+        import pyspark.sql.functions as F
+        secs = [1, 2, 11, 12, 13] + [31] * 12
+        src = os.path.join(tmpdir_path, "events_pq")
+        (spark.createDataFrame([(s,) for s in secs], "sec long")
+              .select(F.timestamp_seconds("sec").alias("ts"))
+              .write.mode("overwrite").parquet(src))
+        capsys.readouterr()
+        assert main(["bursts", "--input", src, "--window", "10 seconds",
+                     "--trailing", "2", "--mult", "2",
+                     "--bursts-only"]) == 0
+        out = capsys.readouterr().out.splitlines()
+        assert len(out) == 1
+        ws, n, base, verdict = out[0].split("\t")
+        assert (ws, n, verdict) == ("30", "12", "BURST")
+        assert base == "3/1"
