@@ -32,8 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .templates import (group_templates, line_tokens_expr, mine_templates,
-                        position_profiles, WILDCARD)
+from .templates import (group_templates, line_tokens_expr, merge_profiles,
+                        mine_templates, position_profiles, WILDCARD)
 
 
 def _keyed_lines(lines: DataFrame, text_col: str,
@@ -96,6 +96,51 @@ def rare_template_lines(lines: DataFrame, text_col: str = "text",
     is_rare = (F.col("template_lines").isNull()
                | (F.col("template_lines") <= max_lines))
     return out.withColumn("is_rare", is_rare)
+
+
+def novel_line_flags(lines: DataFrame, prior_profile: DataFrame,
+                     text_col: str = "text",
+                     tokens_col: str | None = None,
+                     max_lines: int = 1,
+                     merged_profile: DataFrame | None = None) -> DataFrame:
+    """Per-line verdicts for a NEW batch of lines against accumulated
+    mining state: ``lines`` columns plus ``template`` /
+    ``template_lines`` (assigned against ``prior ∪ batch`` — a message
+    that is common within the batch itself is not an anomaly),
+    ``is_rare`` (the template covers at most ``max_lines`` lines across
+    everything ever mined), and ``is_new`` (the line's (token-count,
+    head) Drain group has NEVER been seen before this batch — the
+    real-time "first occurrence of a new message shape" signal).
+
+    ``prior_profile`` is a :func:`~log2seq_spark.operators.templates.\
+position_profiles` table (e.g. the epoch state kept by
+    ``streaming/stream.py::streaming_template_mining``); pass
+    ``merged_profile`` when the caller has already folded the batch in
+    (avoids profiling the batch twice).
+
+    Scale shape: one batch scan for the profile fold (if not supplied)
+    + one batch scan for the per-line joins; both joins broadcast sides
+    bounded by #groups, never corpus- or history-sized.
+    """
+    if merged_profile is None:
+        merged_profile = merge_profiles(
+            prior_profile,
+            position_profiles(lines, text_col, tokens_col=tokens_col))
+    groups = group_templates(merged_profile)
+    tl = (groups.groupBy("template")
+                .agg(F.sum("_n_lines").alias("template_lines")))
+    gmap = groups.select("_ntok", "_head", "template").join(
+        F.broadcast(tl), "template")
+    prior_keys = (prior_profile.select("_ntok", "_head").distinct()
+                               .withColumn("_seen", F.lit(True)))
+    keyed = _keyed_lines(lines, text_col, tokens_col)
+    out = (keyed.join(F.broadcast(gmap), ["_ntok", "_head"], "left")
+                .join(F.broadcast(prior_keys), ["_ntok", "_head"], "left"))
+    is_rare = (F.col("template_lines").isNull()
+               | (F.col("template_lines") <= max_lines))
+    return (out.withColumn("is_rare", is_rare)
+               .withColumn("is_new", F.col("_seen").isNull())
+               .drop("_ntok", "_head", "_seen"))
 
 
 def template_drift(lines_a: DataFrame, lines_b: DataFrame,

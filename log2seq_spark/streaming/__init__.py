@@ -5,6 +5,7 @@ from .stream import (streaming_parse, streaming_sink_counts,
                      streaming_dedup_exact, streaming_dedup_with_index,
                      streaming_route_to_sink,
                      streaming_template_mining, current_templates,
+                     streaming_rare_lines,
                      streaming_near_dup_with_index,
                      streaming_clean_corpus,
                      streaming_line_dedup_with_index)
@@ -15,6 +16,7 @@ __all__ = ["streaming_parse", "streaming_sink_counts",
            "streaming_dedup_exact", "streaming_dedup_with_index",
            "streaming_route_to_sink",
            "streaming_template_mining", "current_templates",
+           "streaming_rare_lines",
            "streaming_near_dup_with_index", "streaming_clean_corpus",
            "streaming_line_dedup_with_index",
            "conversation_summaries", "CONV_SUMMARY_SCHEMA"]

@@ -394,6 +394,78 @@ def streaming_template_mining(lines: DataFrame, checkpoint_dir: str,
                  .option("checkpointLocation", checkpoint_dir))
 
 
+def streaming_rare_lines(lines: DataFrame, checkpoint_dir: str,
+                         profile_dir: str, out_dir: str,
+                         text_col: str = "text",
+                         tokens_col: str | None = None,
+                         max_lines: int = 1, keep_epochs: int = 3):
+    """Real-time log anomaly detection: per-line verdicts against the
+    templates mined over EVERYTHING ingested so far. Each micro-batch
+    folds its position profile into the same epoch-versioned state
+    :func:`streaming_template_mining` keeps (the two can share a
+    ``profile_dir`` history shape, not a live directory), assigns every
+    batch line a template from the merged (history ∪ batch) profile via
+    :func:`~log2seq_spark.operators.anomaly.novel_line_flags`, and
+    writes the batch's verdict rows — the input columns plus
+    ``template``, ``template_lines``, ``is_rare`` (template covers at
+    most ``max_lines`` lines ever) and ``is_new`` (first time this
+    (token-count, head) message shape has EVER been seen) — to
+    ``out_dir/epoch=<batch_id>``.
+
+    Exactly-once: both the state epoch and the verdict epoch are keyed
+    by ``batch_id`` and written with overwrite, so a replayed
+    micro-batch reads the same prior state (newest committed epoch
+    ``< batch_id``) and overwrites only its own directories. Verdict
+    epochs are never pruned (they are the output — read ``out_dir``
+    as parquet and Spark surfaces ``epoch`` as a partition column);
+    state epochs are pruned as usual.
+
+    Scale shape: per batch, two scans of the batch (profile fold +
+    per-line joins) and joins whose broadcast sides are bounded by
+    #groups — history is never re-read beyond the tiny profile table.
+
+    Returns an un-started ``DataStreamWriter``.
+    """
+    import os
+
+    from ..operators.anomaly import novel_line_flags
+    from ..operators.templates import merge_profiles, position_profiles
+
+    params = {"tokens_col": tokens_col,
+              "text_col": text_col if tokens_col is None else None}
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        _check_epoch_params(profile_dir, params,
+                            spark=batch_df.sparkSession)
+        prior = _read_prior_epoch(batch_df.sparkSession, profile_dir,
+                                  batch_id, _PROFILE_SCHEMA)
+        batch_df = batch_df.persist()
+        try:
+            # materialize the merged profile once — it feeds BOTH the
+            # verdict joins and the state write, and it is small by
+            # construction (#groups x max line length)
+            merged = (merge_profiles(
+                          prior,
+                          position_profiles(batch_df, text_col,
+                                            tokens_col=tokens_col))
+                      .localCheckpoint(eager=True))
+            (novel_line_flags(batch_df, prior, text_col,
+                              tokens_col=tokens_col, max_lines=max_lines,
+                              merged_profile=merged)
+                .write.mode("overwrite")
+                .parquet(os.path.join(out_dir, f"epoch={batch_id}")))
+            (merged.write.mode("overwrite")
+                   .parquet(os.path.join(profile_dir,
+                                         f"epoch={batch_id}")))
+        finally:
+            batch_df.unpersist()
+        _prune_epochs(profile_dir, batch_id, keep_epochs,
+                      spark=batch_df.sparkSession)
+
+    return (lines.writeStream.foreachBatch(_write)
+                 .option("checkpointLocation", checkpoint_dir))
+
+
 def current_templates(spark: SparkSession, profile_dir: str,
                       min_count: int = 1) -> DataFrame:
     """Finalize ``(template, n_lines, n_groups)`` from the newest
