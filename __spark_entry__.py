@@ -1783,8 +1783,47 @@ FROM span_rows
 """
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    return dedup.minhash_near_duplicates(
-        _tp(spark, sf_dir, "documents"), n_hashes=8, bands=4, shingle_n=3)
+    """MinHash-LSH near-dup detection, batch AND incremental in one
+    driver row over ONE shared signature aggregate (the shingle→minhash
+    groupBy is the expensive part; bucketing, indexing and screening are
+    all cheap projections of it):
+
+    * ``source='bucket'`` — the batch operator
+      (``dedup.minhash_near_duplicates`` semantics): occupied LSH
+      buckets with >1 doc, (band, band_hash, n_docs, keep_id).
+    * ``source='incr:<verdict>'`` — the incremental path a growing
+      corpus uses (``dedup.minhash_index`` over the historical 2/3 of
+      the table + ``dedup.near_dup_against_index`` screening the
+      ``doc_id % 3 == 0`` third as the newly-arrived shard; history is
+      never re-hashed). One row per batch doc; column reuse documented:
+      ``band=-1`` sentinel, ``band_hash`` carries the doc's null-safe
+      content hash, ``n_docs`` carries the batch ``doc_id``, ``keep_id``
+      carries ``match_id`` (lowest prior owner, null when fresh)."""
+    docs = _tp(spark, sf_dir, "documents")
+    sigs = _feed(spark, ("minhash_sigs", sf_dir),
+                 lambda: dedup.minhash_band_signatures(
+                     docs, n_hashes=8, bands=4, shingle_n=3))
+    buckets = (sigs.groupBy("band", "band_hash")
+                   .agg(F.count("*").alias("n_docs"),
+                        F.min("_id").alias("keep_id"))
+                   .filter(F.col("n_docs") > 1)
+                   .select(F.lit("bucket").alias("source"),
+                           "band", "band_hash", "n_docs", "keep_id"))
+    index = (sigs.filter(F.col("_id") % 3 != 0)
+                 .groupBy("band", "band_hash")
+                 .agg(F.min("_id").alias("keep_id")))
+    verdicts = dedup.near_dup_against_index(
+        docs.filter(F.col("doc_id") % 3 == 0), index,
+        n_hashes=8, bands=4, shingle_n=3,
+        signatures=sigs.filter(F.col("_id") % 3 == 0))
+    incr = verdicts.select(
+        F.concat(F.lit("incr:"),
+                 F.col("is_near_dup").cast("string")).alias("source"),
+        F.lit(-1).alias("band"),
+        F.col("text_hash").alias("band_hash"),
+        F.col("doc_id").cast("bigint").alias("n_docs"),
+        F.col("match_id").alias("keep_id"))
+    return buckets.unionByName(incr)
 
 
 _SQL_MINHASH = f"""
@@ -1804,9 +1843,33 @@ WITH norm AS (
   SELECT doc_id, band,
          md5(array_to_string(sig[band * 2 + 1 : band * 2 + 2], '|')) AS band_hash
   FROM sig, (SELECT unnest(generate_series(0, 3)) AS band)
+), bucket_rows AS (
+  SELECT 'bucket' AS source, band, band_hash,
+         count(*) AS n_docs, min(doc_id) AS keep_id
+  FROM banded GROUP BY band, band_hash HAVING count(*) > 1
+), idx AS (
+  SELECT band, band_hash, min(doc_id) AS keep_id
+  FROM banded WHERE doc_id % 3 <> 0 GROUP BY 1, 2
+), scr AS (
+  SELECT b.doc_id, i.keep_id AS seen,
+         min(b.doc_id) OVER (PARTITION BY b.band, b.band_hash) AS bmin
+  FROM (SELECT * FROM banded WHERE doc_id % 3 = 0) b
+  LEFT JOIN idx i USING (band, band_hash)
+), perdoc AS (
+  SELECT doc_id,
+         bool_or(seen IS NOT NULL OR bmin < doc_id) AS is_near_dup,
+         min(least(seen, CASE WHEN bmin < doc_id THEN bmin END)) AS match_id
+  FROM scr GROUP BY doc_id
+), incr AS (
+  SELECT 'incr:' || coalesce(is_near_dup, false) AS source,
+         -1 AS band, coalesce(md5(text), ':null:') AS band_hash,
+         r.doc_id AS n_docs, match_id AS keep_id
+  FROM (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0) r
+  LEFT JOIN perdoc USING (doc_id)
 )
-SELECT band, band_hash, count(*) AS n_docs, min(doc_id) AS keep_id
-FROM banded GROUP BY band, band_hash HAVING count(*) > 1
+SELECT source, band, band_hash, n_docs, keep_id FROM bucket_rows
+UNION ALL
+SELECT source, band, band_hash, n_docs, keep_id FROM incr
 """
 
 
