@@ -488,27 +488,116 @@ def cmd_templates(args) -> int:
     return 0
 
 
+def _latest_index_gen(spark, index_dir: str):
+    """Latest COMMITTED index generation under ``index_dir``: ``gen=N``
+    children whose Spark write finished (``_SUCCESS`` marker — the
+    Hadoop commit protocol writes it last, so a crashed writer's
+    partial generation is invisible and the previous one stays
+    authoritative). Returns (path-or-None, N); N=0 when no generation
+    exists yet. Scheme-aware via :mod:`log2seq_spark.fsio`."""
+    from . import fsio
+    if not fsio.exists(spark, index_dir):
+        return None, 0
+    gens = []
+    for name in fsio.list_child_names(spark, index_dir):
+        if name.startswith("gen="):
+            try:
+                n = int(name[len("gen="):])
+            except ValueError:
+                continue
+            if fsio.exists(spark, f"{index_dir}/{name}/_SUCCESS"):
+                gens.append(n)
+    if not gens:
+        return None, 0
+    n = max(gens)
+    return f"{index_dir}/gen={n}", n
+
+
+def _cmd_dedup_incremental(args, spark) -> int:
+    """``dedup --index-dir``: treat ``--input`` as ONE newly-arrived
+    shard of a continuously-growing corpus. The shard is screened
+    against the persisted index (exact content hashes, or MinHash-LSH
+    band buckets for ``--mode near``) WITHOUT re-reading any historical
+    documents, per-doc verdicts go to ``--out``, and the absorbed index
+    is published as the next immutable ``gen=N+1`` generation — the
+    incremental operators from ``operators/dedup.py``
+    (``dedup_against_index`` / ``near_dup_against_index`` +
+    ``updated_*_index``), driven end-to-end."""
+    from .operators.dedup import (dedup_against_index,
+                                  minhash_band_signatures,
+                                  near_dup_against_index,
+                                  updated_dedup_index,
+                                  updated_minhash_index)
+    docs = (spark.read.parquet(args.input)
+            .repartition(spark.sparkContext.defaultParallelism))
+    id_type = docs.schema[args.id_col].dataType.simpleString()
+    gen_path, gen = _latest_index_gen(spark, args.index_dir)
+    if args.mode == "exact":
+        index = (spark.read.parquet(gen_path) if gen_path is not None
+                 else spark.createDataFrame(
+                     [], f"text_hash string, keep_id {id_type}"))
+        decisions = dedup_against_index(docs, index,
+                                        text_col=args.text_col,
+                                        id_col=args.id_col)
+        new_index = updated_dedup_index(index, decisions)
+    else:
+        index = (spark.read.parquet(gen_path) if gen_path is not None
+                 else spark.createDataFrame(
+                     [], f"band int, band_hash string, keep_id {id_type}"))
+        # signatures computed ONCE, shared by the screen and the
+        # absorbed index (the operators' documented seam)
+        sigs = minhash_band_signatures(docs, text_col=args.text_col,
+                                       id_col=args.id_col).persist()
+        verdicts = near_dup_against_index(docs, index,
+                                          text_col=args.text_col,
+                                          id_col=args.id_col,
+                                          signatures=sigs)
+        decisions = verdicts.select(
+            args.id_col, "text_hash",
+            F.when(F.col("is_near_dup"), F.lit("drop_near"))
+             .otherwise(F.lit("keep")).alias("decision"),
+            F.col("match_id").alias("keep_id"))
+        new_index = updated_minhash_index(index, docs, signatures=sigs)
+    # publish the next generation FIRST: if it fails, no verdicts were
+    # emitted for a shard the index never absorbed (overwrite is safe —
+    # an uncommitted gen dir can only be a crashed writer's leftovers)
+    next_path = f"{args.index_dir}/gen={gen + 1}"
+    new_index.write.mode("overwrite").parquet(next_path)
+    n_entries = spark.read.parquet(next_path).count()
+    _write_with_tally(decisions, args.out, "decision")
+    print(f"# index: gen={gen} -> gen={gen + 1} ({n_entries} entries)",
+          file=sys.stderr)
+    return 0
+
+
 def cmd_dedup(args) -> int:
     """Keep/drop dedup policy over a documents parquet table
     (``operators/dedup.py::dedup_decisions``): per-doc decision
     (keep | drop_exact | drop_near) written to ``--out``, tally to
-    stderr. ``--mode exact`` skips the near-dup (n-gram Jaccard) leg."""
+    stderr. ``--mode exact`` skips the near-dup (n-gram Jaccard) leg.
+    With ``--index-dir`` the input is instead screened incrementally
+    against (and absorbed into) a persisted cross-shard index — see
+    :func:`_cmd_dedup_incremental`."""
     from .operators.dedup import dedup_decisions
     spark, owns = _cli_spark("log2seq-spark-dedup")
-    docs = (spark.read.parquet(args.input)
-            .repartition(spark.sparkContext.defaultParallelism))
-    near_pairs = None
-    if args.mode == "exact":
-        id_type = docs.schema[args.id_col].dataType.simpleString()
-        near_pairs = spark.createDataFrame(
-            [], f"id_a {id_type}, id_b {id_type}, jaccard double")
-    out = dedup_decisions(docs, text_col=args.text_col,
-                          id_col=args.id_col,
-                          threshold=args.threshold,
-                          near_pairs=near_pairs)
-    _write_with_tally(out, args.out, "decision")
-    if owns:
-        spark.stop()
+    try:
+        if args.index_dir is not None:
+            return _cmd_dedup_incremental(args, spark)
+        docs = (spark.read.parquet(args.input)
+                .repartition(spark.sparkContext.defaultParallelism))
+        near_pairs = None
+        if args.mode == "exact":
+            id_type = docs.schema[args.id_col].dataType.simpleString()
+            near_pairs = spark.createDataFrame(
+                [], f"id_a {id_type}, id_b {id_type}, jaccard double")
+        out = dedup_decisions(docs, text_col=args.text_col,
+                              id_col=args.id_col,
+                              threshold=args.threshold,
+                              near_pairs=near_pairs)
+        _write_with_tally(out, args.out, "decision")
+    finally:
+        if owns:
+            spark.stop()
     return 0
 
 
@@ -727,6 +816,12 @@ def main(argv=None) -> int:
     p.add_argument("--mode", choices=["near", "exact"], default="near")
     p.add_argument("--threshold", type=float, default=0.5,
                    help="Jaccard threshold for the near-dup leg")
+    p.add_argument("--index-dir", default=None,
+                   help="incremental mode: screen --input (one new "
+                        "shard) against the persisted cross-shard "
+                        "index in this directory and publish the "
+                        "absorbed index as the next gen=N generation; "
+                        "history is never re-read")
     p.set_defaults(fn=cmd_dedup)
 
     p = sub.add_parser(

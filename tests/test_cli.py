@@ -325,6 +325,92 @@ class TestDedupCommand:
                for r in spark.read.parquet(dest).collect()}
         assert got == {"d1": "keep", "d3": "keep"}
 
+    def test_incremental_exact_across_shards(self, spark, capsys,
+                                             tmpdir_path):
+        """--index-dir: shard 2 screens against shard 1's published
+        index without re-reading shard 1; generations are immutable
+        gen=N dirs and cross-shard dups attribute to the HISTORICAL
+        keeper."""
+        s1 = os.path.join(tmpdir_path, "ix_s1")
+        s2 = os.path.join(tmpdir_path, "ix_s2")
+        idx = os.path.join(tmpdir_path, "ix_idx")
+        (spark.createDataFrame(
+             [("a1", "alpha content"), ("a2", "beta content")],
+             "doc_id string, text string")
+         .write.mode("overwrite").parquet(s1))
+        (spark.createDataFrame(
+             [("b1", "alpha content"),       # seen in shard 1
+              ("b2", "gamma content"),       # fresh
+              ("b3", "gamma content")],      # in-batch dup of b2
+             "doc_id string, text string")
+         .write.mode("overwrite").parquet(s2))
+        o1 = os.path.join(tmpdir_path, "ix_o1")
+        o2 = os.path.join(tmpdir_path, "ix_o2")
+        assert main(["dedup", "--mode", "exact", "--input", s1,
+                     "--out", o1, "--index-dir", idx]) == 0
+        err1 = capsys.readouterr().err
+        assert "# keep: 2" in err1 and "gen=0 -> gen=1" in err1
+        assert main(["dedup", "--mode", "exact", "--input", s2,
+                     "--out", o2, "--index-dir", idx]) == 0
+        err2 = capsys.readouterr().err
+        assert "gen=1 -> gen=2" in err2
+        got = {r["doc_id"]: (r["decision"], r["keep_id"])
+               for r in spark.read.parquet(o2).collect()}
+        assert got == {"b1": ("drop_seen", "a1"),
+                       "b2": ("keep", "b2"),
+                       "b3": ("drop_batch", "b2")}
+        assert sorted(os.listdir(idx)) == ["gen=1", "gen=2"]
+        # published generation = the absorbed index: 3 distinct contents
+        assert spark.read.parquet(
+            os.path.join(idx, "gen=2")).count() == 3
+
+    def test_incremental_near_across_shards(self, spark, capsys,
+                                            tmpdir_path):
+        s1 = os.path.join(tmpdir_path, "nx_s1")
+        s2 = os.path.join(tmpdir_path, "nx_s2")
+        idx = os.path.join(tmpdir_path, "nx_idx")
+        base = "the quick brown fox jumps over the lazy sleeping dog"
+        (spark.createDataFrame([("a1", base)],
+                               "doc_id string, text string")
+         .write.mode("overwrite").parquet(s1))
+        (spark.createDataFrame(
+             [("b1", base.replace("jumps", "leaps")),  # near-dup of a1
+              ("b2", "entirely different content here today")],
+             "doc_id string, text string")
+         .write.mode("overwrite").parquet(s2))
+        o1 = os.path.join(tmpdir_path, "nx_o1")
+        o2 = os.path.join(tmpdir_path, "nx_o2")
+        assert main(["dedup", "--mode", "near", "--input", s1,
+                     "--out", o1, "--index-dir", idx]) == 0
+        capsys.readouterr()
+        assert main(["dedup", "--mode", "near", "--input", s2,
+                     "--out", o2, "--index-dir", idx]) == 0
+        err2 = capsys.readouterr().err
+        assert "# drop_near: 1" in err2 and "# keep: 1" in err2
+        got = {r["doc_id"]: (r["decision"], r["keep_id"])
+               for r in spark.read.parquet(o2).collect()}
+        assert got == {"b1": ("drop_near", "a1"), "b2": ("keep", None)}
+
+    def test_incremental_ignores_uncommitted_generation(self, spark,
+                                                        capsys,
+                                                        tmpdir_path):
+        """A gen dir without _SUCCESS (crashed writer) is invisible: the
+        next run re-publishes over it instead of trusting partial
+        data."""
+        s1 = os.path.join(tmpdir_path, "cx_s1")
+        idx = os.path.join(tmpdir_path, "cx_idx")
+        (spark.createDataFrame([("a1", "alpha")],
+                               "doc_id string, text string")
+         .write.mode("overwrite").parquet(s1))
+        os.makedirs(os.path.join(idx, "gen=1"))  # no _SUCCESS marker
+        o1 = os.path.join(tmpdir_path, "cx_o1")
+        assert main(["dedup", "--mode", "exact", "--input", s1,
+                     "--out", o1, "--index-dir", idx]) == 0
+        err = capsys.readouterr().err
+        assert "gen=0 -> gen=1" in err   # started from scratch
+        assert spark.read.parquet(
+            os.path.join(idx, "gen=1")).count() == 1
+
 
 class TestParseInputRobustness:
     """Review regressions: glob expansion on every reader path, plain
