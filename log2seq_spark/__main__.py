@@ -488,29 +488,48 @@ def cmd_templates(args) -> int:
     return 0
 
 
-def _latest_index_gen(spark, index_dir: str):
-    """Latest COMMITTED index generation under ``index_dir``: ``gen=N``
-    children whose Spark write finished (``_SUCCESS`` marker — the
-    Hadoop commit protocol writes it last, so a crashed writer's
-    partial generation is invisible and the previous one stays
-    authoritative). Returns (path-or-None, N); N=0 when no generation
-    exists yet. Scheme-aware via :mod:`log2seq_spark.fsio`."""
+def _committed_gens(spark, dir_path: str) -> list[int]:
+    """``gen=N`` children of ``dir_path`` whose Spark write finished
+    (``_SUCCESS`` marker — the Hadoop commit protocol writes it last,
+    so a crashed writer's partial generation is invisible)."""
     from . import fsio
-    if not fsio.exists(spark, index_dir):
-        return None, 0
-    gens = []
-    for name in fsio.list_child_names(spark, index_dir):
+    if not fsio.exists(spark, dir_path):
+        return []
+    out = []
+    for name in fsio.list_child_names(spark, dir_path):
         if name.startswith("gen="):
             try:
                 n = int(name[len("gen="):])
             except ValueError:
                 continue
-            if fsio.exists(spark, f"{index_dir}/{name}/_SUCCESS"):
-                gens.append(n)
-    if not gens:
-        return None, 0
-    n = max(gens)
-    return f"{index_dir}/gen={n}", n
+            if fsio.exists(spark, f"{dir_path}/{name}/_SUCCESS"):
+                out.append(n)
+    return sorted(out)
+
+
+def _index_segments(spark, index_dir: str):
+    """Log-structured index state: (segment paths, live delta gens,
+    next gen number). Layout:
+
+    * ``delta/gen=N`` — ONLY the novelty absorbed by ingestion N
+      (published by :func:`_cmd_dedup_incremental`; mutually disjoint
+      by the operators' anti-join construction, so their union has
+      unique keys).
+    * ``base/gen=J`` — a compaction: the FULL index as of delta J.
+
+    A reader takes the newest committed base plus every committed delta
+    with gen > J; deltas ≤ J are superseded whether or not compaction
+    got around to deleting them — which is what makes compaction
+    crash-safe: the base commits first (atomic ``_SUCCESS``), deletion
+    of absorbed segments is best-effort cleanup."""
+    bases = _committed_gens(spark, f"{index_dir}/base")
+    j = bases[-1] if bases else 0
+    deltas = [n for n in _committed_gens(spark, f"{index_dir}/delta")
+              if n > j]
+    paths = ([f"{index_dir}/base/gen={j}"] if bases else []) + \
+            [f"{index_dir}/delta/gen={n}" for n in deltas]
+    nxt = max([j] + deltas) + 1
+    return paths, deltas, nxt
 
 
 def _cmd_dedup_incremental(args, spark) -> int:
@@ -518,11 +537,16 @@ def _cmd_dedup_incremental(args, spark) -> int:
     shard of a continuously-growing corpus. The shard is screened
     against the persisted index (exact content hashes, or MinHash-LSH
     band buckets for ``--mode near``) WITHOUT re-reading any historical
-    documents, per-doc verdicts go to ``--out``, and the absorbed index
-    is published as the next immutable ``gen=N+1`` generation — the
-    incremental operators from ``operators/dedup.py``
-    (``dedup_against_index`` / ``near_dup_against_index`` +
-    ``updated_*_index``), driven end-to-end."""
+    documents, per-doc verdicts go to ``--out``, and the shard's
+    NOVELTY is published as the next immutable ``delta/gen=N`` segment
+    (O(batch) publish — persisting the full union would cost O(corpus
+    novelty) per shard). Once more than ``--compact-every`` deltas are
+    live they are folded into ``base/gen=N`` (LSM-style compaction), so
+    reader segment counts stay bounded. Wires the incremental operators
+    from ``operators/dedup.py`` (``dedup_against_index`` /
+    ``near_dup_against_index`` + ``updated_*_index(delta_only=True)``)
+    end-to-end."""
+    from . import fsio
     from .operators.dedup import (dedup_against_index,
                                   minhash_band_signatures,
                                   near_dup_against_index,
@@ -531,21 +555,21 @@ def _cmd_dedup_incremental(args, spark) -> int:
     docs = (spark.read.parquet(args.input)
             .repartition(spark.sparkContext.defaultParallelism))
     id_type = docs.schema[args.id_col].dataType.simpleString()
-    gen_path, gen = _latest_index_gen(spark, args.index_dir)
+    segments, deltas, nxt = _index_segments(spark, args.index_dir)
     if args.mode == "exact":
-        index = (spark.read.parquet(gen_path) if gen_path is not None
-                 else spark.createDataFrame(
-                     [], f"text_hash string, keep_id {id_type}"))
+        schema = f"text_hash string, keep_id {id_type}"
+        index = (spark.read.parquet(*segments) if segments
+                 else spark.createDataFrame([], schema))
         decisions = dedup_against_index(docs, index,
                                         text_col=args.text_col,
                                         id_col=args.id_col)
-        new_index = updated_dedup_index(index, decisions)
+        delta = updated_dedup_index(index, decisions, delta_only=True)
     else:
-        index = (spark.read.parquet(gen_path) if gen_path is not None
-                 else spark.createDataFrame(
-                     [], f"band int, band_hash string, keep_id {id_type}"))
+        schema = f"band int, band_hash string, keep_id {id_type}"
+        index = (spark.read.parquet(*segments) if segments
+                 else spark.createDataFrame([], schema))
         # signatures computed ONCE, shared by the screen and the
-        # absorbed index (the operators' documented seam)
+        # published novelty (the operators' documented seam)
         sigs = minhash_band_signatures(docs, text_col=args.text_col,
                                        id_col=args.id_col).persist()
         verdicts = near_dup_against_index(docs, index,
@@ -557,16 +581,28 @@ def _cmd_dedup_incremental(args, spark) -> int:
             F.when(F.col("is_near_dup"), F.lit("drop_near"))
              .otherwise(F.lit("keep")).alias("decision"),
             F.col("match_id").alias("keep_id"))
-        new_index = updated_minhash_index(index, docs, signatures=sigs)
-    # publish the next generation FIRST: if it fails, no verdicts were
-    # emitted for a shard the index never absorbed (overwrite is safe —
-    # an uncommitted gen dir can only be a crashed writer's leftovers)
-    next_path = f"{args.index_dir}/gen={gen + 1}"
-    new_index.write.mode("overwrite").parquet(next_path)
-    n_entries = spark.read.parquet(next_path).count()
+        delta = updated_minhash_index(index, docs, signatures=sigs,
+                                      delta_only=True)
+    # publish the delta FIRST: if it fails, no verdicts were emitted
+    # for a shard the index never absorbed (overwrite is safe — an
+    # uncommitted gen dir can only be a crashed writer's leftovers)
+    delta_path = f"{args.index_dir}/delta/gen={nxt}"
+    delta.write.mode("overwrite").parquet(delta_path)
+    n_new = spark.read.parquet(delta_path).count()
     _write_with_tally(decisions, args.out, "decision")
-    print(f"# index: gen={gen} -> gen={gen + 1} ({n_entries} entries)",
-          file=sys.stderr)
+    print(f"# index: delta gen={nxt} (+{n_new} entries, "
+          f"{len(segments) + 1} segments)", file=sys.stderr)
+    if args.compact_every and len(deltas) + 1 > args.compact_every:
+        base_path = f"{args.index_dir}/base/gen={nxt}"
+        (spark.read.parquet(*(segments + [delta_path]))
+              .write.mode("overwrite").parquet(base_path))
+        n_total = spark.read.parquet(base_path).count()
+        # base committed — superseded segments are dead to every future
+        # reader; deleting them is cleanup, not correctness
+        for p in segments + [delta_path]:
+            fsio.delete(spark, p)
+        print(f"# index: compacted -> base gen={nxt} "
+              f"({n_total} entries)", file=sys.stderr)
     return 0
 
 
@@ -820,8 +856,11 @@ def main(argv=None) -> int:
                    help="incremental mode: screen --input (one new "
                         "shard) against the persisted cross-shard "
                         "index in this directory and publish the "
-                        "absorbed index as the next gen=N generation; "
-                        "history is never re-read")
+                        "shard's novelty as the next delta/gen=N "
+                        "segment; history is never re-read")
+    p.add_argument("--compact-every", type=int, default=16,
+                   help="fold delta segments into a base generation "
+                        "once more than this many are live (0 = never)")
     p.set_defaults(fn=cmd_dedup)
 
     p = sub.add_parser(

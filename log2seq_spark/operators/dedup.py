@@ -1069,7 +1069,8 @@ def updated_dedup_index(index: DataFrame,
                         batch_decisions: DataFrame,
                         new_docs: DataFrame | None = None,
                         text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        delta_only: bool = False) -> DataFrame:
     """The index after absorbing a batch: prior entries plus one row per
     content first seen in this batch (its batch keeper). Feed the result
     of :func:`dedup_against_index` as ``batch_decisions`` — it carries
@@ -1079,7 +1080,14 @@ def updated_dedup_index(index: DataFrame,
     First-wins via anti-join, like :func:`updated_line_dedup_index` /
     :func:`updated_minhash_index`: prior entries are appended to, never
     re-aggregated — per-epoch cost scales with the BATCH, not with the
-    (corpus-novelty-sized) index a long-running stream accumulates."""
+    (corpus-novelty-sized) index a long-running stream accumulates.
+
+    ``delta_only=True`` returns JUST the fresh entries (disjoint from
+    ``index`` by construction) instead of the union — the seam for
+    log-structured index storage, where each ingestion publishes only
+    its novelty and readers union the committed segments: persisting
+    the full union would make every publish O(corpus novelty) instead
+    of O(batch novelty)."""
     keeps = batch_decisions.filter(F.col("decision") == "keep")
     if "text_hash" in batch_decisions.columns:
         fresh = keeps.select("text_hash", F.col(id_col).alias("keep_id"))
@@ -1097,7 +1105,7 @@ def updated_dedup_index(index: DataFrame,
                   .agg(F.min("keep_id").alias("keep_id"))
                   .join(index.select("text_hash"), "text_hash",
                         "left_anti"))
-    return index.unionByName(fresh)
+    return fresh if delta_only else index.unionByName(fresh)
 
 
 def minhash_index(docs: DataFrame, text_col: str = "text",
@@ -1200,7 +1208,8 @@ def updated_minhash_index(index: DataFrame, new_docs: DataFrame,
                           text_col: str = "text",
                           id_col: str = "doc_id", n_hashes: int = 8,
                           bands: int = 4, shingle_n: int = 3,
-                          signatures: DataFrame | None = None) -> DataFrame:
+                          signatures: DataFrame | None = None,
+                          delta_only: bool = False) -> DataFrame:
     """The LSH index after absorbing a batch: prior bucket owners win
     (first-seen-keeps, matching the screen's verdicts), plus one row
     per bucket first occupied in this batch. First-wins via anti-join
@@ -1210,7 +1219,8 @@ def updated_minhash_index(index: DataFrame, new_docs: DataFrame,
     min-over-union under the ids-sort-after-history contract (and never
     re-aggregates the history rows). ``signatures`` = precomputed
     :func:`minhash_band_signatures`, see
-    :func:`near_dup_against_index`."""
+    :func:`near_dup_against_index`. ``delta_only=True`` returns just
+    the first-occupied buckets (see :func:`updated_dedup_index`)."""
     sigs = (signatures if signatures is not None
             else minhash_band_signatures(new_docs, text_col, id_col,
                                          n_hashes, bands, shingle_n))
@@ -1218,7 +1228,7 @@ def updated_minhash_index(index: DataFrame, new_docs: DataFrame,
                  .agg(F.min("_id").alias("keep_id"))
                  .join(index.select("band", "band_hash"),
                        ["band", "band_hash"], "left_anti"))
-    return index.unionByName(fresh)
+    return fresh if delta_only else index.unionByName(fresh)
 
 
 def conversation_hashes(turns: DataFrame, conv_col: str = "conv_id",

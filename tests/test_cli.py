@@ -349,20 +349,23 @@ class TestDedupCommand:
         assert main(["dedup", "--mode", "exact", "--input", s1,
                      "--out", o1, "--index-dir", idx]) == 0
         err1 = capsys.readouterr().err
-        assert "# keep: 2" in err1 and "gen=0 -> gen=1" in err1
+        assert "# keep: 2" in err1 and "delta gen=1 (+2 entries" in err1
         assert main(["dedup", "--mode", "exact", "--input", s2,
                      "--out", o2, "--index-dir", idx]) == 0
         err2 = capsys.readouterr().err
-        assert "gen=1 -> gen=2" in err2
+        # O(batch-novelty) publish: shard 2 adds ONE new content
+        assert "delta gen=2 (+1 entries" in err2
         got = {r["doc_id"]: (r["decision"], r["keep_id"])
                for r in spark.read.parquet(o2).collect()}
         assert got == {"b1": ("drop_seen", "a1"),
                        "b2": ("keep", "b2"),
                        "b3": ("drop_batch", "b2")}
-        assert sorted(os.listdir(idx)) == ["gen=1", "gen=2"]
-        # published generation = the absorbed index: 3 distinct contents
+        assert sorted(os.listdir(os.path.join(idx, "delta"))) == \
+            ["gen=1", "gen=2"]
+        # segment union = the full index: 3 distinct contents
         assert spark.read.parquet(
-            os.path.join(idx, "gen=2")).count() == 3
+            os.path.join(idx, "delta", "gen=1"),
+            os.path.join(idx, "delta", "gen=2")).count() == 3
 
     def test_incremental_near_across_shards(self, spark, capsys,
                                             tmpdir_path):
@@ -402,14 +405,53 @@ class TestDedupCommand:
         (spark.createDataFrame([("a1", "alpha")],
                                "doc_id string, text string")
          .write.mode("overwrite").parquet(s1))
-        os.makedirs(os.path.join(idx, "gen=1"))  # no _SUCCESS marker
+        # no _SUCCESS marker
+        os.makedirs(os.path.join(idx, "delta", "gen=1"))
         o1 = os.path.join(tmpdir_path, "cx_o1")
         assert main(["dedup", "--mode", "exact", "--input", s1,
                      "--out", o1, "--index-dir", idx]) == 0
         err = capsys.readouterr().err
-        assert "gen=0 -> gen=1" in err   # started from scratch
+        assert "delta gen=1 (+1 entries" in err  # started from scratch
         assert spark.read.parquet(
-            os.path.join(idx, "gen=1")).count() == 1
+            os.path.join(idx, "delta", "gen=1")).count() == 1
+
+    def test_incremental_compaction(self, spark, capsys, tmpdir_path):
+        """--compact-every folds live deltas into a base generation;
+        later shards screen against the base exactly as they did
+        against the deltas, and superseded segments are gone."""
+        idx = os.path.join(tmpdir_path, "kx_idx")
+        outs = []
+        for s, rows in enumerate([
+                [("a1", "alpha"), ("a2", "beta")],
+                [("b1", "gamma")],
+                [("c1", "alpha"),   # dup of shard-0 content, post-compact
+                 ("c2", "delta")]]):
+            src = os.path.join(tmpdir_path, f"kx_s{s}")
+            (spark.createDataFrame(rows, "doc_id string, text string")
+             .write.mode("overwrite").parquet(src))
+            out = os.path.join(tmpdir_path, f"kx_o{s}")
+            outs.append(out)
+            assert main(["dedup", "--mode", "exact", "--input", src,
+                         "--out", out, "--index-dir", idx,
+                         "--compact-every", "2"]) == 0
+        err = capsys.readouterr().err
+        assert "compacted -> base gen=3 (4 entries)" in err
+        got = {r["doc_id"]: (r["decision"], r["keep_id"])
+               for r in spark.read.parquet(outs[2]).collect()}
+        assert got == {"c1": ("drop_seen", "a1"), "c2": ("keep", "c2")}
+        # shard 3 triggered the fold: base holds everything, deltas gone
+        assert os.path.isdir(os.path.join(idx, "base", "gen=3"))
+        assert os.listdir(os.path.join(idx, "delta")) == []
+        # a fourth shard reads the base alone
+        src = os.path.join(tmpdir_path, "kx_s3")
+        (spark.createDataFrame([("d1", "gamma")],
+                               "doc_id string, text string")
+         .write.mode("overwrite").parquet(src))
+        out = os.path.join(tmpdir_path, "kx_o3")
+        assert main(["dedup", "--mode", "exact", "--input", src,
+                     "--out", out, "--index-dir", idx]) == 0
+        assert spark.read.parquet(out).collect()[0]["decision"] == \
+            "drop_seen"
 
 
 class TestParseInputRobustness:
