@@ -545,7 +545,10 @@ def _cmd_dedup_incremental(args, spark) -> int:
     reader segment counts stay bounded. Wires the incremental operators
     from ``operators/dedup.py`` (``dedup_against_index`` /
     ``near_dup_against_index`` + ``updated_*_index(delta_only=True)``)
-    end-to-end."""
+    end-to-end. Single-writer: concurrent ingestions would race on the
+    next gen number — serialize shards through one submitting process
+    (readers are safe at any time; segments are immutable once
+    committed)."""
     from . import fsio
     from .operators.dedup import (dedup_against_index,
                                   minhash_band_signatures,
@@ -590,6 +593,8 @@ def _cmd_dedup_incremental(args, spark) -> int:
     delta.write.mode("overwrite").parquet(delta_path)
     n_new = spark.read.parquet(delta_path).count()
     _write_with_tally(decisions, args.out, "decision")
+    if args.mode != "exact":
+        sigs.unpersist()  # both consumers (delta + verdicts) are done
     print(f"# index: delta gen={nxt} (+{n_new} entries, "
           f"{len(segments) + 1} segments)", file=sys.stderr)
     if args.compact_every and len(deltas) + 1 > args.compact_every:

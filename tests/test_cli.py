@@ -415,6 +415,46 @@ class TestDedupCommand:
         assert spark.read.parquet(
             os.path.join(idx, "delta", "gen=1")).count() == 1
 
+    def test_incremental_randomized_equals_one_batch(self, spark,
+                                                     capsys,
+                                                     tmpdir_path):
+        """Randomized CLI-level invariant: screening K shards in id
+        order through --index-dir (with compaction firing mid-stream)
+        yields exactly one keep per distinct content — the earliest
+        doc — and the final segment union equals indexing the whole
+        corpus at once."""
+        import random
+        from log2seq_spark.operators import dedup as dd
+        rng = random.Random(11)
+        docs = [(i, f"content {rng.randrange(25)}") for i in range(80)]
+        shards = [docs[i * 20:(i + 1) * 20] for i in range(4)]
+        idx = os.path.join(tmpdir_path, "rx_idx")
+        keeps = []
+        for s, rows in enumerate(shards):
+            src = os.path.join(tmpdir_path, f"rx_s{s}")
+            (spark.createDataFrame(rows, "doc_id long, text string")
+             .write.mode("overwrite").parquet(src))
+            out = os.path.join(tmpdir_path, f"rx_o{s}")
+            assert main(["dedup", "--mode", "exact", "--input", src,
+                         "--out", out, "--index-dir", idx,
+                         "--compact-every", "2"]) == 0
+            capsys.readouterr()
+            keeps += [r["doc_id"] for r in spark.read.parquet(out)
+                      .filter("decision = 'keep'").collect()]
+        first_seen = {}
+        for i, t in docs:
+            first_seen.setdefault(t, i)
+        assert sorted(keeps) == sorted(first_seen.values())
+        from log2seq_spark.__main__ import _index_segments
+        segments, _, _ = _index_segments(spark, idx)
+        got = {r["text_hash"]: r["keep_id"]
+               for r in spark.read.parquet(*segments).collect()}
+        scratch = {r["text_hash"]: r["keep_id"]
+                   for r in dd.exact_dedup_index(
+                       spark.createDataFrame(
+                           docs, "doc_id long, text string")).collect()}
+        assert got == scratch
+
     def test_incremental_compaction(self, spark, capsys, tmpdir_path):
         """--compact-every folds live deltas into a base generation;
         later shards screen against the base exactly as they did
