@@ -461,6 +461,41 @@ def _read_lines(spark, path: str, kind: str, text_col: str,
     return spark.read.text(path).withColumnRenamed("value", text_col)
 
 
+def _template_state_fold(spark, lines, state_dir: str, text_col: str,
+                         tokens_col, write: bool):
+    """Shared epoch-state access for the template-state consumers
+    (``templates --state-dir``, ``rare --state-dir``): validate the
+    tokenization stamp, read the newest committed profile, fold this
+    corpus in, and (when ``write``) commit the merge as the next epoch
+    under the streaming miner's protocol (one state format, every
+    consumer — ``current_templates()``, the streaming rare/new
+    detector, both CLI commands interoperate on the same directory).
+
+    Returns ``(prior, merged, epoch)``: the pre-batch profile, the
+    history-∪-batch profile (the committed parquet read back when
+    written, so downstream plans scan the state instead of recomputing
+    the merge), and the committed epoch id (None when ``write`` is
+    False). Raises ``ValueError`` on a tokenization-stamp mismatch."""
+    from .operators.templates import merge_profiles, position_profiles
+    from .streaming.stream import (_PROFILE_SCHEMA, _check_epoch_params,
+                                   _committed_epochs, _prune_epochs,
+                                   _read_prior_epoch)
+    params = {"tokens_col": tokens_col,
+              "text_col": (text_col if tokens_col is None else None)}
+    _check_epoch_params(state_dir, params, spark=spark)
+    epochs = _committed_epochs(state_dir, spark=spark)
+    epoch = (epochs[-1] + 1) if epochs else 0
+    prior = _read_prior_epoch(spark, state_dir, epoch, _PROFILE_SCHEMA)
+    merged = merge_profiles(
+        prior, position_profiles(lines, text_col, tokens_col=tokens_col))
+    if not write:
+        return prior, merged, None
+    epoch_path = f"{state_dir}/epoch={epoch}"
+    merged.write.mode("overwrite").parquet(epoch_path)
+    _prune_epochs(state_dir, epoch, keep_epochs=3, spark=spark)
+    return prior, spark.read.parquet(epoch_path), epoch
+
+
 def cmd_templates(args) -> int:
     """Batch template mining (``operators/templates.py`` — the amulog
     hand-off the reference preprocesses for): mine over raw log lines,
@@ -477,8 +512,30 @@ def cmd_templates(args) -> int:
     lines = _read_lines(spark, args.input, args.input_kind, args.text_col,
                         getattr(args, "multiline_start", None),
                         args.multiline_sep)
-    out = mine_templates(lines, args.text_col, min_count=args.min_count,
-                         tokens_col=args.tokens_col)
+    if getattr(args, "state_dir", None):
+        # incremental mining: fold THIS corpus's position profile into
+        # the same epoch-versioned state the streaming miner keeps
+        # (streaming/stream.py protocol — one format, every consumer:
+        # current_templates(), the rare-line detectors, this command).
+        # Printed templates cover everything mined into the state so
+        # far; per-shard cost is one profile aggregate over the shard
+        # plus a merge against the (groups-bounded) state.
+        from .operators.templates import templates_from_profiles
+        try:
+            _, merged, epoch = _template_state_fold(
+                spark, lines, args.state_dir, args.text_col,
+                args.tokens_col, write=True)
+        except ValueError as exc:   # incompatible tokenization stamp
+            print(f"templates: {exc}", file=sys.stderr)
+            if owns:
+                spark.stop()
+            return 2
+        out = templates_from_profiles(merged, min_count=args.min_count)
+        print(f"# state: epoch={epoch}", file=sys.stderr)
+    else:
+        out = mine_templates(lines, args.text_col,
+                             min_count=args.min_count,
+                             tokens_col=args.tokens_col)
     rows = (out.orderBy(F.desc("n_lines"), "template")
                .limit(args.top).collect())
     for r in rows:
@@ -671,10 +728,66 @@ def cmd_rare(args) -> int:
     and surface the lines whose template covers at most ``--max-lines``
     corpus lines. With ``--out`` writes per-line verdicts to parquet
     (tally to stderr, like clean/dedup); otherwise prints up to
-    ``--top`` rare lines as ``template_lines<TAB>text``."""
-    from .operators.anomaly import rare_template_lines
+    ``--top`` rare lines as ``template_lines<TAB>text``.
+
+    With ``--state-dir`` (``operators/anomaly.py::novel_line_flags``):
+    screen this batch against the accumulated epoch state instead of
+    the batch alone — rarity counts cover history ∪ batch, ``is_new``
+    marks never-before-seen Drain groups, and the batch is folded into
+    the state (skip with ``--screen-only``). Printed rows gain a
+    leading ``new``/``rare``/``new+rare`` marker; ``--out`` verdicts
+    gain ``is_new`` + a ``verdict`` tally column."""
+    from .operators.anomaly import novel_line_flags, rare_template_lines
     spark, owns = _cli_spark("log2seq-spark-rare")
     lines = _read_lines(spark, args.input, args.input_kind, args.text_col)
+    if getattr(args, "state_dir", None):
+        # incremental screening: rarity judged against EVERYTHING ever
+        # mined into the epoch state (history ∪ this batch — a message
+        # common within the batch is not an anomaly), plus is_new for
+        # Drain groups history has never seen. Same state dir the
+        # streaming miner / `templates --state-dir` maintain; unless
+        # --screen-only, this batch is folded in as the next epoch so
+        # the next shard screens against it too.
+        try:
+            prior, merged, epoch = _template_state_fold(
+                spark, lines, args.state_dir, args.text_col,
+                args.tokens_col, write=not args.screen_only)
+        except ValueError as exc:   # incompatible tokenization stamp
+            print(f"rare: {exc}", file=sys.stderr)
+            if owns:
+                spark.stop()
+            return 2
+        out = novel_line_flags(lines, prior, args.text_col,
+                               tokens_col=args.tokens_col,
+                               max_lines=args.max_lines,
+                               merged_profile=merged)
+        if epoch is not None:
+            print(f"# state: epoch={epoch}", file=sys.stderr)
+        if args.out:
+            flagged = F.col("is_rare") | F.col("is_new")
+            verdict = (F.when(F.col("is_rare") & F.col("is_new"),
+                              F.lit("new+rare"))
+                        .when(F.col("is_new"), F.lit("new"))
+                        .when(F.col("is_rare"), F.lit("rare"))
+                        .otherwise(F.lit("common")))
+            _write_with_tally(out.withColumn("verdict", verdict),
+                              args.out, "verdict",
+                              only=flagged if args.rare_only else None)
+        else:
+            rows = (out.filter(F.col("is_rare") | F.col("is_new"))
+                       .orderBy(F.coalesce("template_lines", F.lit(0)),
+                                args.text_col)
+                       .limit(args.top).collect())
+            for r in rows:
+                nl = r["template_lines"]
+                mark = "+".join(m for m, on in
+                                (("new", r["is_new"]),
+                                 ("rare", r["is_rare"])) if on)
+                print(f"{mark}\t{0 if nl is None else nl}\t"
+                      f"{r[args.text_col]}")
+        if owns:
+            spark.stop()
+        return 0
     out = rare_template_lines(lines, args.text_col,
                               tokens_col=args.tokens_col,
                               max_lines=args.max_lines)
@@ -844,6 +957,11 @@ def main(argv=None) -> int:
                         "mining (text input only; rlike semantics)")
     p.add_argument("--multiline-sep", default=" ",
                    help="joiner between a record's lines (default: space)")
+    p.add_argument("--state-dir", default=None,
+                   help="incremental mining: fold this corpus into the "
+                        "epoch-versioned profile state kept here (same "
+                        "format as the streaming miner; printed "
+                        "templates cover everything mined so far)")
     p.set_defaults(fn=cmd_templates)
 
     p = sub.add_parser(
@@ -906,6 +1024,15 @@ def main(argv=None) -> int:
                    help="with --out, write only the rare lines (tally "
                         "still covers all)")
     p.add_argument("--top", type=int, default=100)
+    p.add_argument("--state-dir", default=None,
+                   help="screen against the accumulated template state "
+                        "kept here (same epoch format as `templates "
+                        "--state-dir` and the streaming miner): rarity "
+                        "covers history ∪ batch, is_new flags "
+                        "never-seen groups, batch folded in after")
+    p.add_argument("--screen-only", action="store_true",
+                   help="with --state-dir: do not fold this batch into "
+                        "the state (read-only screening)")
     p.set_defaults(fn=cmd_rare)
 
     p = sub.add_parser(

@@ -286,6 +286,55 @@ class TestTemplatesCommand:
         # numeric-head routing keeps 'job' as head; position 2 varies
         assert out.strip().splitlines() == ["2\t1\tjob <*> done"]
 
+    def test_state_dir_incremental_equals_batch(self, spark, capsys,
+                                                tmpdir_path):
+        """--state-dir: shard-by-shard mining folds into the streaming
+        miner's epoch state; the second run prints the CUMULATIVE
+        templates (== batch-mining the concatenation) and
+        current_templates() reads the CLI-produced state."""
+        a = os.path.join(tmpdir_path, "tsA.log")
+        b = os.path.join(tmpdir_path, "tsB.log")
+        st = os.path.join(tmpdir_path, "tstate")
+        with open(a, "w") as f:
+            f.write("conn from 10.0.0.1 closed\ndisk full on /var\n")
+        with open(b, "w") as f:
+            f.write("conn from 10.0.0.9 closed\nconn from 8.8.8.8 closed\n"
+                    "17 packets dropped\n42 packets dropped\n")
+        assert main(["templates", "--input", a, "--state-dir", st]) == 0
+        err = capsys.readouterr().err
+        assert "# state: epoch=0" in err
+        assert main(["templates", "--input", b, "--state-dir", st]) == 0
+        got = capsys.readouterr().out.strip().splitlines()
+        # == mine_templates over shard A + shard B in one batch
+        assert got == ["3\t1\tconn from <*> closed",
+                       "2\t1\t<*> packets dropped",
+                       "1\t1\tdisk full on /var"]
+        from log2seq_spark.streaming.stream import current_templates
+        live = {(r["template"], r["n_lines"], r["n_groups"])
+                for r in current_templates(spark, st).collect()}
+        assert ("conn from <*> closed", 3, 1) in live
+        assert len(live) == 3
+
+    def test_state_dir_rejects_tokenization_drift(self, spark, capsys,
+                                                  tmpdir_path):
+        """Folding a differently-tokenized corpus into existing state
+        would silently mix position spaces — refused with exit 2."""
+        a = os.path.join(tmpdir_path, "tdA.log")
+        st = os.path.join(tmpdir_path, "tdstate")
+        with open(a, "w") as f:
+            f.write("conn from 10.0.0.1 closed\n")
+        assert main(["templates", "--input", a, "--state-dir", st]) == 0
+        capsys.readouterr()
+        src = os.path.join(tmpdir_path, "td_words")
+        (spark.createDataFrame([(["conn", "up"],)],
+                               "words array<string>")
+         .write.mode("overwrite").parquet(src))
+        code = main(["templates", "--input", src, "--input-kind",
+                     "parquet", "--tokens-col", "words",
+                     "--state-dir", st])
+        err = capsys.readouterr().err
+        assert code == 2 and "templates:" in err
+
 
 class TestDedupCommand:
     def test_decisions_and_tally(self, spark, capsys, tmpdir_path):
@@ -691,6 +740,72 @@ class TestAnomalyCommands:
         assert [r["text"] for r in rows] == ["weird singleton"]
         # tally covers the FULL frame even under --rare-only
         assert "# True: 1" in err and "# False: 2" in err
+
+    def test_rare_state_dir_new_and_rare_vs_history(self, spark, capsys,
+                                                    tmpdir_path):
+        """--state-dir: shard B screens against shard A's mined state —
+        a line common WITHIN B is neither new nor rare once its group
+        was seen in A; a never-seen group is new; the batch folds in
+        (epoch advances) so shard C would screen against A∪B."""
+        a = self._write_log(tmpdir_path, "rsA.log",
+                            ["login ok user u1", "login ok user u2"])
+        b = self._write_log(tmpdir_path, "rsB.log",
+                            ["login ok user u3", "login ok user u4",
+                             "kernel panic now"])
+        st = os.path.join(tmpdir_path, "rstate")
+        assert main(["templates", "--input", a, "--state-dir", st]) == 0
+        capsys.readouterr()
+        assert main(["rare", "--input", b, "--state-dir", st]) == 0
+        cap = capsys.readouterr()
+        assert "# state: epoch=1" in cap.err
+        # only the panic line surfaces: new group AND rare (1 line
+        # across history ∪ batch); the login lines' template covers 4
+        assert cap.out.splitlines() == ["new+rare\t1\tkernel panic now"]
+        # the fold committed: template state now covers A ∪ B
+        from log2seq_spark.streaming.stream import current_templates
+        live = {(r["template"], r["n_lines"])
+                for r in current_templates(spark, st).collect()}
+        assert ("login ok user <*>", 4) in live
+
+    def test_rare_state_dir_screen_only_and_out(self, spark, capsys,
+                                                tmpdir_path):
+        """--screen-only leaves the state untouched; --out writes
+        verdict parquet with is_new and tallies the verdict column."""
+        a = self._write_log(tmpdir_path, "soA.log",
+                            ["conn from h1 up", "conn from h2 up"])
+        b = self._write_log(tmpdir_path, "soB.log",
+                            ["conn from h3 up", "totally novel shape"])
+        st = os.path.join(tmpdir_path, "sostate")
+        dest = os.path.join(tmpdir_path, "so_out")
+        assert main(["rare", "--input", a, "--state-dir", st]) == 0
+        capsys.readouterr()
+        assert main(["rare", "--input", b, "--state-dir", st,
+                     "--screen-only", "--out", dest]) == 0
+        err = capsys.readouterr().err
+        assert "# state:" not in err          # nothing committed
+        assert "# common: 1" in err and "# new+rare: 1" in err
+        got = {r["text"]: (r["is_new"], r["is_rare"])
+               for r in spark.read.parquet(dest).collect()}
+        assert got["conn from h3 up"] == (False, False)
+        assert got["totally novel shape"] == (True, True)
+        from log2seq_spark.streaming.stream import _committed_epochs
+        assert _committed_epochs(st) == [0]   # B was not folded in
+
+    def test_rare_state_dir_rejects_tokenization_drift(self, spark,
+                                                       capsys,
+                                                       tmpdir_path):
+        a = self._write_log(tmpdir_path, "rdA.log", ["conn up ok"])
+        st = os.path.join(tmpdir_path, "rdstate")
+        assert main(["templates", "--input", a, "--state-dir", st]) == 0
+        capsys.readouterr()
+        src = os.path.join(tmpdir_path, "rd_words")
+        (spark.createDataFrame([(["conn", "up"],)],
+                               "words array<string>")
+         .write.mode("overwrite").parquet(src))
+        code = main(["rare", "--input", src, "--input-kind", "parquet",
+                     "--tokens-col", "words", "--state-dir", st])
+        err = capsys.readouterr().err
+        assert code == 2 and "rare:" in err
 
     def test_bursts_flags_spike(self, spark, capsys, tmpdir_path):
         import pyspark.sql.functions as F
