@@ -2099,7 +2099,44 @@ def q_similarity_topk(spark, sf_dir):
         F.lit("brute").alias("method"), "vec_id", "cosine")
     ivf = q_ivf_topk(spark, sf_dir).select(
         F.lit("ivf").alias("method"), "vec_id", "cosine")
-    return brute.unionByName(ivf)
+    incr = q_ivf_topk_incr(spark, sf_dir).select(
+        F.lit("ivf_incr").alias("method"), "vec_id", "cosine")
+    return brute.unionByName(ivf).unionByName(incr)
+
+
+def q_ivf_topk_incr(spark, sf_dir):
+    """Incremental-ingestion twin of :func:`q_ivf_topk`
+    (``operators/similarity.py::append_ivf_index``): the index is built
+    over vec_id % 3 != 0, the remaining third APPENDED afterwards into
+    the same stamped cell space, and the probe runs off the index's own
+    ``_ivf_centroids.json`` (``centroids=None``). The DuckDB replay is
+    the SAME closed-form as the one-shot IVF leg because cell
+    assignment is batch-independent — that equality IS the invariant
+    this leg gates: a vector mis-assigned on append, a stale stamp, or
+    a lost appended file all change the top-k."""
+    import os
+    import shutil
+    emb = _tp(spark, sf_dir, "embeddings")
+    seeds = (_t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 4)
+             .orderBy("vec_id").select("embedding").collect())
+    centroids = [list(r[0]) for r in seeds]
+    qvec = (_t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 1)
+            .select("embedding").first()[0])
+    idx = (f"/tmp/log2seq_spark_ivf_incr_idx/"
+           f"{os.path.basename(os.path.normpath(sf_dir))}")
+    # build+append is two jobs — cache on a marker written after BOTH,
+    # not on parquet's own _SUCCESS (present after the build alone)
+    done = os.path.join(idx, "_INCR_DONE")
+    if not os.path.exists(done):
+        shutil.rmtree(idx, ignore_errors=True)
+        similarity.build_ivf_index(emb.filter(F.col("vec_id") % 3 != 0),
+                                   centroids, idx)
+        similarity.append_ivf_index(emb.filter(F.col("vec_id") % 3 == 0),
+                                    idx)
+        open(done, "w").close()
+    out = similarity.ivf_topk_indexed(spark, idx, None, qvec,
+                                      k=15, n_probe=2)
+    return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
 _SQL_KNN = """
@@ -2181,6 +2218,8 @@ _SQL_SIMILARITY = f"""
 SELECT 'brute' AS method, b.* FROM ({_SQL_KNN}) b
 UNION ALL
 SELECT 'ivf' AS method, i.* FROM ({_SQL_IVF}) i
+UNION ALL
+SELECT 'ivf_incr' AS method, i.* FROM ({_SQL_IVF}) i
 """
 
 

@@ -109,10 +109,62 @@ def build_ivf_index(embs: DataFrame, centroids: List[Sequence[float]],
     probed cells — Hive partition pruning (PartitionFilters in the scan
     node), so a probe touches n_probe/k of the data instead of all of it.
     The pre-``repartition("centroid")`` gives one file per cell per write
-    (not one per task per cell)."""
+    (not one per task per cell).
+
+    The centroids are stamped beside the data (``_ivf_centroids.json`` —
+    the leading underscore keeps it out of parquet directory listings,
+    like ``_SUCCESS``) so :func:`append_ivf_index` can ingest later
+    batches into the SAME cell space and :func:`ivf_topk_indexed` can
+    probe without the caller re-supplying the centroid list."""
+    import json
+
+    from .. import fsio
+
     assigned = assign_centroid(embs, centroids, vec_col)
     (assigned.repartition("centroid")
              .write.mode("overwrite").partitionBy("centroid").parquet(path))
+    fsio.write_text(embs.sparkSession, f"{path}/_ivf_centroids.json",
+                    json.dumps([[float(x) for x in c] for c in centroids]))
+
+
+def load_ivf_centroids(spark, path: str) -> List[List[float]]:
+    """The centroid stamp a :func:`build_ivf_index` layout was built
+    with. Raises ``ValueError`` for a pre-stamp or non-index directory —
+    appending with guessed centroids would scatter vectors into the
+    wrong cells, silently breaking probe recall, so there is no
+    fallback."""
+    import json
+
+    from .. import fsio
+
+    txt = fsio.read_text(spark, f"{path}/_ivf_centroids.json")
+    if txt is None:
+        raise ValueError(
+            f"no _ivf_centroids.json under {path!r}: not an IVF index "
+            "built by build_ivf_index (or the stamp was deleted); "
+            "rebuild the index rather than appending blind")
+    return [[float(x) for x in c] for c in json.loads(txt)]
+
+
+def append_ivf_index(embs: DataFrame, path: str,
+                     vec_col: str = "embedding") -> None:
+    """Incremental vector ingestion: assign ONLY the new batch against
+    the index's stamped centroids and append it into the existing
+    centroid partitions — O(|batch|) per call, history is never
+    re-read or re-clustered, and partition pruning keeps working
+    because the cell space is unchanged. New parquet files land beside
+    the old ones inside each ``centroid=N`` directory (append is
+    visible only after the write commits, so readers never see a
+    half-ingested batch).
+
+    Centroids drift as the corpus grows; when recall degrades, re-run
+    :func:`kmeans_centroids` over a sample and :func:`build_ivf_index`
+    a fresh layout — rebalancing in place would re-shuffle history,
+    which is exactly what this path exists to avoid."""
+    centroids = load_ivf_centroids(embs.sparkSession, path)
+    assigned = assign_centroid(embs, centroids, vec_col)
+    (assigned.repartition("centroid")
+             .write.mode("append").partitionBy("centroid").parquet(path))
 
 
 def ivf_topk_indexed(spark, path: str, centroids: List[Sequence[float]],
@@ -121,7 +173,11 @@ def ivf_topk_indexed(spark, path: str, centroids: List[Sequence[float]],
                      id_col: str = "vec_id") -> DataFrame:
     """Top-k over a :func:`build_ivf_index` layout: the centroid filter is
     a partition predicate, so Spark lists and scans only the probed
-    directories."""
+    directories. Pass ``centroids=None`` to probe with the index's own
+    stamped centroid list (always correct after appends — the stamp is
+    the cell space the data is laid out in)."""
+    if centroids is None:
+        centroids = load_ivf_centroids(spark, path)
     probe = _probe_cells(centroids, query_vec, n_probe)
     q = list(query_vec)
     df = spark.read.parquet(path).filter(F.col("centroid").isin(probe))

@@ -810,6 +810,47 @@ class TestSimilarity:
         plan = idxed_df._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters" in plan and "centroid" in plan
 
+    def test_ivf_append_equals_one_shot_build(self, spark, tmpdir_path):
+        """Incremental ingestion invariant: build(batch A) + append(B)
+        + append(C) answers every probe exactly like one build over
+        A ∪ B ∪ C, the stamped centroids drive probes with
+        centroids=None, and pruning still holds after appends."""
+        rows = [(i, [math.cos(i / 7.0), math.sin(i / 7.0)])
+                for i in range(90)]
+        schema = "vec_id long, embedding array<float>"
+        a = spark.createDataFrame(rows[:30], schema)
+        b = spark.createDataFrame(rows[30:60], schema)
+        c = spark.createDataFrame(rows[60:], schema)
+        cents = [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0], [0.0, -1.0]]
+        incr = tmpdir_path + "/ivf_incr"
+        full = tmpdir_path + "/ivf_full"
+        similarity.build_ivf_index(a, cents, incr)
+        similarity.append_ivf_index(b, incr)
+        similarity.append_ivf_index(c, incr)
+        similarity.build_ivf_index(
+            spark.createDataFrame(rows, schema), cents, full)
+        assert similarity.load_ivf_centroids(spark, incr) == cents
+        for q in ([0.6, 0.8], [-1.0, 0.1], [0.0, -1.0]):
+            want = [(r["vec_id"], round(r["cosine"], 9)) for r in
+                    similarity.ivf_topk_indexed(spark, full, cents, q,
+                                                k=7, n_probe=2).collect()]
+            got_df = similarity.ivf_topk_indexed(spark, incr, None, q,
+                                                 k=7, n_probe=2)
+            got = [(r["vec_id"], round(r["cosine"], 9))
+                   for r in got_df.collect()]
+            assert got == want
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "centroid" in plan
+
+    def test_ivf_append_refuses_unstamped_dir(self, spark, tmpdir_path):
+        rows = [(i, [1.0, float(i)]) for i in range(5)]
+        embs = spark.createDataFrame(rows,
+                                     "vec_id long, embedding array<float>")
+        bare = tmpdir_path + "/not_an_index"
+        embs.write.mode("overwrite").parquet(bare)
+        with pytest.raises(ValueError, match="_ivf_centroids"):
+            similarity.append_ivf_index(embs, bare)
+
     def test_ivf_recall_at_sf01(self, spark):
         # recall@20 of the pruned IVF path vs exact brute force on the
         # real sf0.1 embeddings table (2000 x real vectors, k-means
