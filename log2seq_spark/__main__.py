@@ -807,6 +807,83 @@ def cmd_rare(args) -> int:
     return 0
 
 
+def cmd_ann(args) -> int:
+    """Approximate-nearest-neighbor index lifecycle
+    (``operators/similarity.py``), the third incremental CLI surface
+    beside ``dedup --index-dir`` and ``templates/rare --state-dir``:
+
+    - ``ann build``  — k-means centroids over the corpus (deterministic
+      seeds) + a centroid-partitioned IVF layout, cell space stamped
+      beside the data;
+    - ``ann append`` — ingest a new embedding batch into the existing
+      stamped cells, O(batch), history untouched;
+    - ``ann query``  — top-k probe off the stamp (partition-pruned
+      scan); the query vector comes from ``--query-vec`` floats or
+      ``--query-id`` looked up in ``--input``.
+
+    Prints ``vec_id<TAB>cosine`` rows for query; a ``# cells=…`` /
+    ``# appended`` note to stderr for build/append. Exit 2 on an
+    unstamped/foreign index dir."""
+    from .operators.similarity import (append_ivf_index, build_ivf_index,
+                                       ivf_topk_indexed, kmeans_centroids)
+    if args.action in ("build", "append") and not args.input:
+        print(f"ann: {args.action} needs --input", file=sys.stderr)
+        return 2
+    spark, owns = _cli_spark("log2seq-spark-ann")
+    try:
+        if args.action == "build":
+            embs = spark.read.parquet(args.input)
+            cents = kmeans_centroids(embs, k=args.k_cells,
+                                     n_iter=args.kmeans_iters,
+                                     vec_col=args.vec_col,
+                                     id_col=args.id_col)
+            build_ivf_index(embs, cents, args.index_dir,
+                            vec_col=args.vec_col)
+            print(f"# cells={len(cents)}", file=sys.stderr)
+        elif args.action == "append":
+            try:
+                append_ivf_index(spark.read.parquet(args.input),
+                                 args.index_dir, vec_col=args.vec_col)
+            except ValueError as exc:
+                print(f"ann: {exc}", file=sys.stderr)
+                return 2
+            print("# appended", file=sys.stderr)
+        else:   # query
+            if args.query_vec:
+                q = [float(x) for x in args.query_vec.split(",")]
+            elif args.query_id is not None:
+                if not args.input:
+                    print("ann: --query-id needs --input to look the "
+                          "vector up in", file=sys.stderr)
+                    return 2
+                row = (spark.read.parquet(args.input)
+                       .filter(F.col(args.id_col) == args.query_id)
+                       .select(args.vec_col).first())
+                if row is None:
+                    print(f"ann: no {args.id_col}={args.query_id} in "
+                          f"{args.input}", file=sys.stderr)
+                    return 1
+                q = [float(x) for x in row[0]]
+            else:
+                print("ann: query needs --query-vec or --query-id",
+                      file=sys.stderr)
+                return 2
+            try:
+                out = ivf_topk_indexed(spark, args.index_dir, None, q,
+                                       k=args.k, n_probe=args.n_probe,
+                                       vec_col=args.vec_col,
+                                       id_col=args.id_col)
+            except ValueError as exc:
+                print(f"ann: {exc}", file=sys.stderr)
+                return 2
+            for r in out.collect():
+                print(f"{r[args.id_col]}\t{round(r['cosine'], 6)}")
+        return 0
+    finally:
+        if owns:
+            spark.stop()
+
+
 def cmd_bursts(args) -> int:
     """Event-rate burst detection (``operators/anomaly.py::
     burst_windows``): tumbling-window counts per key flagged against a
@@ -1034,6 +1111,32 @@ def main(argv=None) -> int:
                    help="with --state-dir: do not fold this batch into "
                         "the state (read-only screening)")
     p.set_defaults(fn=cmd_rare)
+
+    p = sub.add_parser(
+        "ann", help="IVF vector index: build / append (incremental "
+                    "ingestion) / top-k query")
+    p.add_argument("action", choices=["build", "append", "query"])
+    p.add_argument("--index-dir", required=True,
+                   help="centroid-partitioned IVF layout (cell space "
+                        "stamped at build; appends and queries run off "
+                        "the stamp)")
+    p.add_argument("--input", default=None,
+                   help="embeddings parquet (required for build/append; "
+                        "for query, the table --query-id looks up in)")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--id-col", default="vec_id")
+    p.add_argument("--k-cells", type=int, default=8,
+                   help="build: number of k-means cells")
+    p.add_argument("--kmeans-iters", type=int, default=3)
+    p.add_argument("--k", type=int, default=10,
+                   help="query: neighbors to return")
+    p.add_argument("--n-probe", type=int, default=2,
+                   help="query: cells to scan")
+    p.add_argument("--query-vec", default=None,
+                   help="query: comma-separated floats")
+    p.add_argument("--query-id", type=int, default=None,
+                   help="query: look this id's vector up in --input")
+    p.set_defaults(fn=cmd_ann)
 
     p = sub.add_parser(
         "bursts", help="event-rate burst windows vs a trailing baseline")

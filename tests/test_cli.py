@@ -823,3 +823,60 @@ class TestAnomalyCommands:
         ws, n, base, verdict = out[0].split("\t")
         assert (ws, n, verdict) == ("30", "12", "BURST")
         assert base == "3/1"
+
+
+class TestAnnCommand:
+    def _embs(self, spark, tmpdir_path, name, ids):
+        import math
+        # i/20 keeps every angle inside [0, 3) rad — no unit-circle wrap,
+        # so cosine similarity is monotone in |i - j|
+        rows = [(i, [math.cos(i / 20.0), math.sin(i / 20.0)]) for i in ids]
+        path = os.path.join(tmpdir_path, name)
+        (spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+              .write.mode("overwrite").parquet(path))
+        return path
+
+    def test_build_query_append_query(self, spark, capsys, tmpdir_path):
+        """build → query, then append a batch → the same query now
+        surfaces the appended neighbors (stamped cell space reused)."""
+        base = self._embs(spark, tmpdir_path, "annA", range(0, 60, 2))
+        extra = self._embs(spark, tmpdir_path, "annB", range(1, 60, 2))
+        idx = os.path.join(tmpdir_path, "ann_idx")
+        assert main(["ann", "build", "--input", base, "--index-dir", idx,
+                     "--k-cells", "4"]) == 0
+        assert "# cells=4" in capsys.readouterr().err
+        assert main(["ann", "query", "--index-dir", idx, "--input", base,
+                     "--query-id", "0", "--k", "3", "--n-probe", "4"]) == 0
+        before = [l.split("\t")[0]
+                  for l in capsys.readouterr().out.splitlines()]
+        assert before == ["0", "2", "4"]     # evens only so far
+        assert main(["ann", "append", "--input", extra,
+                     "--index-dir", idx]) == 0
+        capsys.readouterr()
+        assert main(["ann", "query", "--index-dir", idx, "--input", base,
+                     "--query-id", "0", "--k", "3", "--n-probe", "4"]) == 0
+        after = [l.split("\t")[0]
+                 for l in capsys.readouterr().out.splitlines()]
+        assert after == ["0", "1", "2"]      # appended odds now probed
+
+    def test_append_to_unstamped_dir_exits_2(self, spark, capsys,
+                                             tmpdir_path):
+        bare = self._embs(spark, tmpdir_path, "annBare", range(5))
+        code = main(["ann", "append", "--input", bare,
+                     "--index-dir", bare])
+        err = capsys.readouterr().err
+        assert code == 2 and "_ivf_centroids" in err
+
+    def test_query_vec_and_missing_args(self, spark, capsys, tmpdir_path):
+        base = self._embs(spark, tmpdir_path, "annQ", range(10))
+        idx = os.path.join(tmpdir_path, "annq_idx")
+        assert main(["ann", "build", "--input", base, "--index-dir", idx,
+                     "--k-cells", "2"]) == 0
+        capsys.readouterr()
+        assert main(["ann", "query", "--index-dir", idx,
+                     "--query-vec", "1.0,0.0", "--k", "2",
+                     "--n-probe", "2"]) == 0
+        out = capsys.readouterr().out.splitlines()
+        assert [l.split("\t")[0] for l in out] == ["0", "1"]
+        assert main(["ann", "build", "--index-dir", idx]) == 2   # no input
+        assert main(["ann", "query", "--index-dir", idx]) == 2   # no vector
