@@ -848,6 +848,15 @@ def cmd_ann(args) -> int:
                 print(f"ann: {exc}", file=sys.stderr)
                 return 2
             print("# appended", file=sys.stderr)
+        elif args.action == "compact":
+            from .operators.similarity import compact_ivf_index
+            try:
+                before, after = compact_ivf_index(spark, args.index_dir)
+            except ValueError as exc:
+                print(f"ann: {exc}", file=sys.stderr)
+                return 2
+            print(f"# compacted: {before} -> {after} files",
+                  file=sys.stderr)
         else:   # query
             if args.query_vec:
                 q = [float(x) for x in args.query_vec.split(",")]
@@ -1114,8 +1123,10 @@ def main(argv=None) -> int:
 
     p = sub.add_parser(
         "ann", help="IVF vector index: build / append (incremental "
-                    "ingestion) / top-k query")
-    p.add_argument("action", choices=["build", "append", "query"])
+                    "ingestion) / top-k query / compact (small-files "
+                    "maintenance)")
+    p.add_argument("action",
+                   choices=["build", "append", "query", "compact"])
     p.add_argument("--index-dir", required=True,
                    help="centroid-partitioned IVF layout (cell space "
                         "stamped at build; appends and queries run off "

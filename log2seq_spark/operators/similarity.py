@@ -187,6 +187,60 @@ def ivf_topk_indexed(spark, path: str, centroids: List[Sequence[float]],
               .limit(k))
 
 
+def compact_ivf_index(spark, path: str) -> tuple:
+    """Small-files maintenance for an append-heavy index: every
+    :func:`append_ivf_index` lands one new parquet file per touched
+    cell, so after thousands of ingest batches a probe pays per-file
+    open cost instead of scan cost. Rewrite the layout into one file
+    per cell (``repartition("centroid")``), staging-dir first:
+
+    1. rewrite into ``<path>.compacting`` (stamp copied along);
+    2. swap: live → ``<path>.old``, staging → live, drop ``.old``.
+
+    Returns ``(files_before, files_after)`` (data files only). This is
+    an OFFLINE maintenance pass — the swap is two directory renames, so
+    a concurrent probe can catch the live path missing for an instant;
+    run it when no queries are in flight (standard parquet-maintenance
+    contract). A crash before the swap leaves the live index untouched
+    (stale staging is cleared on the next run); a crash between the
+    renames leaves ``.old`` intact to restore from."""
+    import glob
+    import os
+    import shutil
+
+    from .. import fsio
+    if fsio.is_uri_path(path):
+        raise ValueError(
+            "compact_ivf_index swaps directories with local renames; "
+            "for a cluster filesystem, build_ivf_index the compacted "
+            "layout at a new path and repoint readers (object stores "
+            "have no atomic directory rename to lean on)")
+
+    def _count_files(p):
+        return sum(1 for f in glob.glob(os.path.join(glob.escape(p),
+                                                     "centroid=*", "*"))
+                   if not os.path.basename(f).startswith(("_", ".")))
+
+    centroids = load_ivf_centroids(spark, path)
+    before = _count_files(path)
+    staging, old = path + ".compacting", path + ".old"
+    shutil.rmtree(staging, ignore_errors=True)
+    (spark.read.parquet(path)
+          .repartition("centroid")
+          .write.mode("overwrite").partitionBy("centroid")
+          .parquet(staging))
+    import json
+
+    from .. import fsio
+    fsio.write_text(spark, f"{staging}/_ivf_centroids.json",
+                    json.dumps(centroids))
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return before, _count_files(path)
+
+
 def kmeans_centroids(embs: DataFrame, k: int = 4, n_iter: int = 3,
                      vec_col: str = "embedding",
                      id_col: str = "vec_id") -> List[List[float]]:

@@ -859,6 +859,33 @@ class TestAnnCommand:
                  for l in capsys.readouterr().out.splitlines()]
         assert after == ["0", "1", "2"]      # appended odds now probed
 
+    def test_compact_folds_append_files(self, spark, capsys, tmpdir_path):
+        """Three appends leave multiple files per cell; compact folds
+        them to one per cell and the query answer is unchanged."""
+        idx = os.path.join(tmpdir_path, "annc_idx")
+        base = self._embs(spark, tmpdir_path, "anncA", range(0, 20))
+        assert main(["ann", "build", "--input", base, "--index-dir", idx,
+                     "--k-cells", "2"]) == 0
+        for lo in (20, 40, 60):
+            extra = self._embs(spark, tmpdir_path, f"annc{lo}",
+                               range(lo, lo + 20))
+            assert main(["ann", "append", "--input", extra,
+                         "--index-dir", idx]) == 0
+        capsys.readouterr()
+        assert main(["ann", "query", "--index-dir", idx,
+                     "--query-vec", "1.0,0.0", "--k", "4",
+                     "--n-probe", "2"]) == 0
+        before = capsys.readouterr().out
+        assert main(["ann", "compact", "--index-dir", idx]) == 0
+        err = capsys.readouterr().err
+        import re
+        m = re.search(r"# compacted: (\d+) -> (\d+) files", err)
+        assert m and int(m.group(1)) > int(m.group(2))
+        assert main(["ann", "query", "--index-dir", idx,
+                     "--query-vec", "1.0,0.0", "--k", "4",
+                     "--n-probe", "2"]) == 0
+        assert capsys.readouterr().out == before
+
     def test_append_to_unstamped_dir_exits_2(self, spark, capsys,
                                              tmpdir_path):
         bare = self._embs(spark, tmpdir_path, "annBare", range(5))
