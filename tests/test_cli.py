@@ -315,6 +315,42 @@ class TestTemplatesCommand:
         assert ("conn from <*> closed", 3, 1) in live
         assert len(live) == 3
 
+    def test_state_dir_randomized_interleaving_equals_batch(
+            self, spark, capsys, tmpdir_path):
+        """CLI-level invariant: ANY interleaving of `templates
+        --state-dir` folds and `rare --state-dir` screen+folds over
+        random shards leaves state identical to batch-mining the
+        concatenation — the associativity the epoch protocol rests on,
+        exercised through the real command surface."""
+        import random
+        rng = random.Random(7)
+        st = os.path.join(tmpdir_path, "rnd_state")
+        all_lines = []
+        for s in range(5):
+            lines = [f"svc{rng.randint(0, 5)} handled item "
+                     f"{rng.randint(0, 999)} fine"
+                     for _ in range(rng.randint(5, 30))]
+            all_lines += lines
+            p = os.path.join(tmpdir_path, f"rnd{s}.log")
+            with open(p, "w") as f:
+                f.write("\n".join(lines) + "\n")
+            if rng.random() < 0.5:
+                assert main(["templates", "--input", p,
+                             "--state-dir", st]) == 0
+            else:
+                assert main(["rare", "--input", p,
+                             "--state-dir", st]) == 0
+            capsys.readouterr()
+        from log2seq_spark.operators.templates import mine_templates
+        from log2seq_spark.streaming.stream import current_templates
+        batch = {(r["template"], r["n_lines"], r["n_groups"])
+                 for r in mine_templates(
+                     spark.createDataFrame([(l,) for l in all_lines],
+                                           "text string")).collect()}
+        live = {(r["template"], r["n_lines"], r["n_groups"])
+                for r in current_templates(spark, st).collect()}
+        assert live == batch
+
     def test_state_dir_rejects_tokenization_drift(self, spark, capsys,
                                                   tmpdir_path):
         """Folding a differently-tokenized corpus into existing state
