@@ -8,7 +8,8 @@ from .stream import (streaming_parse, streaming_sink_counts,
                      streaming_rare_lines,
                      streaming_near_dup_with_index,
                      streaming_clean_corpus,
-                     streaming_line_dedup_with_index)
+                     streaming_line_dedup_with_index,
+                     streaming_ann_ingest)
 from .stateful import conversation_summaries, CONV_SUMMARY_SCHEMA
 
 __all__ = ["streaming_parse", "streaming_sink_counts",
@@ -19,4 +20,5 @@ __all__ = ["streaming_parse", "streaming_sink_counts",
            "streaming_rare_lines",
            "streaming_near_dup_with_index", "streaming_clean_corpus",
            "streaming_line_dedup_with_index",
+           "streaming_ann_ingest",
            "conversation_summaries", "CONV_SUMMARY_SCHEMA"]

@@ -334,6 +334,36 @@ _PROFILE_SCHEMA = ("_ntok int, _head string, _pos int, "
                    "_mn string, _mx string, _nl bigint")
 
 
+def streaming_ann_ingest(embs: DataFrame, checkpoint_dir: str,
+                         index_dir: str, vec_col: str = "embedding"):
+    """Streaming vector ingestion into a built IVF layout
+    (``operators/similarity.py``): each micro-batch is assigned against
+    the index's stamped cell space and committed as the immutable
+    centroid-partitioned segment ``_ingest/epoch=<batch_id>`` — a
+    checkpoint replay of a crashed micro-batch overwrites its OWN
+    epoch directory, so ingestion is exactly-once by construction, no
+    dedup pass needed (contrast ``append_ivf_index``, whose in-place
+    append is for single-shot batch CLI use and would double-insert on
+    replay). Probes (``ivf_topk_indexed``) union the base with every
+    committed epoch newer than the base's fold horizon, each scan
+    partition-pruned; run ``compact_ivf_index`` between streaming runs
+    to fold accumulated epochs back into one file per cell.
+
+    No params stamp is needed here: the cell space lives in the index
+    itself (``_ivf_centroids.json``), so every consumer is drift-free
+    by construction, and a missing/non-index directory fails the first
+    batch loudly (``ValueError``). Returns an un-started
+    ``DataStreamWriter``."""
+    from ..operators.similarity import ingest_ivf_epoch
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_ivf_epoch(batch_df, index_dir, batch_id, vec_col=vec_col)
+
+    return (embs.writeStream.foreachBatch(_write)
+                .option("checkpointLocation", checkpoint_dir)
+                .outputMode("append"))
+
+
 def streaming_template_mining(lines: DataFrame, checkpoint_dir: str,
                               profile_dir: str, text_col: str = "text",
                               tokens_col: str | None = None,

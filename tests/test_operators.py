@@ -842,6 +842,86 @@ class TestSimilarity:
         plan = got_df._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters" in plan and "centroid" in plan
 
+    def test_streaming_ann_ingest_across_restarts(self, spark,
+                                                  tmpdir_path):
+        """Vectors ingested over two separate streaming RUNS are probed
+        together with the base, and the answers equal a one-shot build
+        over everything — the epoch segments are real index, not a side
+        channel."""
+        import os
+        from log2seq_spark.streaming import streaming_ann_ingest
+        rows = [(i, [math.cos(i / 20.0), math.sin(i / 20.0)])
+                for i in range(90)]
+        schema = "vec_id long, embedding array<float>"
+        cents = [[1.0, 0.0], [0.0, 1.0], [-1.0, 0.0], [0.0, -1.0]]
+        idx = tmpdir_path + "/sann_idx"
+        similarity.build_ivf_index(
+            spark.createDataFrame(rows[:30], schema), cents, idx)
+        inp = os.path.join(tmpdir_path, "sann_in")
+        ck = os.path.join(tmpdir_path, "sann_ck")
+
+        def run(batch):
+            (spark.createDataFrame(batch, schema)
+                  .coalesce(1).write.mode("append").parquet(inp))
+            q = (streaming_ann_ingest(
+                    spark.readStream.schema(schema).parquet(inp),
+                    ck, idx)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+
+        run(rows[30:60])
+        run(rows[60:])
+        # two committed epoch segments beyond the base
+        assert len(similarity.ivf_segment_paths(spark, idx)) == 3
+        full = tmpdir_path + "/sann_full"
+        similarity.build_ivf_index(
+            spark.createDataFrame(rows, schema), cents, full)
+        for q in ([0.6, 0.8], [-0.9, 0.2]):
+            want = [(r["vec_id"], round(r["cosine"], 9)) for r in
+                    similarity.ivf_topk_indexed(spark, full, None, q,
+                                                k=6, n_probe=2).collect()]
+            got = [(r["vec_id"], round(r["cosine"], 9)) for r in
+                   similarity.ivf_topk_indexed(spark, idx, None, q,
+                                               k=6, n_probe=2).collect()]
+            assert got == want
+        # compaction folds the epochs into the base: one segment, one
+        # file per cell, identical answers, superseded epochs gone
+        before, after = similarity.compact_ivf_index(spark, idx)
+        assert before > after
+        assert similarity.ivf_segment_paths(spark, idx) == [idx]
+        got = [(r["vec_id"], round(r["cosine"], 9)) for r in
+               similarity.ivf_topk_indexed(spark, idx, None, [0.6, 0.8],
+                                           k=6, n_probe=2).collect()]
+        want = [(r["vec_id"], round(r["cosine"], 9)) for r in
+                similarity.ivf_topk_indexed(spark, full, None, [0.6, 0.8],
+                                            k=6, n_probe=2).collect()]
+        assert got == want
+
+    def test_ann_ingest_superseded_epoch_is_ignored(self, spark,
+                                                    tmpdir_path):
+        """Crash-safety rule: an epoch segment at or below the base's
+        fold horizon is ignored by readers even if it reappears (e.g.
+        restored from backup) — no double-counted vectors."""
+        rows = [(i, [math.cos(i / 20.0), math.sin(i / 20.0)])
+                for i in range(20)]
+        schema = "vec_id long, embedding array<float>"
+        cents = [[1.0, 0.0], [0.0, 1.0]]
+        idx = tmpdir_path + "/sup_idx"
+        similarity.build_ivf_index(
+            spark.createDataFrame(rows[:10], schema), cents, idx)
+        similarity.ingest_ivf_epoch(
+            spark.createDataFrame(rows[10:], schema), idx, 0)
+        assert len(similarity.ivf_segment_paths(spark, idx)) == 2
+        similarity.compact_ivf_index(spark, idx)
+        # resurrect a copy of the folded epoch
+        similarity.ingest_ivf_epoch(
+            spark.createDataFrame(rows[10:], schema), idx, 0)
+        assert similarity.ivf_segment_paths(spark, idx) == [idx]
+        out = similarity.ivf_topk_indexed(spark, idx, None, [1.0, 0.0],
+                                          k=20, n_probe=2).collect()
+        assert len(out) == 20                      # not 30
+        assert len({r["vec_id"] for r in out}) == 20
+
     def test_ivf_append_refuses_unstamped_dir(self, spark, tmpdir_path):
         rows = [(i, [1.0, float(i)]) for i in range(5)]
         embs = spark.createDataFrame(rows,
