@@ -851,7 +851,9 @@ def cmd_ann(args) -> int:
         elif args.action == "compact":
             from .operators.similarity import compact_ivf_index
             try:
-                before, after = compact_ivf_index(spark, args.index_dir)
+                before, after = compact_ivf_index(
+                    spark, args.index_dir,
+                    target_file_bytes=args.target_file_mb << 20)
             except ValueError as exc:
                 print(f"ann: {exc}", file=sys.stderr)
                 return 2
@@ -1147,6 +1149,10 @@ def main(argv=None) -> int:
                    help="query: comma-separated floats")
     p.add_argument("--query-id", type=int, default=None,
                    help="query: look this id's vector up in --input")
+    p.add_argument("--target-file-mb", type=int, default=128,
+                   help="compact: per-cell output files sized to this "
+                        "(matches spark.sql.files.maxPartitionBytes so "
+                        "probe task counts track data scanned)")
     p.set_defaults(fn=cmd_ann)
 
     p = sub.add_parser(

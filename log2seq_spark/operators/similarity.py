@@ -237,13 +237,20 @@ def ingest_ivf_epoch(embs: DataFrame, path: str, epoch: int,
              .parquet(f"{path}/_ingest/epoch={int(epoch)}"))
 
 
-def compact_ivf_index(spark, path: str) -> tuple:
+def compact_ivf_index(spark, path: str,
+                      target_file_bytes: int = 128 << 20) -> tuple:
     """Small-files / segment maintenance for an ingest-heavy index:
     every :func:`append_ivf_index` lands one new parquet file per
     touched cell and every streaming epoch adds a whole segment, so
     after thousands of ingest batches a probe pays per-file (and
     per-segment) open cost instead of scan cost. Fold the base plus
-    every live ingest epoch into one file per cell, staging-dir first:
+    every live ingest epoch into **size-targeted** files per cell —
+    ``ceil(cell_bytes / target_file_bytes)`` each, never exactly one
+    per cell regardless of size: a 6 TB cell squeezed into one file
+    would serialize its probe onto however many row-group splits that
+    one writer happened to emit, while 128 MB files (matching
+    ``spark.sql.files.maxPartitionBytes``) keep probe task counts
+    proportional to data scanned. Staging-dir first:
 
     1. rewrite base ∪ epochs into ``<path>.compacting`` (stamp carried
        along, ``_ivf_ingested_through.json`` set to the newest folded
@@ -285,13 +292,38 @@ def compact_ivf_index(spark, path: str) -> tuple:
     folded_through = max(
         [_ingested_through(spark, path)]
         + [int(s.rsplit("epoch=", 1)[1]) for s in segs[1:]])
+    # per-cell byte totals across all live segments → salt-bucket count
+    # per cell (the local listing is free here — this pass is already
+    # local-rename-only)
+    cell_bytes: dict = {}
+    for seg in segs:
+        for f in glob.glob(os.path.join(glob.escape(seg),
+                                        "centroid=*", "*")):
+            if os.path.basename(f).startswith(("_", ".")):
+                continue
+            cell = int(os.path.basename(os.path.dirname(f))
+                       .split("=", 1)[1])
+            cell_bytes[cell] = cell_bytes.get(cell, 0) + os.path.getsize(f)
+    buckets = {c: max(1, -(-b // int(target_file_bytes)))
+               for c, b in cell_bytes.items()}
     df = None
     for seg in segs:
         scan = spark.read.parquet(seg)
         df = scan if df is None else df.unionByName(scan)
+    data_cols = [c for c in df.columns if c != "centroid"]
+    if buckets:
+        salt_mod = F.element_at(
+            F.create_map(*[F.lit(x) for c, n in sorted(buckets.items())
+                           for x in (c, n)]),
+            F.col("centroid"))
+        salt = F.pmod(F.abs(F.hash(*data_cols)), salt_mod)
+        repartitioned = df.repartition(max(sum(buckets.values()), 1),
+                                       F.col("centroid"), salt)
+    else:   # empty index: nothing to size, keep the layout shape
+        repartitioned = df.repartition("centroid")
     staging, old = path + ".compacting", path + ".old"
     shutil.rmtree(staging, ignore_errors=True)
-    (df.repartition("centroid")
+    (repartitioned
        .write.mode("overwrite").partitionBy("centroid").parquet(staging))
     fsio.write_text(spark, f"{staging}/_ivf_centroids.json",
                     json.dumps(centroids))
