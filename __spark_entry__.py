@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from log2seq_spark.rules.presets import default_program, default_actions
 from log2seq_spark.functions.udf import with_parsed, tokenize_words_udf
-from log2seq_spark.operators import (anomaly, asof, dedup, scrub,
+from log2seq_spark.operators import (anomaly, asof, dedup, heavy, scrub,
                                      similarity, templates, textstats)
 
 SF_SMOKE = "/root/testdata/sf0.001"
@@ -162,16 +162,33 @@ SELECT 'grok' AS source, * FROM p
 
 
 def q_tokenize_token_counts(spark, sf_dir):
+    """Two legs over one tokenized stream: the full per-token count
+    aggregate, and the exact distributed heavy-hitters result
+    (``operators/heavy.py`` — Misra–Gries per-partition candidates +
+    broadcast-filtered exact recount; identical to the full
+    GROUP BY … HAVING but without shuffling the distinct-key space)."""
     docs = _tp(spark, sf_dir, "documents")
     tok = tokenize_words_udf(default_actions())
-    return (docs.select(F.explode(tok(F.col("text"))).alias("token"))
-                .groupBy("token").agg(F.count("*").alias("n")))
+    toks = docs.select(F.explode(tok(F.col("text"))).alias("token"))
+    counts = (toks.groupBy("token").agg(F.count("*").alias("n"))
+                  .select(F.lit("count").alias("kind"), "token", "n"))
+    hh = (heavy.heavy_hitters(toks, "token", k=30)
+              .select(F.lit("heavy").alias("kind"), "token", "n"))
+    return counts.unionByName(hh)
 
 
 _SQL_TOKENIZE = """
-SELECT t AS token, count(*) AS n
-FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
-WHERE t <> '' GROUP BY 1
+WITH toks AS (
+  SELECT t AS token
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  WHERE t <> ''
+)
+SELECT 'count' AS kind, token, count(*) AS n FROM toks GROUP BY 2
+UNION ALL
+SELECT 'heavy' AS kind, token, n FROM (
+  SELECT token, count(*) AS n, sum(count(*)) OVER () AS tot
+  FROM toks GROUP BY 1
+) WHERE n * 30 > tot
 """
 
 

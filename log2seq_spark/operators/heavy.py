@@ -1,0 +1,109 @@
+"""Exact distributed heavy hitters — the "which tokens/templates/hosts
+dominate this corpus" primitive a 100 TB log or training-data pipeline
+needs without paying a full distinct-key shuffle.
+
+Two passes over the stream, both scale-shaped:
+
+1. **Candidate generation** (Misra–Gries 1982, "Finding repeated
+   elements"; weighted/mergeable analysis in Berinde et al. 2010 and
+   Agarwal et al. 2012): each input partition keeps at most ``k``
+   counters via the decrement-all trick, so only
+   ``num_partitions × k`` candidate rows ever shuffle. The union of
+   per-partition summaries is a guaranteed superset of every item with
+   global frequency > n/k: if count(x) > n/k globally, a
+   weighted-average argument gives some partition i with
+   count_i(x) > n_i/k, and the Misra–Gries error bound
+   (≤ n_i/(k+1) per item) means that partition's summary retains x.
+2. **Exact recount**: one more scan counts ONLY the candidates (hash
+   semi-join against the broadcast candidate set), plus the stream
+   total in the same aggregate, and keeps items with
+   ``count * k > n`` — exactly the items a full
+   ``GROUP BY … HAVING count(*) > n/k`` would return, so an ANSI-SQL
+   oracle replays the result verbatim.
+
+The full aggregation this replaces shuffles every distinct key (for
+web-scale token streams: billions of rows, heavy skew on the hot
+keys). Here the first pass is map-only (Arrow-batched ``mapInPandas``
+— the sequential decrement logic is not expressible in built-in
+functions; the Python loop runs per distinct value per Arrow batch,
+not per row), the second is a built-in aggregate over a
+broadcast-filtered stream whose distinct-key cardinality is bounded by
+``num_partitions × k + 1``.
+
+No counterpart in the reference (amulog/log2seq has no frequency
+analysis); this extends the aggregate family of SURVEY.md §2.5.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _mg_partition_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
+    """One Misra–Gries summary per input partition: at most ``k`` rows
+    of ``(item)`` each — every item whose within-partition frequency
+    exceeds (partition rows)/k is guaranteed present. Map-only: no
+    shuffle is induced; the output is tiny by construction."""
+    import pandas as pd
+
+    def mg(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        counters: dict = {}
+        for pdf in batches:
+            # value_counts folds the Arrow batch first, so the MG
+            # update runs per distinct value per batch, not per row
+            for item, cnt in pdf[col].value_counts().items():
+                cnt = int(cnt)
+                if item in counters:
+                    counters[item] += cnt
+                elif len(counters) < k:
+                    counters[item] = cnt
+                else:
+                    # weighted decrement: subtract the largest amount
+                    # that keeps all counters >= 0. dec = min(counters)
+                    # evicts at least one counter, so whenever the
+                    # incoming item retains weight there is room for it
+                    dec = min(cnt, min(counters.values()))
+                    counters = {i: c - dec for i, c in counters.items()
+                                if c > dec}
+                    if cnt > dec:
+                        counters[item] = cnt - dec
+        yield pd.DataFrame({col: list(counters.keys())})
+
+    return df.select(col).mapInPandas(mg, schema=f"{col} string")
+
+
+def heavy_hitters(df: DataFrame, col: str = "token",
+                  k: int = 20) -> DataFrame:
+    """Items of string column ``col`` whose exact count strictly
+    exceeds n/k, with their exact counts — ``(col, n)`` rows identical
+    to ``GROUP BY col HAVING count(*) * k > (SELECT count(*) …)`` but
+    without shuffling the full distinct-key space. Null items are
+    ignored (both as candidates and in n).
+
+    ``k`` bounds both the answer size (fewer than k items can each
+    exceed n/k) and the per-partition summary. The candidate pass is
+    approximate (superset); the recount pass makes the final answer
+    exact, so the operator is deterministic and oracle-checkable."""
+    if k < 2:
+        raise ValueError("heavy_hitters requires k >= 2")
+    stream = df.select(col).filter(F.col(col).isNotNull())
+    cand = _mg_partition_candidates(stream, col, k).distinct()
+    # candidate-only exact counts + the stream total in ONE scan:
+    # non-candidate rows collapse into a single null bucket whose count
+    # still contributes to n. The join is broadcast (the build side is
+    # <= num_partitions * k rows by construction).
+    flagged = (stream
+               .join(F.broadcast(cand.withColumn("_is_cand", F.lit(True))),
+                     col, "left")
+               .select(F.when(F.col("_is_cand"), F.col(col)).alias(col)))
+    counts = flagged.groupBy(col).agg(F.count("*").alias("n"))
+    # single-partition window over <= num_partitions*k + 1 rows — the
+    # "no partition defined" exchange is bounded, not corpus-sized
+    total = F.sum("n").over(Window.partitionBy())
+    return (counts.withColumn("_total", total)
+                  .filter(F.col(col).isNotNull()
+                          & (F.col("n") * k > F.col("_total")))
+                  .drop("_total"))
