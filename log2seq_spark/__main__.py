@@ -895,6 +895,65 @@ def cmd_ann(args) -> int:
             spark.stop()
 
 
+def cmd_bpe(args) -> int:
+    """BPE tokenizer lifecycle (``operators/bpe.py``):
+
+    - ``bpe train``  — learn a ranked merge list from a documents
+      table (distributed word-count aggregate + size-gated merge
+      loop); writes the merges as a JSON array of ``[a, b]`` pairs.
+    - ``bpe encode`` — segment a documents table with a trained merge
+      list; writes ``(id, n_bpe_tokens[, bpe_pieces])`` parquet and a
+      ``# docs/tokens`` tally to stderr.
+
+    Exit 2 when the merges file is missing or malformed."""
+    import json as _json
+
+    from .operators.bpe import bpe_encode, bpe_train
+    merges = None
+    if args.action == "encode":
+        if not args.out:
+            print("bpe: encode needs --out", file=sys.stderr)
+            return 2
+        try:
+            with open(args.merges) as f:
+                merges = [tuple(m) for m in _json.load(f)]
+            if not all(len(m) == 2 for m in merges):
+                raise ValueError("merges must be [a, b] pairs")
+        except (OSError, ValueError) as e:
+            print(f"bpe: cannot load merges {args.merges}: {e}",
+                  file=sys.stderr)
+            return 2
+    spark, owns = _cli_spark("log2seq-spark-bpe")
+    try:
+        docs = spark.read.parquet(args.input)
+        if args.action == "train":
+            merges = bpe_train(docs, args.text_col,
+                               n_merges=args.n_merges,
+                               min_count=args.min_count,
+                               engine=args.engine)
+            with open(args.merges, "w") as f:
+                _json.dump([list(m) for m in merges], f)
+            print(f"# merges: {len(merges)} -> {args.merges}",
+                  file=sys.stderr)
+            return 0
+        enc = bpe_encode(docs, merges, args.text_col)
+        cols = [F.col(args.id_col),
+                F.size("bpe_pieces").alias("n_bpe_tokens")]
+        if not args.counts_only:
+            cols.append(F.col("bpe_pieces"))
+        out = enc.select(*cols)
+        out.write.mode("overwrite").parquet(args.out)
+        tally = (spark.read.parquet(args.out)
+                 .agg(F.count("*").alias("d"),
+                      F.sum("n_bpe_tokens").alias("t")).collect()[0])
+        print(f"# docs: {tally['d']}  bpe_tokens: {tally['t']}",
+              file=sys.stderr)
+        return 0
+    finally:
+        if owns:
+            spark.stop()
+
+
 def cmd_bursts(args) -> int:
     """Event-rate burst detection (``operators/anomaly.py::
     burst_windows``): tumbling-window counts per key flagged against a
@@ -1154,6 +1213,32 @@ def main(argv=None) -> int:
                         "(matches spark.sql.files.maxPartitionBytes so "
                         "probe task counts track data scanned)")
     p.set_defaults(fn=cmd_ann)
+
+    p = sub.add_parser(
+        "bpe", help="BPE tokenizer: train a merge list / encode a "
+                    "documents table with it")
+    p.add_argument("action", choices=["train", "encode"])
+    p.add_argument("--input", required=True,
+                   help="documents parquet path")
+    p.add_argument("--merges", required=True,
+                   help="merge-list JSON: written by train, read by "
+                        "encode")
+    p.add_argument("--out", default=None,
+                   help="encode: output parquet path")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--n-merges", type=int, default=200)
+    p.add_argument("--min-count", type=int, default=2,
+                   help="train: stop when the best pair drops below "
+                        "this count")
+    p.add_argument("--engine", choices=["auto", "driver", "distributed"],
+                   default="auto",
+                   help="merge-loop engine (auto gates on distinct "
+                        "words)")
+    p.add_argument("--counts-only", action="store_true",
+                   help="encode: write n_bpe_tokens without the pieces "
+                        "arrays")
+    p.set_defaults(fn=cmd_bpe)
 
     p = sub.add_parser(
         "bursts", help="event-rate burst windows vs a trailing baseline")

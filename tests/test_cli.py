@@ -943,3 +943,59 @@ class TestAnnCommand:
         assert [l.split("\t")[0] for l in out] == ["0", "1"]
         assert main(["ann", "build", "--index-dir", idx]) == 2   # no input
         assert main(["ann", "query", "--index-dir", idx]) == 2   # no vector
+
+
+class TestBpeCommand:
+    """`bpe train` / `bpe encode` — the tokenizer lifecycle
+    (operators/bpe.py) over a documents parquet table."""
+
+    def _docs(self, spark, tmpdir_path, rows):
+        src = os.path.join(tmpdir_path, "bpe_docs")
+        spark.createDataFrame(rows, "doc_id string, text string") \
+             .write.mode("overwrite").parquet(src)
+        return src
+
+    def test_train_then_encode_roundtrip(self, spark, capsys, tmpdir_path):
+        src = self._docs(spark, tmpdir_path, [
+            ("d1", "lower lower lowest"),
+            ("d2", "lower slower slowest"),
+            ("d3", "low slow lowest"),
+        ])
+        merges_path = os.path.join(tmpdir_path, "merges.json")
+        assert main(["bpe", "train", "--input", src,
+                     "--merges", merges_path, "--n-merges", "8"]) == 0
+        err = capsys.readouterr().err
+        assert "# merges:" in err
+        import json
+        merges = json.load(open(merges_path))
+        assert 0 < len(merges) <= 8
+        assert all(len(m) == 2 for m in merges)
+
+        dest = os.path.join(tmpdir_path, "bpe_out")
+        assert main(["bpe", "encode", "--input", src,
+                     "--merges", merges_path, "--out", dest]) == 0
+        err = capsys.readouterr().err
+        assert "bpe_tokens:" in err
+        got = {r["doc_id"]: r for r in spark.read.parquet(dest).collect()}
+        assert set(got) == {"d1", "d2", "d3"}
+        for doc_id, text in [("d1", "lower lower lowest"),
+                             ("d2", "lower slower slowest"),
+                             ("d3", "low slow lowest")]:
+            r = got[doc_id]
+            # pieces reconstruct the token stream; count column agrees
+            assert "".join(r["bpe_pieces"]) == text.replace(" ", "")
+            assert r["n_bpe_tokens"] == len(r["bpe_pieces"])
+
+    def test_encode_exit_2_on_bad_merges(self, spark, capsys, tmpdir_path):
+        src = self._docs(spark, tmpdir_path, [("d1", "ok")])
+        dest = os.path.join(tmpdir_path, "out")
+        assert main(["bpe", "encode", "--input", src,
+                     "--merges", os.path.join(tmpdir_path, "nope.json"),
+                     "--out", dest]) == 2
+        bad = os.path.join(tmpdir_path, "bad.json")
+        with open(bad, "w") as f:
+            f.write('[["a","b","c"]]')
+        assert main(["bpe", "encode", "--input", src,
+                     "--merges", bad, "--out", dest]) == 2
+        assert main(["bpe", "encode", "--input", src,
+                     "--merges", bad]) == 2   # no --out
