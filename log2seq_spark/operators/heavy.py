@@ -42,37 +42,95 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _mg_partition_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
-    """One Misra–Gries summary per input partition: at most ``k`` rows
-    of ``(item)`` each — every item whose within-partition frequency
-    exceeds (partition rows)/k is guaranteed present. Map-only: no
-    shuffle is induced; the output is tiny by construction."""
+def mg_update(counters: dict, item, cnt: int, k: int) -> dict:
+    """One weighted Misra–Gries update: add ``cnt`` of ``item`` to a
+    ``{item: counter}`` summary bounded at ``k`` entries. The decrement
+    branch subtracts the largest amount that keeps every counter >= 0;
+    ``dec = min(counters)`` evicts at least one counter, so whenever
+    the incoming item retains weight there is room for it."""
+    if item in counters:
+        counters[item] += cnt
+    elif len(counters) < k:
+        counters[item] = cnt
+    else:
+        dec = min(cnt, min(counters.values()))
+        counters = {i: c - dec for i, c in counters.items() if c > dec}
+        if cnt > dec:
+            counters[item] = cnt - dec
+    return counters
+
+
+def mg_merge(counters: dict, other: dict, k: int) -> dict:
+    """Merge two weighted Misra–Gries summaries into one bounded at
+    ``k`` entries (Agarwal et al. 2012, "Mergeable summaries"): sum
+    counters item-wise, then subtract the (k+1)-largest value from all
+    and drop the non-positive. Error adds: each input's counter
+    underestimates its item's true count by at most (its stream's
+    decremented weight), and the merge decrement adds at most the
+    subtracted value — so the merged summary still contains every item
+    with true combined count > n_total/(k+1)."""
+    merged = dict(counters)
+    for item, c in other.items():
+        merged[item] = merged.get(item, 0) + c
+    if len(merged) > k:
+        cut = sorted(merged.values(), reverse=True)[k]
+        merged = {i: c - cut for i, c in merged.items() if c > cut}
+    return merged
+
+
+def _mg_partition_summaries(df: DataFrame, col: str, k: int,
+                            with_totals: bool = False) -> DataFrame:
+    """One weighted Misra–Gries summary per input partition: at most
+    ``k`` rows of ``(item, w)`` each, where ``w`` is the surviving
+    counter (a lower bound on the item's within-partition count); every
+    item whose within-partition frequency exceeds (partition rows)/k is
+    guaranteed present. ``with_totals`` appends one ``(NULL, n_i)`` row
+    per partition carrying the partition's processed row count, so a
+    caller can learn the stream total from the same single pass.
+    Map-only: no shuffle is induced; the output is tiny by
+    construction."""
     import pandas as pd
 
     def mg(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         counters: dict = {}
+        n = 0
         for pdf in batches:
+            n += len(pdf)
             # value_counts folds the Arrow batch first, so the MG
             # update runs per distinct value per batch, not per row
             for item, cnt in pdf[col].value_counts().items():
-                cnt = int(cnt)
-                if item in counters:
-                    counters[item] += cnt
-                elif len(counters) < k:
-                    counters[item] = cnt
-                else:
-                    # weighted decrement: subtract the largest amount
-                    # that keeps all counters >= 0. dec = min(counters)
-                    # evicts at least one counter, so whenever the
-                    # incoming item retains weight there is room for it
-                    dec = min(cnt, min(counters.values()))
-                    counters = {i: c - dec for i, c in counters.items()
-                                if c > dec}
-                    if cnt > dec:
-                        counters[item] = cnt - dec
-        yield pd.DataFrame({col: list(counters.keys())})
+                counters = mg_update(counters, item, int(cnt), k)
+        items = list(counters.keys())
+        ws = list(counters.values())
+        if with_totals:
+            items.append(None)
+            ws.append(n)
+        yield pd.DataFrame({col: items, "w": ws})
 
-    return df.select(col).mapInPandas(mg, schema=f"{col} string")
+    return df.select(col).mapInPandas(mg, schema=f"{col} string, w long")
+
+
+def _mg_partition_candidates(df: DataFrame, col: str, k: int) -> DataFrame:
+    """Candidate items only (see :func:`_mg_partition_summaries`)."""
+    return _mg_partition_summaries(df, col, k).select(col)
+
+
+def mg_global_summary(df: DataFrame, col: str = "token",
+                      k: int = 20) -> dict:
+    """One k-bounded weighted Misra–Gries summary of the whole frame,
+    as a ``{item: weight}`` dict: partition summaries (≤ partitions×k
+    rows — the only data that ever reaches the driver) folded with
+    :func:`mg_update`. The decrement potential argument composes
+    across levels (every decremented unit destroys k+1 units of total
+    weight, wherever it happens), so the folded summary keeps the
+    stream-level guarantee: every item with count > n/(k+1) is
+    present, and each weight underestimates its item's true count by
+    at most n/(k+1). The mergeable state for the streaming twin
+    (``streaming/stream.py``)."""
+    out: dict = {}
+    for r in _mg_partition_summaries(df, col, k).collect():
+        out = mg_update(out, r[col], r["w"], k)
+    return out
 
 
 def heavy_hitters(df: DataFrame, col: str = "token",

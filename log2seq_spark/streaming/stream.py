@@ -604,6 +604,101 @@ def _enforce_epoch_params(state_dir: str, seen, params: dict) -> None:
             "(or point at a fresh state directory)")
 
 
+# streaming heavy-hitter state layout: item rows carry the surviving
+# Misra-Gries counter; one NULL-item row always present carries the
+# total ingested count (so an empty summary still knows its n)
+_HEAVY_STATE_SCHEMA = "token string, w long, n_total long"
+
+
+def streaming_heavy_hitters(tokens: DataFrame, checkpoint_dir: str,
+                            state_dir: str, col: str = "token",
+                            k: int = 20, keep_epochs: int = 3):
+    """Streaming heavy hitters over an unbounded token/key stream —
+    "which hosts / templates / tokens dominate the firehose" with
+    bounded state: a single k-entry weighted Misra–Gries summary,
+    versioned per epoch under ``state_dir`` (the
+    ``streaming_template_mining`` exactly-once protocol: each
+    micro-batch folds into the newest committed epoch `` < batch_id``
+    and overwrites only its own ``epoch=N`` directory, so replays
+    reproduce the identical merge).
+
+    Per micro-batch cost: ONE map-only pass over the batch
+    (:func:`~log2seq_spark.operators.heavy._mg_partition_summaries`
+    with per-partition totals riding along) + a driver-side fold of
+    ≤ partitions×k + k counter rows. History is never re-read; state
+    is k+1 rows whatever the stream volume.
+
+    Guarantees (mergeable-summaries potential argument — every
+    decremented counter unit destroys k+1 units of ingested weight,
+    at whatever level it happens): every item with true count
+    > n/(k+1) of the n tokens ingested so far is present, and each
+    stored weight underestimates its item's true count by at most
+    n/(k+1). Items are the SUPERSET side: read the answer with
+    :func:`current_heavy_hitters`, whose ``guaranteed`` flag marks
+    items provably above n/k. Null tokens are ignored.
+
+    Returns an un-started ``DataStreamWriter``."""
+    import os
+
+    from ..operators.heavy import _mg_partition_summaries, mg_update
+
+    params = {"col": col, "k": k}
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _check_epoch_params(state_dir, params, spark=spark)
+        prior = _read_prior_epoch(spark, state_dir, batch_id,
+                                  _HEAVY_STATE_SCHEMA).collect()
+        state = {r["token"]: r["w"] for r in prior
+                 if r["token"] is not None}
+        total = max((r["n_total"] for r in prior), default=0)
+        stream = batch_df.select(col).filter(F.col(col).isNotNull())
+        for r in _mg_partition_summaries(stream, col, k,
+                                         with_totals=True).collect():
+            if r["token"] is None:
+                total += r["w"]
+            else:
+                state = mg_update(state, r["token"], r["w"], k)
+        rows = [(None, 0, total)] + [(t, w, total)
+                                     for t, w in sorted(state.items())]
+        (spark.createDataFrame(rows, _HEAVY_STATE_SCHEMA)
+              .coalesce(1).write.mode("overwrite")
+              .parquet(os.path.join(state_dir, f"epoch={batch_id}")))
+        _prune_epochs(state_dir, batch_id, keep_epochs, spark=spark)
+
+    return (tokens.writeStream.foreachBatch(_write)
+                  .option("checkpointLocation", checkpoint_dir))
+
+
+def current_heavy_hitters(spark: SparkSession, state_dir: str,
+                          k: int = 20) -> DataFrame:
+    """Finalize ``(token, w, n_total, guaranteed)`` from the newest
+    committed heavy-hitter epoch: ``w`` is the Misra–Gries lower bound
+    on the token's true count over everything ingested; ``guaranteed``
+    marks tokens with ``w·k > n_total`` — provably above the n/k
+    heavy-hitter bar even before the error allowance (``w`` is a lower
+    bound). Same eager-read + retry discipline as
+    :func:`current_templates` (the running stream prunes epochs)."""
+    import os
+
+    last_err = None
+    for _ in range(3):
+        epochs = _committed_epochs(state_dir, spark=spark)
+        if not epochs:
+            return spark.createDataFrame(
+                [], _HEAVY_STATE_SCHEMA + ", guaranteed boolean")
+        try:
+            st = (spark.read.parquet(
+                      os.path.join(state_dir, f"epoch={epochs[-1]}"))
+                  .localCheckpoint(eager=True))
+            return (st.filter(F.col("token").isNotNull())
+                      .withColumn("guaranteed",
+                                  F.col("w") * k > F.col("n_total")))
+        except Exception as e:  # epoch pruned between glob and read
+            last_err = e
+    raise last_err
+
+
 def streaming_near_dup_with_index(docs: DataFrame, out_dir: str,
                                   checkpoint_dir: str, index_dir: str,
                                   text_col: str = "text",
