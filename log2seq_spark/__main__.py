@@ -895,6 +895,34 @@ def cmd_ann(args) -> int:
             spark.stop()
 
 
+def cmd_heavy(args) -> int:
+    """Exact heavy hitters (``operators/heavy.py``) over a table
+    column or a tokenized text column: prints ``n<TAB>item`` rows for
+    every item whose exact count strictly exceeds total/k — the
+    Misra–Gries candidate pass + exact recount, never a full
+    distinct-key shuffle. ``--tokenize`` treats ``--col`` as text and
+    streams its whitespace tokens instead of the raw column values."""
+    from .operators.heavy import heavy_hitters
+    from .operators.textstats import tokens_expr
+    spark, owns = _cli_spark("log2seq-spark-heavy")
+    try:
+        df = (spark.table(args.input) if args.input_kind == "table"
+              else spark.read.parquet(args.input))
+        if args.tokenize:
+            stream = df.select(
+                F.explode(tokens_expr(F.col(args.col))).alias("item"))
+        else:
+            stream = df.select(F.col(args.col).cast("string")
+                                .alias("item"))
+        out = heavy_hitters(stream, "item", k=args.k)
+        for r in out.orderBy(F.desc("n"), "item").collect():
+            print(f"{r['n']}\t{r['item']}")
+    finally:
+        if owns:
+            spark.stop()
+    return 0
+
+
 def cmd_bpe(args) -> int:
     """BPE tokenizer lifecycle (``operators/bpe.py``):
 
@@ -1213,6 +1241,23 @@ def main(argv=None) -> int:
                         "(matches spark.sql.files.maxPartitionBytes so "
                         "probe task counts track data scanned)")
     p.set_defaults(fn=cmd_ann)
+
+    p = sub.add_parser(
+        "heavy", help="exact heavy hitters: items with count > n/k, "
+                      "without a full distinct-key shuffle")
+    p.add_argument("--input", required=True)
+    p.add_argument("--input-kind", choices=["parquet", "table"],
+                   default="parquet")
+    p.add_argument("--col", default="text",
+                   help="column to count (raw values, or text with "
+                        "--tokenize)")
+    p.add_argument("--tokenize", action="store_true",
+                   help="stream whitespace tokens of --col instead of "
+                        "raw values")
+    p.add_argument("-k", type=int, default=20,
+                   help="threshold divisor: report items with "
+                        "count > n/k (also bounds the answer size)")
+    p.set_defaults(fn=cmd_heavy)
 
     p = sub.add_parser(
         "bpe", help="BPE tokenizer: train a merge list / encode a "

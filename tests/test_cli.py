@@ -999,3 +999,23 @@ class TestBpeCommand:
                      "--merges", bad, "--out", dest]) == 2
         assert main(["bpe", "encode", "--input", src,
                      "--merges", bad]) == 2   # no --out
+
+
+class TestHeavyCommand:
+    """`heavy` subcommand — exact heavy hitters over a column or its
+    whitespace tokens (operators/heavy.py)."""
+
+    def test_tokenized_and_raw(self, spark, capsys, tmpdir_path):
+        src = os.path.join(tmpdir_path, "hv_docs")
+        rows = [("d1", "x x x x y"), ("d2", "x x y z"), ("d3", "w")]
+        spark.createDataFrame(rows, "doc_id string, text string") \
+             .write.mode("overwrite").parquet(src)
+        # tokens: x*6 y*2 z*1 w*1 (n=10); k=3 -> count > 3.33 -> only x
+        assert main(["heavy", "--input", src, "--col", "text",
+                     "--tokenize", "-k", "3"]) == 0
+        out = capsys.readouterr().out.splitlines()
+        assert out == ["6\tx"]
+        # raw column values: 3 distinct docs, k=2 -> count > 1.5 -> none
+        assert main(["heavy", "--input", src, "--col", "doc_id",
+                     "-k", "2"]) == 0
+        assert capsys.readouterr().out == ""
