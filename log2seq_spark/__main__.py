@@ -371,7 +371,8 @@ def cmd_pipeline(args) -> int:
              else spark.read.parquet(args.input))
     cfg = PipelineConfig(out_dir=args.out, n_buckets=args.buckets,
                          program=program, input_id=args.input,
-                         sink_backend=args.sink_backend)
+                         sink_backend=args.sink_backend,
+                         tokens_heavy_k=args.tokens_heavy_k)
     res = run_pipeline(spark, turns, cfg, resume=not args.no_resume)
     print(f"lineage={res.lineage_id} processed={res.buckets_processed} "
           f"skipped={res.buckets_skipped} metrics={res.metrics}",
@@ -1082,6 +1083,10 @@ def main(argv=None) -> int:
                    help="physical sink format for routed/agg outputs "
                         "(iceberg requires its runtime jar + catalog)")
     p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--tokens-heavy-k", type=int, default=None,
+                   help="bound the token aggregate: write only tokens "
+                        "above 1/k of their (bucket, sink) volume "
+                        "(exact heavy hitters) instead of full counts")
     p.add_argument("-p", "--parser-script", default=None)
     p.add_argument("--grok", action="append", default=None,
                    metavar="EXPR",

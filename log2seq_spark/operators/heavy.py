@@ -133,34 +133,75 @@ def mg_global_summary(df: DataFrame, col: str = "token",
     return out
 
 
-def heavy_hitters(df: DataFrame, col: str = "token",
-                  k: int = 20) -> DataFrame:
-    """Items of string column ``col`` whose exact count strictly
-    exceeds n/k, with their exact counts — ``(col, n)`` rows identical
-    to ``GROUP BY col HAVING count(*) * k > (SELECT count(*) …)`` but
-    without shuffling the full distinct-key space. Null items are
-    ignored (both as candidates and in n).
+def _grouped_mg_candidates(df: DataFrame, group_cols: list,
+                           col: str, k: int) -> DataFrame:
+    """Per-partition Misra–Gries candidates PER GROUP: at most ``k``
+    rows of ``(group…, item)`` per (partition, group) pair. Map-only;
+    output bounded by partitions × groups × k."""
+    import pandas as pd
 
-    ``k`` bounds both the answer size (fewer than k items can each
-    exceed n/k) and the per-partition summary. The candidate pass is
-    approximate (superset); the recount pass makes the final answer
-    exact, so the operator is deterministic and oracle-checkable."""
+    fields = df.select(*group_cols, col).schema
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in fields)
+
+    def mg(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        per_group: dict = {}
+        for pdf in batches:
+            vc = pdf.groupby(group_cols, dropna=True,
+                             sort=False)[col].value_counts()
+            for key, cnt in vc.items():
+                # key = (group values..., item)
+                g, item = key[:-1], key[-1]
+                per_group[g] = mg_update(per_group.get(g, {}),
+                                         item, int(cnt), k)
+        rows = [g + (item,) for g, counters in per_group.items()
+                for item in counters]
+        yield pd.DataFrame(rows, columns=[f.name for f in fields])
+
+    return df.select(*group_cols, col).mapInPandas(mg, schema=schema)
+
+
+def heavy_hitters(df: DataFrame, col: str = "token", k: int = 20,
+                  group_cols=None) -> DataFrame:
+    """Items of string column ``col`` whose exact count strictly
+    exceeds n/k, with their exact counts — ``(group…, col, n)`` rows
+    identical to ``GROUP BY group…, col HAVING count(*) * k >
+    (count of the group's rows)`` but without shuffling the full
+    distinct-key space. With ``group_cols`` the guarantee and the
+    threshold apply within each group (n = the group's row count) —
+    the per-(bucket, sink) hot-token shape the pipeline's aggregate
+    phase needs at 10^12 turns. Null items — and, in grouped mode,
+    null group keys — are ignored.
+
+    ``k`` bounds both the answer size (fewer than k items per group
+    can each exceed n/k) and the per-partition summaries. The
+    candidate pass is approximate (superset); the recount pass makes
+    the final answer exact, so the operator is deterministic and
+    oracle-checkable."""
     if k < 2:
         raise ValueError("heavy_hitters requires k >= 2")
-    stream = df.select(col).filter(F.col(col).isNotNull())
-    cand = _mg_partition_candidates(stream, col, k).distinct()
+    groups = list(group_cols or [])
+    stream = df.select(*groups, col).filter(F.col(col).isNotNull())
+    for g in groups:
+        stream = stream.filter(F.col(g).isNotNull())
+    if groups:
+        cand = _grouped_mg_candidates(stream, groups, col, k).distinct()
+    else:
+        cand = _mg_partition_candidates(stream, col, k).distinct()
     # candidate-only exact counts + the stream total in ONE scan:
-    # non-candidate rows collapse into a single null bucket whose count
-    # still contributes to n. The join is broadcast (the build side is
-    # <= num_partitions * k rows by construction).
+    # non-candidate rows collapse into a per-group null bucket whose
+    # count still contributes to the group's n. The join is broadcast
+    # (the build side is <= partitions * groups * k rows by
+    # construction).
     flagged = (stream
                .join(F.broadcast(cand.withColumn("_is_cand", F.lit(True))),
-                     col, "left")
-               .select(F.when(F.col("_is_cand"), F.col(col)).alias(col)))
-    counts = flagged.groupBy(col).agg(F.count("*").alias("n"))
-    # single-partition window over <= num_partitions*k + 1 rows — the
-    # "no partition defined" exchange is bounded, not corpus-sized
-    total = F.sum("n").over(Window.partitionBy())
+                     groups + [col], "left")
+               .select(*groups,
+                       F.when(F.col("_is_cand"), F.col(col)).alias(col)))
+    counts = flagged.groupBy(*groups, col).agg(F.count("*").alias("n"))
+    # window over <= partitions*k + 1 rows per group (global mode: one
+    # bounded single partition) — never corpus-sized
+    total = F.sum("n").over(Window.partitionBy(*groups))
     return (counts.withColumn("_total", total)
                   .filter(F.col(col).isNotNull()
                           & (F.col("n") * k > F.col("_total")))

@@ -72,6 +72,12 @@ class PipelineConfig:
     # from the message/error/rule_id columns (the pre-v2 path, kept as
     # the measured A/B seam — see BENCH/DELTAS.md round 4)
     agg_from_flags: bool = True
+    # token aggregate mode: None writes the full per-(bucket, sink)
+    # token counts (a distinct-token-sized shuffle — fine to sf-scale,
+    # the 10^12-turn bottleneck); an int k switches AGG_TOKEN to exact
+    # per-(bucket, sink) heavy hitters (operators/heavy.py): only
+    # tokens above 1/k of their sink's volume, bounded shuffle
+    tokens_heavy_k: Optional[int] = None
 
 
 @dataclass
@@ -236,11 +242,22 @@ def run_pipeline(spark: SparkSession, turns: DataFrame,
                       backend=cfg.sink_backend)
 
     if cfg.write_tokens:
+        tok_stream = (df.filter(F.col("_ok"))
+                        .select("bucket", "sink",
+                                F.explode("words").alias("token")))
+        if cfg.tokens_heavy_k:
+            # bounded-shuffle mode: exact counts of tokens above 1/k of
+            # their (bucket, sink) volume — the only token aggregate
+            # that survives a 10^12-turn vocabulary
+            from ..operators.heavy import heavy_hitters
+            tok_agg = heavy_hitters(tok_stream, "token",
+                                    k=cfg.tokens_heavy_k,
+                                    group_cols=["bucket", "sink"])
+        else:
+            tok_agg = (tok_stream.groupBy("bucket", "sink", "token")
+                                 .agg(F.count("*").alias("n")))
         write_partitioned(
-            df.filter(F.col("_ok"))
-              .select("bucket", "sink", F.explode("words").alias("token"))
-              .groupBy("bucket", "sink", "token").agg(F.count("*").alias("n"))
-              .repartition(min(p, cfg.n_buckets), "bucket"),
+            tok_agg.repartition(min(p, cfg.n_buckets), "bucket"),
             os.path.join(cfg.out_dir, AGG_TOKEN), ["bucket"],
             backend=cfg.sink_backend)
 

@@ -98,6 +98,58 @@ class TestHeavyHitters:
         assert {(r.token, r.n) for r in out} == _exact_heavy(rows, 5)
 
 
+class TestGroupedHeavyHitters:
+    def test_matches_per_group_aggregate(self, spark):
+        import random
+        from collections import Counter
+        rng = random.Random(17)
+        rows = []
+        for g in ("alpha", "beta", "gamma"):
+            hot = f"hot_{g}"
+            for _ in range(2500):
+                r = rng.random()
+                rows.append((g, hot if r < 0.3
+                             else f"t{rng.randrange(60)}"))
+        df = (spark.createDataFrame(rows, "sink string, token string")
+                   .repartition(5))
+        k = 8
+        got = {(r.sink, r.token, r.n) for r in
+               heavy.heavy_hitters(df, "token", k=k,
+                                   group_cols=["sink"]).collect()}
+        want = set()
+        by_g: dict = {}
+        for g, t in rows:
+            by_g.setdefault(g, []).append(t)
+        for g, toks in by_g.items():
+            n = len(toks)
+            for t, c in Counter(toks).items():
+                if c * k > n:
+                    want.add((g, t, c))
+        assert got == want
+        assert any(t.startswith("hot_") for _, t, _ in got)
+
+    def test_null_group_keys_ignored(self, spark):
+        rows = [("a", "x")] * 5 + [(None, "x")] * 9 + [("a", "y")]
+        df = spark.createDataFrame(rows, "sink string, token string")
+        got = {(r.sink, r.token, r.n) for r in
+               heavy.heavy_hitters(df, "token", k=2,
+                                   group_cols=["sink"]).collect()}
+        # only group 'a' (6 rows): x=5 > 6/2
+        assert got == {("a", "x", 5)}
+
+    def test_multi_group_cols(self, spark):
+        rows = [(1, "s1", "x")] * 4 + [(1, "s1", "y")] + \
+               [(2, "s1", "y")] * 3 + [(2, "s2", "z")] * 2
+        df = spark.createDataFrame(rows,
+                                   "bucket int, sink string, token string")
+        got = {tuple(r) for r in
+               heavy.heavy_hitters(df, "token", k=2,
+                                   group_cols=["bucket", "sink"])
+                    .collect()}
+        assert got == {(1, "s1", "x", 4), (2, "s1", "y", 3),
+                       (2, "s2", "z", 2)}
+
+
 class TestMgSummaries:
     def test_global_summary_guarantees(self, spark):
         from collections import Counter

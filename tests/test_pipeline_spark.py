@@ -220,6 +220,41 @@ class TestSkewHandling:
         assert a == b
 
 
+def test_tokens_heavy_k_bounded_aggregate(spark, turns, tmpdir_path):
+    """tokens_heavy_k switches AGG_TOKEN to exact per-(bucket, sink)
+    heavy hitters: the written table must equal the full token-count
+    table filtered to tokens above 1/k of their sink's volume."""
+    import os
+
+    from pyspark.sql import functions as F
+    from log2seq_spark.plans.pipeline import PipelineConfig, run_pipeline
+    # k=20 → tokens above 5% of their sink: the severity words (WARN,
+    # INFO, …) sit at ~6-9% per sink in the synthetic corpus, so the
+    # heavy table is non-empty while almost all tokens are pruned
+    k = 20
+    cfg = PipelineConfig(out_dir=os.path.join(tmpdir_path, "hk"),
+                         n_buckets=4, partitions=8, tokens_heavy_k=k)
+    run_pipeline(spark, turns, cfg, resume=False)
+    got = {(r["bucket"], r["sink"], r["token"], r["n"])
+           for r in spark.read.parquet(
+               os.path.join(tmpdir_path, "hk", "agg_token_counts"))
+           .collect()}
+    # expected: full counts over the routed ok rows, HAVING n*k > total
+    routed = (spark.read.parquet(os.path.join(tmpdir_path, "hk", "routed"))
+              .filter(F.col("ok"))
+              .select("bucket", "sink", F.explode("words").alias("token")))
+    full = routed.groupBy("bucket", "sink", "token") \
+                 .agg(F.count("*").alias("n"))
+    totals = routed.groupBy("bucket", "sink") \
+                   .agg(F.count("*").alias("tot"))
+    want = {(r["bucket"], r["sink"], r["token"], r["n"])
+            for r in full.join(totals, ["bucket", "sink"])
+                         .filter(F.col("n") * k > F.col("tot"))
+                         .collect()}
+    assert got == want
+    assert got  # the skewed synthetic corpus has hot tokens per sink
+
+
 def test_empty_input_pipeline(spark, tmpdir_path):
     """A zero-row turns frame must complete cleanly with zeroed metrics
     (regression guard: the stats-collect path must not assume rows)."""
