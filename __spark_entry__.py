@@ -167,9 +167,14 @@ def q_tokenize_token_counts(spark, sf_dir):
     (``operators/heavy.py`` — Misra–Gries per-partition candidates +
     broadcast-filtered exact recount; identical to the full
     GROUP BY … HAVING but without shuffling the distinct-key space)."""
-    docs = _tp(spark, sf_dir, "documents")
-    tok = tokenize_words_udf(default_actions())
-    toks = docs.select(F.explode(tok(F.col("text"))).alias("token"))
+    # one persisted token feed: the counts branch, the MG candidate
+    # pass, and the exact recount would otherwise each re-run the
+    # tokenize UDF over the corpus (measured 0.6s -> 3.4s)
+    def _build():
+        docs = _tp(spark, sf_dir, "documents")
+        tok = tokenize_words_udf(default_actions())
+        return docs.select(F.explode(tok(F.col("text"))).alias("token"))
+    toks = _feed(spark, ("doc_tokens", sf_dir), _build)
     counts = (toks.groupBy("token").agg(F.count("*").alias("n"))
                   .select(F.lit("count").alias("kind"), "token", "n"))
     hh = (heavy.heavy_hitters(toks, "token", k=30)
