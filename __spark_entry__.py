@@ -17,8 +17,9 @@ from pyspark.sql import functions as F
 
 from log2seq_spark.rules.presets import default_program, default_actions
 from log2seq_spark.functions.udf import with_parsed, tokenize_words_udf
-from log2seq_spark.operators import (anomaly, asof, dedup, heavy, scrub,
-                                     similarity, templates, textstats)
+from log2seq_spark.operators import (anomaly, asof, dedup, heavy, lm,
+                                     scrub, similarity, templates,
+                                     textstats)
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
@@ -2362,12 +2363,22 @@ def q_textstats_quality(spark, sf_dir):
     lstats = dedup.line_dedup_stats(docs, ownership=lown)
     clean = (dedup.drop_duplicate_lines(docs, ownership=lown)
                   .select("doc_id", F.md5("clean_text").alias("clean_md5")))
+    # LM-perplexity leg (operators/lm.py): bigram stupid-backoff quality
+    # scoring, trained on the corpus itself — the CCNet-style filter.
+    # The bigram table is consumed four times inside perplexity()
+    # (pair join + the derived context/unigram/total views), so it goes
+    # through the persisted feed like the other shared intermediates.
+    big = _feed(spark, ("lm_bigrams", sf_dir),
+                lambda: lm.train_bigram_lm(docs))
+    lmcols = lm.perplexity(docs.select("doc_id", "text"), big).select(
+        "doc_id", "lm_tokens", "avg_logprob", "perplexity")
     return (prof.select(
         "doc_id", "n_tokens", "mean_token_len", "punct_ratio",
         "stopword_ratio", "quality_score", "ws_tokens", "bpe_tokens",
         "predicted_lang", "fingerprint",
         "dup_trigram_ratio", "dup_line_ratio")
-        .join(lstats, "doc_id").join(clean, "doc_id"))
+        .join(lstats, "doc_id").join(clean, "doc_id")
+        .join(lmcols, "doc_id"))
 
 
 _SQL_QUALITY = f"""
@@ -2420,7 +2431,29 @@ WITH base AS (
   WHERE o.line IS NULL OR o.ndocs = 1 OR l.doc_id = o.keeper
 ), clean AS (
   SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS ct
-  FROM kept GROUP BY doc_id)
+  FROM kept GROUP BY doc_id
+), lmp AS (
+  SELECT doc_id, u.i AS pos,
+         CASE WHEN u.i = 0 THEN '<s>' ELSE w[u.i] END AS prev,
+         w[u.i + 1] AS cur
+  FROM (SELECT doc_id, w,
+               unnest(list_transform(range(len(w)), i -> {{'i': i}})) AS u
+        FROM base)
+), lmbi AS (
+  SELECT prev, cur, count(*) AS nb FROM lmp GROUP BY prev, cur
+), lmctx AS (SELECT prev, sum(nb) AS nctx FROM lmbi GROUP BY prev
+), lmuni AS (SELECT cur, sum(nb) AS ntok FROM lmbi GROUP BY cur
+), lmn AS (SELECT sum(ntok) AS nn FROM lmuni
+), lmscore AS (
+  SELECT p.doc_id, count(*) AS lm_tokens,
+         sum(ln(CASE WHEN b.nb IS NOT NULL THEN b.nb / c.nctx
+                     ELSE 0.4 * coalesce(u.ntok, 0.5) / lmn.nn END)) AS slp
+  FROM lmp p
+  LEFT JOIN lmbi b ON p.prev = b.prev AND p.cur = b.cur
+  LEFT JOIN lmctx c ON p.prev = c.prev
+  LEFT JOIN lmuni u ON p.cur = u.cur
+  CROSS JOIN lmn
+  GROUP BY p.doc_id)
 SELECT s.doc_id, n_tokens,
        round((n_chars - (n_tokens - 1)) / greatest(n_tokens, 1), 4) AS mean_token_len,
        round(n_punct / greatest(n_chars, 1), 4) AS punct_ratio,
@@ -2441,10 +2474,14 @@ SELECT s.doc_id, n_tokens,
             THEN round(1.0 - len(list_distinct(lines)) / len(lines), 4)
             ELSE 0.0 END AS dup_line_ratio,
        lstat.n_lines, lstat.n_corpus_dup_lines,
-       md5(coalesce(cl.ct, '')) AS clean_md5
+       md5(coalesce(cl.ct, '')) AS clean_md5,
+       cast(coalesce(lms.lm_tokens, 0) AS BIGINT) AS lm_tokens,
+       round(lms.slp / lms.lm_tokens, 4) AS avg_logprob,
+       round(exp(-(lms.slp / lms.lm_tokens)), 4) AS perplexity
 FROM scored s
 JOIN lstat ON s.doc_id = lstat.doc_id
 LEFT JOIN clean cl ON s.doc_id = cl.doc_id
+LEFT JOIN lmscore lms ON s.doc_id = lms.doc_id
 """
 
 
