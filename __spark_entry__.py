@@ -2113,18 +2113,33 @@ def q_knn_brute(spark, sf_dir):
 
 
 def q_similarity_topk(spark, sf_dir):
-    """Both similarity-search paths in ONE driver row (keeps the
-    CORRECTNESS window at 50 queries): exact brute-force cosine top-k
-    labeled ``method='brute'`` unioned with the centroid-partitioned
-    IVF probe labeled ``method='ivf'`` — each still checked value-exact
-    against its own closed-form DuckDB replay."""
+    """Every similarity-search path in ONE driver row (keeps the
+    CORRECTNESS window at 50 queries), schema ``(method, id, score)``:
+    exact brute-force cosine top-k (``brute``), the
+    centroid-partitioned IVF probe (``ivf``), its incremental-append
+    twin (``ivf_incr``), and sparse BM25 keyword retrieval over the
+    documents table (``bm25`` — ``operators/retrieval.py``, id =
+    doc_id, score = Okapi BM25 with Lucene idf). Each leg is checked
+    value-exact against its own closed-form DuckDB replay."""
+    from log2seq_spark.operators import retrieval
     brute = q_knn_brute(spark, sf_dir).select(
-        F.lit("brute").alias("method"), "vec_id", "cosine")
+        F.lit("brute").alias("method"), F.col("vec_id").alias("id"),
+        F.col("cosine").alias("score"))
     ivf = q_ivf_topk(spark, sf_dir).select(
-        F.lit("ivf").alias("method"), "vec_id", "cosine")
+        F.lit("ivf").alias("method"), F.col("vec_id").alias("id"),
+        F.col("cosine").alias("score"))
     incr = q_ivf_topk_incr(spark, sf_dir).select(
-        F.lit("ivf_incr").alias("method"), "vec_id", "cosine")
-    return brute.unionByName(ivf).unionByName(incr)
+        F.lit("ivf_incr").alias("method"), F.col("vec_id").alias("id"),
+        F.col("cosine").alias("score"))
+    bm25 = retrieval.bm25_topk(
+        _tp(spark, sf_dir, "documents"), BM25_QUERY, topk=20).select(
+        F.lit("bm25").alias("method"), F.col("doc_id").alias("id"),
+        "score")
+    return brute.unionByName(ivf).unionByName(incr).unionByName(bm25)
+
+
+# deterministic keyword query drawn from the synthetic documents' vocab
+BM25_QUERY = "filter join vector"
 
 
 def q_ivf_topk_incr(spark, sf_dir):
@@ -2237,12 +2252,47 @@ LIMIT 15
 """
 
 
+_SQL_BM25 = r"""
+WITH d AS (
+  SELECT doc_id,
+         list_transform(list_filter(regexp_split_to_array(text, '\s+'),
+                                    t -> t <> ''), t -> lower(t)) AS w
+  FROM documents
+), stats AS (
+  SELECT count(*) AS n, avg(len(w)) AS avgdl FROM d
+), tf AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, len(w) AS dl,
+               unnest(list_filter(w, x -> list_contains(
+                   ['filter', 'join', 'vector'], x))) AS term
+        FROM d)
+  GROUP BY doc_id, dl, term
+), dfq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), sc AS (
+  SELECT doc_id,
+         round(sum(ln(1.0 + (n - df + 0.5) / (df + 0.5))
+                   * tf * (1.2 + 1.0)
+                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))),
+               6) AS score
+  FROM tf JOIN dfq USING (term) CROSS JOIN stats
+  GROUP BY doc_id)
+SELECT doc_id AS id, score FROM sc
+ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+
 _SQL_SIMILARITY = f"""
-SELECT 'brute' AS method, b.* FROM ({_SQL_KNN}) b
+SELECT 'brute' AS method, b.vec_id AS id, b.cosine AS score
+FROM ({_SQL_KNN}) b
 UNION ALL
-SELECT 'ivf' AS method, i.* FROM ({_SQL_IVF}) i
+SELECT 'ivf' AS method, i.vec_id AS id, i.cosine AS score
+FROM ({_SQL_IVF}) i
 UNION ALL
-SELECT 'ivf_incr' AS method, i.* FROM ({_SQL_IVF}) i
+SELECT 'ivf_incr' AS method, i.vec_id AS id, i.cosine AS score
+FROM ({_SQL_IVF}) i
+UNION ALL
+SELECT 'bm25' AS method, m.id, m.score FROM ({_SQL_BM25}) m
 """
 
 
