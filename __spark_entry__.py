@@ -307,22 +307,68 @@ WHERE rk <= 3
 """
 
 
-def q_sessionize(spark, sf_dir):
+def _synth_turns(spark, sf_dir):
+    """Deterministic transcripts-shaped turns synthesized from events
+    (conv = user, order = (ts, event_id), varied token counts) — the
+    input for the context-assembly leg; the oracle replays the same
+    synthesis."""
     from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    m3 = F.pmod("event_id", F.lit(3))
+    role = (F.when(m3 == 0, "user").when(m3 == 1, "assistant")
+             .otherwise("tool"))
+    text = F.concat(F.col("event_type"), F.lit(" "),
+                    F.expr("repeat('tok ', cast(event_id % 9 AS INT))"),
+                    F.lit("e"), F.col("event_id").cast("string"))
+    return ev.select(F.col("user_id").cast("string").alias("conv_id"),
+                     F.row_number().over(w).alias("turn_idx"),
+                     role.alias("role"), text.alias("text"))
+
+
+def q_sessionize(spark, sf_dir):
+    """Two per-conversation operators in ONE driver row (keeps the
+    CORRECTNESS window at 50), schema ``(kind, id, n_a, n_b, digest)``:
+
+    * ``kind='sessions'`` — gap-based sessionization per user
+      (n_a = sessions, n_b = events).
+    * ``kind='context'`` — conversation-context assembly
+      (``operators/context.py``: per turn, the longest suffix of the
+      ≤5 preceding turns fitting a 24-token budget), digested per
+      conversation (n_a = turns, n_b = total context tokens, digest =
+      md5 over every turn's assembled context in turn order — any
+      suffix/order/separator error changes it)."""
+    from pyspark.sql import Window
+    from log2seq_spark.operators import context
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     epoch = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6)
     gap = epoch - F.lag(epoch).over(w)
     new_session = F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0)
-    return (ev.withColumn("new_session", new_session)
+    sess = (ev.withColumn("new_session", new_session)
               .groupBy("user_id")
               .agg(F.sum("new_session").alias("n_sessions"),
-                   F.count("*").alias("n_events")))
+                   F.count("*").alias("n_events"))
+              .select(F.lit("sessions").alias("kind"),
+                      F.col("user_id").cast("string").alias("id"),
+                      F.col("n_sessions").cast("bigint").alias("n_a"),
+                      F.col("n_events").alias("n_b"),
+                      F.lit(None).cast("string").alias("digest")))
+    ctx = context.assemble_context(_synth_turns(spark, sf_dir),
+                                   max_turns=5, max_tokens=24)
+    dig = (context.context_digest(ctx)
+           .select(F.lit("context").alias("kind"),
+                   F.col("conv_id").alias("id"),
+                   F.col("n_turns").alias("n_a"),
+                   F.col("total_ctx_tokens").cast("bigint").alias("n_b"),
+                   F.col("ctx_md5").alias("digest")))
+    return sess.unionByName(dig)
 
 
-_SQL_SESSIONIZE = """
-SELECT user_id, cast(sum(new_session) AS BIGINT) AS n_sessions,
-       count(*) AS n_events
+_SQL_SESSIONIZE = r"""
+SELECT 'sessions' AS kind, cast(user_id AS VARCHAR) AS id,
+       cast(sum(new_session) AS BIGINT) AS n_a,
+       count(*) AS n_b, cast(NULL AS VARCHAR) AS digest
 FROM (
   SELECT user_id,
          CASE WHEN lag(epoch(ts)) OVER (PARTITION BY user_id
@@ -332,6 +378,45 @@ FROM (
               THEN 1 ELSE 0 END AS new_session
   FROM events)
 GROUP BY user_id
+UNION ALL
+SELECT 'context' AS kind, conv_id AS id, count(*) AS n_a,
+       cast(sum(ctok) AS BIGINT) AS n_b,
+       md5(string_agg(coalesce(ctext, ''), chr(30) ORDER BY turn_idx))
+         AS digest
+FROM (
+  WITH t AS (
+    SELECT cast(user_id AS VARCHAR) AS conv_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS turn_idx,
+           CASE event_id % 3 WHEN 0 THEN 'user'
+                WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+           event_type || ' ' || repeat('tok ', cast(event_id % 9 AS INT))
+             || 'e' || event_id AS text
+    FROM events
+  ), tok AS (
+    SELECT *, len(list_filter(regexp_split_to_array(text, '\s+'),
+                              x -> x <> '')) AS ntok
+    FROM t
+  ), hist AS (
+    SELECT conv_id, turn_idx,
+           list(struct_pack(i := turn_idx, r := role,
+                            tx := text, n := ntok))
+             OVER (PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS h
+    FROM tok
+  ), kept AS (
+    SELECT conv_id, turn_idx,
+           list_filter(coalesce(h, []), (x, i) ->
+              list_aggregate(list_transform(h[i:], y -> y.n), 'sum')
+                <= 24) AS k
+    FROM hist)
+  SELECT conv_id, turn_idx,
+         coalesce(list_aggregate(list_transform(k, y -> y.n), 'sum'), 0)
+           AS ctok,
+         array_to_string(list_transform(k, y -> y.r || ': ' || y.tx),
+                         chr(10)) AS ctext
+  FROM kept)
+GROUP BY conv_id
 """
 
 
