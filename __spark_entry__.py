@@ -2106,21 +2106,33 @@ GROUP BY lang
 def q_training_selection(spark, sf_dir):
     """End-to-end training-set selection: quality gate + language gate +
     dedup keep-list, reporting docs and token budget per decision — the
-    composition a data pipeline runs before tokenization."""
+    composition a data pipeline runs before tokenization. Also carries
+    the model-based filter (``operators/classifier.py``: fastText-style
+    hashed-bigram linear scorer under the deterministic pseudo model)
+    per selection group: average score + count above 0.5 — any hashing
+    / bucketing / sigmoid drift moves both."""
+    from log2seq_spark.operators import classifier
     docs = _tp(spark, sf_dir, "documents")
     dec = dedup.dedup_decisions(docs, threshold=0.35,
                                 near_pairs=_jaccard_pair_feed(spark, sf_dir))
     qual = textstats.quality_features(docs).select(
         "doc_id", "n_tokens", "quality_score")
     lang = textstats.lang_id(docs).select("doc_id", "predicted_lang")
-    joined = qual.join(dec, "doc_id").join(lang, "doc_id")
+    clf = classifier.classify(docs).select("doc_id", "clf_score")
+    joined = (qual.join(dec, "doc_id").join(lang, "doc_id")
+                  .join(clf, "doc_id"))
     selected = ((F.col("decision") == "keep")
                 & (F.col("quality_score") >= 0.5)
                 & (F.col("predicted_lang") == "en"))
     return (joined.withColumn("selected", selected)
                   .groupBy("selected")
                   .agg(F.count("*").alias("n_docs"),
-                       F.sum("n_tokens").alias("n_tokens")))
+                       F.sum("n_tokens").alias("n_tokens"),
+                       F.round(F.avg("clf_score"), 4)
+                        .alias("avg_clf_score"),
+                       F.sum(F.when(F.col("clf_score") >= 0.5, 1)
+                              .otherwise(0)).cast("bigint")
+                        .alias("n_clf_high")))
 
 
 _SQL_TRAINING_SELECTION = f"""
@@ -2173,12 +2185,32 @@ near AS (
     {{'hits': len(list_filter(w, t -> list_contains(['le','la','les','et','est','une','pas'], t))), 'lang': 'fr'}},
     {{'hits': len(list_filter(w, t -> list_contains(['el','la','los','y','es','una','que'], t))), 'lang': 'es'}}
   ]) AS best FROM langtoks)
+), clfg AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) >= 2
+                THEN list_transform(range(1, len(w)),
+                                    i -> w[i] || chr(31) || w[i + 1])
+                ELSE [CAST(NULL AS VARCHAR)] END) AS g
+  FROM langtoks
+), clfs AS (
+  SELECT doc_id,
+         round(1.0 / (1.0 + exp(-(
+             coalesce(sum(('0x' || substr(md5('clf-v1|' ||
+                          (('0x' || substr(md5(g), 1, 15))::BIGINT % 1024)),
+                          1, 15))::BIGINT
+                          / 1152921504606846976.0 - 0.5), 0.0)
+             / greatest(count(g), 1)))), 6) AS clf_score
+  FROM clfg GROUP BY doc_id
 )
 SELECT (dec.decision = 'keep' AND q.quality_score >= 0.5
         AND lp.predicted_lang = 'en') AS selected,
        count(*) AS n_docs,
-       cast(sum(q.n_tokens) AS BIGINT) AS n_tokens
+       cast(sum(q.n_tokens) AS BIGINT) AS n_tokens,
+       round(avg(cs.clf_score), 4) AS avg_clf_score,
+       cast(sum(CASE WHEN cs.clf_score >= 0.5 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clf_high
 FROM qual q JOIN dec USING (doc_id) JOIN langpred lp USING (doc_id)
+     JOIN clfs cs USING (doc_id)
 GROUP BY 1
 """
 
