@@ -327,7 +327,7 @@ def _synth_turns(spark, sf_dir):
 
 
 def q_sessionize(spark, sf_dir):
-    """Two per-conversation operators in ONE driver row (keeps the
+    """Five per-conversation operators in ONE driver row (keeps the
     CORRECTNESS window at 50), schema ``(kind, id, n_a, n_b, digest)``:
 
     * ``kind='sessions'`` — gap-based sessionization per user
@@ -337,9 +337,25 @@ def q_sessionize(spark, sf_dir):
       ≤5 preceding turns fitting a 24-token budget), digested per
       conversation (n_a = turns, n_b = total context tokens, digest =
       md5 over every turn's assembled context in turn order — any
-      suffix/order/separator error changes it)."""
+      suffix/order/separator error changes it).
+    * ``kind='loops'`` — agent-loop detection
+      (``operators/agentqa.py::loop_flags``: smallest repeating
+      (role, digit-masked-text) cycle of length 1..3 ending at each
+      turn), digested per conversation (n_a = turns, n_b = flagged
+      turns, digest = md5 over every turn's loop_cycle in order — a
+      missed or spurious flag anywhere changes it).
+    * ``kind='transitions'`` — role-protocol validation
+      (``agentqa.role_transitions``): corpus-wide (prev_role → role)
+      counts, id = ``prev>role``, n_a = count, n_b = allowed(0/1).
+    * ``kind='segments'`` — greedy turn-boundary segmentation into
+      16-token training windows (``agentqa.segment_conversations``,
+      a sequential recurrence folded per-conversation with a JVM
+      ``aggregate`` HOF); n_a = segments, n_b = total tokens, digest =
+      md5 over every turn's segment index in order (any boundary
+      shift changes it). Oracle replays the greedy walk with a
+      recursive CTE."""
     from pyspark.sql import Window
-    from log2seq_spark.operators import context
+    from log2seq_spark.operators import agentqa, context
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     epoch = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6)
@@ -362,10 +378,95 @@ def q_sessionize(spark, sf_dir):
                    F.col("n_turns").alias("n_a"),
                    F.col("total_ctx_tokens").cast("bigint").alias("n_b"),
                    F.col("ctx_md5").alias("digest")))
-    return sess.unionByName(dig)
+    turns = _synth_turns(spark, sf_dir)
+    loops = (agentqa.loop_stats(agentqa.loop_flags(turns, max_cycle=3))
+             .select(F.lit("loops").alias("kind"),
+                     F.col("conv_id").alias("id"),
+                     F.col("n_turns").alias("n_a"),
+                     F.col("n_loop_turns").cast("bigint").alias("n_b"),
+                     F.col("loop_md5").alias("digest")))
+    trans = (agentqa.role_transitions(turns)
+             .select(F.lit("transitions").alias("kind"),
+                     F.concat_ws(">", "prev_role", "role").alias("id"),
+                     F.col("n_turns").alias("n_a"),
+                     F.col("is_valid").cast("bigint").alias("n_b"),
+                     F.lit(None).cast("string").alias("digest")))
+    segs = (agentqa.segment_stats(
+                agentqa.segment_conversations(turns, max_tokens=16))
+            .select(F.lit("segments").alias("kind"),
+                    F.col("conv_id").alias("id"),
+                    F.col("n_segments").alias("n_a"),
+                    F.col("total_tokens").alias("n_b"),
+                    F.col("seg_md5").alias("digest")))
+    return (sess.unionByName(dig).unionByName(loops)
+                .unionByName(trans).unionByName(segs))
 
 
 _SQL_SESSIONIZE = r"""
+WITH RECURSIVE t AS (
+    SELECT cast(user_id AS VARCHAR) AS conv_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS turn_idx,
+           CASE event_id % 3 WHEN 0 THEN 'user'
+                WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+           event_type || ' ' || repeat('tok ', cast(event_id % 9 AS INT))
+             || 'e' || event_id AS text
+    FROM events
+), tok AS (
+    SELECT *, len(list_filter(regexp_split_to_array(text, '\s+'),
+                              x -> x <> '')) AS ntok
+    FROM t
+), hist AS (
+    SELECT conv_id, turn_idx,
+           list(struct_pack(i := turn_idx, r := role,
+                            tx := text, n := ntok))
+             OVER (PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS h
+    FROM tok
+), kept AS (
+    SELECT conv_id, turn_idx,
+           list_filter(coalesce(h, []), (x, i) ->
+              list_aggregate(list_transform(h[i:], y -> y.n), 'sum')
+                <= 24) AS k
+    FROM hist
+), ctx AS (
+    SELECT conv_id, turn_idx,
+           coalesce(list_aggregate(list_transform(k, y -> y.n), 'sum'), 0)
+             AS ctok,
+           array_to_string(list_transform(k, y -> y.r || ': ' || y.tx),
+                           chr(10)) AS ctext
+    FROM kept
+), fps AS (
+    SELECT conv_id, turn_idx,
+           md5(role || chr(31)
+               || regexp_replace(text, '[0-9]+', '<*>', 'g')) AS fp
+    FROM t
+), lagd AS (
+    SELECT conv_id, turn_idx, fp,
+           lag(fp, 1) OVER w AS l1, lag(fp, 2) OVER w AS l2,
+           lag(fp, 3) OVER w AS l3, lag(fp, 4) OVER w AS l4,
+           lag(fp, 5) OVER w AS l5
+    FROM fps
+    WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+), cyc AS (
+    SELECT conv_id, turn_idx,
+           CASE WHEN fp = l1 THEN 1
+                WHEN fp = l2 AND l1 = l3 THEN 2
+                WHEN fp = l3 AND l1 = l4 AND l2 = l5 THEN 3
+                ELSE 0 END AS lc
+    FROM lagd
+), walk AS (
+    SELECT conv_id, turn_idx, ntok, 0 AS seg, ntok AS run
+    FROM tok WHERE turn_idx = 1
+    UNION ALL
+    SELECT tk.conv_id, tk.turn_idx, tk.ntok,
+           CASE WHEN w.run + tk.ntok > 16 THEN w.seg + 1 ELSE w.seg END,
+           CASE WHEN w.run + tk.ntok > 16 THEN tk.ntok
+                ELSE w.run + tk.ntok END
+    FROM walk w
+    JOIN tok tk
+      ON tk.conv_id = w.conv_id AND tk.turn_idx = w.turn_idx + 1
+)
 SELECT 'sessions' AS kind, cast(user_id AS VARCHAR) AS id,
        cast(sum(new_session) AS BIGINT) AS n_a,
        count(*) AS n_b, cast(NULL AS VARCHAR) AS digest
@@ -383,39 +484,36 @@ SELECT 'context' AS kind, conv_id AS id, count(*) AS n_a,
        cast(sum(ctok) AS BIGINT) AS n_b,
        md5(string_agg(coalesce(ctext, ''), chr(30) ORDER BY turn_idx))
          AS digest
+FROM ctx
+GROUP BY conv_id
+UNION ALL
+SELECT 'loops' AS kind, conv_id AS id, count(*) AS n_a,
+       cast(sum(CASE WHEN lc > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       md5(string_agg(cast(lc AS VARCHAR), ',' ORDER BY turn_idx))
+         AS digest
+FROM cyc
+GROUP BY conv_id
+UNION ALL
+SELECT 'transitions' AS kind, prev_role || '>' || role AS id,
+       count(*) AS n_a,
+       cast(CASE WHEN prev_role || '>' || role IN
+                 ('<start>>user', 'user>assistant', 'assistant>user',
+                  'assistant>tool', 'tool>tool', 'tool>assistant')
+            THEN 1 ELSE 0 END AS BIGINT) AS n_b,
+       cast(NULL AS VARCHAR) AS digest
 FROM (
-  WITH t AS (
-    SELECT cast(user_id AS VARCHAR) AS conv_id,
-           row_number() OVER (PARTITION BY user_id
-                              ORDER BY ts, event_id) AS turn_idx,
-           CASE event_id % 3 WHEN 0 THEN 'user'
-                WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
-           event_type || ' ' || repeat('tok ', cast(event_id % 9 AS INT))
-             || 'e' || event_id AS text
-    FROM events
-  ), tok AS (
-    SELECT *, len(list_filter(regexp_split_to_array(text, '\s+'),
-                              x -> x <> '')) AS ntok
-    FROM t
-  ), hist AS (
-    SELECT conv_id, turn_idx,
-           list(struct_pack(i := turn_idx, r := role,
-                            tx := text, n := ntok))
-             OVER (PARTITION BY conv_id ORDER BY turn_idx
-                   ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS h
-    FROM tok
-  ), kept AS (
-    SELECT conv_id, turn_idx,
-           list_filter(coalesce(h, []), (x, i) ->
-              list_aggregate(list_transform(h[i:], y -> y.n), 'sum')
-                <= 24) AS k
-    FROM hist)
-  SELECT conv_id, turn_idx,
-         coalesce(list_aggregate(list_transform(k, y -> y.n), 'sum'), 0)
-           AS ctok,
-         array_to_string(list_transform(k, y -> y.r || ': ' || y.tx),
-                         chr(10)) AS ctext
-  FROM kept)
+  SELECT coalesce(lag(role) OVER (PARTITION BY conv_id
+                                  ORDER BY turn_idx), '<start>')
+           AS prev_role, role
+  FROM t)
+GROUP BY prev_role, role
+UNION ALL
+SELECT 'segments' AS kind, conv_id AS id,
+       cast(max(seg) + 1 AS BIGINT) AS n_a,
+       cast(sum(ntok) AS BIGINT) AS n_b,
+       md5(string_agg(cast(seg AS VARCHAR), ',' ORDER BY turn_idx))
+         AS digest
+FROM walk
 GROUP BY conv_id
 """
 
