@@ -519,23 +519,66 @@ GROUP BY conv_id
 
 
 def q_enrich_events_customers(spark, sf_dir):
+    """Broadcast-enrich aggregate, THREE legs in one row (window stays
+    at 50), keyed by ``path``:
+
+    * ``path='broadcast'`` — the plain broadcast left join + aggregate.
+    * ``path='salted'`` — the SAME join through
+      ``operators/skew.py::salted_join`` (explicit hot-key spreading:
+      whole-row salt on the probe side, ``n_salt``× replicated build
+      side, join on (key, salt)). Equal output to the broadcast leg is
+      the operator's contract — the oracle emits both legs from one
+      subquery, so any multiplicity bug in the salting shows up as a
+      hash mismatch.
+    * ``path='skew'`` — ``skew.key_skew_stats`` sizing stats over
+      events.event_type (n_users carries 0; total_value carries the
+      skew_factor = n / mean-per-key)."""
+    from log2seq_spark.operators import skew
     ev = _t(spark, sf_dir, "events")
     cust = _t(spark, sf_dir, "customer")
-    return (ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey, "left")
-              .groupBy("c_mktsegment")
-              .agg(F.count("*").alias("n_events"),
-                   F.countDistinct("user_id").alias("n_users"),
-                   F.sum(F.col("value").cast("decimal(18,2)"))
-                    .cast("double").alias("total_value")))
+
+    def agg(joined, label, user_col):
+        return (joined.groupBy("c_mktsegment")
+                .agg(F.count("*").alias("n_events"),
+                     F.countDistinct(user_col).alias("n_users"),
+                     F.sum(F.col("value").cast("decimal(18,2)"))
+                      .cast("double").alias("total_value"))
+                .select(F.lit(label).alias("path"), "c_mktsegment",
+                        "n_events", "n_users", "total_value"))
+
+    plain = agg(ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey,
+                        "left"), "broadcast", "user_id")
+    salted = agg(skew.salted_join(
+        ev.withColumnRenamed("user_id", "c_custkey"), cust,
+        on="c_custkey", n_salt=8, how="left"), "salted", "c_custkey")
+    stats = (skew.key_skew_stats(ev, "event_type", top=20, round_to=None)
+             .select(F.lit("skew").alias("path"),
+                     F.col("event_type").alias("c_mktsegment"),
+                     F.col("n").alias("n_events"),
+                     F.lit(0).cast("bigint").alias("n_users"),
+                     F.col("skew_factor").alias("total_value")))
+    return plain.unionByName(salted).unionByName(stats)
 
 
 _SQL_ENRICH = """
-SELECT c_mktsegment,
-       count(*) AS n_events,
-       count(DISTINCT user_id) AS n_users,
-       cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value
-FROM events LEFT JOIN customer ON user_id = c_custkey
-GROUP BY c_mktsegment
+WITH base AS (
+  SELECT c_mktsegment,
+         count(*) AS n_events,
+         count(DISTINCT user_id) AS n_users,
+         cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value
+  FROM events LEFT JOIN customer ON user_id = c_custkey
+  GROUP BY c_mktsegment
+), kc AS (
+  SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+)
+SELECT 'broadcast' AS path, * FROM base
+UNION ALL
+SELECT 'salted' AS path, * FROM base
+UNION ALL
+SELECT 'skew' AS path, event_type AS c_mktsegment, n AS n_events,
+       cast(0 AS BIGINT) AS n_users,
+       n / (SELECT avg(n) FROM kc) AS total_value
+FROM (SELECT * FROM kc ORDER BY n DESC, event_type LIMIT 20)
 """
 
 

@@ -60,18 +60,23 @@ def salted_join(skewed: DataFrame, build: DataFrame, on,
                   .drop(_SALT))
 
 
-def key_skew_stats(df: DataFrame, key, top: int = 20) -> DataFrame:
+def key_skew_stats(df: DataFrame, key, top: int = 20,
+                   round_to: int | None = 2) -> DataFrame:
     """Per-key row counts for the ``top`` heaviest keys, each with its
     ``skew_factor`` = count / mean-count-per-key — the "do I need to
     salt, and how wide" number. One aggregate + a bounded sort-limit;
     the mean joins back as a broadcast 1-row frame (a global window
-    here would single-partition the whole distinct-key table)."""
+    here would single-partition the whole distinct-key table).
+    ``round_to=None`` keeps the raw IEEE ratio (exactly reproducible
+    across engines; half-up rounding of binary doubles is not)."""
     keys = [key] if isinstance(key, str) else list(key)
     counts = df.groupBy(*keys).agg(F.count("*").alias("n"))
     mean = counts.agg(F.avg("n").alias("_mean"))
+    factor = F.col("n") / F.col("_mean")
+    if round_to is not None:
+        factor = F.round(factor, round_to)
     return (counts.crossJoin(F.broadcast(mean))
-                  .withColumn("skew_factor",
-                              F.round(F.col("n") / F.col("_mean"), 2))
+                  .withColumn("skew_factor", factor)
                   .drop("_mean")
                   .orderBy(F.desc("n"), *keys)
                   .limit(top))
