@@ -353,9 +353,18 @@ def q_sessionize(spark, sf_dir):
       ``aggregate`` HOF); n_a = segments, n_b = total tokens, digest =
       md5 over every turn's segment index in order (any boundary
       shift changes it). Oracle replays the greedy walk with a
-      recursive CTE."""
+      recursive CTE.
+    * ``kind='render'`` — chat-template rendering + loss-mask spans
+      (``operators/chatformat.py``): n_a = rendered chars, n_b =
+      loss-masked chars (assistant content only), digest = md5 over
+      the full rendered string plus the ``start:end`` loss-span list
+      (any header/offset/mask error changes it).
+    * ``kind='boiler'`` — cross-conversation boilerplate templates
+      (``agentqa.boilerplate_turns``): id = digit-masked turn
+      fingerprint, n_a = distinct convs, n_b = turns, digest = md5
+      over (example text, is_boilerplate)."""
     from pyspark.sql import Window
-    from log2seq_spark.operators import agentqa, context
+    from log2seq_spark.operators import agentqa, chatformat, context
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     epoch = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6)
@@ -398,8 +407,24 @@ def q_sessionize(spark, sf_dir):
                     F.col("n_segments").alias("n_a"),
                     F.col("total_tokens").alias("n_b"),
                     F.col("seg_md5").alias("digest")))
+    rend = (chatformat.render_stats(turns)
+            .select(F.lit("render").alias("kind"),
+                    F.col("conv_id").alias("id"),
+                    F.col("total_chars").alias("n_a"),
+                    F.col("loss_chars").alias("n_b"),
+                    F.col("render_md5").alias("digest")))
+    boiler = (agentqa.boilerplate_turns(turns, min_convs=3)
+              .select(F.lit("boiler").alias("kind"),
+                      F.col("fp").alias("id"),
+                      F.col("n_convs").cast("bigint").alias("n_a"),
+                      F.col("n_turns").alias("n_b"),
+                      F.md5(F.concat_ws(
+                          "|", "example",
+                          F.col("is_boilerplate").cast("string")))
+                       .alias("digest")))
     return (sess.unionByName(dig).unionByName(loops)
-                .unionByName(trans).unionByName(segs))
+                .unionByName(trans).unionByName(segs)
+                .unionByName(rend).unionByName(boiler))
 
 
 _SQL_SESSIONIZE = r"""
@@ -455,6 +480,17 @@ WITH RECURSIVE t AS (
                 WHEN fp = l3 AND l1 = l4 AND l2 = l5 THEN 3
                 ELSE 0 END AS lc
     FROM lagd
+), pieces AS (
+    SELECT conv_id, turn_idx, role, text,
+           '<|' || role || '|>' || chr(10) || text || chr(10) AS piece
+    FROM t
+), offs AS (
+    SELECT conv_id, turn_idx, role, text, piece,
+           coalesce(sum(len(piece)) OVER (
+               PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + len(role) + 5 AS sp
+    FROM pieces
 ), walk AS (
     SELECT conv_id, turn_idx, ntok, 0 AS seg, ntok AS run
     FROM tok WHERE turn_idx = 1
@@ -515,6 +551,32 @@ SELECT 'segments' AS kind, conv_id AS id,
          AS digest
 FROM walk
 GROUP BY conv_id
+UNION ALL
+SELECT 'render' AS kind, conv_id AS id,
+       cast(sum(len(piece)) AS BIGINT) AS n_a,
+       cast(sum(CASE WHEN role = 'assistant' THEN len(text) ELSE 0 END)
+            AS BIGINT) AS n_b,
+       md5(string_agg(piece, '' ORDER BY turn_idx) || '|' ||
+           coalesce(string_agg(
+               CASE WHEN role = 'assistant'
+                    THEN cast(sp AS VARCHAR) || ':'
+                         || cast(sp + len(text) AS VARCHAR) END,
+               ',' ORDER BY turn_idx), '')) AS digest
+FROM offs
+GROUP BY conv_id
+UNION ALL
+SELECT 'boiler' AS kind, fp AS id,
+       count(DISTINCT conv_id) AS n_a, count(*) AS n_b,
+       md5(min(text) || '|' ||
+           CASE WHEN count(DISTINCT conv_id) >= 3
+                THEN 'true' ELSE 'false' END) AS digest
+FROM (
+  SELECT conv_id,
+         md5(role || chr(31)
+             || regexp_replace(text, '[0-9]+', '<*>', 'g')) AS fp,
+         text
+  FROM t)
+GROUP BY fp
 """
 
 

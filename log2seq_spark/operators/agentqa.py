@@ -126,6 +126,29 @@ def role_transitions(turns: DataFrame, *,
                         F.concat_ws("\x1f", "prev_role", "role").isin(ok)))
 
 
+def boilerplate_turns(turns: DataFrame, *, min_convs: int = 3,
+                      conv_col: str = "conv_id", role_col: str = "role",
+                      text_col: str = "text",
+                      tool_col: str | None = None) -> DataFrame:
+    """Cross-conversation boilerplate detection — turn templates (the
+    digit-masked :func:`turn_fingerprint_expr`) that recur across many
+    conversations (canned greetings, retry banners, tool preambles):
+    ``(fp, n_convs, n_turns, example, is_boilerplate)`` with
+    ``is_boilerplate = n_convs >= min_convs``. One hash aggregate on the
+    fingerprint (two-phase for the distinct-conv count); output is
+    bounded by the number of distinct templates, and ``example`` is the
+    lexicographic min text so the row is deterministic."""
+    fp = turn_fingerprint_expr(role_col, text_col, tool_col)
+    per = turns.select(F.col(conv_col).alias("_c"), fp.alias("fp"),
+                       F.col(text_col).alias("_t"))
+    return (per.groupBy("fp")
+               .agg(F.countDistinct("_c").alias("n_convs"),
+                    F.count("*").alias("n_turns"),
+                    F.min("_t").alias("example"))
+               .withColumn("is_boilerplate",
+                           F.col("n_convs") >= F.lit(min_convs)))
+
+
 def segment_conversations(turns: DataFrame, *, max_tokens: int = 512,
                           conv_col: str = "conv_id",
                           idx_col: str = "turn_idx",
