@@ -649,24 +649,112 @@ FROM (SELECT * FROM kc ORDER BY n DESC, event_type LIMIT 20)
 # ---------------------------------------------------------------------------
 
 def q_json_props_extract(spark, sf_dir):
-    """Semi-structured extraction — the grok+JSON half of a log pipeline:
-    pull a typed field out of the JSON ``props`` column with
-    ``get_json_object`` (JVM-side Jackson path evaluation, no Python) and
-    aggregate on it. At scale this is a narrow projection + one map-side
-    combined shuffle; the parquet scan reads only (props, value)."""
+    """Semi-structured JSON, FOUR legs in one row (window stays at 50),
+    schema ``(path, key, n_a, n_b, val)``:
+
+    * ``path='props'`` — typed field extraction out of the JSON
+      ``props`` column with ``get_json_object`` (JVM-side Jackson, no
+      Python) + aggregate: key = k, n_a = events, val = total value.
+    * ``path='tool'`` — tool-call argument hygiene
+      (``operators/toolargs.py``) over deterministically synthesized
+      tool turns (3 tools; every 13th payload malformed, every 11th
+      missing the required ``q`` key): n_a = calls, n_b = well-formed
+      payloads, val = sum of the ``$.n`` argument across fully-valid
+      calls. The oracle re-derives validity with DuckDB's OWN json
+      machinery (json_valid/json_keys), not a replay of Spark's.
+    * ``path='ok'`` — per tool, n_a = calls passing required-key
+      validation (``validate_required``).
+    * ``path='argkey'`` — argument-key census (``arg_key_census``):
+      key = tool/arg, n_a = occurrences among well-formed payloads.
+    """
+    from log2seq_spark.operators import toolargs
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
-    return (ev.select(k.alias("k"), "value")
-              .groupBy("k")
-              .agg(F.count("*").alias("n_events"),
-                   F.sum(F.col("value").cast("decimal(18,2)"))
-                    .cast("double").alias("total_value")))
+    props = (ev.select(k.alias("k"), "value")
+             .groupBy("k")
+             .agg(F.count("*").alias("n_events"),
+                  F.sum(F.col("value").cast("decimal(18,2)"))
+                   .cast("double").alias("total_value"))
+             .select(F.lit("props").alias("path"),
+                     F.col("k").cast("string").alias("key"),
+                     F.col("n_events").alias("n_a"),
+                     F.lit(0).cast("bigint").alias("n_b"),
+                     F.col("total_value").alias("val")))
+    m3 = F.pmod("event_id", F.lit(3))
+    m7 = F.pmod("event_id", F.lit(7)).cast("string")
+    tool = (F.when(m3 == 0, "search").when(m3 == 1, "calc")
+             .otherwise("fetch"))
+    text = (F.when(F.pmod("event_id", F.lit(13)) == 0, F.lit('{"q":"x"'))
+             .when(F.pmod("event_id", F.lit(11)) == 0,
+                   F.concat(F.lit('{"n":'), m7, F.lit("}")))
+             .otherwise(F.concat(F.lit('{"q":"'), F.col("event_type"),
+                                 F.lit('","n":'), m7, F.lit("}"))))
+    turns = ev.select(tool.alias("tool"), text.alias("text"))
+    va = toolargs.validate_required(
+        toolargs.parse_args(turns), {"search": ["q"], "calc": ["q"]})
+    st = toolargs.tool_call_stats(va, numeric_path="$.n")
+    tool_leg = st.select(F.lit("tool").alias("path"),
+                         F.col("tool").alias("key"),
+                         F.col("n_calls").alias("n_a"),
+                         F.col("n_valid_json").alias("n_b"),
+                         F.col("sum_num").alias("val"))
+    ok_leg = st.select(F.lit("ok").alias("path"),
+                       F.col("tool").alias("key"),
+                       F.col("n_ok").alias("n_a"),
+                       F.lit(0).cast("bigint").alias("n_b"),
+                       F.lit(0.0).alias("val"))
+    census = (toolargs.arg_key_census(va)
+              .select(F.lit("argkey").alias("path"),
+                      F.concat_ws("/", "tool", "arg_key").alias("key"),
+                      F.col("n").alias("n_a"),
+                      F.lit(0).cast("bigint").alias("n_b"),
+                      F.lit(0.0).alias("val")))
+    return props.unionByName(tool_leg).unionByName(ok_leg) \
+                .unionByName(census)
 
 
 _SQL_JSON_PROPS = """
-SELECT CAST(props->>'k' AS INT) AS k, count(*) AS n_events,
-       cast(sum(cast(value AS decimal(18,2))) AS double) AS total_value
-FROM events GROUP BY 1
+WITH tt AS (
+  SELECT CASE event_id % 3 WHEN 0 THEN 'search' WHEN 1 THEN 'calc'
+              ELSE 'fetch' END AS tool,
+         CASE WHEN event_id % 13 = 0 THEN '{"q":"x"'
+              WHEN event_id % 11 = 0 THEN '{"n":' || (event_id % 7) || '}'
+              ELSE '{"q":"' || event_type || '","n":'
+                   || (event_id % 7) || '}' END AS text
+  FROM events
+), pa AS (
+  SELECT tool, text, json_valid(text) AS v,
+         CASE WHEN json_valid(text) THEN json_keys(text) END AS ks,
+         CASE tool WHEN 'search' THEN ['q'] WHEN 'calc' THEN ['q']
+              ELSE [] END AS req
+  FROM tt
+), ok AS (
+  SELECT *,
+         v AND len(list_filter(req,
+               k -> NOT list_contains(coalesce(ks, []), k))) = 0 AS aok
+  FROM pa
+)
+SELECT 'props' AS path, CAST(CAST(props->>'k' AS INT) AS VARCHAR) AS key,
+       count(*) AS n_a, cast(0 AS BIGINT) AS n_b,
+       cast(sum(cast(value AS decimal(18,2))) AS double) AS val
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'tool' AS path, tool AS key, count(*) AS n_a,
+       cast(sum(CASE WHEN v THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       sum(CASE WHEN aok
+                THEN coalesce(CAST(text->>'$.n' AS DOUBLE), 0.0)
+                ELSE 0.0 END) AS val
+FROM ok GROUP BY tool
+UNION ALL
+SELECT 'ok' AS path, tool AS key,
+       cast(sum(CASE WHEN aok THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       cast(0 AS BIGINT) AS n_b, 0.0 AS val
+FROM ok GROUP BY tool
+UNION ALL
+SELECT 'argkey' AS path, tool || '/' || k AS key, count(*) AS n_a,
+       cast(0 AS BIGINT) AS n_b, 0.0 AS val
+FROM (SELECT tool, unnest(ks) AS k FROM pa WHERE ks IS NOT NULL)
+GROUP BY 2
 """
 
 
