@@ -310,20 +310,23 @@ WHERE rk <= 3
 def _synth_turns(spark, sf_dir):
     """Deterministic transcripts-shaped turns synthesized from events
     (conv = user, order = (ts, event_id), varied token counts) — the
-    input for the context-assembly leg; the oracle replays the same
-    synthesis."""
-    from pyspark.sql import Window
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    m3 = F.pmod("event_id", F.lit(3))
-    role = (F.when(m3 == 0, "user").when(m3 == 1, "assistant")
-             .otherwise("tool"))
-    text = F.concat(F.col("event_type"), F.lit(" "),
-                    F.expr("repeat('tok ', cast(event_id % 9 AS INT))"),
-                    F.lit("e"), F.col("event_id").cast("string"))
-    return ev.select(F.col("user_id").cast("string").alias("conv_id"),
-                     F.row_number().over(w).alias("turn_idx"),
-                     role.alias("role"), text.alias("text"))
+    shared input of the seven conversation-operator legs in
+    ``q_sessionize``; memoized so the row_number window (the one
+    shuffle) runs once, not once per leg."""
+    def _build():
+        from pyspark.sql import Window
+        ev = _t(spark, sf_dir, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        m3 = F.pmod("event_id", F.lit(3))
+        role = (F.when(m3 == 0, "user").when(m3 == 1, "assistant")
+                 .otherwise("tool"))
+        text = F.concat(F.col("event_type"), F.lit(" "),
+                        F.expr("repeat('tok ', cast(event_id % 9 AS INT))"),
+                        F.lit("e"), F.col("event_id").cast("string"))
+        return ev.select(F.col("user_id").cast("string").alias("conv_id"),
+                         F.row_number().over(w).alias("turn_idx"),
+                         role.alias("role"), text.alias("text"))
+    return _feed(spark, ("synth-turns", sf_dir), _build)
 
 
 def q_sessionize(spark, sf_dir):
@@ -689,9 +692,13 @@ def q_json_props_extract(spark, sf_dir):
                    F.concat(F.lit('{"n":'), m7, F.lit("}")))
              .otherwise(F.concat(F.lit('{"q":"'), F.col("event_type"),
                                  F.lit('","n":'), m7, F.lit("}"))))
-    turns = ev.select(tool.alias("tool"), text.alias("text"))
-    va = toolargs.validate_required(
-        toolargs.parse_args(turns), {"search": ["q"], "calc": ["q"]})
+    # the validated frame feeds two aggregates (stats + census); memoize
+    # so the JSON parse pass runs once
+    va = _feed(spark, ("toolargs", sf_dir),
+               lambda: toolargs.validate_required(
+                   toolargs.parse_args(
+                       ev.select(tool.alias("tool"), text.alias("text"))),
+                   {"search": ["q"], "calc": ["q"]}))
     st = toolargs.tool_call_stats(va, numeric_path="$.n")
     tool_leg = st.select(F.lit("tool").alias("path"),
                          F.col("tool").alias("key"),
