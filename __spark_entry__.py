@@ -2381,23 +2381,92 @@ LEFT JOIN near nd ON d.doc_id = nd.doc_id
 
 
 def q_stratified_sample_counts(spark, sf_dir):
-    """Deterministic content-addressed stratified sampling: per-language
-    keep rates over md5(seed#doc_id) buckets — reproducible across
-    engines/cluster sizes, oracle replays membership exactly."""
+    """Deterministic sampling family, THREE legs in one row (window
+    stays at 50), schema ``(kind, key, n_docs)``:
+
+    * ``kind='strata'`` — content-addressed stratified sampling:
+      per-language keep rates over md5(seed#doc_id) buckets,
+      reproducible across engines/cluster sizes.
+    * ``kind='split'`` — leakage-safe train/val split
+      (``operators/sampling.py::leakage_safe_split``): membership
+      hashes the near-dup CLUSTER id (>=0.35-jaccard transitive
+      families), own id for unclustered docs; key =
+      ``split/{c|u}`` (clustered/unclustered).
+    * ``kind='leak'`` — the split's whole point, asserted in-band:
+      number of duplicate families whose members straddle the split
+      boundary. Must be 0; the oracle recomputes it from ITS OWN
+      recursive-CTE clustering, so a family split across sides by any
+      hashing/join bug fails the row."""
     from log2seq_spark.operators import sampling
     docs = _t(spark, sf_dir, "documents")
     out = sampling.stratified_sample(
         docs, "lang", {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.1},
         default_rate=0.05)
-    return out.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    strata = (out.groupBy("lang").agg(F.count("*").alias("n_docs"))
+              .select(F.lit("strata").alias("kind"),
+                      F.col("lang").alias("key"), "n_docs"))
+    clusters = dedup.duplicate_clusters(_jaccard_pair_feed(spark, sf_dir))
+    sp = sampling.leakage_safe_split(docs, clusters, val_rate=0.2)
+    clustered = (sp.join(clusters.select("doc_id")
+                         .withColumn("_cl", F.lit(True)), "doc_id", "left")
+                 .withColumn("_cl", F.coalesce("_cl", F.lit(False))))
+    split_leg = (clustered.groupBy("split", "_cl")
+                 .agg(F.count("*").alias("n_docs"))
+                 .select(F.lit("split").alias("kind"),
+                         F.concat_ws("/", "split",
+                                     F.when(F.col("_cl"), "c")
+                                      .otherwise("u")).alias("key"),
+                         "n_docs"))
+    leak = (sp.join(clusters, "doc_id")
+            .groupBy("cluster_id")
+            .agg(F.countDistinct("split").alias("ns"))
+            .agg(F.sum(F.when(F.col("ns") > 1, 1).otherwise(0))
+                  .cast("bigint").alias("n_docs"))
+            .select(F.lit("leak").alias("kind"),
+                    F.lit("straddle").alias("key"), "n_docs"))
+    return strata.unionByName(split_leg).unionByName(leak)
 
 
-_SQL_STRATIFIED = """
-SELECT lang, count(*) AS n_docs FROM documents
+_SQL_STRATIFIED = f"""
+WITH RECURSIVE {_JACCARD_CTES},
+cpairs AS (
+  SELECT id_a, id_b FROM jpairs
+  WHERE n_common / (n_a + n_b - n_common) >= 0.35
+), cedges AS (
+  SELECT id_a AS src, id_b AS dst FROM cpairs
+  UNION
+  SELECT id_b, id_a FROM cpairs
+), reach(id, r) AS (
+  SELECT src, src FROM cedges
+  UNION
+  SELECT e.src, reach.r FROM cedges e JOIN reach ON reach.id = e.dst
+), cl AS (
+  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+), sp AS (
+  SELECT d.doc_id, c.cluster_id,
+         CASE WHEN ('0x' || substr(md5('0#' ||
+                  coalesce(CAST(c.cluster_id AS VARCHAR),
+                           CAST(d.doc_id AS VARCHAR))), 1, 8))::BIGINT
+                  % 10000 < 2000
+              THEN 'val' ELSE 'train' END AS split
+  FROM documents d LEFT JOIN cl c ON d.doc_id = c.doc_id
+)
+SELECT 'strata' AS kind, lang AS key, count(*) AS n_docs FROM documents
 WHERE ('0x' || substr(md5('0#' || doc_id), 1, 8))::BIGINT % 10000 <
       CASE lang WHEN 'de' THEN 5000 WHEN 'en' THEN 10000
                 WHEN 'es' THEN 1000 WHEN 'fr' THEN 2500 ELSE 500 END
 GROUP BY lang
+UNION ALL
+SELECT 'split' AS kind,
+       split || '/' || CASE WHEN cluster_id IS NULL THEN 'u' ELSE 'c' END
+         AS key,
+       count(*) AS n_docs
+FROM sp GROUP BY 2
+UNION ALL
+SELECT 'leak' AS kind, 'straddle' AS key, count(*) AS n_docs
+FROM (
+  SELECT cluster_id FROM sp WHERE cluster_id IS NOT NULL
+  GROUP BY cluster_id HAVING count(DISTINCT split) > 1)
 """
 
 

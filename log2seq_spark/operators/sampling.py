@@ -40,6 +40,40 @@ def hash_sample(df: DataFrame, rate: float, id_col: str = "doc_id",
     return df.filter(hash_bucket(F.col(id_col), seed) < F.lit(thr))
 
 
+def leakage_safe_split(df: DataFrame, clusters: DataFrame | None = None,
+                       *, val_rate: float = 0.05, id_col: str = "doc_id",
+                       cluster_id_col: str = "cluster_id",
+                       seed: int = 0) -> DataFrame:
+    """Train/val assignment where near-duplicate families never straddle
+    the split — ``df`` + ``split:string`` ('train' | 'val').
+
+    Membership hashes the duplicate-**cluster** id (``clusters`` =
+    ``(id_col, cluster_id_col)``, e.g. :func:`..dedup.duplicate_clusters`
+    output), falling back to the doc's own id for unclustered docs: a
+    near-duplicate of a validation document can never land in train, so
+    eval contamination is impossible by construction rather than by
+    audit. With ``clusters=None`` this degrades to a plain
+    content-addressed split (same membership as :func:`hash_sample`).
+
+    Scale shape: one left join against the cluster map (only docs that
+    appear in near-dup pairs — a small fraction of the corpus, typically
+    broadcast-able; AQE picks) + a map-side hash. No extra shuffle of
+    the corpus itself."""
+    thr = int(round(val_rate * N_BUCKETS))
+    if clusters is not None:
+        cl = clusters.select(F.col(id_col).alias("__sid"),
+                             F.col(cluster_id_col).cast("string")
+                              .alias("__sgrp"))
+        df = df.join(cl, df[id_col] == cl["__sid"], "left").drop("__sid")
+        group = F.coalesce(F.col("__sgrp"), F.col(id_col).cast("string"))
+    else:
+        group = F.col(id_col).cast("string")
+    split = (F.when(hash_bucket(group, seed) < F.lit(thr), "val")
+              .otherwise("train"))
+    out = df.withColumn("split", split)
+    return out.drop("__sgrp") if clusters is not None else out
+
+
 def stratified_sample(df: DataFrame, strata_col: str, rates: Dict[str, float],
                       default_rate: float = 0.0, id_col: str = "doc_id",
                       seed: int = 0) -> DataFrame:

@@ -58,3 +58,47 @@ def test_rate_unbiased(spark):
     for rate in (0.1, 0.5):
         got = sampling.hash_sample(t, rate).count() / 20000
         assert abs(got - rate) < 0.005, (rate, got)
+
+
+class TestLeakageSafeSplit:
+    def _clusters(self, spark):
+        # families: {1,2,3}, {10,11}; everything else unclustered
+        return spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+            ["doc_id", "cluster_id"])
+
+    def test_families_never_straddle(self, spark):
+        from log2seq_spark.operators import sampling
+        docs = spark.range(2000).withColumnRenamed("id", "doc_id")
+        cl = self._clusters(spark)
+        out = sampling.leakage_safe_split(docs, cl, val_rate=0.5)
+        side = {r["doc_id"]: r["split"] for r in out.collect()}
+        assert side[1] == side[2] == side[3]
+        assert side[10] == side[11]
+        # both sides populated at 50%
+        assert {"train", "val"} == set(side.values())
+
+    def test_no_clusters_matches_hash_sample(self, spark):
+        from log2seq_spark.operators import sampling
+        docs = spark.range(4000).withColumnRenamed("id", "doc_id")
+        val = {r["doc_id"] for r in
+               sampling.leakage_safe_split(docs, val_rate=0.2)
+               .filter("split = 'val'").collect()}
+        sampled = {r["doc_id"] for r in
+                   sampling.hash_sample(docs, 0.2).collect()}
+        assert val == sampled
+
+    def test_rate_approx(self, spark):
+        from log2seq_spark.operators import sampling
+        docs = spark.range(20000).withColumnRenamed("id", "doc_id")
+        out = sampling.leakage_safe_split(docs, self._clusters(spark),
+                                          val_rate=0.1)
+        got = out.filter("split = 'val'").count() / 20000
+        assert abs(got - 0.1) < 0.01
+
+    def test_schema_untouched_plus_split(self, spark):
+        from log2seq_spark.operators import sampling
+        docs = spark.createDataFrame([(1, "a"), (5, "b")],
+                                     ["doc_id", "text"])
+        out = sampling.leakage_safe_split(docs, self._clusters(spark))
+        assert out.columns == ["doc_id", "text", "split"]
