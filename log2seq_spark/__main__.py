@@ -1011,6 +1011,32 @@ def cmd_bursts(args) -> int:
     return 0
 
 
+def cmd_render(args) -> int:
+    """SFT-JSONL export (``operators/chatformat.py``): render each
+    conversation of a turns table into one training sample —
+    ``{conv_id, text, loss_spans, n_turns[, split]}`` — written as
+    distributed JSONL. ``--split-val R`` adds a leakage-safe
+    content-addressed train/val field hashed on conv_id."""
+    from .operators.chatformat import render_samples
+    spark, owns = _cli_spark("log2seq-spark-render")
+    turns = (spark.table(args.input) if args.input_kind == "table"
+             else spark.read.parquet(args.input))
+    out = render_samples(turns, conv_col=args.conv_col,
+                         idx_col=args.idx_col, role_col=args.role_col,
+                         text_col=args.text_col,
+                         loss_roles=tuple(args.loss_roles.split(",")))
+    if args.split_val is not None:
+        from .operators.sampling import leakage_safe_split
+        out = leakage_safe_split(out, val_rate=args.split_val,
+                                 id_col=args.conv_col)
+    out.write.mode("overwrite").json(args.out)
+    n = spark.read.json(args.out).count()
+    print(f"# samples: {n}", file=sys.stderr)
+    if owns:
+        spark.stop()
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="log2seq_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -1310,6 +1336,25 @@ def main(argv=None) -> int:
     p.add_argument("--bursts-only", action="store_true")
     p.add_argument("--top", type=int, default=100)
     p.set_defaults(fn=cmd_bursts)
+
+    p = sub.add_parser(
+        "render",
+        help="export chat-format SFT samples (JSONL with loss spans)")
+    p.add_argument("--input", required=True,
+                   help="turns table (conv_id, turn_idx, role, text)")
+    p.add_argument("--input-kind", choices=["parquet", "table"],
+                   default="parquet")
+    p.add_argument("--out", required=True, help="JSONL output directory")
+    p.add_argument("--conv-col", default="conv_id")
+    p.add_argument("--idx-col", default="turn_idx")
+    p.add_argument("--role-col", default="role")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--loss-roles", default="assistant",
+                   help="comma-separated roles whose content bears loss")
+    p.add_argument("--split-val", type=float, default=None,
+                   help="add a leakage-safe train/val field at this rate"
+                        " (hashed on conv id)")
+    p.set_defaults(fn=cmd_render)
 
     args = ap.parse_args(argv)
     return args.fn(args)

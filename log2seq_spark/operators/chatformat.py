@@ -78,6 +78,36 @@ def render_conversations(turns: DataFrame, *, conv_col: str = "conv_id",
                  .agg(F.array_join(seq, "").alias("rendered")))
 
 
+def render_samples(turns: DataFrame, *, conv_col: str = "conv_id",
+                   idx_col: str = "turn_idx", role_col: str = "role",
+                   text_col: str = "text",
+                   loss_roles=DEFAULT_LOSS_ROLES) -> DataFrame:
+    """The exportable training sample per conversation —
+    ``(conv_col, text, loss_spans:array<array<bigint>>, n_turns)``
+    where ``text`` is the rendered string and each ``[start, end)``
+    pair covers one loss-bearing turn's content. ``df.write.json(...)``
+    on this frame IS the SFT-JSONL export (one sample per line,
+    written distributed)."""
+    sp = turn_spans(turns, conv_col=conv_col, idx_col=idx_col,
+                    role_col=role_col, text_col=text_col,
+                    loss_roles=loss_roles)
+    seq = F.array_sort(F.collect_list(F.struct(
+        F.col(idx_col).alias("_i"), F.col("piece").alias("_p"),
+        F.col("start").alias("_s"), F.col("end").alias("_e"),
+        F.col("loss").alias("_l"))))
+    return (sp.groupBy(conv_col)
+              .agg(F.count("*").alias("n_turns"), seq.alias("_seq"))
+              .select(conv_col,
+                      F.array_join(F.transform(F.col("_seq"),
+                                               lambda x: x["_p"]), "")
+                       .alias("text"),
+                      F.transform(
+                          F.filter(F.col("_seq"), lambda x: x["_l"]),
+                          lambda x: F.array(x["_s"], x["_e"]))
+                       .alias("loss_spans"),
+                      "n_turns"))
+
+
 def render_stats(turns: DataFrame, *, conv_col: str = "conv_id",
                  idx_col: str = "turn_idx", role_col: str = "role",
                  text_col: str = "text",

@@ -106,3 +106,25 @@ class TestBoilerplate:
         assert bp[0]["example"].startswith("I retried")
         # digit-masked: user turns differ beyond digits -> not boilerplate
         assert all(not r["is_boilerplate"] for r in out if r is not bp[0])
+
+
+class TestRenderCLI:
+    def test_jsonl_export_round_trip(self, spark, tmp_path, capsys):
+        from log2seq_spark.__main__ import main
+        src = str(tmp_path / "turns")
+        out = str(tmp_path / "sft")
+        spark.createDataFrame(
+            TURNS, ["conv_id", "turn_idx", "role", "text"]
+        ).write.parquet(src)
+        code = main(["render", "--input", src, "--out", out,
+                     "--split-val", "0.5"])
+        assert code == 0
+        assert "# samples: 2" in capsys.readouterr().err
+        got = {r["conv_id"]: r for r in spark.read.json(out).collect()}
+        a = got["a"]
+        assert a["text"] == _render_py([x for x in TURNS if x[0] == "a"])
+        # every loss span slices back to an assistant turn's text
+        texts = {t for _, _, r, t in TURNS if r == "assistant"}
+        assert {a["text"][s:e] for s, e in a["loss_spans"]} == texts
+        assert got["b"]["loss_spans"] == []
+        assert all(r["split"] in ("train", "val") for r in got.values())
