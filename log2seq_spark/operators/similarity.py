@@ -361,3 +361,83 @@ def kmeans_centroids(embs: DataFrame, k: int = 4, n_iter: int = 3,
             nxt[r["centroid"]][r["pos"]] = float(r["m"])
         centroids = nxt
     return centroids
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization: 4x smaller vectors for the candidate scan,
+# exact float rescoring of the survivors — the standard memory/recall
+# trade every production ANN deployment makes (public pattern: faiss
+# SQ8 / Lucene int8 HNSW).
+
+def quantize_embeddings(embs: DataFrame, vec_col: str = "embedding",
+                        q_col: str = "q8", scale_col: str = "q8_scale"
+                        ) -> DataFrame:
+    """Per-vector symmetric int8 quantization: ``q_i = round(v_i / s)``
+    with ``s = max(|v|) / 127`` — adds ``q_col:array<int>`` and
+    ``scale_col:double``. All-zero vectors get scale 0 and an all-zero
+    code (the cosine path already defines zero-norm similarity as 0).
+
+    Narrow map-only projection (JVM higher-order functions, no UDF, no
+    shuffle); at 100 TB this is the column you persist next to (or
+    instead of) the float vectors — 4x less scan bandwidth for the
+    candidate pass."""
+    v = _as_double(F.col(vec_col))
+    maxabs = F.array_max(F.transform(v, F.abs))
+    s = (maxabs / F.lit(127.0)).alias(scale_col)
+    q = F.when(maxabs > 0,
+               F.transform(v, lambda x: F.round(x / (maxabs / 127.0))
+                           .cast("int"))) \
+         .otherwise(F.transform(v, lambda x: F.lit(0))) \
+         .alias(q_col)
+    return embs.select("*", q, s)
+
+
+def _int_dot(a, b):
+    # exact integer dot product (bigint accumulator: 128*127*127 < 2^21,
+    # safe for any realistic dim)
+    return F.aggregate(F.zip_with(a, b, lambda x, y:
+                                  (x * y).cast("bigint")),
+                       F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+
+
+def quantized_topk(embs: DataFrame, query_vec, k: int = 10, *,
+                   rescore: int | None = None,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """Two-phase top-k: (1) scan int8 codes with an integer dot-product
+    estimate ``dot ≈ int_dot(qa, qb) * sa * sb``, keep the top
+    ``rescore`` (default ``4*k``) candidates; (2) recompute EXACT float
+    cosine on those survivors only and return the final top-k.
+
+    Phase 1 is a narrow scan + TakeOrdered over ``rescore`` rows (no
+    full sort); phase 2 touches ``rescore`` rows — constant work. The
+    quantized estimate orders candidates, never final results, so a
+    quantization error can only cost recall (bounded by the rescore
+    margin), never report a wrong score."""
+    if rescore is None:
+        rescore = 4 * k
+    if rescore < k:
+        raise ValueError("rescore pool must be >= k")
+    import math
+    qv = [float(x) for x in query_vec]
+    qmax = max((abs(x) for x in qv), default=0.0)
+    qscale = qmax / 127.0
+
+    def _half_away(x: float) -> int:
+        # HALF_UP away-from-zero, matching Spark's F.round / DuckDB's
+        # round() — python's builtin round() is banker's and diverges
+        return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+    qcode = F.array(*[F.lit(_half_away(x / qscale) if qscale > 0 else 0)
+                      for x in qv])
+    qz = quantize_embeddings(embs, vec_col)
+    est = (_int_dot(F.col("q8"), qcode).cast("double")
+           * F.col("q8_scale") * F.lit(qscale))
+    cands = (qz.select(id_col, vec_col, est.alias("est_dot"))
+               .orderBy(F.desc("est_dot"), F.asc(id_col))
+               .limit(rescore))
+    q = _vec_lit(qv)
+    return (cands.select(F.col(id_col),
+                         cosine_expr(F.col(vec_col), q).alias("cosine"))
+                 .orderBy(F.desc("cosine"), F.asc(id_col))
+                 .limit(k))

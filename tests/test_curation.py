@@ -1,0 +1,204 @@
+"""Corpus-curation operators: quality-filter funnel, domain-mixture
+balancing, preference-pair construction, int8-quantized ANN."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from log2seq_spark.operators import funnel, mixture, preference, similarity
+
+
+def _docs(spark):
+    rows = [
+        (1, "the cat and the dog sat of the mat in a box", "en"),
+        (2, "tiny", "en"),                       # too_short (1 token)
+        (3, "!!! ??? ;;; ### $$$ %%% &&& ***", "und"),  # punct-heavy
+        (4, "der hund und die katze ist nicht ein haus und der baum", "de"),
+        (5, "a b c d e f g h i j", "en"),        # token_len < 2
+        (6, "the quick brown fox jumps over the lazy dog and the cat", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+class TestFunnel:
+    def test_first_fail_attribution_and_census(self, spark):
+        df = spark.createDataFrame(
+            [(1, 10, 0.1), (2, 1, 0.1), (3, 10, 0.9), (4, 2, 0.9)],
+            "id long, n long, p double")
+        stages = [("short", F.col("n") >= 5), ("punct", F.col("p") <= 0.5)]
+        ann = funnel.annotate_funnel(df, stages).collect()
+        got = {r["id"]: r["drop_reason"] for r in ann}
+        # id 4 fails BOTH stages -> attributed to the FIRST (short)
+        assert got == {1: None, 2: "short", 3: "punct", 4: "short"}
+        cen = {r["stage"]: r for r in funnel.funnel_census(df, stages).collect()}
+        assert (cen["short"]["n_in"], cen["short"]["n_dropped"],
+                cen["short"]["n_out"]) == (4, 2, 2)
+        assert (cen["punct"]["n_in"], cen["punct"]["n_dropped"],
+                cen["punct"]["n_out"]) == (2, 1, 1)
+        assert (cen["kept"]["n_in"], cen["kept"]["n_dropped"],
+                cen["kept"]["n_out"]) == (1, 0, 1)
+        # disjoint-drop invariant: drops + kept == input count
+        assert sum(r["n_dropped"] for r in cen.values()) \
+            + cen["kept"]["n_out"] == df.count()
+
+    def test_null_predicate_fails(self, spark):
+        df = spark.createDataFrame([(1, None), (2, 5)], "id long, n long")
+        stages = [("gate", F.col("n") >= 3)]
+        got = {r["id"]: r["drop_reason"]
+               for r in funnel.annotate_funnel(df, stages).collect()}
+        assert got == {1: "gate", 2: None}
+
+    def test_apply_matches_census_kept(self, spark):
+        df = _docs(spark)
+        cen = funnel.standard_quality_census(df)
+        kept = cen.filter(F.col("stage") == "kept").first()["n_out"]
+        from log2seq_spark.operators import textstats
+        feats = textstats.lang_id(textstats.quality_features(df))
+        surv = funnel.apply_funnel(
+            feats, funnel.standard_quality_funnel(feats))
+        assert surv.count() == kept
+        assert "drop_reason" not in surv.columns
+
+    def test_duplicate_stage_names_raise(self, spark):
+        df = spark.range(1)
+        with pytest.raises(ValueError):
+            funnel.annotate_funnel(
+                df, [("a", F.lit(True)), ("a", F.lit(False))])
+
+
+class TestMixture:
+    def test_rates_binding_domain(self, spark):
+        df = spark.createDataFrame(
+            [(i, "en" if i < 80 else ("de" if i < 90 else "zh"))
+             for i in range(100)], "doc_id long, lang string")
+        rates = {r["domain"]: r for r in mixture.mixture_rates(
+            df, "lang", {"en": 0.5, "de": 0.5}).collect()}
+        # de is binding (10 docs / 0.5 weight) -> rate 1.0
+        assert rates["de"]["rate"] == pytest.approx(1.0)
+        # en thinned to match: 80 * rate == 10  -> rate = 0.125
+        assert rates["en"]["rate"] == pytest.approx(0.125)
+        assert rates["zh"]["rate"] == 0.0       # untargeted -> dropped
+        assert rates["en"]["threshold"] == 1250
+
+    def test_balance_deterministic_and_proportionalish(self, spark):
+        df = spark.createDataFrame(
+            [(i, "en" if i % 4 else "de") for i in range(400)],
+            "doc_id long, lang string")
+        kept1 = mixture.balance_mixture(df, "lang", {"en": 0.5, "de": 0.5})
+        kept2 = mixture.balance_mixture(df, "lang", {"en": 0.5, "de": 0.5})
+        a = {(r["doc_id"]) for r in kept1.collect()}
+        assert a == {(r["doc_id"]) for r in kept2.collect()}
+        counts = dict(kept1.groupBy("lang").count().collect())
+        assert counts["de"] == 100               # binding, kept whole
+        # en target == de target -> ~100 kept (bucket resolution)
+        assert abs(counts["en"] - 100) <= 10
+
+    def test_upsample_epochs(self, spark):
+        df = spark.createDataFrame(
+            [(i, "de" if i < 10 else "en") for i in range(110)],
+            "doc_id long, lang string")
+        up = mixture.upsample_to_budget(
+            df, "lang", {"de": 0.5, "en": 0.5}, budget_docs=200)
+        counts = dict(up.groupBy("lang").count().collect())
+        # de: r = 100/10 = 10 -> exactly 10 full epochs of 10 docs
+        assert counts["de"] == 100
+        # en: r = 100/100 = 1 -> 1 full epoch, no fractional
+        assert counts["en"] == 100
+        assert "epoch" in up.columns
+        eps = dict(up.filter(F.col("lang") == "de")
+                     .groupBy("epoch").count().collect())
+        assert eps == {e: 10 for e in range(1, 11)}
+
+    def test_upsample_cap(self, spark):
+        df = spark.createDataFrame([(i, "de") for i in range(5)],
+                                   "doc_id long, lang string")
+        up = mixture.upsample_to_budget(df, "lang", {"de": 1.0},
+                                        budget_docs=1000, max_repeats=4)
+        assert up.count() == 20                  # capped at 4 epochs
+
+
+class TestPreference:
+    def _turns(self, spark):
+        rows = []
+        # two conversations answering the SAME masked prompt
+        # ("question 7 about x" / "question 9 about x" mask-equal)
+        rows += [("c1", 1, "user", "question 7 about x"),
+                 ("c1", 2, "assistant", "short answer"),
+                 ("c2", 1, "user", "question 9 about x"),
+                 ("c2", 2, "assistant", "a much longer and better answer"),
+                 # unrelated prompt, single candidate -> no pair
+                 ("c3", 1, "user", "other prompt"),
+                 ("c3", 2, "assistant", "lone response"),
+                 # first turn with no prompt -> dropped
+                 ("c4", 1, "assistant", "orphan")]
+        return spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string")
+
+    def test_pairs_best_vs_worst(self, spark):
+        pairs = preference.preference_pairs(self._turns(spark)).collect()
+        assert len(pairs) == 1
+        p = pairs[0]
+        assert p["n_candidates"] == 2
+        assert p["chosen_conv_id"] == "c2"       # 6 tokens beats 2
+        assert p["rejected_conv_id"] == "c1"
+        assert p["gap"] == pytest.approx(4.0)
+
+    def test_margin_gate(self, spark):
+        pairs = preference.preference_pairs(
+            self._turns(spark), margin=5.0).collect()
+        assert pairs == []
+
+    def test_tie_breaks_deterministic(self, spark):
+        rows = [("a", 1, "user", "same prompt"),
+                ("a", 2, "assistant", "xx yy"),
+                ("b", 1, "user", "same prompt"),
+                ("b", 2, "assistant", "zz ww")]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, text string")
+        p1 = preference.preference_pairs(df).first()
+        p2 = preference.preference_pairs(df.repartition(7)).first()
+        assert p1 == p2
+        assert p1["gap"] == 0.0                  # tie broken by md5
+        assert p1["chosen_md5"] != p1["rejected_md5"]
+
+
+class TestQuantizedANN:
+    def _embs(self, spark, n=60, dim=8):
+        rows = [(i, [math.sin(0.7 * i + j) for j in range(dim)])
+                for i in range(n)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_quantize_roundtrip_error_bounded(self, spark):
+        embs = self._embs(spark)
+        qz = similarity.quantize_embeddings(embs).collect()
+        for r in qz:
+            assert len(r["q8"]) == len(r["embedding"])
+            assert all(-127 <= c <= 127 for c in r["q8"])
+            for c, v in zip(r["q8"], r["embedding"]):
+                assert abs(c * r["q8_scale"] - v) <= r["q8_scale"] / 2 + 1e-12
+
+    def test_zero_vector(self, spark):
+        embs = spark.createDataFrame([(0, [0.0, 0.0, 0.0])],
+                                     "vec_id long, embedding array<double>")
+        r = similarity.quantize_embeddings(embs).first()
+        assert r["q8_scale"] == 0.0 and list(r["q8"]) == [0, 0, 0]
+
+    def test_topk_matches_brute(self, spark):
+        embs = self._embs(spark)
+        query = [math.sin(0.7 * 3 + j) for j in range(8)]  # near vec 3
+        brute = similarity.cosine_topk(embs, query, k=10)
+        quant = similarity.quantized_topk(embs, query, k=10, rescore=40)
+        b = [r["vec_id"] for r in brute.collect()]
+        q = [r["vec_id"] for r in quant.collect()]
+        # rescore pool of 40/60 makes the exact top-10 recoverable
+        assert q == b
+        # and scores are the EXACT float cosines (rescored)
+        bs = {r["vec_id"]: r["cosine"] for r in brute.collect()}
+        for r in quant.collect():
+            assert r["cosine"] == pytest.approx(bs[r["vec_id"]], abs=1e-9)
+
+    def test_rescore_validation(self, spark):
+        with pytest.raises(ValueError):
+            similarity.quantized_topk(self._embs(spark), [1.0] * 8,
+                                      k=10, rescore=5)
