@@ -365,9 +365,16 @@ def q_sessionize(spark, sf_dir):
     * ``kind='boiler'`` — cross-conversation boilerplate templates
       (``agentqa.boilerplate_turns``): id = digit-masked turn
       fingerprint, n_a = distinct convs, n_b = turns, digest = md5
-      over (example text, is_boilerplate)."""
+      over (example text, is_boilerplate).
+    * ``kind='prefs'`` — preference-pair construction
+      (``operators/preference.py``): assistant responses grouped by
+      digit-masked prompt fingerprint, best-vs-worst paired with a
+      total (score, md5, id) tie-break; id = prompt_key,
+      n_a = candidates, n_b = score gap, digest = md5 over both ends'
+      (conv, turn, text-md5) — any rank/tie-break drift changes it."""
     from pyspark.sql import Window
     from log2seq_spark.operators import agentqa, chatformat, context
+    from log2seq_spark.operators import preference
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     epoch = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6)
@@ -425,9 +432,21 @@ def q_sessionize(spark, sf_dir):
                           "|", "example",
                           F.col("is_boilerplate").cast("string")))
                        .alias("digest")))
+    prefs = (preference.preference_pairs(turns)
+             .select(F.lit("prefs").alias("kind"),
+                     F.col("prompt_key").alias("id"),
+                     F.col("n_candidates").cast("bigint").alias("n_a"),
+                     F.col("gap").cast("bigint").alias("n_b"),
+                     F.md5(F.concat_ws(
+                         "|", "chosen_conv_id",
+                         F.col("chosen_turn_idx").cast("string"),
+                         "chosen_md5", "rejected_conv_id",
+                         F.col("rejected_turn_idx").cast("string"),
+                         "rejected_md5")).alias("digest")))
     return (sess.unionByName(dig).unionByName(loops)
                 .unionByName(trans).unionByName(segs)
-                .unionByName(rend).unionByName(boiler))
+                .unionByName(rend).unionByName(boiler)
+                .unionByName(prefs))
 
 
 _SQL_SESSIONIZE = r"""
@@ -505,6 +524,31 @@ WITH RECURSIVE t AS (
     FROM walk w
     JOIN tok tk
       ON tk.conv_id = w.conv_id AND tk.turn_idx = w.turn_idx + 1
+), prefcand AS (
+    SELECT md5(regexp_replace(prev, '[0-9]+', '<*>', 'g')) AS pk,
+           conv_id, turn_idx, cast(ntok AS DOUBLE) AS score,
+           md5(text) AS rmd5
+    FROM (SELECT conv_id, turn_idx, role, text, ntok,
+                 lag(text) OVER (PARTITION BY conv_id
+                                 ORDER BY turn_idx) AS prev
+          FROM tok)
+    WHERE role = 'assistant' AND prev IS NOT NULL
+), prefr AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY pk ORDER BY
+               score DESC, rmd5 DESC, conv_id DESC, turn_idx DESC) AS rt,
+           row_number() OVER (PARTITION BY pk ORDER BY
+               score ASC, rmd5 ASC, conv_id ASC, turn_idx ASC) AS rb,
+           count(*) OVER (PARTITION BY pk) AS nc
+    FROM prefcand
+), prefp AS (
+    SELECT c.pk, c.nc,
+           c.conv_id AS cc, c.turn_idx AS ct, c.rmd5 AS cm,
+           c.score AS cs,
+           r.conv_id AS rc, r.turn_idx AS rx, r.rmd5 AS rm,
+           r.score AS rs
+    FROM (SELECT * FROM prefr WHERE rt = 1) c
+    JOIN (SELECT * FROM prefr WHERE rb = 1) r USING (pk)
 )
 SELECT 'sessions' AS kind, cast(user_id AS VARCHAR) AS id,
        cast(sum(new_session) AS BIGINT) AS n_a,
@@ -580,6 +624,13 @@ FROM (
          text
   FROM t)
 GROUP BY fp
+UNION ALL
+SELECT 'prefs' AS kind, pk AS id, cast(nc AS BIGINT) AS n_a,
+       cast(cs - rs AS BIGINT) AS n_b,
+       md5(cc || '|' || cast(ct AS VARCHAR) || '|' || cm || '|' ||
+           rc || '|' || cast(rx AS VARCHAR) || '|' || rm) AS digest
+FROM prefp
+WHERE nc >= 2 AND cs - rs >= 0.0 AND (cc <> rc OR ct <> rx)
 """
 
 
@@ -2396,9 +2447,42 @@ def q_stratified_sample_counts(spark, sf_dir):
       number of duplicate families whose members straddle the split
       boundary. Must be 0; the oracle recomputes it from ITS OWN
       recursive-CTE clustering, so a family split across sides by any
-      hashing/join bug fails the row."""
-    from log2seq_spark.operators import sampling
+      hashing/join bug fails the row.
+    * ``kind='funnel'`` — the ordered quality-filter funnel census
+      (``operators/funnel.py``: first-fail attribution over the
+      C4/Gopher gate chain); key = ``idx/stage/{in|drop|out}``, all
+      three counts of every stage plus the terminal kept row, so the
+      oracle checks the disjoint-drop invariant end-to-end (drops +
+      kept == corpus) and any gate's threshold drift moves a row.
+    * ``kind='mixture'`` — domain-mixture down-sampling
+      (``operators/mixture.py::balance_mixture``) to
+      en:0.5/de:0.25/fr:0.25 over md5 buckets; key = lang, n_docs =
+      kept. The binding domain keeps everything; the oracle replays
+      rate → floor-threshold → bucket membership exactly.
+    * ``kind='upsample'`` — epoch-repeat upsampling
+      (``mixture.upsample_to_budget``, budget 2000 docs): full-epoch
+      fan-out + deterministic fractional epoch; key = lang, n_docs =
+      emitted rows."""
+    from log2seq_spark.operators import funnel, mixture, sampling
     docs = _t(spark, sf_dir, "documents")
+    cen = funnel.standard_quality_census(docs)
+    fun = (cen.selectExpr(
+        "concat_ws('/', cast(stage_idx AS string), stage) AS sk",
+        "stack(3, 'in', n_in, 'drop', n_dropped, 'out', n_out)"
+        " AS (m, v)")
+        .select(F.lit("funnel").alias("kind"),
+                F.concat_ws("/", "sk", "m").alias("key"),
+                F.col("v").alias("n_docs")))
+    mix_targets = {"en": 0.5, "de": 0.25, "fr": 0.25}
+    mix = (mixture.balance_mixture(docs, "lang", mix_targets)
+           .groupBy("lang").agg(F.count("*").alias("n_docs"))
+           .select(F.lit("mixture").alias("kind"),
+                   F.col("lang").alias("key"), "n_docs"))
+    ups = (mixture.upsample_to_budget(docs, "lang", mix_targets,
+                                      budget_docs=2000)
+           .groupBy("lang").agg(F.count("*").alias("n_docs"))
+           .select(F.lit("upsample").alias("kind"),
+                   F.col("lang").alias("key"), "n_docs"))
     out = sampling.stratified_sample(
         docs, "lang", {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.1},
         default_rate=0.05)
@@ -2424,7 +2508,8 @@ def q_stratified_sample_counts(spark, sf_dir):
                   .cast("bigint").alias("n_docs"))
             .select(F.lit("leak").alias("kind"),
                     F.lit("straddle").alias("key"), "n_docs"))
-    return strata.unionByName(split_leg).unionByName(leak)
+    return (strata.unionByName(split_leg).unionByName(leak)
+            .unionByName(fun).unionByName(mix).unionByName(ups))
 
 
 _SQL_STRATIFIED = f"""
@@ -2450,6 +2535,73 @@ cpairs AS (
                   % 10000 < 2000
               THEN 'val' ELSE 'train' END AS split
   FROM documents d LEFT JOIN cl c ON d.doc_id = c.doc_id
+), ffeat AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+           AS ntok,
+         length(text) AS nch,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS npunct,
+         list_transform(list_filter(string_split_regex(text, '\\s+'),
+                                    t -> t <> ''), t -> lower(t)) AS w
+  FROM documents
+), fscore AS (
+  SELECT doc_id, ntok,
+         round((nch - (ntok - 1)) / greatest(ntok, 1), 4) AS mtl,
+         round(npunct / greatest(nch, 1), 4) AS pr,
+         round(len(list_filter(w, t -> list_contains(
+               ['the','and','of','to','a','in','is','that'], t)))
+               / greatest(ntok, 1), 4) AS sr,
+         list_max([
+           {{'hits': len(list_filter(w, t -> list_contains(['the','and','of','to','a','in','is','that'], t))), 'lang': 'en'}},
+           {{'hits': len(list_filter(w, t -> list_contains(['der','die','und','das','ist','nicht','ein'], t))), 'lang': 'de'}},
+           {{'hits': len(list_filter(w, t -> list_contains(['le','la','les','et','est','une','pas'], t))), 'lang': 'fr'}},
+           {{'hits': len(list_filter(w, t -> list_contains(['el','la','los','y','es','una','que'], t))), 'lang': 'es'}}
+         ]) AS best
+  FROM ffeat
+), freason AS (
+  SELECT CASE WHEN NOT (ntok >= 5) THEN 'too_short'
+              WHEN NOT (ntok <= 100000) THEN 'too_long'
+              WHEN NOT (mtl >= 2 AND mtl <= 12) THEN 'token_len'
+              WHEN NOT (pr <= 0.2) THEN 'punct'
+              WHEN NOT (sr >= 0.05) THEN 'stopword'
+              WHEN NOT (CASE WHEN best.hits > 0 THEN best.lang
+                             ELSE 'und' END = 'en') THEN 'lang'
+              ELSE 'kept' END AS stage
+  FROM fscore
+), fdrop AS (
+  SELECT stage, count(*) AS n FROM freason GROUP BY stage
+), fstages AS (
+  SELECT * FROM (VALUES (0,'too_short'),(1,'too_long'),(2,'token_len'),
+                        (3,'punct'),(4,'stopword'),(5,'lang'),(6,'kept'))
+              s(i, stage)
+), fcen AS (
+  SELECT i, stage, coalesce(n, 0) AS n,
+         (SELECT count(*) FROM documents)
+           - coalesce(sum(coalesce(n, 0)) OVER (
+                 ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) AS n_in
+  FROM fstages LEFT JOIN fdrop USING (stage)
+), mixw AS (
+  SELECT lang, count(*) AS n,
+         CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                   WHEN 'fr' THEN 0.25 END AS tw
+  FROM documents GROUP BY lang
+), mixk AS (
+  SELECT min(n / tw) AS kv FROM mixw WHERE tw IS NOT NULL
+), mixthr AS (
+  SELECT lang, n, cast(floor(tw / n * kv * 10000) AS INT) AS thr,
+         least(tw * 2000.0 / n, 16.0) AS r
+  FROM mixw, mixk WHERE tw IS NOT NULL
+), upplan AS (
+  SELECT lang, n, cast(floor(r) AS INT) AS fe,
+         cast(floor((r - floor(r)) * 10000) AS INT) AS fthr
+  FROM mixthr
+), upfrac AS (
+  SELECT d.lang, count(*) AS nf
+  FROM documents d JOIN upplan p ON d.lang = p.lang
+  WHERE ('0x' || substr(md5('0#' || doc_id), 1, 8))::BIGINT % 10000
+        < p.fthr
+  GROUP BY d.lang
 )
 SELECT 'strata' AS kind, lang AS key, count(*) AS n_docs FROM documents
 WHERE ('0x' || substr(md5('0#' || doc_id), 1, 8))::BIGINT % 10000 <
@@ -2467,6 +2619,25 @@ SELECT 'leak' AS kind, 'straddle' AS key, count(*) AS n_docs
 FROM (
   SELECT cluster_id FROM sp WHERE cluster_id IS NOT NULL
   GROUP BY cluster_id HAVING count(DISTINCT split) > 1)
+UNION ALL
+SELECT 'funnel' AS kind,
+       cast(i AS VARCHAR) || '/' || stage || '/' || m.k AS key,
+       CASE m.k
+         WHEN 'in' THEN n_in
+         WHEN 'drop' THEN CASE WHEN stage = 'kept' THEN 0 ELSE n END
+         ELSE CASE WHEN stage = 'kept' THEN n ELSE n_in - n END
+       END AS n_docs
+FROM fcen, (VALUES ('in'),('drop'),('out')) m(k)
+UNION ALL
+SELECT 'mixture' AS kind, d.lang AS key, count(*) AS n_docs
+FROM documents d JOIN mixthr t ON d.lang = t.lang
+WHERE ('0x' || substr(md5('0#' || doc_id), 1, 8))::BIGINT % 10000 < t.thr
+GROUP BY d.lang
+UNION ALL
+SELECT 'upsample' AS kind, p.lang AS key,
+       cast(CASE WHEN p.fe >= 1 THEN p.n * p.fe ELSE 0 END
+            + coalesce(f.nf, 0) AS BIGINT) AS n_docs
+FROM upplan p LEFT JOIN upfrac f ON p.lang = f.lang
 """
 
 
@@ -2601,14 +2772,26 @@ def q_similarity_topk(spark, sf_dir):
     CORRECTNESS window at 50 queries), schema ``(method, id, score)``:
     exact brute-force cosine top-k (``brute``), the
     centroid-partitioned IVF probe (``ivf``), its incremental-append
-    twin (``ivf_incr``), and sparse BM25 keyword retrieval over the
+    twin (``ivf_incr``), sparse BM25 keyword retrieval over the
     documents table (``bm25`` — ``operators/retrieval.py``, id =
-    doc_id, score = Okapi BM25 with Lucene idf). Each leg is checked
-    value-exact against its own closed-form DuckDB replay."""
+    doc_id, score = Okapi BM25 with Lucene idf), and the int8
+    scalar-quantized two-phase path (``quant`` —
+    ``operators/similarity.py::quantized_topk``: integer-dot candidate
+    scan over round-half-up codes, exact float rescoring of the top-4k
+    pool; the oracle replays quantization, the estimate ordering AND
+    the rescoring closed-form, so a single mis-rounded code anywhere in
+    the corpus moves the candidate cut and fails the row). Each leg is
+    checked value-exact against its own closed-form DuckDB replay."""
     from log2seq_spark.operators import retrieval
+    embs = _t(spark, sf_dir, "embeddings")
+    qvec = embs.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     brute = q_knn_brute(spark, sf_dir).select(
         F.lit("brute").alias("method"), F.col("vec_id").alias("id"),
         F.col("cosine").alias("score"))
+    quant = similarity.quantized_topk(
+        _tp(spark, sf_dir, "embeddings"), qvec, k=20).select(
+        F.lit("quant").alias("method"), F.col("vec_id").alias("id"),
+        F.round("cosine", 6).alias("score"))
     ivf = q_ivf_topk(spark, sf_dir).select(
         F.lit("ivf").alias("method"), F.col("vec_id").alias("id"),
         F.col("cosine").alias("score"))
@@ -2619,7 +2802,8 @@ def q_similarity_topk(spark, sf_dir):
         _tp(spark, sf_dir, "documents"), BM25_QUERY, topk=20).select(
         F.lit("bm25").alias("method"), F.col("doc_id").alias("id"),
         "score")
-    return brute.unionByName(ivf).unionByName(incr).unionByName(bm25)
+    return (brute.unionByName(ivf).unionByName(incr).unionByName(bm25)
+                 .unionByName(quant))
 
 
 # deterministic keyword query drawn from the synthetic documents' vocab
@@ -2766,6 +2950,50 @@ ORDER BY score DESC, doc_id ASC LIMIT 20
 """
 
 
+# int8-quantized two-phase top-k: replays quantization (round-half-up
+# codes at max|v|/127), the integer-dot estimate ordering (pool = 4k =
+# 80), and the exact-cosine rescoring. round() in DuckDB is half-away-
+# from-zero, matching Spark's F.round / the python driver's HALF_UP.
+_SQL_QUANT = """
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+           / 127.0 AS qs
+  FROM embeddings WHERE vec_id = 0
+), qc AS (
+  SELECT qv, qs,
+         list_transform(qv, x -> CASE WHEN qs > 0
+             THEN round(x / qs) ELSE 0 END) AS qcode
+  FROM q
+), vz AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+           / 127.0 AS s
+  FROM embeddings
+), vc AS (
+  SELECT vec_id, v, s,
+         list_transform(v, x -> CASE WHEN s > 0
+             THEN round(x / s) ELSE 0 END) AS code
+  FROM vz
+), est AS (
+  SELECT vec_id, v, qv,
+         list_dot_product(code, qcode) * s * qs AS e
+  FROM vc, qc
+), cand AS (
+  SELECT vec_id, v, qv FROM est ORDER BY e DESC, vec_id ASC LIMIT 80
+)
+SELECT vec_id,
+       round(list_dot_product(v, qv)
+             / (sqrt(list_dot_product(v, v))
+                * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+FROM cand
+ORDER BY list_dot_product(v, qv)
+         / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))
+         DESC, vec_id ASC
+LIMIT 20
+"""
+
+
 _SQL_SIMILARITY = f"""
 SELECT 'brute' AS method, b.vec_id AS id, b.cosine AS score
 FROM ({_SQL_KNN}) b
@@ -2777,6 +3005,9 @@ SELECT 'ivf_incr' AS method, i.vec_id AS id, i.cosine AS score
 FROM ({_SQL_IVF}) i
 UNION ALL
 SELECT 'bm25' AS method, m.id, m.score FROM ({_SQL_BM25}) m
+UNION ALL
+SELECT 'quant' AS method, z.vec_id AS id, z.cosine AS score
+FROM ({_SQL_QUANT}) z
 """
 
 
