@@ -1338,23 +1338,47 @@ GROUP BY 1 HAVING count(ev.shingle) > 0
 
 
 def q_pack_training_chunks(spark, sf_dir):
-    """Sequence packing for training batches: documents in doc_id order
-    are concatenated into 2048-token context windows (contiguous fill;
-    chunk = where the doc STARTS). The global running token count uses
-    the distributed prefix-sum operator (range repartition + partition-
-    local window + driver-side offsets of per-partition totals — never a
-    single-partition global sort; see operators/packing.py). The oracle
-    replays it with a plain global window, which is only viable at
-    oracle scale."""
-    from log2seq_spark.operators import packing, textstats
+    """Training-batch assembly family, THREE legs in one row (window
+    stays at 50), schema ``(kind, chunk_id, n_docs, n_tokens,
+    first_doc, last_doc)``:
+
+    * ``kind='pack'`` — sequence packing: documents in doc_id order
+      concatenated into 2048-token context windows (contiguous fill;
+      chunk = where the doc STARTS). The global running token count
+      uses the distributed prefix-sum operator (range repartition +
+      partition-local window + driver-side offsets — never a
+      single-partition global sort; see operators/packing.py). The
+      oracle replays it with a plain global window, which is only
+      viable at oracle scale.
+    * ``kind='shard'`` — deterministic training shards
+      (``operators/shards.py``): md5-bucket assignment to 8 shards with
+      an md5 interleave order; first/last doc are the shard's ORDER
+      boundaries (min_by/max_by on the interleave key), so the oracle
+      pins membership AND the global-shuffle order.
+    * ``kind='phase'`` — curriculum phases: 4 equal-rank cuts of the
+      corpus ordered shortest-doc-first (score = BPE-ish token count,
+      id tiebreak); global rank via the same distributed prefix sum.
+      first/last doc are the phase's rank boundaries."""
+    from log2seq_spark.operators import packing, shards, textstats
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id",
                        textstats.bpe_ish_token_count(F.col("text"))
                        .alias("n_tokens"))
     out = packing.chunk_summary(toks, "n_tokens", "doc_id", budget=2048)
-    return out.select("chunk_id", "n_docs",
-                      F.col("n_tokens").cast("bigint").alias("n_tokens"),
-                      "first_doc", "last_doc")
+    pack = out.select(
+        F.lit("pack").alias("kind"), "chunk_id", "n_docs",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "first_doc", "last_doc")
+    sh = shards.shard_census(toks, 8, token_col="n_tokens").select(
+        F.lit("shard").alias("kind"),
+        F.col("shard").cast("bigint").alias("chunk_id"),
+        "n_docs", "n_tokens", "first_doc", "last_doc")
+    ph = shards.phase_census(toks, "n_tokens", n_phases=4,
+                             token_col="n_tokens").select(
+        F.lit("phase").alias("kind"),
+        F.col("phase").cast("bigint").alias("chunk_id"),
+        "n_docs", "n_tokens", "first_doc", "last_doc")
+    return pack.unionByName(sh).unionByName(ph)
 
 
 _SQL_PACK_CHUNKS = r"""
@@ -1369,12 +1393,36 @@ WITH t AS (
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               AS BIGINT) AS cs
   FROM t
+), sh AS (
+  SELECT doc_id, n_tokens,
+         md5('0#' || doc_id) AS ik,
+         cast(('0x' || substr(md5('0#' || doc_id), 1, 8))::BIGINT % 8
+              AS BIGINT) AS shard
+  FROM t
+), ranked AS (
+  SELECT doc_id, n_tokens,
+         row_number() OVER (ORDER BY n_tokens, doc_id) AS rk,
+         count(*) OVER () AS n
+  FROM t
 )
-SELECT cast(floor((cs - n_tokens) / 2048.0) AS BIGINT) AS chunk_id,
+SELECT 'pack' AS kind,
+       cast(floor((cs - n_tokens) / 2048.0) AS BIGINT) AS chunk_id,
        count(*) AS n_docs,
        cast(sum(n_tokens) AS BIGINT) AS n_tokens,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
-FROM c GROUP BY 1
+FROM c GROUP BY 2
+UNION ALL
+SELECT 'shard' AS kind, shard AS chunk_id, count(*) AS n_docs,
+       cast(sum(n_tokens) AS BIGINT) AS n_tokens,
+       min_by(doc_id, ik) AS first_doc, max_by(doc_id, ik) AS last_doc
+FROM sh GROUP BY 2
+UNION ALL
+SELECT 'phase' AS kind,
+       cast(floor((rk - 1) * 4 / n) AS BIGINT) AS chunk_id,
+       count(*) AS n_docs,
+       cast(sum(n_tokens) AS BIGINT) AS n_tokens,
+       min_by(doc_id, rk) AS first_doc, max_by(doc_id, rk) AS last_doc
+FROM ranked GROUP BY 2
 """
 
 

@@ -4,9 +4,9 @@ sequence packing, range/as-of joins, sampling, multimodal plumbing,
 PII/URL scrubbing, composed corpus cleaning."""
 
 from . import (anomaly, asof, corpus, dedup, funnel, mixture, multimodal,
-               packing, preference, rangejoin, sampling, scrub, similarity,
-               templates, textstats)
+               packing, preference, rangejoin, sampling, scrub, shards,
+               similarity, templates, textstats)
 
 __all__ = ["anomaly", "asof", "corpus", "dedup", "funnel", "mixture",
            "multimodal", "packing", "preference", "rangejoin", "sampling",
-           "scrub", "similarity", "templates", "textstats"]
+           "scrub", "shards", "similarity", "templates", "textstats"]

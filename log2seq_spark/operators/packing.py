@@ -29,22 +29,26 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 
-def with_global_cumsum(df: DataFrame, value_col: str, order_col: str,
+def with_global_cumsum(df: DataFrame, value_col: str,
+                       order_col: str | list[str],
                        out_col: str = "cumsum",
                        num_partitions: int | None = None) -> DataFrame:
-    """Exact inclusive prefix sum of ``value_col`` in ``order_col`` order,
-    without a global single-partition sort (see module docstring)."""
+    """Exact inclusive prefix sum of ``value_col`` in ``order_col`` order
+    (a column name or a list for composite ordering), without a global
+    single-partition sort (see module docstring)."""
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
+    order_cols = ([order_col] if isinstance(order_col, str)
+                  else list(order_col))
     # checkpoint pins the range layout: RangePartitioner SAMPLES split
     # points with a per-RDD seed, so re-executing the plan (the totals
     # job vs the final job) could otherwise assign different _pids and
     # corrupt the offsets; materializing also makes the input pass run
     # once instead of twice
-    part = (df.repartitionByRange(n, F.col(order_col))
+    part = (df.repartitionByRange(n, *[F.col(c) for c in order_cols])
               .withColumn("_pid", F.spark_partition_id())
               .localCheckpoint())
-    w = (Window.partitionBy("_pid").orderBy(order_col)
+    w = (Window.partitionBy("_pid").orderBy(*order_cols)
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     local = part.withColumn("_local", F.sum(value_col).over(w))
     totals = (local.groupBy("_pid")

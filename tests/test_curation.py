@@ -1,12 +1,15 @@
 """Corpus-curation operators: quality-filter funnel, domain-mixture
-balancing, preference-pair construction, int8-quantized ANN."""
+balancing, preference-pair construction, int8-quantized ANN, training
+shards + curriculum phases."""
 
+import hashlib
 import math
 
 import pytest
 from pyspark.sql import functions as F
 
-from log2seq_spark.operators import funnel, mixture, preference, similarity
+from log2seq_spark.operators import (funnel, mixture, preference, shards,
+                                     similarity)
 
 
 def _docs(spark):
@@ -202,3 +205,97 @@ class TestQuantizedANN:
         with pytest.raises(ValueError):
             similarity.quantized_topk(self._embs(spark), [1.0] * 8,
                                       k=10, rescore=5)
+
+
+def _py_shard(doc_id, n_shards, seed=0):
+    h = hashlib.md5(f"{seed}#{doc_id}".encode()).hexdigest()
+    return int(h[:8], 16) % n_shards, h
+
+
+class TestShards:
+    def _docs(self, spark, n=200):
+        return spark.createDataFrame(
+            [(i, i % 7 + 1) for i in range(n)], "doc_id long, toks long")
+
+    def test_assignment_matches_reference_md5(self, spark):
+        df = shards.assign_shards(self._docs(spark, 50), 8)
+        for r in df.collect():
+            s, k = _py_shard(r["doc_id"], 8)
+            assert (r["shard"], r["interleave_key"]) == (s, k)
+
+    def test_census_order_boundaries(self, spark):
+        df = self._docs(spark)
+        cen = {r["shard"]: r
+               for r in shards.shard_census(df, 4, token_col="toks")
+               .collect()}
+        by_shard = {}
+        for i in range(200):
+            s, k = _py_shard(i, 4)
+            by_shard.setdefault(s, []).append((k, i))
+        for s, members in by_shard.items():
+            members.sort()
+            assert cen[s]["n_docs"] == len(members)
+            assert cen[s]["first_doc"] == members[0][1]
+            assert cen[s]["last_doc"] == members[-1][1]
+            assert cen[s]["n_tokens"] == sum(i % 7 + 1 for _, i in members)
+        assert sum(r["n_docs"] for r in cen.values()) == 200
+
+    def test_write_shards_layout_and_order(self, spark, tmpdir_path):
+        df = self._docs(spark, 60)
+        shards.write_shards(df, tmpdir_path, 4)
+        out = spark.read.parquet(tmpdir_path)
+        assert out.count() == 60
+        assert sorted(r["shard"] for r in
+                      out.select("shard").distinct().collect()) == [0, 1, 2, 3]
+        # rows within each shard file are in interleave order
+        import glob
+        for d in glob.glob(f"{tmpdir_path}/shard=*"):
+            part = spark.read.parquet(d)
+            keys = [r["interleave_key"] for r in part.collect()]
+            # single file per shard dir -> read order == written order
+            files = glob.glob(f"{d}/*.parquet")
+            if len(files) == 1:
+                assert keys == sorted(keys)
+
+    def test_curriculum_phases_easy_to_hard(self, spark):
+        df = spark.createDataFrame(
+            [(i, float(i % 10)) for i in range(100)],
+            "doc_id long, score double")
+        p = shards.curriculum_phases(df, "score", n_phases=4)
+        rows = p.collect()
+        assert {r["phase"] for r in rows} == {0, 1, 2, 3}
+        # ranks are a permutation of 1..n and phases are rank cuts
+        ranks = sorted(r["curriculum_rank"] for r in rows)
+        assert ranks == list(range(1, 101))
+        for r in rows:
+            assert r["phase"] == (r["curriculum_rank"] - 1) * 4 // 100
+        # ordering: every phase-0 score <= every phase-3 score
+        s0 = max(r["score"] for r in rows if r["phase"] == 0)
+        s3 = min(r["score"] for r in rows if r["phase"] == 3)
+        assert s0 <= s3
+
+    def test_curriculum_descending_and_ties(self, spark):
+        df = spark.createDataFrame(
+            [(i, 1.0) for i in range(10)], "doc_id long, score double")
+        p = shards.curriculum_phases(df, "score", n_phases=2,
+                                     ascending=False)
+        got = {r["doc_id"]: r["curriculum_rank"] for r in p.collect()}
+        # all-tied scores -> rank order falls back to doc_id
+        assert got == {i: i + 1 for i in range(10)}
+
+    def test_phase_census(self, spark):
+        df = spark.createDataFrame(
+            [(i, float(i), i % 3 + 1) for i in range(40)],
+            "doc_id long, score double, toks long")
+        cen = {r["phase"]: r for r in shards.phase_census(
+            df, "score", n_phases=4, token_col="toks").collect()}
+        assert all(cen[p]["n_docs"] == 10 for p in range(4))
+        assert cen[0]["first_doc"] == 0 and cen[0]["last_doc"] == 9
+        assert cen[3]["first_doc"] == 30 and cen[3]["last_doc"] == 39
+
+    def test_validation(self, spark):
+        df = self._docs(spark, 5)
+        with pytest.raises(ValueError):
+            shards.assign_shards(df, 0)
+        with pytest.raises(ValueError):
+            shards.curriculum_phases(df, "toks", n_phases=0)
