@@ -1037,6 +1037,48 @@ def cmd_render(args) -> int:
     return 0
 
 
+def cmd_shards(args) -> int:
+    """Training-shard export (``operators/shards.py``): deterministic
+    md5-interleave global shuffle written as ``shard=K`` directories
+    (rows inside each shard in interleave order), with a per-shard
+    census tally on stderr. ``--curriculum COL`` annotates each row
+    with its curriculum phase first (equal-rank cuts by (score, id))
+    so the training loader can schedule epochs easy → hard."""
+    if not args.census_only and not args.out:
+        print("error: --out is required unless --census-only",
+              file=sys.stderr)
+        return 2
+    from .operators import shards as shards_ops
+    spark, owns = _cli_spark("log2seq-spark-shards")
+    try:
+        df = (spark.table(args.input) if args.input_kind == "table"
+              else spark.read.parquet(args.input))
+        if args.curriculum:
+            df = shards_ops.curriculum_phases(
+                df, args.curriculum, n_phases=args.phases,
+                id_col=args.id_col, ascending=not args.descending)
+        if not args.census_only:
+            shards_ops.write_shards(df, args.out, args.n_shards,
+                                    id_col=args.id_col, seed=args.seed)
+        cen = shards_ops.shard_census(df, args.n_shards,
+                                      id_col=args.id_col,
+                                      token_col=args.token_col,
+                                      seed=args.seed)
+        total = 0
+        for r in cen.orderBy("shard").collect():
+            total += r["n_docs"]
+            print(f"# shard {r['shard']}: {r['n_docs']} docs,"
+                  f" {r['n_tokens']} tokens,"
+                  f" first={r['first_doc']} last={r['last_doc']}",
+                  file=sys.stderr)
+        print(f"# total: {total} docs in {args.n_shards} shards",
+              file=sys.stderr)
+        return 0
+    finally:
+        if owns:
+            spark.stop()
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="log2seq_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -1355,6 +1397,29 @@ def main(argv=None) -> int:
                    help="add a leakage-safe train/val field at this rate"
                         " (hashed on conv id)")
     p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser(
+        "shards",
+        help="export deterministic training shards (md5 interleave)")
+    p.add_argument("--input", required=True,
+                   help="documents parquet path or table")
+    p.add_argument("--input-kind", choices=["parquet", "table"],
+                   default="parquet")
+    p.add_argument("--out", default=None,
+                   help="output directory (shard=K subdirs)")
+    p.add_argument("--n-shards", type=int, default=8)
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--token-col", default=None,
+                   help="optional token-count column for the census")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--curriculum", default=None, metavar="SCORE_COL",
+                   help="annotate curriculum phase cuts by this score")
+    p.add_argument("--phases", type=int, default=4)
+    p.add_argument("--descending", action="store_true",
+                   help="curriculum hardest-first (score descending)")
+    p.add_argument("--census-only", action="store_true",
+                   help="print the census without writing shards")
+    p.set_defaults(fn=cmd_shards)
 
     args = ap.parse_args(argv)
     return args.fn(args)

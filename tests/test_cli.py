@@ -1019,3 +1019,40 @@ class TestHeavyCommand:
         assert main(["heavy", "--input", src, "--col", "doc_id",
                      "-k", "2"]) == 0
         assert capsys.readouterr().out == ""
+
+
+class TestShardsCommand:
+    """`shards` subcommand — deterministic training-shard export with
+    per-shard census + optional curriculum phases (operators/shards.py)."""
+
+    def _docs(self, spark, tmpdir_path):
+        src = os.path.join(tmpdir_path, "sh_docs")
+        rows = [(i, f"doc {i} text", float(i % 5)) for i in range(40)]
+        spark.createDataFrame(rows, "doc_id long, text string, score double") \
+             .write.mode("overwrite").parquet(src)
+        return src
+
+    def test_write_and_census(self, spark, capsys, tmpdir_path):
+        src = self._docs(spark, tmpdir_path)
+        dest = os.path.join(tmpdir_path, "sh_out")
+        assert main(["shards", "--input", src, "--out", dest,
+                     "--n-shards", "4"]) == 0
+        err = capsys.readouterr().err
+        assert "# total: 40 docs in 4 shards" in err
+        back = spark.read.parquet(dest)
+        assert back.count() == 40
+        assert set(back.columns) >= {"doc_id", "text", "shard",
+                                     "interleave_key"}
+
+    def test_census_only_and_curriculum(self, spark, capsys, tmpdir_path):
+        src = self._docs(spark, tmpdir_path)
+        assert main(["shards", "--input", src, "--census-only",
+                     "--n-shards", "2", "--curriculum", "score",
+                     "--phases", "2"]) == 0
+        err = capsys.readouterr().err
+        assert "# total: 40 docs in 2 shards" in err
+
+    def test_missing_out_is_startup_error(self, spark, capsys, tmpdir_path):
+        src = self._docs(spark, tmpdir_path)
+        assert main(["shards", "--input", src]) == 2
+        assert "--out is required" in capsys.readouterr().err
