@@ -58,6 +58,19 @@ def _feed(spark, key, build):
     return df
 
 
+def _docfeat_feed(spark, sf_dir):
+    """Per-doc quality features + marker-word language ID, persisted
+    once per session: ``lang_id`` is the one shuffle-bearing feature
+    pass (token explode + hash aggregate), and THREE driver rows need
+    it (``textstats_quality``, ``training_selection``, the funnel legs
+    of ``stratified_sample_counts``) — sharing the feed runs it once
+    per bench pass instead of three times."""
+    from log2seq_spark.operators import textstats as _ts
+    return _feed(spark, ("docfeats", sf_dir),
+                 lambda: _ts.lang_id(_ts.quality_features(
+                     _tp(spark, sf_dir, "documents"))))
+
+
 def _jaccard_pair_feed(spark, sf_dir):
     from log2seq_spark.operators import dedup as _d
     return _feed(spark, ("jaccard", sf_dir),
@@ -2513,7 +2526,8 @@ def q_stratified_sample_counts(spark, sf_dir):
       emitted rows."""
     from log2seq_spark.operators import funnel, mixture, sampling
     docs = _t(spark, sf_dir, "documents")
-    cen = funnel.standard_quality_census(docs)
+    feats = _docfeat_feed(spark, sf_dir)
+    cen = funnel.funnel_census(feats, funnel.standard_quality_funnel(feats))
     fun = (cen.selectExpr(
         "concat_ws('/', cast(stage_idx AS string), stage) AS sk",
         "stack(3, 'in', n_in, 'drop', n_dropped, 'out', n_out)"
@@ -2701,12 +2715,10 @@ def q_training_selection(spark, sf_dir):
     docs = _tp(spark, sf_dir, "documents")
     dec = dedup.dedup_decisions(docs, threshold=0.35,
                                 near_pairs=_jaccard_pair_feed(spark, sf_dir))
-    qual = textstats.quality_features(docs).select(
-        "doc_id", "n_tokens", "quality_score")
-    lang = textstats.lang_id(docs).select("doc_id", "predicted_lang")
+    feats = _docfeat_feed(spark, sf_dir).select(
+        "doc_id", "n_tokens", "quality_score", "predicted_lang")
     clf = classifier.classify(docs).select("doc_id", "clf_score")
-    joined = (qual.join(dec, "doc_id").join(lang, "doc_id")
-                  .join(clf, "doc_id"))
+    joined = feats.join(dec, "doc_id").join(clf, "doc_id")
     selected = ((F.col("decision") == "keep")
                 & (F.col("quality_score") >= 0.5)
                 & (F.col("predicted_lang") == "en"))
@@ -3166,11 +3178,11 @@ def q_textstats_quality(spark, sf_dir):
     the digest, so the oracle checks ``drop_duplicate_lines``
     end-to-end)."""
     docs = _tp(spark, sf_dir, "documents")
+    # quality + lang-ID come from the shared persisted feed (lang_id is
+    # the shuffle-bearing pass, reused by two other driver rows)
     prof = textstats.repetition_stats(
-        textstats.lang_id(
-            textstats.fingerprint(
-                textstats.token_stats(
-                    textstats.quality_features(docs)))))
+        textstats.fingerprint(
+            textstats.token_stats(_docfeat_feed(spark, sf_dir))))
     lown = _feed(spark, ("line_own", sf_dir),
                  lambda: dedup.line_ownership(docs))
     lstats = dedup.line_dedup_stats(docs, ownership=lown)
