@@ -3091,12 +3091,30 @@ WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 
 
 def q_embedding_near_dup_lsh(spark, sf_dir):
-    """Banded random-hyperplane LSH near-dup path (the 100-TB shape: no
-    cross join — candidates only from shared LSH band buckets). The
-    oracle replays the exact quantized Rademacher projections, band keys,
-    candidate join, and cosine filter."""
+    """Two bounded-candidate embedding near-dup paths in one row
+    (schema ``(kind, id_a, id_b, cosine)``):
+
+    * ``kind='lsh'`` — banded random-hyperplane LSH (no cross join —
+      candidates only from shared band buckets). The oracle replays the
+      exact quantized Rademacher projections, band keys, candidate
+      join, and cosine filter.
+    * ``kind='sem'`` — SemDeDup-style cell-bounded dedup
+      (``operators/similarity.py::semantic_duplicates``): pairs only
+      within an IVF centroid cell (16 seed centroids, argmax-cosine
+      assignment with the IVF tie rule). The oracle replays assignment,
+      the within-cell join, and the threshold — a vector landing in the
+      wrong cell changes the pair set and fails the row."""
     out = _lsh_pair_feed(spark, sf_dir)
-    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    lsh = out.select(F.lit("lsh").alias("kind"), "id_a", "id_b",
+                     F.round("cosine", 6).alias("cosine"))
+    seeds = (_t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 16)
+             .orderBy("vec_id").select("embedding").collect())
+    cents = [list(r[0]) for r in seeds]
+    sem = (similarity.semantic_duplicates(
+               _tp(spark, sf_dir, "embeddings"), cents, threshold=0.35)
+           .select(F.lit("sem").alias("kind"), "id_a", "id_b",
+                   F.round("cosine", 6).alias("cosine")))
+    return lsh.unionByName(sem)
 
 
 _COS_AB = """list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
@@ -3132,8 +3150,41 @@ _EMB_LSH_CTES = f"""projs AS (
 )"""
 
 _SQL_EMB_NEAR_DUP_LSH = f"""
-WITH {_EMB_LSH_CTES}
-SELECT id_a, id_b, round(cosine, 6) AS cosine FROM epairs
+WITH {_EMB_LSH_CTES},
+semc AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id < 16
+), semassign AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY CASE WHEN sqrt(list_dot_product(
+                              e.embedding::DOUBLE[],
+                              e.embedding::DOUBLE[]))
+                           * sqrt(list_dot_product(c.cv, c.cv)) > 0
+                      THEN list_dot_product(e.embedding::DOUBLE[], c.cv)
+                           / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                    e.embedding::DOUBLE[]))
+                              * sqrt(list_dot_product(c.cv, c.cv)))
+                      ELSE 0 END DESC,
+                      c.cid DESC) AS rn
+    FROM embeddings e CROSS JOIN semc c)
+  WHERE rn = 1
+), sempairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+         / (sqrt(list_dot_product(a.embedding::DOUBLE[],
+                                  a.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(b.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]))) AS cosine
+  FROM semassign a JOIN semassign b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+)
+SELECT 'lsh' AS kind, id_a, id_b, round(cosine, 6) AS cosine FROM epairs
+UNION ALL
+SELECT 'sem' AS kind, id_a, id_b, round(cosine, 6) AS cosine
+FROM sempairs WHERE cosine >= 0.35
 """
 
 

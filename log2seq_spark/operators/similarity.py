@@ -400,6 +400,44 @@ def _int_dot(a, b):
                        F.lit(0).cast("bigint"), lambda acc, v: acc + v)
 
 
+def semantic_duplicates(embs: DataFrame,
+                        centroids: "List[Sequence[float]]",
+                        threshold: float = 0.95,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """SemDeDup-style semantic dedup (public method: Abbas et al. 2023,
+    arXiv:2303.09540): cluster-cell assignment bounds the pair search —
+    cosine pairs are generated ONLY within a cell, never across the
+    corpus. Returns ``(centroid, id_a, id_b, cosine)`` with
+    ``id_a < id_b`` and ``cosine >= threshold``.
+
+    Scale shape: one broadcast-centroid map pass (the same
+    :func:`assign_centroid` the IVF index uses — argmax cosine, ties →
+    higher centroid) + one equi-join on the cell id. Within-cell cost
+    is quadratic in CELL size only — SemDeDup's contract is that the
+    number of centroids grows with the corpus so cells stay small
+    (the paper clusters 100M+ embeddings into 50k cells)."""
+    a = assign_centroid(embs, centroids, vec_col).select(
+        F.col("centroid"), F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_sem_va"))
+    b = assign_centroid(embs, centroids, vec_col).select(
+        F.col("centroid"), F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_sem_vb"))
+    cos = cosine_expr(F.col("_sem_va"), F.col("_sem_vb"))
+    return (a.join(b, "centroid")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .withColumn("cosine", cos)
+             .filter(F.col("cosine") >= F.lit(float(threshold)))
+             .select("centroid", "id_a", "id_b", "cosine"))
+
+
+def semantic_drop_list(pairs: DataFrame) -> DataFrame:
+    """SemDeDup pruning rule: within every duplicate pair keep the
+    lower id — any vector dominated by a smaller id is dropped. One
+    distinct over the pair frame's ``id_b`` column."""
+    return pairs.select(F.col("id_b").alias("drop_id")).distinct()
+
+
 def quantized_topk(embs: DataFrame, query_vec, k: int = 10, *,
                    rescore: int | None = None,
                    vec_col: str = "embedding",

@@ -207,6 +207,47 @@ class TestQuantizedANN:
                                       k=10, rescore=5)
 
 
+class TestSemanticDedup:
+    def _embs(self, spark):
+        # two tight groups near orthogonal axes + one lone vector
+        rows = [(0, [1.0, 0.0, 0.0]), (1, [0.99, 0.01, 0.0]),
+                (2, [0.98, 0.0, 0.02]),
+                (10, [0.0, 1.0, 0.0]), (11, [0.0, 0.99, 0.01]),
+                (20, [0.5, 0.5, 0.7])]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+
+    CENTS = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+
+    def test_pairs_only_within_cells(self, spark):
+        pairs = similarity.semantic_duplicates(
+            self._embs(spark), self.CENTS, threshold=0.9).collect()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        # group-0 pairs and group-1 pair; NEVER a cross-cell pair even
+        # though e.g. cos(20, 0) is well-defined — 20 lands in one cell
+        assert (0, 1) in got and (0, 2) in got and (1, 2) in got
+        assert (10, 11) in got
+        assert not any((a < 10) != (b < 10) for a, b in got)
+        for r in pairs:
+            assert r["cosine"] >= 0.9
+            assert r["id_a"] < r["id_b"]
+
+    def test_assignment_tie_and_threshold(self, spark):
+        # high threshold -> the lone diagonal vector pairs with nothing
+        pairs = similarity.semantic_duplicates(
+            self._embs(spark), self.CENTS, threshold=0.999).collect()
+        ids = {x for r in pairs for x in (r["id_a"], r["id_b"])}
+        assert 20 not in ids
+
+    def test_drop_list(self, spark):
+        pairs = similarity.semantic_duplicates(
+            self._embs(spark), self.CENTS, threshold=0.9)
+        drops = {r["drop_id"]
+                 for r in similarity.semantic_drop_list(pairs).collect()}
+        # lowest id of each dup family survives
+        assert drops == {1, 2, 11}
+
+
 def _py_shard(doc_id, n_shards, seed=0):
     h = hashlib.md5(f"{seed}#{doc_id}".encode()).hexdigest()
     return int(h[:8], 16) % n_shards, h
