@@ -248,6 +248,41 @@ class TestSemanticDedup:
         assert drops == {1, 2, 11}
 
 
+class TestPlanShapes:
+    """Physical-plan assertions for the curation operators — the shape
+    that survives 100x data, not just the answer."""
+
+    def _plan(self, df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_funnel_annotation_is_map_only(self, spark):
+        docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        p = self._plan(funnel.annotate_funnel(
+            docs, [("s", F.length("text") > 0)]))
+        assert "Exchange" not in p          # coalesced CASE at the scan
+
+    def test_mixture_join_is_broadcast(self, spark):
+        docs = spark.createDataFrame([(i, "en") for i in range(20)],
+                                     "doc_id long, lang string")
+        p = self._plan(mixture.balance_mixture(docs, "lang", {"en": 1.0}))
+        assert "BroadcastHashJoin" in p     # #domains-row rate table
+        assert "SortMergeJoin" not in p
+
+    def test_shard_census_single_shuffle(self, spark):
+        docs = spark.createDataFrame([(i,) for i in range(20)],
+                                     "doc_id long")
+        p = self._plan(shards.shard_census(docs, 4))
+        assert p.count("Exchange") == 1     # one hash aggregate
+
+    def test_quantized_topk_no_global_sort(self, spark):
+        embs = spark.createDataFrame(
+            [(i, [float(i), 1.0]) for i in range(30)],
+            "vec_id long, embedding array<double>")
+        p = self._plan(similarity.quantized_topk(
+            embs, [1.0, 0.5], k=5, rescore=10))
+        assert "TakeOrderedAndProject" in p  # bounded heap, never a sort
+
+
 def _py_shard(doc_id, n_shards, seed=0):
     h = hashlib.md5(f"{seed}#{doc_id}".encode()).hexdigest()
     return int(h[:8], 16) % n_shards, h
