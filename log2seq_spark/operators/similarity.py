@@ -416,7 +416,11 @@ def semantic_duplicates(embs: DataFrame,
     higher centroid) + one equi-join on the cell id. Within-cell cost
     is quadratic in CELL size only — SemDeDup's contract is that the
     number of centroids grows with the corpus so cells stay small
-    (the paper clusters 100M+ embeddings into 50k cells)."""
+    (the paper clusters 100M+ embeddings into 50k cells). The join
+    shuffles on the cell id, so parallelism is bounded by #centroids
+    and a hot cell lands on one reducer: size the centroid list so
+    cells stay in the 10²-10³ range and leave AQE skew-join on (both
+    already required for the quadratic bound to hold at all)."""
     a = assign_centroid(embs, centroids, vec_col).select(
         F.col("centroid"), F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("_sem_va"))
