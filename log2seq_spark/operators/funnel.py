@@ -42,6 +42,10 @@ def annotate_funnel(df: DataFrame,
     """
     if not stages:
         raise ValueError("funnel needs at least one stage")
+    if reason_col in df.columns:
+        raise ValueError(
+            f"input already has a {reason_col!r} column — withColumn "
+            f"would silently overwrite it; pass a different reason_col")
     names = [n for n, _ in stages]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate stage names: {names}")

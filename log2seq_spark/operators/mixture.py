@@ -101,6 +101,8 @@ def upsample_to_budget(docs: DataFrame, domain_col: str,
     """
     if budget_docs <= 0:
         raise ValueError("budget_docs must be positive")
+    if "epoch" in docs.columns:
+        raise ValueError("input already has an 'epoch' column")
     wsum = float(sum(targets.values()))
     tgt = F.create_map(*[x for k, v in targets.items()
                          for x in (F.lit(k), F.lit(float(v) / wsum))])

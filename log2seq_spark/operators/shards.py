@@ -40,6 +40,9 @@ def assign_shards(df: DataFrame, n_shards: int, id_col: str = "doc_id",
     ``interleave_key:string`` (the within-shard order). Map-only."""
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
+    for c in ("shard", "interleave_key"):
+        if c in df.columns:
+            raise ValueError(f"input already has a {c!r} column")
     key = interleave_key(F.col(id_col), seed)
     shard = (F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint")
              % F.lit(n_shards)).cast("int")
@@ -93,6 +96,9 @@ def curriculum_phases(df: DataFrame, score_col: str, n_phases: int = 4,
     prefix-sum pass."""
     if n_phases < 1:
         raise ValueError("n_phases must be >= 1")
+    for c in ("phase", "curriculum_rank"):
+        if c in df.columns:
+            raise ValueError(f"input already has a {c!r} column")
     n = df.count()
     if n == 0:
         return df.withColumn("phase", F.lit(None).cast("int")) \

@@ -69,6 +69,19 @@ class TestFunnel:
             funnel.annotate_funnel(
                 df, [("a", F.lit(True)), ("a", F.lit(False))])
 
+    def test_column_collisions_raise(self, spark):
+        df = spark.range(3).withColumn("drop_reason", F.lit("x"))
+        with pytest.raises(ValueError):
+            funnel.annotate_funnel(df, [("a", F.lit(True))])
+        sh = spark.range(3).withColumn("shard", F.lit(0)) \
+                           .withColumnRenamed("id", "doc_id")
+        with pytest.raises(ValueError):
+            shards.assign_shards(sh, 4)
+        up = spark.createDataFrame([(1, "en", 2)],
+                                   "doc_id long, lang string, epoch int")
+        with pytest.raises(ValueError):
+            mixture.upsample_to_budget(up, "lang", {"en": 1.0}, 10)
+
 
 class TestMixture:
     def test_rates_binding_domain(self, spark):
