@@ -1371,8 +1371,14 @@ def q_pack_training_chunks(spark, sf_dir):
     * ``kind='phase'`` — curriculum phases: 4 equal-rank cuts of the
       corpus ordered shortest-doc-first (score = BPE-ish token count,
       id tiebreak); global rank via the same distributed prefix sum.
-      first/last doc are the phase's rank boundaries."""
-    from log2seq_spark.operators import packing, shards, textstats
+      first/last doc are the phase's rank boundaries.
+    * ``kind='chunk'`` — document chunking
+      (``operators/chunking.py``: 32-token sliding windows, overlap 8
+      — the doc-SPLITTING twin of packing's doc-CONCATENATION):
+      per-window-index census (docs reaching window i, corpus-wide
+      token mass of window i, id boundaries). Any off-by-one in the
+      stride/window arithmetic moves a count."""
+    from log2seq_spark.operators import chunking, packing, shards, textstats
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id",
                        textstats.bpe_ish_token_count(F.col("text"))
@@ -1391,7 +1397,11 @@ def q_pack_training_chunks(spark, sf_dir):
         F.lit("phase").alias("kind"),
         F.col("phase").cast("bigint").alias("chunk_id"),
         "n_docs", "n_tokens", "first_doc", "last_doc")
-    return pack.unionByName(sh).unionByName(ph)
+    ch = chunking.chunk_census(docs, chunk_tokens=32, overlap=8).select(
+        F.lit("chunk").alias("kind"),
+        F.col("chunk_idx").cast("bigint").alias("chunk_id"),
+        "n_docs", "n_tokens", "first_doc", "last_doc")
+    return pack.unionByName(sh).unionByName(ph).unionByName(ch)
 
 
 _SQL_PACK_CHUNKS = r"""
@@ -1417,6 +1427,23 @@ WITH t AS (
          row_number() OVER (ORDER BY n_tokens, doc_id) AS rk,
          count(*) OVER () AS n
   FROM t
+), cw AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))
+           AS n
+  FROM documents
+), cn AS (
+  SELECT doc_id, n,
+         CASE WHEN n <= 0 THEN 0
+              WHEN n <= 32 THEN 1
+              ELSE 1 + cast(ceil((n - 32) / 24.0) AS INT) END AS nc
+  FROM cw
+), cexp AS (
+  SELECT doc_id, u.ci AS chunk_idx,
+         least(n - u.ci * 24, 32) AS ctoks
+  FROM (SELECT doc_id, n, unnest(list_transform(range(nc),
+                                 i -> {'ci': i})) AS u
+        FROM cn WHERE nc > 0)
 )
 SELECT 'pack' AS kind,
        cast(floor((cs - n_tokens) / 2048.0) AS BIGINT) AS chunk_id,
@@ -1436,6 +1463,12 @@ SELECT 'phase' AS kind,
        cast(sum(n_tokens) AS BIGINT) AS n_tokens,
        min_by(doc_id, rk) AS first_doc, max_by(doc_id, rk) AS last_doc
 FROM ranked GROUP BY 2
+UNION ALL
+SELECT 'chunk' AS kind, cast(chunk_idx AS BIGINT) AS chunk_id,
+       count(*) AS n_docs,
+       cast(sum(ctoks) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM cexp GROUP BY 2
 """
 
 

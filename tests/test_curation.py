@@ -8,8 +8,8 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from log2seq_spark.operators import (funnel, mixture, preference, shards,
-                                     similarity)
+from log2seq_spark.operators import (chunking, funnel, mixture, preference,
+                                     shards, similarity)
 
 
 def _docs(spark):
@@ -259,6 +259,75 @@ class TestSemanticDedup:
                  for r in similarity.semantic_drop_list(pairs).collect()}
         # lowest id of each dup family survives
         assert drops == {1, 2, 11}
+
+
+class TestChunking:
+    def _py_chunks(self, text, chunk, overlap):
+        toks = [t for t in text.split() if t]
+        if not toks:
+            return []
+        stride = chunk - overlap
+        out = []
+        i = 0
+        while True:
+            w = toks[i * stride:i * stride + chunk]
+            out.append(" ".join(w))
+            if i * stride + chunk >= len(toks):
+                break
+            i += 1
+        return out
+
+    def test_matches_pure_python_windows(self, spark):
+        texts = ["a b c d e f g h i j", "one two three", "x", "",
+                 "  spaced   out  tokens  here   now ",
+                 " ".join(f"t{i}" for i in range(23))]
+        df = spark.createDataFrame(list(enumerate(texts)),
+                                   "doc_id long, text string")
+        got = {}
+        for r in chunking.chunk_documents(df, chunk_tokens=8,
+                                          overlap=3).collect():
+            got.setdefault(r["doc_id"], {})[r["chunk_idx"]] = (
+                r["chunk_text"], r["n_tokens"], r["n_chunks"])
+        for i, text in enumerate(texts):
+            ref = self._py_chunks(text, 8, 3)
+            if not ref:
+                assert i not in got          # empty doc -> no chunks
+                continue
+            assert len(got[i]) == len(ref)
+            for ci, ctext in enumerate(ref):
+                assert got[i][ci][0] == ctext
+                assert got[i][ci][1] == len(ctext.split())
+                assert got[i][ci][2] == len(ref)
+
+    def test_overlap_reconstruction(self, spark):
+        # consecutive windows share exactly `overlap` tokens
+        df = spark.createDataFrame(
+            [(0, " ".join(str(i) for i in range(20)))],
+            "doc_id long, text string")
+        rows = sorted(chunking.chunk_documents(
+            df, chunk_tokens=8, overlap=3).collect(),
+            key=lambda r: r["chunk_idx"])
+        for a, b in zip(rows, rows[1:]):
+            ta, tb = a["chunk_text"].split(), b["chunk_text"].split()
+            assert ta[-3:] == tb[:3]
+
+    def test_census_and_validation(self, spark):
+        df = spark.createDataFrame(
+            [(i, " ".join("w" * 1 for _ in range(n)))
+             for i, n in enumerate([4, 10, 16])],
+            "doc_id long, text string")
+        cen = {r["chunk_idx"]: r for r in chunking.chunk_census(
+            df, chunk_tokens=8, overlap=3).collect()}
+        # n=4 -> 1 chunk; n=10 -> 2 (8 + last 5); n=16 with stride 5 ->
+        # windows at 0,5,10 -> 3 chunks (8, 8, 6)
+        assert cen[0]["n_docs"] == 3
+        assert cen[1]["n_docs"] == 2
+        assert cen[2]["n_docs"] == 1
+        assert cen[2]["n_tokens"] == 6
+        with pytest.raises(ValueError):
+            chunking.chunk_documents(df, chunk_tokens=4, overlap=4)
+        with pytest.raises(ValueError):
+            chunking.chunk_documents(df, chunk_tokens=0)
 
 
 class TestPlanShapes:
