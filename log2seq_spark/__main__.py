@@ -1079,6 +1079,44 @@ def cmd_shards(args) -> int:
             spark.stop()
 
 
+def cmd_chunk(args) -> int:
+    """Document-chunk export (``operators/chunking.py``): every document
+    split into sliding token windows with overlap, written as parquet
+    ``(doc_id, chunk_idx, n_chunks, chunk_text, n_tokens)`` with a
+    per-window-index tally on stderr."""
+    from .operators import chunking
+    spark, owns = _cli_spark("log2seq-spark-chunk")
+    try:
+        df = (spark.table(args.input) if args.input_kind == "table"
+              else spark.read.parquet(args.input))
+        try:
+            ch = chunking.chunk_documents(
+                df, text_col=args.text_col,
+                chunk_tokens=args.chunk_tokens, overlap=args.overlap,
+                id_col=args.id_col)
+        except ValueError as exc:
+            print(f"error: {exc}", file=sys.stderr)
+            return 2
+        ch.write.mode("overwrite").parquet(args.out)
+        cen = (spark.read.parquet(args.out)
+               .groupBy("chunk_idx")
+               .agg(F.count("*").alias("n"),
+                    F.sum("n_tokens").alias("toks"))
+               .orderBy("chunk_idx").collect())
+        total = sum(r["n"] for r in cen)
+        for r in cen[:20]:
+            print(f"# window {r['chunk_idx']}: {r['n']} chunks,"
+                  f" {r['toks']} tokens", file=sys.stderr)
+        if len(cen) > 20:
+            print(f"# ... {len(cen) - 20} more windows", file=sys.stderr)
+        print(f"# total: {total} chunks from {df.count()} docs",
+              file=sys.stderr)
+        return 0
+    finally:
+        if owns:
+            spark.stop()
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="log2seq_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -1420,6 +1458,20 @@ def main(argv=None) -> int:
     p.add_argument("--census-only", action="store_true",
                    help="print the census without writing shards")
     p.set_defaults(fn=cmd_shards)
+
+    p = sub.add_parser(
+        "chunk",
+        help="split documents into sliding token windows with overlap")
+    p.add_argument("--input", required=True,
+                   help="documents parquet path or table")
+    p.add_argument("--input-kind", choices=["parquet", "table"],
+                   default="parquet")
+    p.add_argument("--out", required=True, help="chunk parquet directory")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--chunk-tokens", type=int, default=128)
+    p.add_argument("--overlap", type=int, default=32)
+    p.set_defaults(fn=cmd_chunk)
 
     args = ap.parse_args(argv)
     return args.fn(args)

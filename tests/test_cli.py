@@ -1056,3 +1056,33 @@ class TestShardsCommand:
         src = self._docs(spark, tmpdir_path)
         assert main(["shards", "--input", src]) == 2
         assert "--out is required" in capsys.readouterr().err
+
+
+class TestChunkCommand:
+    """`chunk` subcommand — sliding-token-window doc splitting
+    (operators/chunking.py)."""
+
+    def test_export_and_tally(self, spark, capsys, tmpdir_path):
+        src = os.path.join(tmpdir_path, "ck_docs")
+        rows = [(0, " ".join(f"t{i}" for i in range(10))), (1, "short doc")]
+        spark.createDataFrame(rows, "doc_id long, text string") \
+             .write.mode("overwrite").parquet(src)
+        dest = os.path.join(tmpdir_path, "ck_out")
+        assert main(["chunk", "--input", src, "--out", dest,
+                     "--chunk-tokens", "4", "--overlap", "1"]) == 0
+        err = capsys.readouterr().err
+        # doc0: windows at 0,3,6 -> 3 chunks (4,4,4); doc1: 1 chunk
+        assert "# total: 4 chunks from 2 docs" in err
+        back = spark.read.parquet(dest)
+        assert back.count() == 4
+        assert back.filter("doc_id = 0 AND chunk_idx = 1") \
+                   .first()["chunk_text"] == "t3 t4 t5 t6"
+
+    def test_bad_overlap_is_startup_error(self, spark, capsys, tmpdir_path):
+        src = os.path.join(tmpdir_path, "ck_docs2")
+        spark.createDataFrame([(0, "a b")], "doc_id long, text string") \
+             .write.mode("overwrite").parquet(src)
+        assert main(["chunk", "--input", src,
+                     "--out", os.path.join(tmpdir_path, "ck_o2"),
+                     "--chunk-tokens", "4", "--overlap", "4"]) == 2
+        assert "overlap" in capsys.readouterr().err
