@@ -78,6 +78,33 @@ def balance_mixture(docs: DataFrame, domain_col: str,
                 .drop("__mix_domain", "__mix_thr"))
 
 
+def upsample_plan(docs: DataFrame, domain_col: str,
+                  targets: Dict[str, float], budget_docs: int, *,
+                  max_repeats: int = 16) -> DataFrame:
+    """Per-domain upsample plan — the #domains-row frame behind
+    :func:`upsample_to_budget`: ``(domain, n_docs, target_w,
+    r_uncapped, repeats, capped)``. ``capped=true`` names every domain
+    whose repeat factor hit ``max_repeats`` — the no-silent-caps
+    surface: a capped domain will UNDERSHOOT its target mass, which is
+    a data-sourcing problem to fix, not a knob to raise."""
+    if budget_docs <= 0:
+        raise ValueError("budget_docs must be positive")
+    wsum = float(sum(targets.values()))
+    tgt = F.create_map(*[x for k, v in targets.items()
+                         for x in (F.lit(k), F.lit(float(v) / wsum))])
+    counts = (docs.groupBy(F.col(domain_col).alias("domain"))
+                  .agg(F.count("*").alias("n_docs"))
+                  .withColumn("target_w", tgt[F.col("domain")])
+                  .filter(F.col("target_w").isNotNull()))
+    r_raw = (F.col("target_w") * F.lit(float(budget_docs))
+             / F.col("n_docs"))
+    r = F.least(r_raw, F.lit(float(max_repeats)))
+    return counts.select(
+        "domain", "n_docs", "target_w",
+        r_raw.alias("r_uncapped"), r.alias("repeats"),
+        (r_raw > F.lit(float(max_repeats))).alias("capped"))
+
+
 def upsample_to_budget(docs: DataFrame, domain_col: str,
                        targets: Dict[str, float], budget_docs: int, *,
                        id_col: str = "doc_id", seed: int = 0,
@@ -90,29 +117,21 @@ def upsample_to_budget(docs: DataFrame, domain_col: str,
 
     ``repeats`` per domain is capped at ``max_repeats`` — repeating a
     tiny domain hundreds of times is a data-quality bug, not a mixture
-    fix — and the cap is surfaced loudly (the rate table is available
-    via :func:`mixture_rates`-style inspection, and capped domains
-    simply top out at ``max_repeats`` full epochs).
+    fix. The cap is inspectable, not silent: :func:`upsample_plan`
+    returns the per-domain plan with a ``capped`` flag (capped domains
+    undershoot their target mass).
 
     Scale shape: the repeat factor ``r_d = budget * w_d / n_d`` comes
     from the same single #domains-row aggregate; full epochs are a
     ``posexplode(sequence(1, floor(r)))`` whose fan-out is bounded by
     ``max_repeats``; the fractional epoch reuses the md5 bucket filter.
     """
-    if budget_docs <= 0:
-        raise ValueError("budget_docs must be positive")
     if "epoch" in docs.columns:
         raise ValueError("input already has an 'epoch' column")
-    wsum = float(sum(targets.values()))
-    tgt = F.create_map(*[x for k, v in targets.items()
-                         for x in (F.lit(k), F.lit(float(v) / wsum))])
-    counts = (docs.groupBy(F.col(domain_col).alias("domain"))
-                  .agg(F.count("*").alias("n_docs"))
-                  .withColumn("target_w", tgt[F.col("domain")])
-                  .filter(F.col("target_w").isNotNull()))
-    r = F.least(F.col("target_w") * F.lit(float(budget_docs))
-                / F.col("n_docs"), F.lit(float(max_repeats)))
-    plan = counts.select(
+    plan_rows = upsample_plan(docs, domain_col, targets, budget_docs,
+                              max_repeats=max_repeats)
+    r = F.col("repeats")
+    plan = plan_rows.select(
         F.col("domain").alias("__mix_domain"),
         F.floor(r).cast("int").alias("__full_epochs"),
         # fractional epoch as an integer bucket threshold (floor: see

@@ -132,6 +132,12 @@ class TestMixture:
         up = mixture.upsample_to_budget(df, "lang", {"de": 1.0},
                                         budget_docs=1000, max_repeats=4)
         assert up.count() == 20                  # capped at 4 epochs
+        # the cap is inspectable, never silent
+        plan = mixture.upsample_plan(df, "lang", {"de": 1.0}, 1000,
+                                     max_repeats=4).first()
+        assert plan["capped"] is True
+        assert plan["repeats"] == 4.0
+        assert plan["r_uncapped"] == pytest.approx(200.0)
 
 
 class TestPreference:
