@@ -1117,6 +1117,122 @@ def cmd_chunk(args) -> int:
             spark.stop()
 
 
+def cmd_check(args) -> int:
+    """Data-quality admission gate (``operators/expectations.py``): all
+    checks compile into ONE aggregate pass; one report line per check on
+    stdout; exit 0 when every check passes, 1 when any fails, 2 on a
+    bad check spec."""
+    from .operators import expectations as ex
+    spark, owns = _cli_spark("log2seq-spark-check")
+    try:
+        df = (spark.table(args.input) if args.input_kind == "table"
+              else spark.read.parquet(args.input))
+        try:
+            checks = []
+            if args.transcripts:
+                checks += ex.transcript_checks()
+            for c in args.not_null or []:
+                checks.append(ex.not_null(c))
+            for c in args.unique or []:
+                checks.append(ex.unique(c))
+            for spec in args.range or []:
+                col, lo, hi = spec.split(":")
+                checks.append(ex.in_range(
+                    col, lo=float(lo) if lo else None,
+                    hi=float(hi) if hi else None))
+            for spec in args.accepted or []:
+                col, vals = spec.split(":", 1)
+                checks.append(ex.accepted_values(col, vals.split("|")))
+            for spec in args.matches or []:
+                col, pat = spec.split(":", 1)
+                checks.append(ex.matches(col, pat))
+            if args.min_rows is not None:
+                checks.append(ex.row_count(args.min_rows))
+            if not checks:
+                raise ValueError("no checks given (see --transcripts, "
+                                 "--not-null, --unique, --range, "
+                                 "--accepted, --matches, --min-rows)")
+        except ValueError as exc:
+            print(f"error: {exc}", file=sys.stderr)
+            return 2
+        report = ex.evaluate(df, checks)
+        for r in report:
+            mark = "PASS" if r["passed"] else "FAIL"
+            print(f"{mark}\t{r['check']}\texpected {r['expected']}\t"
+                  f"observed {r['observed']}")
+        n_fail = sum(not r["passed"] for r in report)
+        print(f"# {len(report) - n_fail}/{len(report)} checks passed",
+              file=sys.stderr)
+        return 0 if n_fail == 0 else 1
+    finally:
+        if owns:
+            spark.stop()
+
+
+def cmd_compact(args) -> int:
+    """Small-file compaction of a (possibly partitioned) parquet sink
+    (``operators/layout.py``): finishes any interrupted swap, then
+    bin-packs each leaf directory's undersized files into
+    ~``--target-mb`` rewrites. ``--dry-run`` prints the plan only."""
+    from .operators import layout
+    spark, owns = _cli_spark("log2seq-spark-compact")
+    try:
+        target = int(args.target_mb * (1 << 20))
+        if args.dry_run:
+            fs_plans = []
+            for leaf in [args.path]:
+                fs_plans.append(layout.plan_compaction(
+                    spark, leaf, target, args.small_ratio))
+            plans = fs_plans
+        else:
+            plans = layout.compact_tree(spark, args.path, target,
+                                        args.small_ratio)
+        total_bins = total_rewritten = 0
+        for pl in plans:
+            state = ("plan" if args.dry_run else
+                     "skip" if pl.get("skipped") else "done")
+            print(f"# [{state}] {pl['dir']}: {pl['n_files']} files, "
+                  f"{pl['n_small']} small, rewrite "
+                  f"{len(pl['rewrite'])} -> {pl['n_bins']} "
+                  f"({pl['bytes']} bytes)", file=sys.stderr)
+            total_bins += pl["n_bins"]
+            total_rewritten += len(pl["rewrite"])
+        print(f"# total: {total_rewritten} files -> {total_bins} bins",
+              file=sys.stderr)
+        return 0
+    finally:
+        if owns:
+            spark.stop()
+
+
+def cmd_zorder(args) -> int:
+    """Rewrite a parquet table Z-order-clustered on the given columns
+    (``operators/layout.py``), then report the per-column skipping
+    effectiveness of the new layout."""
+    from .operators import layout
+    spark, owns = _cli_spark("log2seq-spark-zorder")
+    try:
+        df = (spark.table(args.input) if args.input_kind == "table"
+              else spark.read.parquet(args.input))
+        cols = args.cols.split(",")
+        try:
+            layout.zorder_write(df, args.out, cols, bits=args.bits,
+                                n_files=args.files)
+        except ValueError as exc:
+            print(f"error: {exc}", file=sys.stderr)
+            return 2
+        eff = layout.skipping_effectiveness(spark, args.out, cols)
+        print(f"# {int(eff.pop('n_files'))} files", file=sys.stderr)
+        for c in cols:
+            print(f"# mean envelope width {c}: {eff[c]:.3f} "
+                  "(expected scan fraction for a point filter)",
+                  file=sys.stderr)
+        return 0
+    finally:
+        if owns:
+            spark.stop()
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="log2seq_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -1472,6 +1588,53 @@ def main(argv=None) -> int:
     p.add_argument("--chunk-tokens", type=int, default=128)
     p.add_argument("--overlap", type=int, default=32)
     p.set_defaults(fn=cmd_chunk)
+
+    p = sub.add_parser(
+        "check",
+        help="data-quality admission gate (one aggregate pass)")
+    p.add_argument("--input", required=True,
+                   help="parquet path or table to gate")
+    p.add_argument("--input-kind", choices=["parquet", "table"],
+                   default="parquet")
+    p.add_argument("--transcripts", action="store_true",
+                   help="apply the standing transcripts-table gate")
+    p.add_argument("--not-null", action="append", metavar="COL")
+    p.add_argument("--unique", action="append", metavar="COL")
+    p.add_argument("--range", action="append", metavar="COL:LO:HI",
+                   help="empty LO or HI leaves that side unbounded")
+    p.add_argument("--accepted", action="append", metavar="COL:V1|V2")
+    p.add_argument("--matches", action="append", metavar="COL:REGEX")
+    p.add_argument("--min-rows", type=int, default=None)
+    p.set_defaults(fn=cmd_check)
+
+    p = sub.add_parser(
+        "compact",
+        help="bin-pack undersized parquet files under a sink directory")
+    p.add_argument("--path", required=True,
+                   help="sink root (leaf dirs are compacted in place)")
+    p.add_argument("--target-mb", type=float, default=128.0,
+                   help="target output file size (default 128 MiB)")
+    p.add_argument("--small-ratio", type=float, default=0.5,
+                   help="files under small-ratio*target are candidates")
+    p.add_argument("--dry-run", action="store_true",
+                   help="print the plan for --path itself; rewrite "
+                        "nothing")
+    p.set_defaults(fn=cmd_compact)
+
+    p = sub.add_parser(
+        "zorder",
+        help="rewrite a parquet table Z-order-clustered on key columns")
+    p.add_argument("--input", required=True,
+                   help="parquet path or table")
+    p.add_argument("--input-kind", choices=["parquet", "table"],
+                   default="parquet")
+    p.add_argument("--out", required=True, help="clustered output dir")
+    p.add_argument("--cols", required=True,
+                   help="comma-separated numeric/timestamp key columns")
+    p.add_argument("--bits", type=int, default=10)
+    p.add_argument("--files", type=int, default=None,
+                   help="output file count (default: parallelism)")
+    p.set_defaults(fn=cmd_zorder)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -1,0 +1,86 @@
+"""CLI surfaces for the layout + data-quality operators: ``check``,
+``compact``, ``zorder``. Runs ``main()`` in-process against the shared
+session Spark fixture."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from log2seq_spark.__main__ import main
+
+
+@pytest.fixture(scope="module")
+def docs_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("cli_layout") / "docs")
+    (spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.pmod(F.xxhash64("id"), F.lit(100)).alias("x"),
+        F.pmod(F.xxhash64("id", F.lit(7)), F.lit(100)).alias("y"),
+        F.concat(F.lit("text "), F.col("id")).alias("text"))
+     .repartition(20).write.parquet(p))
+    return p
+
+
+class TestCheck:
+    def test_pass_exit_0(self, spark, docs_path, capsys):
+        code = main(["check", "--input", docs_path,
+                     "--not-null", "doc_id", "--unique", "doc_id",
+                     "--range", "x:0:", "--matches", r"text:^text \d+$",
+                     "--min-rows", "100"])
+        out = capsys.readouterr().out
+        assert code == 0
+        assert out.count("PASS") == 5 and "FAIL" not in out
+
+    def test_fail_exit_1(self, spark, docs_path, capsys):
+        code = main(["check", "--input", docs_path,
+                     "--range", "x:0:5", "--min-rows", "1"])
+        cap = capsys.readouterr()
+        assert code == 1
+        assert "FAIL\tin_range(x)" in cap.out
+        assert "1/2 checks passed" in cap.err
+
+    def test_no_checks_exit_2(self, spark, docs_path, capsys):
+        assert main(["check", "--input", docs_path]) == 2
+        assert "no checks given" in capsys.readouterr().err
+
+
+class TestCompact:
+    def test_compact_and_dry_run(self, spark, docs_path, capsys,
+                                 tmpdir_path):
+        p = os.path.join(tmpdir_path, "frag")
+        spark.read.parquet(docs_path).repartition(30).write.parquet(p)
+        code = main(["compact", "--path", p, "--target-mb", "1",
+                     "--dry-run"])
+        err = capsys.readouterr().err
+        assert code == 0 and "[plan]" in err
+        n_before = len([f for f in os.listdir(p)
+                        if f.endswith(".parquet")])
+        code = main(["compact", "--path", p, "--target-mb", "1"])
+        err = capsys.readouterr().err
+        assert code == 0 and "[done]" in err
+        n_after = len([f for f in os.listdir(p)
+                       if f.endswith(".parquet")])
+        assert n_after < n_before
+        assert spark.read.parquet(p).count() == 2000
+
+
+class TestZorder:
+    def test_zorder_reports_effectiveness(self, spark, docs_path,
+                                          capsys, tmpdir_path):
+        out_dir = os.path.join(tmpdir_path, "z")
+        code = main(["zorder", "--input", docs_path, "--out", out_dir,
+                     "--cols", "x,y", "--bits", "8", "--files", "8"])
+        err = capsys.readouterr().err
+        assert code == 0
+        assert "mean envelope width x" in err
+        assert "mean envelope width y" in err
+        assert spark.read.parquet(out_dir).count() == 2000
+
+    def test_string_key_exit_2(self, spark, docs_path, capsys,
+                               tmpdir_path):
+        code = main(["zorder", "--input", docs_path,
+                     "--out", os.path.join(tmpdir_path, "z2"),
+                     "--cols", "text"])
+        assert code == 2
+        assert "numeric/date/timestamp" in capsys.readouterr().err
