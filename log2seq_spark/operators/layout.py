@@ -15,11 +15,16 @@ built-in expressions (approx quantile boundaries driver-side, JVM
 binary-search bucketing, bitwise interleave in codegen); no Python
 touches a row.
 
-Compaction exists because fan-out sinks accrete small files: a
-per-severity/per-bucket routed write at high frequency leaves files far
-below the HDFS-block / object-store sweet spot, and at 100 TB the file
-COUNT (listing, footer reads, task scheduling) becomes the bottleneck
-before the bytes do. ``compact_dir`` bin-packs only the undersized
+Compaction exists because APPENDING sinks accrete small files: the
+streaming router writes one file per (sink, bucket) dir per micro-batch
+(streaming/stream.py), and externally-fed directories arrive however
+the upstream sharded them; at 100 TB the file COUNT (listing, footer
+reads, task scheduling) becomes the bottleneck before the bytes do.
+The batch pipeline does NOT need this — its fan-out write repartitions
+on the partition keys, so each (sink, bucket) dir gets exactly one file
+per run by construction (plans/pipeline.py) — which is why compaction
+is a standalone maintenance pass (CLI ``compact``), not a pipeline
+post-step. ``compact_dir`` bin-packs only the undersized
 files of each leaf directory into ~target-size rewrites and leaves
 healthy files untouched — the same shape as a table service's OPTIMIZE
 (Iceberg rewrite_data_files), expressed over plain directories. The
