@@ -4,6 +4,7 @@ from .stream import (streaming_parse, streaming_sink_counts,
                      streaming_tool_latency,
                      streaming_dedup_exact, streaming_dedup_with_index,
                      streaming_route_to_sink,
+                     streaming_gated_route,
                      streaming_template_mining, current_templates,
                      streaming_rare_lines,
                      streaming_near_dup_with_index,
@@ -17,6 +18,7 @@ __all__ = ["streaming_parse", "streaming_sink_counts",
            "streaming_tool_latency",
            "streaming_dedup_exact", "streaming_dedup_with_index",
            "streaming_route_to_sink",
+           "streaming_gated_route",
            "streaming_template_mining", "current_templates",
            "streaming_rare_lines",
            "streaming_near_dup_with_index", "streaming_clean_corpus",

@@ -151,6 +151,52 @@ def streaming_route_to_sink(routed: DataFrame, out_dir: str,
                   .option("checkpointLocation", checkpoint_dir))
 
 
+def streaming_gated_route(routed: DataFrame, out_dir: str,
+                          checkpoint_dir: str, checks,
+                          quarantine_dir: str,
+                          partition_cols=("sink",),
+                          backend: str = "parquet"):
+    """:func:`streaming_route_to_sink` behind a per-micro-batch
+    data-quality gate (``operators/expectations.py``): each batch is
+    admitted to ``out_dir`` only when every check passes; a violating
+    batch is diverted WHOLE to ``quarantine_dir`` (same idempotent
+    batch_id-partitioned write) with its report persisted next to it
+    as ``_reports/batch-<id>.json`` — never silently dropped, never
+    poisoning the good sink, never crashing the stream.
+
+    The gate costs one extra aggregate job per micro-batch (all checks
+    compile into a single pass); at micro-batch sizes that is noise
+    next to the fan-out write. Quarantined batches are replayable: the
+    report says what broke, the data sits intact under
+    ``batch_id=<id>``, and re-admission is a batch read + the ordinary
+    batch pipeline once upstream is fixed.
+    """
+    import json as _json
+
+    from .. import fsio
+    from ..operators import expectations as ex
+    from ..plans.sink import write_partitioned
+
+    cols = list(partition_cols)
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        report = ex.evaluate(batch_df, checks)
+        stamped = batch_df.withColumn("batch_id", F.lit(int(batch_id)))
+        if all(r["passed"] for r in report):
+            write_partitioned(stamped, out_dir, ["batch_id"] + cols,
+                              backend=backend)
+        else:
+            write_partitioned(stamped, quarantine_dir,
+                              ["batch_id"] + cols, backend=backend)
+            fsio.write_text(
+                stamped.sparkSession,
+                f"{quarantine_dir}/_reports/batch-{int(batch_id)}.json",
+                _json.dumps(report, indent=1))
+
+    return (routed.writeStream.foreachBatch(_write)
+                  .option("checkpointLocation", checkpoint_dir))
+
+
 def streaming_dedup_with_index(docs: DataFrame, out_dir: str,
                                checkpoint_dir: str, index_dir: str,
                                text_col: str = "text",
