@@ -32,6 +32,22 @@ def main():
     enriched = enriched_turns(spark, turns, PipelineConfig(out_dir="unused"))
     sections.append(("pipeline: enriched_turns", enriched))
 
+    # storage-layout + admission-gate plans (round 4): the Z-value is
+    # pure codegen'd bitwise expressions; the gate is ONE aggregate
+    from log2seq_spark.operators import expectations as ex
+    from log2seq_spark.operators.layout import with_zorder, _Z
+    from pyspark.sql import functions as F
+    zdf = (with_zorder(turns.select("conv_id", "turn_idx", "ts"),
+                       ["turn_idx", "ts"], bits=8)
+           .repartitionByRange(8, F.col(_Z)).sortWithinPartitions(_Z))
+    sections.append(("layout: zorder_write shuffle+sort plan", zdf))
+    checks = ex.transcript_checks() + [ex.unique("conv_id")]
+    agg_cols = [F.count(F.lit(1)).alias("__n_rows")]
+    for i, c in enumerate(checks):
+        agg_cols += [col.alias(f"c{i}{a}") for a, col in c.aggs.items()]
+    sections.append(("expectations: all checks in one aggregate",
+                     turns.agg(*agg_cols)))
+
     for name, fn in entrymod.queries().items():
         sections.append((f"query: {name}", fn(spark, SF_DIR)))
 
