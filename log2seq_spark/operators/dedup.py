@@ -612,6 +612,71 @@ def contamination_report(train: DataFrame, evalset: DataFrame,
                         (ratio >= threshold).alias("contaminated")))
 
 
+def fuzzy_contamination(train: DataFrame, evalset: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n_hashes: int = 8, bands: int = 4,
+                        shingle_n: int = 3, threshold: float = 0.5,
+                        verify: bool = True) -> DataFrame:
+    """NEAR-duplicate benchmark decontamination: training documents that
+    are MinHash-LSH candidates of any evaluation document, optionally
+    verified with the exact cross-corpus n-gram Jaccard. Returns
+    (``id_col``, eval_id, jaccard) — jaccard null when ``verify=False``.
+
+    :func:`contamination_report` catches verbatim n-gram overlap; a
+    paraphrased or lightly-edited eval item (reworded prompt, renamed
+    variables, shifted whitespace) shares few exact shingles in
+    aggregate ratio yet is still leakage. This is the fuzzy twin: both
+    corpora are banded with the SAME signature machinery as
+    :func:`minhash_near_duplicates` (bit-identical hashes, so a doc
+    contaminates iff it would bucket with the eval doc in a single
+    joint corpus), candidates come from a band-bucket join, and the
+    expensive exact Jaccard runs only on candidate pairs.
+
+    Scale shape: the eval side is small by construction (benchmarks vs
+    a training corpus), so its band signatures and shingle sets
+    broadcast; the training corpus is never self-joined and never
+    reshuffled — one signature aggregate + one broadcast band join,
+    then verification bounded by the candidate count. With default
+    8 hashes / 4 bands, P[candidate] = 1-(1-s^2)^4 ≈ 0.78 at s=0.5 and
+    ≥0.96 at s=0.7 — raise ``n_hashes``/``bands`` for a sharper gate
+    (the eval side stays broadcast-sized).
+    """
+    sig_tr = minhash_band_signatures(train, text_col, id_col,
+                                     n_hashes, bands, shingle_n)
+    sig_ev = (minhash_band_signatures(evalset, text_col, id_col,
+                                      n_hashes, bands, shingle_n)
+              .select("band", "band_hash",
+                      F.col("_id").alias("eval_id")))
+    cand = (sig_tr.join(F.broadcast(sig_ev), ["band", "band_hash"])
+                  .select("_id", "eval_id").distinct())
+    if not verify:
+        return cand.select(F.col("_id").alias(id_col), "eval_id",
+                           F.lit(None).cast("double").alias("jaccard"))
+
+    # exact cross-corpus Jaccard on candidate pairs only: distinct
+    # shingle sets per side, intersection via one broadcast equi-join
+    # on the shingle, sizes rejoined (eval sizes broadcast)
+    tr_sh = (shingle_rows(train.join(cand.select("_id").distinct()
+                                         .withColumnRenamed("_id", id_col),
+                                     id_col, "semi"),
+                          text_col, id_col, shingle_n)
+             .select("_id", "shingle").distinct())
+    ev_sh = (shingle_rows(evalset, text_col, id_col, shingle_n)
+             .select(F.col("_id").alias("eval_id"), "shingle").distinct())
+    inter = (tr_sh.join(F.broadcast(ev_sh), "shingle")
+                  .groupBy("_id", "eval_id")
+                  .agg(F.count("*").alias("_n_inter"))
+                  .join(cand, ["_id", "eval_id"], "semi"))
+    tr_sz = tr_sh.groupBy("_id").agg(F.count("*").alias("_n_tr"))
+    ev_sz = ev_sh.groupBy("eval_id").agg(F.count("*").alias("_n_ev"))
+    jac = F.col("_n_inter") / (F.col("_n_tr") + F.col("_n_ev")
+                               - F.col("_n_inter"))
+    return (inter.join(tr_sz, "_id").join(F.broadcast(ev_sz), "eval_id")
+                 .filter(jac >= threshold)
+                 .select(F.col("_id").alias(id_col), "eval_id",
+                         F.round(jac, 6).alias("jaccard")))
+
+
 def line_ownership(docs: DataFrame, text_col: str = "text",
                    id_col: str = "doc_id", sep: str = "\n") -> DataFrame:
     """Internal feed for corpus-level line dedup: one row per (doc,
