@@ -1314,16 +1314,42 @@ _NORM = ("trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'
 
 
 def q_decontaminate(spark, sf_dir):
-    """Benchmark decontamination: every 50th document plays the role of
-    a held-out eval set; training docs are scored by the fraction of
-    their distinct 3-gram shingles that occur anywhere in the eval set.
-    The eval vocabulary broadcasts (benchmarks are tiny next to a
-    corpus), so the training shingles take one distinct-shuffle + a
-    broadcast join — the corpus is never reshuffled against itself."""
+    """Benchmark decontamination, BOTH legs in one row (window stays at
+    50), schema ``(method, doc_id, eval_id, n_shingles, n_overlap,
+    overlap_ratio, contaminated)``:
+
+    * ``method='exact'`` — every 50th document plays the role of a
+      held-out eval set; training docs are scored by the fraction of
+      their distinct 3-gram shingles that occur anywhere in the eval
+      set (``dedup.contamination_report``; eval_id null — the exact
+      report is per train doc, not per pair). The eval vocabulary
+      broadcasts, so the training shingles take one distinct-shuffle +
+      a broadcast join — the corpus is never reshuffled against itself.
+    * ``method='fuzzy'`` — ``dedup.fuzzy_contamination``: per
+      contaminated (train, eval) PAIR, MinHash-LSH band candidates
+      (8 hashes / 4 bands, the same bit-exact signature machinery as
+      the minhash row) verified with the exact cross-corpus Jaccard;
+      overlap_ratio carries the pair Jaccard, n_shingles/n_overlap the
+      train set size and intersection. Catches the paraphrased leakage
+      the exact leg's aggregate ratio dilutes. The oracle replays the
+      signatures, the band join, AND the Jaccard closed-form."""
     docs = _tp(spark, sf_dir, "documents")
     evalset = docs.filter(F.col("doc_id") % 50 == 0)
     train = docs.filter(F.col("doc_id") % 50 != 0)
-    return dedup.contamination_report(train, evalset, threshold=0.5)
+    exact = (dedup.contamination_report(train, evalset, threshold=0.5)
+             .select(F.lit("exact").alias("method"), "doc_id",
+                     F.lit(None).cast("bigint").alias("eval_id"),
+                     "n_shingles", "n_overlap", "overlap_ratio",
+                     "contaminated"))
+    fuzzy = (dedup.fuzzy_contamination(train, evalset, n_hashes=8,
+                                       bands=4, shingle_n=3,
+                                       threshold=0.5)
+             .select(F.lit("fuzzy").alias("method"), "doc_id", "eval_id",
+                     F.col("n_train_shingles").alias("n_shingles"),
+                     "n_overlap",
+                     F.col("jaccard").alias("overlap_ratio"),
+                     F.lit(True).alias("contaminated")))
+    return exact.unionByName(fuzzy)
 
 
 _SQL_DECONTAMINATE = f"""
@@ -1331,22 +1357,55 @@ WITH norm AS (
   SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
 ), sh AS (
   SELECT doc_id,
-         list_distinct([array_to_string(w[i:i+2], ' ')
-                        for i in generate_series(1, greatest(len(w) - 2, 1))])
-           AS shingles
+         [array_to_string(w[i:i+2], ' ')
+          for i in generate_series(1, greatest(len(w) - 2, 1))] AS shingles
   FROM norm
+), dsh AS (
+  SELECT doc_id, list_distinct(shingles) AS ds
+  FROM sh WHERE len(shingles) > 0
 ), posts AS (
-  SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE len(shingles) > 0
+  SELECT doc_id, unnest(ds) AS shingle FROM dsh
 ), ev AS (
   SELECT DISTINCT shingle FROM posts WHERE doc_id % 50 = 0
 ), tr AS (
   SELECT doc_id, shingle FROM posts WHERE doc_id % 50 <> 0
+), exact AS (
+  SELECT 'exact' AS method, tr.doc_id, CAST(NULL AS BIGINT) AS eval_id,
+         count(*) AS n_shingles, count(ev.shingle) AS n_overlap,
+         round(count(ev.shingle) / count(*), 6) AS overlap_ratio,
+         count(ev.shingle) / count(*) >= 0.5 AS contaminated
+  FROM tr LEFT JOIN ev ON tr.shingle = ev.shingle
+  GROUP BY 2 HAVING count(ev.shingle) > 0
+), sig AS (
+  SELECT doc_id,
+         [list_aggregate([md5(s || '#' || x) for x in shingles], 'min')
+          for s in generate_series(1, 8)] AS sig
+  FROM sh WHERE len(shingles) > 0
+), banded AS (
+  SELECT doc_id, band,
+         md5(array_to_string(sig[band * 2 + 1 : band * 2 + 2], '|'))
+           AS band_hash
+  FROM sig, (SELECT unnest(generate_series(0, 3)) AS band)
+), cand AS (
+  SELECT DISTINCT t.doc_id, e.doc_id AS eval_id
+  FROM (SELECT * FROM banded WHERE doc_id % 50 <> 0) t
+  JOIN (SELECT * FROM banded WHERE doc_id % 50 = 0) e
+    USING (band, band_hash)
+), fuzzy AS (
+  SELECT 'fuzzy' AS method, c.doc_id, c.eval_id,
+         len(a.ds) AS n_shingles,
+         len(list_intersect(a.ds, b.ds)) AS n_overlap,
+         round(len(list_intersect(a.ds, b.ds)) * 1.0
+               / (len(a.ds) + len(b.ds) - len(list_intersect(a.ds, b.ds))),
+               6) AS overlap_ratio,
+         true AS contaminated
+  FROM cand c
+  JOIN dsh a ON a.doc_id = c.doc_id
+  JOIN dsh b ON b.doc_id = c.eval_id
+  WHERE len(list_intersect(a.ds, b.ds)) * 1.0
+        / (len(a.ds) + len(b.ds) - len(list_intersect(a.ds, b.ds))) >= 0.5
 )
-SELECT tr.doc_id, count(*) AS n_shingles, count(ev.shingle) AS n_overlap,
-       round(count(ev.shingle) / count(*), 6) AS overlap_ratio,
-       count(ev.shingle) / count(*) >= 0.5 AS contaminated
-FROM tr LEFT JOIN ev ON tr.shingle = ev.shingle
-GROUP BY 1 HAVING count(ev.shingle) > 0
+SELECT * FROM exact UNION ALL SELECT * FROM fuzzy
 """
 
 

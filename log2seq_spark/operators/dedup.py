@@ -620,7 +620,9 @@ def fuzzy_contamination(train: DataFrame, evalset: DataFrame,
     """NEAR-duplicate benchmark decontamination: training documents that
     are MinHash-LSH candidates of any evaluation document, optionally
     verified with the exact cross-corpus n-gram Jaccard. Returns
-    (``id_col``, eval_id, jaccard) — jaccard null when ``verify=False``.
+    (``id_col``, eval_id, n_train_shingles, n_eval_shingles, n_overlap,
+    jaccard) — the count columns and jaccard are null when
+    ``verify=False`` (candidates only).
 
     :func:`contamination_report` catches verbatim n-gram overlap; a
     paraphrased or lightly-edited eval item (reworded prompt, renamed
@@ -650,7 +652,11 @@ def fuzzy_contamination(train: DataFrame, evalset: DataFrame,
     cand = (sig_tr.join(F.broadcast(sig_ev), ["band", "band_hash"])
                   .select("_id", "eval_id").distinct())
     if not verify:
+        nul = F.lit(None).cast("bigint")
         return cand.select(F.col("_id").alias(id_col), "eval_id",
+                           nul.alias("n_train_shingles"),
+                           nul.alias("n_eval_shingles"),
+                           nul.alias("n_overlap"),
                            F.lit(None).cast("double").alias("jaccard"))
 
     # exact cross-corpus Jaccard on candidate pairs only: distinct
@@ -674,6 +680,9 @@ def fuzzy_contamination(train: DataFrame, evalset: DataFrame,
     return (inter.join(tr_sz, "_id").join(F.broadcast(ev_sz), "eval_id")
                  .filter(jac >= threshold)
                  .select(F.col("_id").alias(id_col), "eval_id",
+                         F.col("_n_tr").alias("n_train_shingles"),
+                         F.col("_n_ev").alias("n_eval_shingles"),
+                         F.col("_n_inter").alias("n_overlap"),
                          F.round(jac, 6).alias("jaccard")))
 
 
