@@ -1205,6 +1205,31 @@ def cmd_compact(args) -> int:
             spark.stop()
 
 
+def cmd_expire(args) -> int:
+    """Retention enforcement (``operators/layout.py``): keep the
+    ``--keep`` newest ``<col>=<value>`` partitions under ``--path``,
+    expire the rest. DRY-RUN unless ``--apply`` — the report prints
+    either way, one line per partition."""
+    from .operators import layout
+    spark, owns = _cli_spark("log2seq-spark-expire")
+    try:
+        rep = layout.expire_partitions(spark, args.path, args.col,
+                                       keep=args.keep, apply=args.apply)
+        for r in rep:
+            state = ("deleted" if r["deleted"]
+                     else "expired (dry-run)" if r["expired"] else "kept")
+            print(f"# {r['partition']}: {r['n_files']} files, "
+                  f"{r['bytes']} bytes — {state}", file=sys.stderr)
+        n_exp = sum(r["expired"] for r in rep)
+        print(f"# {len(rep) - n_exp} kept, {n_exp} expired"
+              + ("" if args.apply else " (dry-run; pass --apply)"),
+              file=sys.stderr)
+        return 0
+    finally:
+        if owns:
+            spark.stop()
+
+
 def cmd_zorder(args) -> int:
     """Rewrite a parquet table Z-order-clustered on the given columns
     (``operators/layout.py``), then report the per-column skipping
@@ -1620,6 +1645,18 @@ def main(argv=None) -> int:
                    help="print the plan for --path itself; rewrite "
                         "nothing")
     p.set_defaults(fn=cmd_compact)
+
+    p = sub.add_parser(
+        "expire",
+        help="retention: keep the newest K partitions, expire the rest")
+    p.add_argument("--path", required=True,
+                   help="sink root holding <col>=<value> partition dirs")
+    p.add_argument("--col", required=True, help="partition column name")
+    p.add_argument("--keep", type=int, required=True,
+                   help="number of newest partitions to keep")
+    p.add_argument("--apply", action="store_true",
+                   help="actually delete (default: dry-run report)")
+    p.set_defaults(fn=cmd_expire)
 
     p = sub.add_parser(
         "zorder",

@@ -313,6 +313,55 @@ def resume_compaction(spark: SparkSession, dir_path: str) -> bool:
     return True
 
 
+def expire_partitions(spark: SparkSession, root: str,
+                      partition_col: str, keep: int,
+                      apply: bool = False) -> List[dict]:
+    """Retention enforcement for a value-partitioned sink: keep the
+    ``keep`` NEWEST first-level ``<partition_col>=<value>`` directories
+    (ordered by the partition value string — zero-padded dates/hours
+    sort correctly; mixed-width numeric values do not, use fixed-width
+    encodings), mark the rest expired. Metadata-only on the driver: one
+    directory listing, one delete per expired partition — no Spark job,
+    no data read.
+
+    DRY-RUN BY DEFAULT: returns the per-partition report
+    (partition, value, n_files, bytes, expired, deleted) and deletes
+    nothing until ``apply=True`` — retention is the one maintenance
+    pass where a bad glob eats a petabyte, so the decision and the
+    action are separate calls you can log between. Directories not
+    matching ``<partition_col>=`` (other columns, control files) are
+    never touched."""
+    fs, jroot, _ = fsio.hadoop_fs(spark, root)
+    if not fs.exists(jroot):
+        return []
+    prefix = f"{partition_col}="
+    parts = []
+    for st in fs.listStatus(jroot):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(prefix):
+            summ = fs.getContentSummary(st.getPath())
+            parts.append({"partition": name,
+                          "value": name[len(prefix):],
+                          "n_files": int(summ.getFileCount()),
+                          "bytes": int(summ.getLength()),
+                          "path": st.getPath()})
+    parts.sort(key=lambda p: p["value"])
+    cut = max(0, len(parts) - keep)
+    out = []
+    for i, p in enumerate(parts):
+        expired = i < cut
+        deleted = False
+        if expired and apply:
+            fs.delete(p["path"], True)
+            deleted = True
+        rec = {k: p[k] for k in ("partition", "value", "n_files",
+                                 "bytes")}
+        rec["expired"] = expired
+        rec["deleted"] = deleted
+        out.append(rec)
+    return out
+
+
 def compact_tree(spark: SparkSession, root: str, target_bytes: int,
                  small_ratio: float = 0.5) -> List[dict]:
     """Compact every leaf directory under ``root`` (a partitioned sink

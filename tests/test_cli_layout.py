@@ -65,6 +65,27 @@ class TestCompact:
         assert spark.read.parquet(p).count() == 2000
 
 
+class TestExpire:
+    def test_dry_run_then_apply(self, spark, capsys, tmpdir_path):
+        root = os.path.join(tmpdir_path, "ret")
+        (spark.range(100).select(
+            F.col("id").alias("row_id"),
+            F.concat(F.lit("h0"),
+                     F.pmod("id", F.lit(4)).cast("string")).alias("hr"))
+         .write.partitionBy("hr").parquet(root))
+        code = main(["expire", "--path", root, "--col", "hr",
+                     "--keep", "1"])
+        err = capsys.readouterr().err
+        assert code == 0
+        assert "3 expired (dry-run; pass --apply)" in err
+        assert spark.read.parquet(root).count() == 100
+        code = main(["expire", "--path", root, "--col", "hr",
+                     "--keep", "1", "--apply"])
+        err = capsys.readouterr().err
+        assert code == 0 and "deleted" in err
+        assert spark.read.parquet(root).count() == 25
+
+
 class TestZorder:
     def test_zorder_reports_effectiveness(self, spark, docs_path,
                                           capsys, tmpdir_path):

@@ -138,6 +138,48 @@ class TestCompaction:
                       for r in spark.read.parquet(p).collect()) == rows
         assert layout.resume_compaction(spark, p) is False  # idempotent
 
+    def test_expire_partitions_dry_run_then_apply(self, spark,
+                                                  tmpdir_path):
+        root = os.path.join(tmpdir_path, "days")
+        df = spark.range(300).select(
+            F.col("id").alias("row_id"),
+            F.concat(F.lit("2026-08-1"),
+                     F.pmod("id", F.lit(5)).cast("string")).alias("day"))
+        (df.write.partitionBy("day").mode("overwrite").parquet(root))
+        # dry run: report only, nothing deleted
+        rep = layout.expire_partitions(spark, root, "day", keep=2)
+        assert [r["value"] for r in rep] == [
+            "2026-08-10", "2026-08-11", "2026-08-12",
+            "2026-08-13", "2026-08-14"]
+        assert [r["expired"] for r in rep] == [True, True, True,
+                                               False, False]
+        assert not any(r["deleted"] for r in rep)
+        assert spark.read.parquet(root).count() == 300
+        # apply: three oldest gone, newest two intact
+        rep = layout.expire_partitions(spark, root, "day", keep=2,
+                                       apply=True)
+        assert sum(r["deleted"] for r in rep) == 3
+        left = spark.read.parquet(root)
+        assert left.count() == 120
+        # (Spark infers the partition value as a date; compare as str)
+        assert {str(r["day"]) for r in
+                left.select("day").distinct().collect()} == {
+                    "2026-08-13", "2026-08-14"}
+        # control files / other dirs untouched
+        assert os.path.exists(os.path.join(root, "_SUCCESS"))
+
+    def test_expire_keep_all_and_missing_root(self, spark, tmpdir_path):
+        root = os.path.join(tmpdir_path, "none")
+        assert layout.expire_partitions(spark, root, "day", 3) == []
+        df = spark.range(10).select(
+            F.col("id").alias("row_id"),
+            F.lit("2026-01-01").alias("day"))
+        df.write.partitionBy("day").parquet(root)
+        rep = layout.expire_partitions(spark, root, "day", keep=5,
+                                       apply=True)
+        assert len(rep) == 1 and not rep[0]["expired"]
+        assert spark.read.parquet(root).count() == 10
+
     def test_compact_tree_walks_partitioned_sink(self, spark,
                                                  tmpdir_path):
         root = os.path.join(tmpdir_path, "sink")
