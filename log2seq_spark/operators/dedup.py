@@ -612,6 +612,48 @@ def contamination_report(train: DataFrame, evalset: DataFrame,
                         (ratio >= threshold).alias("contaminated")))
 
 
+def conversation_texts(turns: DataFrame, conv_col: str = "conv_id",
+                       idx_col: str = "turn_idx",
+                       text_col: str = "text") -> DataFrame:
+    """One row per conversation: (``conv_col``, text) with the turns'
+    texts joined in ``idx_col`` order — the rendering that makes every
+    document-level dedup/similarity operator conversation-level.
+
+    One hash shuffle on the conversation id; turn order is restored
+    INSIDE the aggregate (``array_sort`` over (idx, text) structs —
+    struct ordering is field order, so idx decides), never with a
+    global sort. Long conversations are one group each here — fine for
+    dedup hashing (the value is bounded by conversation length); this
+    is NOT the salted path the parse pipeline uses, because a signature
+    needs the whole conversation in one place by definition."""
+    pair = F.struct(F.col(idx_col).alias("i"),
+                    F.col(text_col).alias("t"))
+    return (turns.groupBy(F.col(conv_col))
+                 .agg(F.array_join(
+                     F.transform(F.array_sort(F.collect_list(pair)),
+                                 lambda x: x["t"]),
+                     "\n").alias("text")))
+
+
+def conversation_near_duplicates(turns: DataFrame,
+                                 conv_col: str = "conv_id",
+                                 idx_col: str = "turn_idx",
+                                 text_col: str = "text",
+                                 n_hashes: int = 8, bands: int = 4,
+                                 shingle_n: int = 3) -> DataFrame:
+    """Conversation-level near-dup: the same conversation re-ingested
+    under a fresh conv_id (retry uploads, replayed batches, forked
+    sessions with edited tails) survives turn-level exact dedup —
+    every turn differs or every turn matches but the keys differ.
+    Render each conversation once (:func:`conversation_texts`) and
+    feed the ordinary MinHash-LSH bucketing; returns the same
+    (band, band_hash, n_docs, keep_id) contract as
+    :func:`minhash_near_duplicates` with conv ids as doc ids."""
+    convs = conversation_texts(turns, conv_col, idx_col, text_col)
+    return minhash_near_duplicates(convs, "text", conv_col,
+                                   n_hashes, bands, shingle_n)
+
+
 def fuzzy_contamination(train: DataFrame, evalset: DataFrame,
                         text_col: str = "text", id_col: str = "doc_id",
                         n_hashes: int = 8, bands: int = 4,
