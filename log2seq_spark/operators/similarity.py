@@ -8,6 +8,7 @@ path. All dot products are built-in higher-order functions
 
 from __future__ import annotations
 
+import math
 from typing import List, Sequence
 
 from pyspark.sql import DataFrame
@@ -55,16 +56,52 @@ def cosine_topk(embs: DataFrame, query_vec: Sequence[float], k: int = 10,
                 .limit(k))
 
 
+def _py_norm(vec: Sequence[float]) -> float:
+    # driver-side L2 norm with the EXACT op order of norm_expr (left fold
+    # of acc + x*x over doubles, then sqrt) — Python floats are IEEE
+    # doubles, so the result is bit-identical to evaluating norm_expr on
+    # the same literal JVM-side
+    acc = 0.0
+    for x in vec:
+        xd = float(x)
+        acc = acc + xd * xd
+    return math.sqrt(acc)
+
+
 def assign_centroid(embs: DataFrame, centroids: List[Sequence[float]],
                     vec_col: str = "embedding") -> DataFrame:
     """IVF cell assignment: argmax cosine over a broadcast centroid list
-    (a literal array-of-arrays — evaluated JVM-side per row)."""
+    (a literal array-of-arrays — evaluated JVM-side per row).
+
+    The naive form (``cosine_expr`` per centroid) plants THREE
+    aggregate-lambda trees per centroid in the plan; at 16 centroids ×
+    dim 64 Catalyst spends tens of seconds just analyzing the tree.
+    Here the vector's double-cast and norm are staged ONCE and centroid
+    norms are folded driver-side (:func:`_py_norm` replays norm_expr's
+    IEEE op order, so scores are bit-identical) — the per-centroid tree
+    is a single dot product, ~3x smaller and ~constant-factor cheaper to
+    both plan and run. Tie rule unchanged: equal scores → higher cell id
+    (struct max compares score then id)."""
+    for tmp in ("__ac_vd", "__ac_norm"):
+        if tmp in embs.columns:
+            raise ValueError(
+                f"assign_centroid: input already has internal column {tmp!r}")
+    staged = (embs
+              .withColumn("__ac_vd", _as_double(F.col(vec_col)))
+              .withColumn("__ac_norm", norm_expr(F.col("__ac_vd"))))
     scored = F.array(*[
-        F.struct(cosine_expr(F.col(vec_col), _vec_lit(c)).alias("s"),
-                 F.lit(i).alias("c"))
+        F.struct(
+            F.when(F.col("__ac_norm") * F.lit(_py_norm(c)) > 0,
+                   F.aggregate(F.zip_with(F.col("__ac_vd"), _vec_lit(c),
+                                          lambda x, y: x * y),
+                               F.lit(0.0), lambda acc, v: acc + v)
+                   / (F.col("__ac_norm") * F.lit(_py_norm(c))))
+             .otherwise(F.lit(0.0)).alias("s"),
+            F.lit(i).alias("c"))
         for i, c in enumerate(centroids)])
     best = F.array_max(scored)
-    return embs.withColumn("centroid", best["c"])
+    return (staged.withColumn("centroid", best["c"])
+                  .drop("__ac_vd", "__ac_norm"))
 
 
 def _probe_cells(centroids: List[Sequence[float]],
