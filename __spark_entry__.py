@@ -1123,7 +1123,16 @@ def q_stats_value_by_type(spark, sf_dir):
     matches where native ``corr()``/``stddev()`` (streaming double
     accumulation, order-dependent) would not. One map-side-combined
     shuffle; the sums are the classic distributable sufficient
-    statistics, exactly what a 1000-executor aggregation wants."""
+    statistics, exactly what a 1000-executor aggregation wants.
+
+    Folded second leg (kind='robust'):
+    ``operators/anomaly.py::robust_outliers`` — per-type exact
+    median/MAD + modified-z outlier census (Iglewicz–Hoaglin 3.5 cut).
+    Medians are rank-selected (avg of the middle one-or-two rows), NOT
+    native median(), precisely so the DuckDB replay is the same closed
+    form and the value hash is bit-stable; the oracle replays rank
+    selection, the 0.6745 scaling, and the strict > threshold verdict.
+    """
     ev = _t(spark, sf_dir, "events")
     v = F.col("value").cast("decimal(18,2)")
     h = F.hour("ts").cast("bigint")
@@ -1143,11 +1152,28 @@ def q_stats_value_by_type(spark, sf_dir):
     var = (n * sxx - sx * sx) / (n * (n - F.lit(1.0)))
     corr = ((n * sxh - sx * sh)
             / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * shh - sh * sh)))
-    return agg.select(
-        "event_type", "n",
+    moments = agg.select(
+        F.lit("moments").alias("kind"), "event_type", "n",
         F.round(sx / n, 6).alias("mean_value"),
         F.round(F.sqrt(var), 6).alias("stddev_value"),
-        F.round(corr, 6).alias("corr_value_hour"))
+        F.round(corr, 6).alias("corr_value_hour"),
+        *(F.lit(None).cast("double").alias(c) for c in ("med", "mad")),
+        F.lit(None).cast("bigint").alias("n_outliers"),
+        F.lit(None).cast("double").alias("max_abs_z"))
+    ro = anomaly.robust_outliers(ev.select("event_type", "value"),
+                                 "value", ("event_type",))
+    robust = ro.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.max("med").alias("med"),        # constant within the key
+        F.max("mad").alias("mad"),
+        F.sum(F.col("is_outlier").cast("bigint")).alias("n_outliers"),
+        F.round(F.max(F.abs("robust_z")), 6).alias("max_abs_z"))
+    robust = robust.select(
+        F.lit("robust").alias("kind"), "event_type", "n",
+        *(F.lit(None).cast("double").alias(c)
+          for c in ("mean_value", "stddev_value", "corr_value_hour")),
+        "med", "mad", "n_outliers", "max_abs_z")
+    return moments.unionByName(robust)
 
 
 _SQL_STATS = """
@@ -1160,8 +1186,39 @@ WITH s AS (
              * cast(extract(hour FROM ts) AS BIGINT)) AS shh,
          sum(cast(value AS decimal(18,2))
              * cast(extract(hour FROM ts) AS decimal(18,2))) AS sxh
-  FROM events GROUP BY event_type)
-SELECT event_type, n,
+  FROM events GROUP BY event_type),
+-- robust leg: rank-selected median/MAD + modified z (same closed form
+-- as operators/anomaly.py::robust_outliers / _rank_median)
+v AS (SELECT event_type, cast(value AS DOUBLE) AS v FROM events
+      WHERE value IS NOT NULL),
+r1 AS (SELECT event_type, v,
+              row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS c
+       FROM v),
+med AS (SELECT event_type, avg(v) AS med FROM r1
+        WHERE rn = (c + 1) // 2 OR rn = (c + 2) // 2
+        GROUP BY event_type),
+d AS (SELECT v.event_type, v.v, med.med, abs(v.v - med.med) AS av
+      FROM v JOIN med USING (event_type)),
+r2 AS (SELECT event_type, av,
+              row_number() OVER (PARTITION BY event_type ORDER BY av) AS rn,
+              count(*) OVER (PARTITION BY event_type) AS c
+       FROM d),
+mad AS (SELECT event_type, avg(av) AS mad FROM r2
+        WHERE rn = (c + 1) // 2 OR rn = (c + 2) // 2
+        GROUP BY event_type),
+z AS (SELECT d.event_type,
+             CASE WHEN mad.mad > 0
+                  THEN 0.6745 * (d.v - d.med) / mad.mad END AS z,
+             d.med, mad.mad
+      FROM d JOIN mad USING (event_type)),
+rob AS (
+  SELECT event_type, count(*) AS n, max(med) AS med, max(mad) AS mad,
+         cast(sum(CASE WHEN abs(z) > 3.5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_outliers,
+         round(max(abs(z)), 6) AS max_abs_z
+  FROM z GROUP BY event_type)
+SELECT 'moments' AS kind, event_type, n,
        round(cast(sx AS double) / cast(n AS double), 6) AS mean_value,
        round(sqrt((cast(n AS double) * cast(sxx AS double)
                    - cast(sx AS double) * cast(sx AS double))
@@ -1173,8 +1230,17 @@ SELECT event_type, n,
                      - cast(sx AS double) * cast(sx AS double))
                 * sqrt(cast(n AS double) * cast(shh AS double)
                        - cast(sh AS double) * cast(sh AS double))),
-             6) AS corr_value_hour
+             6) AS corr_value_hour,
+       CAST(NULL AS DOUBLE) AS med, CAST(NULL AS DOUBLE) AS mad,
+       CAST(NULL AS BIGINT) AS n_outliers, CAST(NULL AS DOUBLE) AS max_abs_z
 FROM s
+UNION ALL
+SELECT 'robust' AS kind, event_type, n,
+       CAST(NULL AS DOUBLE) AS mean_value,
+       CAST(NULL AS DOUBLE) AS stddev_value,
+       CAST(NULL AS DOUBLE) AS corr_value_hour,
+       med, mad, n_outliers, max_abs_z
+FROM rob
 """
 
 
@@ -1578,7 +1644,20 @@ def q_daily_event_spine(spark, sf_dir):
     ``expand`` plan, one shuffle, no join of sub-aggregates (folds the
     former ``daily_distinct_users`` query so the multi-distinct
     operator stays inside the driver's 50-query window). The spine side
-    is broadcast-sized by construction at any data scale."""
+    is broadcast-sized by construction at any data scale.
+
+    Folded second leg (kind='hourly_fill'):
+    ``operators/gapfill.py::fill_gaps`` — counts zero-fill (the daily
+    leg) but LEVEL metrics gap-fill to a carried or interpolated
+    value, so this leg densifies the per-(event_type, hour) exact
+    value sum onto each type's own hourly spine and fills holes by
+    LOCF + linear interpolation (at sf0.01 ~6% of hours per type are
+    empty; at sf0.001 most are — both oracle scales exercise real
+    fills). The DuckDB replay regenerates the per-key spine and both
+    window fills (IGNORE NULLS frames) and re-derives the same
+    fixed-order interpolation arithmetic, so every filled value is
+    hash-checked."""
+    from log2seq_spark.operators import gapfill
     ev = _t(spark, sf_dir, "events").select(
         F.to_date("ts").alias("d"), "user_id", "event_type")
     bounds = ev.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
@@ -1588,10 +1667,35 @@ def q_daily_event_spine(spark, sf_dir):
         F.count("*").alias("n"),
         F.countDistinct("user_id").alias("nu"),
         F.countDistinct("event_type").alias("nt"))
-    return (spine.join(counts, "d", "left")
-                 .select("d", F.coalesce("n", F.lit(0)).alias("n_events"),
-                         F.coalesce("nu", F.lit(0)).alias("n_users"),
-                         F.coalesce("nt", F.lit(0)).alias("n_types")))
+    daily = (spine.join(counts, "d", "left")
+                  .select("d", F.coalesce("n", F.lit(0)).alias("n_events"),
+                          F.coalesce("nu", F.lit(0)).alias("n_users"),
+                          F.coalesce("nt", F.lit(0)).alias("n_types")))
+    daily = daily.select(
+        F.lit("daily").alias("kind"), F.lit(None).cast("string")
+         .alias("event_type"), F.col("d").cast("timestamp").alias("ts"),
+        "n_events", "n_users", "n_types",
+        *(F.lit(None).cast("double").alias(c)
+          for c in ("v_obs", "v_locf", "v_interp")),
+        F.lit(None).cast("boolean").alias("filled"))
+    # hourly exact-decimal value sums per type, then densify + fill
+    evh = _t(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h"),
+        F.col("value").cast("decimal(18,2)").alias("v"))
+    buckets = (evh.groupBy("event_type", "h")
+                  .agg(F.sum("v").cast("double").alias("v")))
+    filled = gapfill.fill_gaps(buckets, key_col="event_type", ts_col="h",
+                               value_col="v", step="1 hour")
+    hourly = filled.select(
+        F.lit("hourly_fill").alias("kind"), "event_type",
+        F.col("h").alias("ts"),
+        *(F.lit(None).cast("bigint").alias(c)
+          for c in ("n_events", "n_users", "n_types")),
+        F.col("v").alias("v_obs"),
+        F.col("value_locf").alias("v_locf"),
+        F.round("value_interp", 6).alias("v_interp"),
+        "filled")
+    return daily.unionByName(hourly)
 
 
 _SQL_DAILY_SPINE = """
@@ -1602,11 +1706,59 @@ spine AS (
   SELECT ts::DATE AS d, count(*) AS n, count(DISTINCT user_id) AS nu,
          count(DISTINCT event_type) AS nt
   FROM events GROUP BY 1
+),
+-- hourly_fill leg: per-type hourly exact sums densified onto each
+-- type's own spine, LOCF + linear interpolation (replays
+-- operators/gapfill.py::fill_gaps expression-for-expression)
+hb AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         cast(sum(cast(value AS decimal(18,2))) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+), hbounds AS (
+  SELECT event_type, min(h) AS lo, max(h) AS hi FROM hb GROUP BY 1
+), hspine AS (
+  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+  FROM hbounds
+), hj AS (
+  SELECT s.event_type, s.h, hb.v
+  FROM hspine s LEFT JOIN hb USING (event_type, h)
+), hw AS (
+  SELECT event_type, h, v,
+         last_value(v IGNORE NULLS) OVER w_prev AS locf,
+         last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+           OVER w_prev AS pts,
+         first_value(v IGNORE NULLS) OVER w_next AS nxt,
+         first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+           OVER w_next AS nts
+  FROM hj
+  WINDOW
+    w_prev AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_next AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 )
-SELECT spine.d, coalesce(c.n, 0::BIGINT) AS n_events,
+SELECT 'daily' AS kind, CAST(NULL AS VARCHAR) AS event_type,
+       spine.d::TIMESTAMP AS ts,
+       coalesce(c.n, 0::BIGINT) AS n_events,
        coalesce(c.nu, 0::BIGINT) AS n_users,
-       coalesce(c.nt, 0::BIGINT) AS n_types
+       coalesce(c.nt, 0::BIGINT) AS n_types,
+       CAST(NULL AS DOUBLE) AS v_obs, CAST(NULL AS DOUBLE) AS v_locf,
+       CAST(NULL AS DOUBLE) AS v_interp, CAST(NULL AS BOOLEAN) AS filled
 FROM spine LEFT JOIN c USING (d)
+UNION ALL
+SELECT 'hourly_fill' AS kind, event_type, h AS ts,
+       CAST(NULL AS BIGINT) AS n_events, CAST(NULL AS BIGINT) AS n_users,
+       CAST(NULL AS BIGINT) AS n_types,
+       v AS v_obs, locf AS v_locf,
+       round(CASE WHEN v IS NOT NULL THEN v
+                  WHEN locf IS NULL THEN nxt
+                  WHEN nxt IS NULL THEN locf
+                  ELSE locf + (nxt - locf)
+                       * (cast(epoch(h) - epoch(pts) AS DOUBLE)
+                          / cast(epoch(nts) - epoch(pts) AS DOUBLE))
+             END, 6) AS v_interp,
+       v IS NULL AS filled
+FROM hw
 """
 
 

@@ -232,3 +232,74 @@ def burst_windows(events: DataFrame, ts_col: str = "ts",
                 & (F.col("n") * F.col("base_windows")
                    > F.lit(int(mult)).cast("bigint") * F.col("base_n")))
     return out.withColumn("is_burst", is_burst)
+
+
+def _rank_median(df: DataFrame, keys: list[str], val_col: str,
+                 out_col: str) -> DataFrame:
+    """Exact per-key median by rank selection — (keys..., out_col).
+
+    Deliberately NOT native ``median()``/``percentile(0.5)``: engines
+    interpolate the even-count midpoint with different float expression
+    shapes (``lo + (hi-lo)*0.5`` vs ``(lo+hi)/2``), which can differ by
+    an ulp and break cross-engine value hashes. Selecting the middle
+    one-or-two rows and averaging them is the same closed form in any
+    engine (sum of <=2 doubles, one divide), so a DuckDB replay matches
+    bit-for-bit. One shuffle + per-key sort — the price of an EXACT
+    median; swap in approx_percentile upstream when 1% error is fine.
+    """
+    w_ord = Window.partitionBy(*keys).orderBy(val_col)
+    w_all = Window.partitionBy(*keys)
+    r = df.select(*keys, val_col,
+                  F.row_number().over(w_ord).alias("__rm_rn"),
+                  F.count("*").over(w_all).alias("__rm_c"))
+    mid = r.filter((F.col("__rm_rn") == F.expr("(__rm_c + 1) DIV 2"))
+                   | (F.col("__rm_rn") == F.expr("(__rm_c + 2) DIV 2")))
+    return mid.groupBy(*keys).agg(F.avg(val_col).alias(out_col))
+
+
+def robust_outliers(df: DataFrame, value_col: str = "value",
+                    key_cols: tuple[str, ...] = ("event_type",),
+                    threshold: float = 3.5,
+                    broadcast_stats: bool = True) -> DataFrame:
+    """Robust per-key outlier scoring via the modified z-score
+    (Iglewicz & Hoaglin 1993): ``z = 0.6745 * (v - median) / MAD``,
+    flagged when ``|z| > threshold`` (their recommended 3.5). Median +
+    MAD resist the very outliers they hunt, unlike mean/stddev — the
+    standard robust alternative to :func:`~q_stats_value_by_type`-style
+    moment scoring for telemetry values.
+
+    Returns the input columns plus ``med``, ``mad``, ``robust_z``
+    (NULL when MAD = 0 — a constant-majority key has no robust scale)
+    and ``is_outlier``.
+
+    Scale shape: two exact rank-median passes (see :func:`_rank_median`
+    — each is one shuffle + per-key sort over the values projection,
+    never the full rows) producing #keys-row stats tables that join
+    back broadcast (``broadcast_stats=False`` for unbounded key
+    cardinality, e.g. per-user keys — then the joins shuffle on the
+    same key and AQE plans them). Exactness is the point: an
+    approx-percentile MAD moves the outlier cut nondeterministically
+    between runs, which a correctness-gated pipeline can't have.
+    """
+    keys = list(key_cols)
+    v = F.col(value_col).cast("double")
+    # NULL values carry no robust information and engines disagree on
+    # NULL sort placement — keep them out of the median ranks entirely
+    # (they still pass through the output with robust_z NULL)
+    vals = (df.select(*keys, v.alias("__ro_v"))
+              .filter(F.col("__ro_v").isNotNull()))
+    med = _rank_median(vals, keys, "__ro_v", "med")
+    bmed = F.broadcast(med) if broadcast_stats else med
+    dev = (vals.join(bmed, keys)
+               .select(*keys, F.abs(F.col("__ro_v") - F.col("med"))
+                                .alias("__ro_av")))
+    mad = _rank_median(dev, keys, "__ro_av", "mad")
+    stats = med.join(F.broadcast(mad) if broadcast_stats else mad, keys)
+    bstats = F.broadcast(stats) if broadcast_stats else stats
+    z = F.when(F.col("mad") > 0,
+               F.lit(0.6745) * (v - F.col("med")) / F.col("mad"))
+    return (df.join(bstats, keys, "left")  # all-NULL keys have no stats
+              .withColumn("robust_z", z)
+              .withColumn("is_outlier",
+                          F.coalesce(F.abs(z) > F.lit(float(threshold)),
+                                     F.lit(False))))
