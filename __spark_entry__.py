@@ -2438,7 +2438,17 @@ def q_dedup_exact(spark, sf_dir):
     ``drop_duplicate_spans`` — the exact counterpart to the winnowing
     approximation) with the md5 of the span-deduplicated text, so the
     oracle value-checks window hashing, keeper election, interval merge
-    AND token reassembly end-to-end."""
+    AND token reassembly end-to-end.
+
+    Third leg (kind='fuzzy'): entity-resolution census over customer
+    names — per name, how many other names sit within Levenshtein
+    distance 1 (``operators/fuzzyjoin.py::fuzzy_self_pairs``,
+    FastSS/SymSpell deletion-neighborhood blocking: complete candidate
+    generation by equi-join on delete-1 variants, exact levenshtein
+    verification). The DuckDB replay regenerates the deletion variants,
+    the candidate join AND the verification, so a single missed
+    candidate pair anywhere fails the row."""
+    from log2seq_spark.operators import fuzzyjoin
     docs = _tp(spark, sf_dir, "documents")
     groups = dedup.exact_duplicates(docs).select(
         F.lit("group").alias("kind"), "text_hash", "n_docs", "keep_id",
@@ -2448,7 +2458,9 @@ def q_dedup_exact(spark, sf_dir):
         F.lit(None).cast("long").alias("n_dup_windows"),
         F.lit(None).cast("long").alias("n_spans"),
         F.lit(None).cast("long").alias("dup_tokens"),
-        F.lit(None).cast("string").alias("clean_md5"))
+        F.lit(None).cast("string").alias("clean_md5"),
+        F.lit(None).cast("string").alias("name"),
+        F.lit(None).cast("long").alias("n_matches"))
     # stats + clean-text branches share one persisted ownership subtree
     # (window hashes are the expensive part; same _feed memo as winnow)
     own = _feed(spark, ("span_own", sf_dir),
@@ -2463,8 +2475,29 @@ def q_dedup_exact(spark, sf_dir):
         F.lit(None).cast("long").alias("keep_id"),
         "doc_id", F.col("n_toks").cast("long").alias("n_toks"),
         "n_windows", "n_dup_windows", "n_spans", "dup_tokens",
-        "clean_md5"))
-    return groups.unionByName(span_rows)
+        "clean_md5",
+        F.lit(None).cast("string").alias("name"),
+        F.lit(None).cast("long").alias("n_matches")))
+    pairs = fuzzyjoin.fuzzy_self_pairs(
+        _t(spark, sf_dir, "customer"), "c_name", max_dist=1)
+    fuzzy = (pairs.select(F.col("s_a").alias("name"))
+                  .unionAll(pairs.select(F.col("s_b").alias("name")))
+                  .groupBy("name")
+                  .agg(F.count("*").alias("n_matches"))
+                  .select(
+        F.lit("fuzzy").alias("kind"),
+        F.lit(None).cast("string").alias("text_hash"),
+        F.lit(None).cast("long").alias("n_docs"),
+        F.lit(None).cast("long").alias("keep_id"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.lit(None).cast("long").alias("n_toks"),
+        F.lit(None).cast("long").alias("n_windows"),
+        F.lit(None).cast("long").alias("n_dup_windows"),
+        F.lit(None).cast("long").alias("n_spans"),
+        F.lit(None).cast("long").alias("dup_tokens"),
+        F.lit(None).cast("string").alias("clean_md5"),
+        "name", "n_matches"))
+    return groups.unionByName(span_rows).unionByName(fuzzy)
 
 
 _SQL_DEDUP_EXACT = f"""
@@ -2535,13 +2568,41 @@ SELECT 'group' AS kind, text_hash, n_docs, keep_id,
        cast(NULL AS BIGINT) AS n_windows,
        cast(NULL AS BIGINT) AS n_dup_windows,
        cast(NULL AS BIGINT) AS n_spans, cast(NULL AS BIGINT) AS dup_tokens,
-       cast(NULL AS VARCHAR) AS clean_md5
+       cast(NULL AS VARCHAR) AS clean_md5,
+       cast(NULL AS VARCHAR) AS name, cast(NULL AS BIGINT) AS n_matches
 FROM grp
 UNION ALL
 SELECT 'span', cast(NULL AS VARCHAR), cast(NULL AS BIGINT),
        cast(NULL AS BIGINT), doc_id, n_toks, n_windows, n_dup_windows,
-       n_spans, dup_tokens, clean_md5
+       n_spans, dup_tokens, clean_md5,
+       cast(NULL AS VARCHAR), cast(NULL AS BIGINT)
 FROM span_rows
+UNION ALL
+-- fuzzy leg: FastSS delete-1 blocking + exact levenshtein verification
+-- (replays operators/fuzzyjoin.py::fuzzy_self_pairs)
+SELECT 'fuzzy', cast(NULL AS VARCHAR), cast(NULL AS BIGINT),
+       cast(NULL AS BIGINT), cast(NULL AS BIGINT), cast(NULL AS BIGINT),
+       cast(NULL AS BIGINT), cast(NULL AS BIGINT), cast(NULL AS BIGINT),
+       cast(NULL AS BIGINT), cast(NULL AS VARCHAR), name, n_matches
+FROM (
+  WITH fs AS (SELECT DISTINCT c_name AS s FROM customer
+              WHERE c_name IS NOT NULL),
+  fkeys AS (
+    SELECT DISTINCT s, substr(s, 1, i) || substr(s, i + 2) AS k
+    FROM fs, unnest(generate_series(0, length(s))) AS u(i)
+  ), fcand AS (
+    SELECT DISTINCT a.s AS s_a, b.s AS s_b
+    FROM fkeys a JOIN fkeys b ON a.k = b.k AND a.s < b.s
+  ), fpairs AS (
+    SELECT s_a, s_b FROM fcand
+    WHERE abs(length(s_a) - length(s_b)) <= 1
+      AND levenshtein(s_a, s_b) <= 1
+  )
+  SELECT name, cast(count(*) AS BIGINT) AS n_matches
+  FROM (SELECT s_a AS name FROM fpairs
+        UNION ALL SELECT s_b FROM fpairs)
+  GROUP BY name
+)
 """
 
 def q_dedup_minhash_lsh(spark, sf_dir):
