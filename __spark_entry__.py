@@ -3146,7 +3146,17 @@ def q_similarity_topk(spark, sf_dir):
     pool; the oracle replays quantization, the estimate ordering AND
     the rescoring closed-form, so a single mis-rounded code anywhere in
     the corpus moves the candidate cut and fails the row). Each leg is
-    checked value-exact against its own closed-form DuckDB replay."""
+    checked value-exact against its own closed-form DuckDB replay.
+
+    Hybrid-retrieval legs (``operators/retrieval.py``): ``rrf`` —
+    reciprocal-rank fusion (Cormack et al. 2009, k=60) of the sparse
+    bm25 list with the dense brute list (shared id space: vec_id i
+    embeds document i); and ``m_recall``/``m_mrr``/``m_ndcg`` —
+    ranked-retrieval metrics of the pruned IVF list against the exact
+    brute top-20 as binary truth at k=10 (id column = the cutoff k).
+    The oracle replays the rank windows, the 1/(60+rank) fusion sum,
+    and the DCG/IDCG closed forms, so a one-position rank shift in
+    either list fails the row."""
     from log2seq_spark.operators import retrieval
     embs = _t(spark, sf_dir, "embeddings")
     qvec = embs.filter(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -3167,8 +3177,27 @@ def q_similarity_topk(spark, sf_dir):
         _tp(spark, sf_dir, "documents"), BM25_QUERY, topk=20).select(
         F.lit("bm25").alias("method"), F.col("doc_id").alias("id"),
         "score")
+    fused = retrieval.rrf_fuse(
+        [bm25.select(F.col("id").alias("doc_id"), "score"),
+         brute.select(F.col("id").alias("doc_id"), "score")], k=60)
+    rrf_rows = fused.select(F.lit("rrf").alias("method"),
+                            F.col("doc_id").alias("id"),
+                            F.col("rrf").alias("score"))
+    truth = brute.select(F.col("id").alias("doc_id"),
+                         F.lit(1.0).alias("rel"))
+    m = retrieval.retrieval_metrics(
+        ivf.select(F.col("id").alias("doc_id"), "score"), truth, k=10)
+    metric_rows = None
+    for name, col in (("m_recall", "recall_at_k"), ("m_mrr", "mrr"),
+                      ("m_ndcg", "ndcg_at_k")):
+        leg = m.select(F.lit(name).alias("method"),
+                       F.lit(10).cast("long").alias("id"),
+                       F.col(col).alias("score"))
+        metric_rows = leg if metric_rows is None \
+            else metric_rows.unionByName(leg)
     return (brute.unionByName(ivf).unionByName(incr).unionByName(bm25)
-                 .unionByName(quant))
+                 .unionByName(quant).unionByName(rrf_rows)
+                 .unionByName(metric_rows))
 
 
 # deterministic keyword query drawn from the synthetic documents' vocab
@@ -3359,6 +3388,56 @@ LIMIT 20
 """
 
 
+# reciprocal-rank fusion of the bm25 and brute lists (rank windows +
+# 1/(60+rank) sum, rounded 9 — replays retrieval.py::rrf_fuse)
+_SQL_RRF = f"""
+WITH bmr AS (
+  SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS r
+  FROM ({_SQL_BM25})
+), knr AS (
+  SELECT vec_id AS id,
+         row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS r
+  FROM ({_SQL_KNN})
+)
+SELECT id, round(sum(1.0 / (60.0 + r)), 9) AS score
+FROM (SELECT id, r FROM bmr UNION ALL SELECT id, r FROM knr)
+GROUP BY id
+"""
+
+
+# IVF-vs-brute ranked-retrieval metrics at k=10 (binary truth = the
+# exact brute top-20; replays retrieval.py::retrieval_metrics)
+_SQL_RETMETRICS = f"""
+WITH res AS (
+  SELECT vec_id AS id,
+         row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS r
+  FROM ({_SQL_IVF})
+), tr AS (SELECT vec_id AS id FROM ({_SQL_KNN})),
+j AS (
+  SELECT res.id, res.r,
+         CASE WHEN tr.id IS NOT NULL THEN 1.0 ELSE 0.0 END AS rel
+  FROM res LEFT JOIN tr USING (id)
+), agg AS (
+  SELECT sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS hits,
+         min(CASE WHEN rel > 0 THEN r END) AS first_hit,
+         sum((pow(2.0, rel) - 1.0) / log2(cast(r AS DOUBLE) + 1.0)) AS dcg
+  FROM j WHERE r <= 10
+), ideal AS (
+  SELECT sum((pow(2.0, 1.0) - 1.0) / log2(cast(r AS DOUBLE) + 1.0)) AS idcg
+  FROM (SELECT row_number() OVER () AS r FROM tr) WHERE r <= 10
+), nrel AS (SELECT count(*) AS n FROM tr)
+SELECT 'm_recall' AS method, CAST(10 AS BIGINT) AS id,
+       round(cast(hits AS DOUBLE) / cast(n AS DOUBLE), 9) AS score
+FROM agg, nrel
+UNION ALL
+SELECT 'm_mrr', 10, coalesce(round(1.0 / cast(first_hit AS DOUBLE), 9), 0.0)
+FROM agg
+UNION ALL
+SELECT 'm_ndcg', 10, coalesce(round(dcg / idcg, 9), 0.0)
+FROM agg, ideal
+"""
+
+
 _SQL_SIMILARITY = f"""
 SELECT 'brute' AS method, b.vec_id AS id, b.cosine AS score
 FROM ({_SQL_KNN}) b
@@ -3373,6 +3452,10 @@ SELECT 'bm25' AS method, m.id, m.score FROM ({_SQL_BM25}) m
 UNION ALL
 SELECT 'quant' AS method, z.vec_id AS id, z.cosine AS score
 FROM ({_SQL_QUANT}) z
+UNION ALL
+SELECT 'rrf' AS method, f.id, f.score FROM ({_SQL_RRF}) f
+UNION ALL
+SELECT method, id, score FROM ({_SQL_RETMETRICS})
 """
 
 

@@ -80,3 +80,105 @@ def bm25_topk(docs: DataFrame, query: str, *, id_col: str = "doc_id",
                          k1=k1, b=b)
     return scored.orderBy(F.col("score").desc(),
                           F.col(id_col).asc()).limit(topk)
+
+
+def _rank_window(id_col: str, score_col: str, query_col: str | None):
+    from pyspark.sql import Window
+    part = [query_col] if query_col else []
+    return (Window.partitionBy(*part)
+                  .orderBy(F.col(score_col).desc(), F.col(id_col).asc()))
+
+
+def rrf_fuse(rankings: list[DataFrame], id_col: str = "doc_id",
+             score_col: str = "score", k: int = 60,
+             query_col: str | None = None) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    of several ranked candidate lists — the standard score-free hybrid
+    of sparse (BM25) and dense (ANN) retrieval:
+    ``rrf = Σ_lists 1 / (k + rank)`` with the paper's k = 60.
+
+    Each input is a ``(query_col?, id_col, score_col)`` frame; ranks
+    are recomputed per list (dense row_number, deterministic id
+    tie-break), so incomparable score scales fuse cleanly. Returns
+    ``(query_col?, id_col, rrf, n_lists)`` with ``rrf`` rounded to 9
+    decimals (the sum has ≤ #lists terms; rounding removes summation-
+    order float noise so the result is engine-replayable).
+
+    Inputs are top-k candidate lists — bounded by construction — so
+    with ``query_col=None`` the single-partition rank window holds k
+    rows, not a corpus. For corpus-scale eval sweeps, pass
+    ``query_col`` and the windows partition per query."""
+    part = [query_col] if query_col else []
+    ranked = []
+    for r in rankings:
+        w = _rank_window(id_col, score_col, query_col)
+        ranked.append(r.select(*part, id_col,
+                               F.row_number().over(w).alias("_rrf_rank")))
+    u = ranked[0]
+    for r in ranked[1:]:
+        u = u.unionByName(r)
+    rrf = F.round(F.sum(F.lit(1.0)
+                        / (F.lit(float(k)) + F.col("_rrf_rank"))), 9)
+    return (u.groupBy(*part, id_col)
+             .agg(rrf.alias("rrf"), F.count("*").alias("n_lists")))
+
+
+def retrieval_metrics(results: DataFrame, truth: DataFrame, k: int = 10,
+                      id_col: str = "doc_id", score_col: str = "score",
+                      rel_col: str = "rel",
+                      query_col: str | None = None) -> DataFrame:
+    """Standard ranked-retrieval quality metrics of ``results`` (a
+    ranked candidate list) against ``truth`` (graded relevance):
+    ``(query_col?, recall_at_k, mrr, ndcg_at_k, n_relevant)``.
+
+    recall@k = relevant retrieved in the top k / all relevant;
+    MRR = 1 / rank of the first relevant result;
+    nDCG@k = Σ_{r<=k} (2^rel − 1)/log2(r+1), normalized by the ideal
+    ordering of the ``truth`` grades (Järvelin & Kekäläinen 2002).
+
+    All three are per-query aggregates over top-k candidate lists:
+    the heavy work (the retrieval itself) happened upstream, this is
+    a join of two bounded frames + two rank windows, partitioned per
+    query when ``query_col`` is given. Sums are rounded to 9 decimals
+    for engine-replayable values (≤ k float terms each)."""
+    part = [query_col] if query_col else []
+    w = _rank_window(id_col, score_col, query_col)
+    r = results.select(*part, id_col,
+                       F.row_number().over(w).alias("_rank"))
+    t = truth.select(*part, id_col, F.col(rel_col).cast("double")
+                     .alias("_rel"))
+    j = (r.join(t, part + [id_col], "left")
+          .withColumn("_rel", F.coalesce("_rel", F.lit(0.0))))
+    wt = _rank_window(id_col, "_rel", query_col)
+    ideal = t.select(*part, "_rel",
+                     F.row_number().over(wt).alias("_irank"))
+    gain = lambda rel, rank: ((F.pow(F.lit(2.0), rel) - 1.0)
+                              / F.log2(rank.cast("double") + 1.0))
+    dcg = (j.filter(F.col("_rank") <= k)
+            .groupBy(*part)
+            .agg(F.sum(gain(F.col("_rel"), F.col("_rank"))).alias("_dcg"),
+                 F.sum(F.when(F.col("_rel") > 0, F.lit(1))
+                        .otherwise(F.lit(0))).alias("_hits"),
+                 F.min(F.when(F.col("_rel") > 0, F.col("_rank")))
+                  .alias("_first")))
+    idcg = (ideal.filter((F.col("_irank") <= k) & (F.col("_rel") > 0))
+                 .groupBy(*part)
+                 .agg(F.sum(gain(F.col("_rel"), F.col("_irank")))
+                       .alias("_idcg")))
+    nrel = t.filter(F.col("_rel") > 0).groupBy(*part).agg(
+        F.count("*").alias("n_relevant"))
+    if part:
+        m = dcg.join(idcg, part, "left").join(nrel, part, "left")
+    else:
+        m = dcg.crossJoin(idcg).crossJoin(nrel)  # three 1-row frames
+    return m.select(
+        *part,
+        F.round(F.col("_hits").cast("double")
+                / F.col("n_relevant").cast("double"), 9)
+         .alias("recall_at_k"),
+        F.coalesce(F.round(F.lit(1.0)
+                           / F.col("_first").cast("double"), 9),
+                   F.lit(0.0)).alias("mrr"),
+        F.coalesce(F.round(F.col("_dcg") / F.col("_idcg"), 9),
+                   F.lit(0.0)).alias("ndcg_at_k"),
+        "n_relevant")
