@@ -3757,7 +3757,16 @@ def q_pii_scrub_stats(spark, sf_dir):
     counts, and the post-scrub residue (must be 0). Deterministic
     PII-bearing lines are synthesized from events; 'view' rows carry no
     PII so n_docs < total. Pattern set restricted to Java-regex ≡ RE2
-    constructs so the DuckDB oracle replays masking + counts exactly."""
+    constructs so the DuckDB oracle replays masking + counts exactly.
+
+    Folded Unicode-hygiene legs (kind='controls' / 'nfc',
+    ``operators/scrub.py::normalize_stats``): 'click' rows get a
+    deterministic dirty suffix (decomposed e+U+0301, a zero-width
+    space, a C0 control); the census counts stripped controls,
+    NFC-changed docs and the normalized corpus's total codepoints. The
+    oracle replays the strip regex and DuckDB's ``nfc_normalize``
+    (same Unicode canonical composition as the pandas NFC UDF), so an
+    engine disagreement on any single codepoint moves the census."""
     ev = _tp(spark, sf_dir, "events")
     pii = F.concat(
         F.lit("user u"), F.col("user_id").cast("string"),
@@ -3770,7 +3779,13 @@ def q_pii_scrub_stats(spark, sf_dir):
                    F.concat(F.lit("plain view row "),
                             F.col("event_id").cast("string")))
              .otherwise(pii))
-    return scrub.scrub_stats(ev.select(text.alias("text")))
+    nbase = F.concat(F.lit("norm row "), F.col("event_id").cast("string"))
+    ndirty = (F.when(F.col("event_type") == "click",
+                     F.concat(nbase, F.lit("café​\x01")))
+               .otherwise(nbase))
+    nrm = scrub.normalize_stats(ev.select(ndirty.alias("text")))
+    return scrub.scrub_stats(ev.select(text.alias("text"))) \
+        .unionByName(nrm)
 
 
 def _sql_scrub() -> str:
@@ -3798,8 +3813,40 @@ def _sql_scrub() -> str:
        cast(sum(len(regexp_extract_all(s, '{pat}'))) AS BIGINT) AS n_after
 FROM scrubbed""")
     body = "\nUNION ALL\n".join(parts)
+    # Unicode-hygiene legs: rebuild the dirty corpus (decomposed accent
+    # chr(769), zero-width space chr(8203), C0 control chr(1)), strip
+    # with the SAME CONTROL_PATTERN, NFC via DuckDB's nfc_normalize
+    cp = scrub.CONTROL_PATTERN
+    norm_cte = f"""
+nbase AS (
+  SELECT CASE WHEN event_type = 'click'
+              THEN 'norm row ' || event_id || 'caf' || 'e' || chr(769)
+                   || chr(8203) || chr(1)
+              ELSE 'norm row ' || event_id END AS t
+  FROM events
+), nz AS (
+  SELECT t, regexp_replace(t, '{cp}', '', 'g') AS s FROM nbase
+), nn AS (
+  SELECT t, nfc_normalize(s) AS nt, length(t) - length(s) AS ncontrols
+  FROM nz
+)"""
+    norm_body = f"""SELECT 'controls' AS kind,
+       cast(sum(ncontrols) AS BIGINT) AS n_matches,
+       cast(sum(CASE WHEN ncontrols > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs,
+       cast(sum(length(nt)
+                - length(regexp_replace(nt, '{cp}', '', 'g'))) AS BIGINT)
+         AS n_after
+FROM nn
+UNION ALL
+SELECT 'nfc' AS kind,
+       cast(sum(CASE WHEN nt <> t THEN 1 ELSE 0 END) AS BIGINT),
+       cast(count(*) AS BIGINT),
+       cast(sum(length(nt)) AS BIGINT)
+FROM nn"""
     return (f"WITH lines AS ({lines_cte}\n), scrubbed AS (\n"
-            f"  SELECT text, {masked} AS s FROM lines\n)\n{body}")
+            f"  SELECT text, {masked} AS s FROM lines\n), {norm_cte}\n"
+            f"{body}\nUNION ALL\n{norm_body}")
 
 
 _SQL_SCRUB = _sql_scrub()

@@ -87,3 +87,88 @@ def scrub_stats(docs: DataFrame, text_col: str = "text",
                 F.col("n_matches").cast("long").alias("n_matches"),
                 F.col("n_docs").cast("long").alias("n_docs"),
                 F.col("n_after").cast("long").alias("n_after")))
+
+
+# C0 controls (minus \t \n \r) + DEL + zero-width space/joiners + BOM.
+# The zero-width characters are embedded LITERALLY (not as \uXXXX
+# escapes): Java regex spells them \uXXXX but RE2 needs \x{XXXX}, and a
+# literal character means one pattern works in both engines.
+CONTROL_PATTERN = ("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F"
+                   "​‌‍﻿]")
+
+
+def strip_controls_expr(text_col):
+    """Control/zero-width characters removed — pure ``regexp_replace``,
+    engine-portable, codegen'd."""
+    return F.regexp_replace(text_col, CONTROL_PATTERN, "")
+
+
+def nfc_normalize_udf():
+    """Arrow-batched NFC normalizer (canonical composition). Unicode
+    normalization has no Spark built-in, so this is one of the repo's
+    few pandas UDFs — batch-vectorized via ``Series.str.normalize``,
+    never per-row Python. DuckDB's ``nfc_normalize`` implements the
+    same Unicode canonical composition, so oracles replay it."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):
+        return s.str.normalize("NFC")
+
+    return _nfc
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text",
+                   out_col: str = "norm_text",
+                   strip_controls: bool = True) -> DataFrame:
+    """Unicode hygiene for a text column — the cleaning step every
+    multilingual corpus runs before hashing or dedup (decomposed
+    accents and zero-width characters make visually identical strings
+    hash apart, silently defeating exact dedup and decontamination):
+    strip control/zero-width characters (JVM regex, codegen), then NFC
+    canonical composition (Arrow pandas UDF — no JVM equivalent).
+
+    Adds ``out_col`` (normalized text), ``n_controls`` (characters
+    stripped) and ``changed`` (out_col differs from the input). One
+    scan, map-only; the single Python hop is the NFC batch UDF.
+    """
+    t = F.col(text_col)
+    stripped = strip_controls_expr(t) if strip_controls else t
+    staged = docs.select("*", stripped.alias("__nz_s"))
+    normed = nfc_normalize_udf()(F.col("__nz_s"))
+    return (staged.select("*", normed.alias(out_col))
+                  .withColumn("n_controls",
+                              F.length(t) - F.length("__nz_s"))
+                  .withColumn("changed", F.col(out_col) != t)
+                  .drop("__nz_s"))
+
+
+def normalize_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Two-row normalization census in the ``scrub_stats`` shape
+    ``(kind, n_matches, n_docs, n_after)``:
+
+    * kind='controls': stripped characters / affected docs / controls
+      REMAINING post-strip (invariant: 0);
+    * kind='nfc': docs changed by the full normalization / total docs /
+      total codepoints of the normalized corpus (a drift-sensitive
+      content census — any engine or Unicode-table disagreement moves
+      it).
+    """
+    n = normalize_text(docs, text_col)
+    agg = n.agg(
+        F.sum("n_controls").alias("c_n"),
+        F.sum(F.when(F.col("n_controls") > 0, 1).otherwise(0))
+         .alias("c_d"),
+        F.sum(F.length("norm_text")
+              - F.length(strip_controls_expr(F.col("norm_text"))))
+         .alias("c_a"),
+        F.sum(F.when(F.col("changed"), 1).otherwise(0)).alias("f_n"),
+        F.count("*").alias("f_d"),
+        F.sum(F.length("norm_text")).alias("f_a"))
+    return (agg.select(F.expr(
+        "stack(2, 'controls', c_n, c_d, c_a, 'nfc', f_n, f_d, f_a)"
+        " AS (kind, n_matches, n_docs, n_after)"))
+        .select("kind",
+                F.col("n_matches").cast("long").alias("n_matches"),
+                F.col("n_docs").cast("long").alias("n_docs"),
+                F.col("n_after").cast("long").alias("n_after")))
