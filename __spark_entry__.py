@@ -1604,14 +1604,51 @@ def q_session_window_stats(spark, sf_dir):
     event-time minutes of silence. One shuffle on the grouping key; in
     streaming this becomes watermark-bounded state. Spark's merge rule is
     strict (a gap of exactly 30:00 starts a NEW session; window end =
-    last event + gap), which the lag/cumsum oracle replays."""
+    last event + gap), which the lag/cumsum oracle replays.
+
+    Folded event-sequence legs (``operators/eventseq.py``):
+    kind='funnel' — the ordered view → click → purchase conversion
+    census (step i strictly after the key's EARLIEST completion of
+    step i-1; per-step chained min-ts aggregates, never a per-key
+    event list); kind='transition' — first-order event-type Markov
+    transitions per user (one lead window + one #types²-key
+    aggregate, exact counts + rounded probabilities). Oracles replay
+    the chained min-ts joins and the lead window bit-for-bit."""
+    from log2seq_spark.operators import eventseq
     ev = _t(spark, sf_dir, "events")
-    return (ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+    sess = (ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
               .agg(F.count("*").alias("n_events"))
               .select("user_id",
                       F.col("session_window.start").alias("session_start"),
                       F.col("session_window.end").alias("session_end"),
                       "n_events"))
+    nulls = lambda: (F.lit(None).cast("int").alias("step_idx"),
+                     F.lit(None).cast("string").alias("from_type"),
+                     F.lit(None).cast("string").alias("to_type"),
+                     F.lit(None).cast("double").alias("ratio"))
+    sess = sess.select(F.lit("session").alias("kind"), "user_id",
+                       "session_start", "session_end", "n_events",
+                       *nulls())
+    fun = eventseq.funnel_conversions(
+        ev, ["view", "click", "purchase"]).select(
+        F.lit("funnel").alias("kind"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.lit(None).cast("timestamp").alias("session_start"),
+        F.lit(None).cast("timestamp").alias("session_end"),
+        F.col("n_converted").alias("n_events"),
+        F.col("step_idx").cast("int").alias("step_idx"),
+        F.lit(None).cast("string").alias("from_type"),
+        F.col("step_type").alias("to_type"),
+        F.col("rate").alias("ratio"))
+    tr = eventseq.transition_matrix(ev).select(
+        F.lit("transition").alias("kind"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.lit(None).cast("timestamp").alias("session_start"),
+        F.lit(None).cast("timestamp").alias("session_end"),
+        F.col("n").alias("n_events"),
+        F.lit(None).cast("int").alias("step_idx"),
+        "from_type", "to_type", F.col("p").alias("ratio"))
+    return sess.unionByName(fun).unionByName(tr)
 
 
 _SQL_SESSION_WINDOW = """
@@ -1627,11 +1664,63 @@ WITH flagged AS (
          sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM flagged
+),
+-- funnel leg: chained earliest-completion min-ts aggregates
+-- (replays operators/eventseq.py::funnel_conversions)
+fs0 AS (SELECT user_id, min(ts) AS t FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+fs1 AS (SELECT e.user_id, min(e.ts) AS t
+        FROM events e JOIN fs0 ON e.user_id = fs0.user_id
+        WHERE e.event_type = 'click' AND e.ts > fs0.t GROUP BY e.user_id),
+fs2 AS (SELECT e.user_id, min(e.ts) AS t
+        FROM events e JOIN fs1 ON e.user_id = fs1.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > fs1.t
+        GROUP BY e.user_id),
+fcnt AS (
+  SELECT 0 AS step_idx, 'view' AS st,
+         (SELECT count(*) FROM fs0) AS n
+  UNION ALL SELECT 1, 'click', (SELECT count(*) FROM fs1)
+  UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM fs2)
+), fr AS (
+  SELECT step_idx, st, n,
+         CASE WHEN lag(n) OVER (ORDER BY step_idx) IS NULL THEN 1.0
+              WHEN lag(n) OVER (ORDER BY step_idx) = 0 THEN 0.0
+              ELSE round(cast(n AS DOUBLE)
+                         / cast(lag(n) OVER (ORDER BY step_idx)
+                                AS DOUBLE), 6) END AS rate
+  FROM fcnt
+),
+-- transition leg: lead window + (from, to) counts
+-- (replays operators/eventseq.py::transition_matrix)
+tp AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+), tc AS (
+  SELECT from_type, to_type, cast(count(*) AS BIGINT) AS n
+  FROM tp WHERE to_type IS NOT NULL GROUP BY from_type, to_type
 )
-SELECT user_id, min(ts) AS session_start,
+SELECT 'session' AS kind, user_id, min(ts) AS session_start,
        max(ts) + INTERVAL 30 MINUTE AS session_end,
-       count(*) AS n_events
+       count(*) AS n_events,
+       CAST(NULL AS INTEGER) AS step_idx,
+       CAST(NULL AS VARCHAR) AS from_type,
+       CAST(NULL AS VARCHAR) AS to_type,
+       CAST(NULL AS DOUBLE) AS ratio
 FROM sess GROUP BY user_id, sid
+UNION ALL
+SELECT 'funnel', CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP),
+       CAST(NULL AS TIMESTAMP), cast(n AS BIGINT), step_idx,
+       CAST(NULL AS VARCHAR), st, rate
+FROM fr
+UNION ALL
+SELECT 'transition', CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP),
+       CAST(NULL AS TIMESTAMP), n, CAST(NULL AS INTEGER),
+       from_type, to_type,
+       round(cast(n AS DOUBLE)
+             / cast(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6)
+FROM tc
 """
 
 
@@ -2030,22 +2119,48 @@ def q_value_quantiles(spark, sf_dir):
     ≡ ANSI percentile_cont). Exact quantiles need the full value
     multiset per group — fine for bounded group counts; switch to
     approx_percentile (t-digest, mergeable map-side) when groups or
-    values stop fitting."""
+    values stop fitting.
+
+    Folded kind='hist' leg: fixed-width value histograms per type
+    (bucket = floor(value/50), capped at 11 — the dashboard histogram
+    shape; one map-side-combinable aggregate whose key space is
+    #types × #buckets). Integer boundary math on 2-decimal inputs is
+    engine-exact, so every bucket count hash-checks."""
     ev = _tp(spark, sf_dir, "events")
-    return (ev.groupBy("event_type").agg(
+    q = (ev.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
         F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
-        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90")))
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"))
+        .select(F.lit("q").alias("kind"), "event_type",
+                "p25", "p50", "p75", "p90",
+                F.lit(None).cast("long").alias("bucket"),
+                F.lit(None).cast("long").alias("n")))
+    bucket = F.least(F.floor(F.col("value") / F.lit(50.0)), F.lit(11)) \
+              .cast("long")
+    hist = (ev.groupBy("event_type", bucket.alias("bucket"))
+              .agg(F.count("*").cast("long").alias("n"))
+              .select(F.lit("hist").alias("kind"), "event_type",
+                      *(F.lit(None).cast("double").alias(c)
+                        for c in ("p25", "p50", "p75", "p90")),
+                      "bucket", "n"))
+    return q.unionByName(hist)
 
 
 _SQL_QUANTILES = """
-SELECT event_type,
+SELECT 'q' AS kind, event_type,
        round(percentile_cont(0.25) WITHIN GROUP (ORDER BY value), 6) AS p25,
        round(percentile_cont(0.5)  WITHIN GROUP (ORDER BY value), 6) AS p50,
        round(percentile_cont(0.75) WITHIN GROUP (ORDER BY value), 6) AS p75,
-       round(percentile_cont(0.9)  WITHIN GROUP (ORDER BY value), 6) AS p90
+       round(percentile_cont(0.9)  WITHIN GROUP (ORDER BY value), 6) AS p90,
+       CAST(NULL AS BIGINT) AS bucket, CAST(NULL AS BIGINT) AS n
 FROM events GROUP BY event_type
+UNION ALL
+SELECT 'hist', event_type, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+       least(cast(floor(value / 50.0) AS BIGINT), 11) AS bucket,
+       cast(count(*) AS BIGINT) AS n
+FROM events GROUP BY event_type, bucket
 """
 
 
