@@ -426,6 +426,7 @@ def cmd_clean(args) -> int:
             .repartition(spark.sparkContext.defaultParallelism))
     out = clean_corpus(
         docs, text_col=args.text_col, id_col=args.id_col,
+        do_normalize=args.normalize,
         do_scrub=not args.no_scrub,
         do_line_dedup=not args.no_line_dedup,
         quality_min=None if args.quality_min < 0 else args.quality_min)
@@ -1356,6 +1357,10 @@ def main(argv=None) -> int:
     p.add_argument("--out", required=True)
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--normalize", action="store_true",
+                   help="Unicode hygiene first (NFC + control/zero-width "
+                        "strip) so later dedup stages hash visually "
+                        "identical text identically")
     p.add_argument("--no-scrub", action="store_true")
     p.add_argument("--no-line-dedup", action="store_true")
     p.add_argument("--quality-min", type=float, default=0.5,

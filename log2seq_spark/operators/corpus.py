@@ -23,6 +23,7 @@ from . import dedup, scrub, textstats
 
 def clean_corpus(docs: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id", *,
+                 do_normalize: bool = False,
                  do_scrub: bool = True,
                  do_line_dedup: bool = True,
                  quality_min: float | None = 0.5) -> DataFrame:
@@ -45,6 +46,13 @@ def clean_corpus(docs: DataFrame, text_col: str = "text",
 
     Stages (each optional):
 
+    0. ``do_normalize`` — Unicode hygiene first
+       (:func:`~log2seq_spark.operators.scrub.normalize_text`: strip
+       control/zero-width chars + NFC), so visually identical strings
+       hash identically in every later dedup stage. Off by default
+       because it inserts the one Arrow pandas-UDF hop into an
+       otherwise pure-JVM plan — turn it on for multilingual or
+       web-scraped corpora, where its absence silently weakens dedup.
     1. :func:`~log2seq_spark.operators.scrub.with_scrubbed` — mask
        emails/URLs/IPs/phones (map-only).
     2. :func:`~log2seq_spark.operators.dedup.drop_duplicate_lines` —
@@ -65,6 +73,9 @@ quality_features` score on the cleaned text ``>= quality_min``.
     hash-partitioned on ids or 32-char hashes; nothing quadratic.
     """
     cur = docs.select(F.col(id_col), F.col(text_col))
+    if do_normalize:
+        cur = (scrub.normalize_text(cur, text_col, out_col="_normed")
+                    .select(id_col, F.col("_normed").alias(text_col)))
     if do_scrub:
         cur = (scrub.with_scrubbed(cur, text_col, out_col="_scrubbed")
                     .select(id_col, F.col("_scrubbed").alias(text_col)))

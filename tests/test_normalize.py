@@ -54,3 +54,40 @@ class TestNormalizeStats:
         assert n["n_matches"] == 2     # accent doc + control doc changed
         assert n["n_docs"] == 3
         assert n["n_after"] == 4 + 2 + 5
+
+
+class TestCleanCorpusNormalize:
+    def test_normalize_stage_rescues_exact_dedup(self, spark):
+        from log2seq_spark.operators.corpus import clean_corpus
+        # same visible text, one NFC-composed, one decomposed + a
+        # zero-width space: without normalization they hash apart
+        composed = "café menu listing for today"
+        decomposed = "café menu listing​ for today"
+        docs = spark.createDataFrame(
+            [(1, composed), (2, decomposed)], "doc_id long, text string")
+        plain = clean_corpus(docs, do_line_dedup=False, quality_min=None)
+        assert all(r["kept"] for r in plain.collect())
+        normed = clean_corpus(docs, do_normalize=True,
+                              do_line_dedup=False, quality_min=None)
+        rows = {r["doc_id"]: r for r in normed.collect()}
+        assert rows[1]["kept"]
+        assert not rows[2]["kept"]
+        assert rows[2]["drop_reason"] == "exact_dup"
+        assert rows[2]["clean_text"] == composed
+
+    def test_cli_normalize_flag(self, spark, tmp_path):
+        import subprocess, sys, os
+        src = str(tmp_path / "docs")
+        out = str(tmp_path / "clean")
+        spark.createDataFrame(
+            [(1, "café shared body text"),
+             (2, "café shared body text")],
+            "doc_id long, text string").write.parquet(src)
+        env = {**os.environ, "PYTHONPATH": "/root/repo"}
+        r = subprocess.run(
+            [sys.executable, "-m", "log2seq_spark", "clean",
+             "--input", src, "--out", out, "--normalize",
+             "--no-line-dedup", "--quality-min", "-1"],
+            capture_output=True, text=True, env=env, cwd="/root/repo")
+        assert r.returncode == 0, r.stderr[-800:]
+        assert "# exact_dup: 1" in r.stderr
