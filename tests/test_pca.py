@@ -100,3 +100,32 @@ class TestPCAProject:
         want = x @ np.array(model["components"]).T
         for i in range(len(mat)):
             assert np.allclose(got[i], want[i], atol=1e-9)
+
+
+class TestPCACompose:
+    def test_near_dup_pairs_survive_projection(self, spark):
+        # structured corpus (rank-2 + tiny noise) with 10 planted
+        # near-duplicate pairs: PCA-4 projection must keep every
+        # planted pair a near-duplicate — the SemDeDup-style
+        # shrink-then-dedup composition
+        import random
+        from log2seq_spark.operators import dedup
+        rng = random.Random(11)
+        base = _lowrank(n=80, seed=11)
+        rows = [(i, v) for i, v in enumerate(base)]
+        planted = set()
+        for j in range(10):
+            src = base[j]
+            dup = [x + rng.gauss(0, 1e-4) for x in src]
+            rows.append((1000 + j, dup))
+            planted.add((j, 1000 + j))
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id long, embedding array<double>")
+        model = pca.pca_fit(df, k=4)
+        proj = pca.pca_project(df, model, out_col="p").select(
+            "vec_id", F.col("p").alias("embedding"))
+        pairs = {(r["id_a"], r["id_b"]) for r in
+                 dedup.embedding_near_duplicates(
+                     proj, threshold=0.999, n_planes=0).collect()}
+        assert planted <= pairs
