@@ -1012,6 +1012,38 @@ def cmd_bursts(args) -> int:
     return 0
 
 
+def cmd_outliers(args) -> int:
+    """Robust per-key outlier scoring (``operators/anomaly.py::
+    robust_outliers``): modified z over exact median/MAD. Prints the
+    flagged rows ``key<TAB>value<TAB>z`` (largest |z| first) and a
+    per-key tally to stderr."""
+    from .operators.anomaly import robust_outliers
+    spark, owns = _cli_spark("log2seq-spark-outliers")
+    events = (spark.table(args.input) if args.input_kind == "table"
+              else spark.read.parquet(args.input))
+    keys = tuple(args.key_col.split(",")) if args.key_col else ()
+    out = robust_outliers(events, args.value_col, keys,
+                          threshold=args.threshold)
+    flagged = (out.filter("is_outlier")
+                  .orderBy(F.abs(F.col("robust_z")).desc())
+                  .limit(args.top).collect())
+    for r in flagged:
+        key = "\t".join(str(r[k]) for k in keys)
+        parts = ([key] if key else []) + [str(r[args.value_col]),
+                                          f"{r['robust_z']:.3f}"]
+        print("\t".join(parts))
+    tally = (out.groupBy(*keys)
+                .agg(F.sum(F.col("is_outlier").cast("long")).alias("n"),
+                     F.count("*").alias("total")).collect())
+    for r in sorted(tally, key=lambda r: tuple(str(r[k]) for k in keys)):
+        key = ",".join(str(r[k]) for k in keys) or "(all)"
+        print(f"# {key}: {r['n']} outliers / {r['total']} rows",
+              file=sys.stderr)
+    if owns:
+        spark.stop()
+    return 0
+
+
 def cmd_render(args) -> int:
     """SFT-JSONL export (``operators/chatformat.py``): render each
     conversation of a turns table into one training sample —
@@ -1562,6 +1594,22 @@ def main(argv=None) -> int:
     p.add_argument("--bursts-only", action="store_true")
     p.add_argument("--top", type=int, default=100)
     p.set_defaults(fn=cmd_bursts)
+
+    p = sub.add_parser(
+        "outliers", help="robust per-key outlier scoring "
+                         "(modified z over exact median/MAD)")
+    p.add_argument("--input", required=True,
+                   help="events parquet path or table")
+    p.add_argument("--input-kind", choices=["parquet", "table"],
+                   default="parquet")
+    p.add_argument("--value-col", default="value")
+    p.add_argument("--key-col", default=None,
+                   help="comma-separated grouping keys "
+                        "(default: one global group)")
+    p.add_argument("--threshold", type=float, default=3.5,
+                   help="|modified z| cut (Iglewicz-Hoaglin default 3.5)")
+    p.add_argument("--top", type=int, default=100)
+    p.set_defaults(fn=cmd_outliers)
 
     p = sub.add_parser(
         "render",

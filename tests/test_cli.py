@@ -861,6 +861,27 @@ class TestAnomalyCommands:
         assert base == "3/1"
 
 
+class TestOutliersCommand:
+    def test_flags_spike_with_tally(self, spark, capsys, tmpdir_path):
+        src = os.path.join(tmpdir_path, "vals_pq")
+        vals = [("t", v) for v in
+                [9.0, 10.0, 10.0, 10.0, 11.0, 10.0, 9.5, 10.5, 10.0,
+                 10000.0]] + [("u", 5.0), ("u", 5.1), ("u", 4.9)]
+        (spark.createDataFrame(vals, "event_type string, value double")
+              .write.mode("overwrite").parquet(src))
+        capsys.readouterr()
+        assert main(["outliers", "--input", src,
+                     "--key-col", "event_type"]) == 0
+        cap = capsys.readouterr()
+        out = cap.out.splitlines()
+        assert len(out) == 1
+        key, val, z = out[0].split("\t")
+        assert (key, val) == ("t", "10000.0")
+        assert float(z) > 3.5
+        assert "# t: 1 outliers / 10 rows" in cap.err
+        assert "# u: 0 outliers / 3 rows" in cap.err
+
+
 class TestAnnCommand:
     def _embs(self, spark, tmpdir_path, name, ids):
         import math
