@@ -94,3 +94,39 @@ class TestFuzzyJoin:
         # both orientations + both exact matches
         assert out == {("abc", "abd"), ("abd", "abc"),
                        ("abc", "abc"), ("abd", "abd")}
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+class TestFuzzCompleteness:
+    """The FastSS blocking claims NO false negatives — fuzz it against
+    brute-force DP Levenshtein over a small alphabet (maximal near-
+    collision density), for both supported distances."""
+
+    @pytest.mark.parametrize("max_dist,seed", [(1, 3), (1, 4), (2, 5)])
+    def test_matches_bruteforce_exactly(self, spark, max_dist, seed):
+        import random
+        rng = random.Random(seed)
+        vocab = list({"".join(rng.choice("abc")
+                              for _ in range(rng.randint(0, 7)))
+                      for _ in range(60)})
+        want = {(a, b): _levenshtein(a, b)
+                for i, a in enumerate(vocab) for b in vocab[i + 1:]
+                if 0 < _levenshtein(a, b) <= max_dist}
+        want = {(min(a, b), max(a, b)): d for (a, b), d in want.items()}
+        got = {(r["s_a"], r["s_b"]): r["dist"]
+               for r in fuzzyjoin.fuzzy_self_pairs(
+                   _strs(spark, vocab), "s", max_dist=max_dist,
+                   max_bucket=None).collect()}
+        assert got == want
