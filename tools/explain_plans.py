@@ -48,6 +48,40 @@ def main():
     sections.append(("expectations: all checks in one aggregate",
                      turns.agg(*agg_cols)))
 
+    # session-3 standalone operators (their driver legs appear under the
+    # query sections too; these show the bare operator plans)
+    import datetime as dt
+    from log2seq_spark.operators import (anomaly, eventseq, fuzzyjoin,
+                                         gapfill, pca, scrub)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    sections.append(("anomaly: robust_outliers (rank-median x2 + "
+                     "broadcast stats join-back)",
+                     anomaly.robust_outliers(
+                         ev.select("event_type", "value"))))
+    buckets = (ev.groupBy("event_type",
+                          F.date_trunc("hour", F.col("ts")).alias("h"))
+                 .agg(F.sum(F.col("value").cast("decimal(18,2)"))
+                       .cast("double").alias("v")))
+    sections.append(("gapfill: fill_gaps (per-key spine + one fused "
+                     "Window for both fills)",
+                     gapfill.fill_gaps(buckets, "event_type", "h", "v")))
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    sections.append(("fuzzyjoin: fuzzy_self_pairs (deletion-variant "
+                     "equi-join, bucket-guarded, no product)",
+                     fuzzyjoin.fuzzy_self_pairs(cust, "c_name")))
+    sections.append(("eventseq: transition_matrix (one lead window + "
+                     "types^2 aggregate)", eventseq.transition_matrix(ev)))
+    sections.append(("eventseq: funnel_conversions (chained min-ts "
+                     "aggregates)", eventseq.funnel_conversions(
+                         ev, ["view", "click", "purchase"])))
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sections.append(("scrub: normalize_text (map-only, one Arrow hop)",
+                     scrub.normalize_text(docs)))
+    embs = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    _pca_model = pca.pca_fit(embs, k=4)
+    sections.append(("pca: pca_project (JVM-only zip_with/aggregate "
+                     "projection)", pca.pca_project(embs, _pca_model)))
+
     for name, fn in entrymod.queries().items():
         sections.append((f"query: {name}", fn(spark, SF_DIR)))
 
