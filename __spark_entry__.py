@@ -2943,7 +2943,13 @@ def q_stratified_sample_counts(spark, sf_dir):
     * ``kind='upsample'`` — epoch-repeat upsampling
       (``mixture.upsample_to_budget``, budget 2000 docs): full-epoch
       fan-out + deterministic fractional epoch; key = lang, n_docs =
-      emitted rows."""
+      emitted rows.
+    * ``kind='weighted'`` — Efraimidis–Spirakis weighted sampling
+      without replacement (``sampling.weighted_sample``: ln(u)/w key
+      over the md5-derived exact-52-bit uniform, TakeOrdered top-k,
+      weight = n_chars); key = selected doc_id, n_docs = its weight —
+      the oracle recomputes the ES keys and must select the IDENTICAL
+      20 documents."""
     from log2seq_spark.operators import funnel, mixture, sampling
     docs = _t(spark, sf_dir, "documents")
     feats = _docfeat_feed(spark, sf_dir)
@@ -2990,8 +2996,13 @@ def q_stratified_sample_counts(spark, sf_dir):
                   .cast("bigint").alias("n_docs"))
             .select(F.lit("leak").alias("kind"),
                     F.lit("straddle").alias("key"), "n_docs"))
+    wleg = (sampling.weighted_sample(docs, 20, "n_chars")
+            .select(F.lit("weighted").alias("kind"),
+                    F.col("doc_id").cast("string").alias("key"),
+                    F.col("n_chars").cast("long").alias("n_docs")))
     return (strata.unionByName(split_leg).unionByName(leak)
-            .unionByName(fun).unionByName(mix).unionByName(ups))
+            .unionByName(fun).unionByName(mix).unionByName(ups)
+            .unionByName(wleg))
 
 
 _SQL_STRATIFIED = f"""
@@ -3120,6 +3131,18 @@ SELECT 'upsample' AS kind, p.lang AS key,
        cast(CASE WHEN p.fe >= 1 THEN p.n * p.fe ELSE 0 END
             + coalesce(f.nf, 0) AS BIGINT) AS n_docs
 FROM upplan p LEFT JOIN upfrac f ON p.lang = f.lang
+UNION ALL
+-- weighted leg: Efraimidis-Spirakis ln(u)/w key over the exact 52-bit
+-- md5 uniform (replays sampling.weighted_sample bit-for-bit)
+SELECT 'weighted' AS kind, cast(doc_id AS VARCHAR) AS key,
+       cast(n_chars AS BIGINT) AS n_docs
+FROM (
+  SELECT doc_id, n_chars,
+         ln((('0x' || substr(md5('0#' || doc_id), 1, 13))::BIGINT + 0.5)
+            / 4503599627370496.0) / cast(n_chars AS DOUBLE) AS es_key
+  FROM documents WHERE n_chars > 0
+  ORDER BY es_key DESC, doc_id ASC LIMIT 20
+)
 """
 
 

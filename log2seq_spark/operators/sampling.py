@@ -88,3 +88,39 @@ def stratified_sample(df: DataFrame, strata_col: str, rates: Dict[str, float],
         expr = F.when(cond, lit) if expr is None else expr.when(cond, lit)
     thr = thr if expr is None else expr.otherwise(thr)
     return df.filter(hash_bucket(F.col(id_col), seed) < thr)
+
+
+def md5_uniform(id_col: Column, seed: int = 0) -> Column:
+    """Deterministic uniform in (0,1) from ``md5(seed '#' id)``: 13 hex
+    chars are 52 bits — exactly a double's mantissa, so the conversion
+    is exact in any engine — and the +0.5 offset keeps u strictly
+    inside (0,1) (``ln(0)`` downstream would be -inf)."""
+    key = F.md5(F.concat_ws("#", F.lit(str(seed)), id_col.cast("string")))
+    return ((F.conv(F.substring(key, 1, 13), 16, 10).cast("double")
+             + F.lit(0.5)) / F.lit(float(16 ** 13)))
+
+
+def weighted_sample(df: DataFrame, k: int, weight_col: str,
+                    id_col: str = "doc_id", seed: int = 0) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis
+    & Spirakis 2006, "Weighted random sampling with a reservoir"): each
+    row draws the content-addressed uniform ``u = md5_uniform(seed,
+    id)`` and the k rows with the largest ``u^(1/w)`` are the sample —
+    inclusion probability proportional to weight, reproducible across
+    runs, engines, partitionings and cluster sizes because there is no
+    RNG state to diverge.
+
+    Ranked by the monotone-equivalent ``ln(u)/w`` DESCENDING (avoids
+    pow underflow for large weights). Rows with NULL or non-positive
+    weight are excluded — zero weight means "never sample".
+
+    Scale shape: a narrow map-side key + ``orderBy().limit(k)``, which
+    plans TakeOrderedAndProject (per-partition heap + k-row merge) —
+    no global sort, no shuffle beyond the k-row collect."""
+    u = md5_uniform(F.col(id_col), seed)
+    w = F.col(weight_col).cast("double")
+    return (df.filter(w > 0)
+              .withColumn("_es_key", F.log(u) / w)
+              .orderBy(F.col("_es_key").desc(), F.col(id_col).asc())
+              .limit(k)
+              .drop("_es_key"))

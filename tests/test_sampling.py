@@ -102,3 +102,51 @@ class TestLeakageSafeSplit:
                                      ["doc_id", "text"])
         out = sampling.leakage_safe_split(docs, self._clusters(spark))
         assert out.columns == ["doc_id", "text", "split"]
+
+
+class TestWeightedSample:
+    def _docs(self, spark, weights):
+        from pyspark.sql import functions as F  # noqa: F401
+        return spark.createDataFrame(
+            [(i, w) for i, w in enumerate(weights)],
+            "doc_id long, w double")
+
+    def test_deterministic_and_without_replacement(self, spark):
+        from log2seq_spark.operators import sampling
+        docs = self._docs(spark, [float(i % 7 + 1) for i in range(100)])
+        a = [r["doc_id"] for r in
+             sampling.weighted_sample(docs, 10, "w").collect()]
+        b = [r["doc_id"] for r in
+             sampling.weighted_sample(docs, 10, "w").collect()]
+        assert a == b
+        assert len(set(a)) == 10
+
+    def test_weight_proportionality(self, spark):
+        from log2seq_spark.operators import sampling
+        # 300 heavy (w=10) + 300 light (w=1): across seeds, heavy ids
+        # must dominate the sample decisively
+        docs = self._docs(spark, [10.0] * 300 + [1.0] * 300)
+        heavy = light = 0
+        for seed in range(6):
+            sel = [r["doc_id"] for r in sampling.weighted_sample(
+                docs, 30, "w", seed=seed).collect()]
+            heavy += sum(1 for i in sel if i < 300)
+            light += sum(1 for i in sel if i >= 300)
+        assert heavy + light == 180
+        assert heavy > 4 * light
+
+    def test_nonpositive_and_null_weights_excluded(self, spark):
+        from log2seq_spark.operators import sampling
+        docs = spark.createDataFrame(
+            [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0)],
+            "doc_id long, w double")
+        sel = {r["doc_id"] for r in
+               sampling.weighted_sample(docs, 10, "w").collect()}
+        assert sel == {1, 5}
+
+    def test_plans_take_ordered_not_global_sort(self, spark):
+        from log2seq_spark.operators import sampling
+        docs = self._docs(spark, [1.0] * 50)
+        p = (sampling.weighted_sample(docs, 5, "w")
+             ._jdf.queryExecution().executedPlan().toString())
+        assert "TakeOrderedAndProject" in p
