@@ -130,3 +130,41 @@ class TestFuzzCompleteness:
                    _strs(spark, vocab), "s", max_dist=max_dist,
                    max_bucket=None).collect()}
         assert got == want
+
+
+class TestResolveEntities:
+    def test_frequency_survivorship(self, spark):
+        # "server01" is the dominant spelling; typo variants map to it
+        rows = (["server01"] * 5 + ["serverO1"] * 2 + ["serve01"]
+                + ["gateway"] * 3)
+        df = _strs(spark, rows)
+        out = {r["s"]: r for r in
+               fuzzyjoin.resolve_entities(df, "s").collect()}
+        assert out["serverO1"]["canonical"] == "server01"
+        assert out["serve01"]["canonical"] == "server01"
+        assert out["server01"]["canonical"] == "server01"
+        assert out["server01"]["cluster_size"] == 3
+        # untouched singleton maps to itself
+        assert out["gateway"]["canonical"] == "gateway"
+        assert out["gateway"]["cluster_size"] == 1
+
+    def test_tie_breaks_lexicographic(self, spark):
+        df = _strs(spark, ["abc", "abd"])          # 1 row each: tie
+        out = {r["s"]: r["canonical"] for r in
+               fuzzyjoin.resolve_entities(df, "s").collect()}
+        assert out == {"abc": "abc", "abd": "abc"}
+
+    def test_precomputed_counts(self, spark):
+        df = spark.createDataFrame([("abc", 1), ("abd", 9)],
+                                   "s string, n long")
+        out = {r["s"]: r["canonical"] for r in
+               fuzzyjoin.resolve_entities(df, "s",
+                                          count_col="n").collect()}
+        assert out == {"abc": "abd", "abd": "abd"}
+
+    def test_transitive_chain_one_cluster(self, spark):
+        # aaa ~ aab ~ abb ~ bbb: one component although ed(aaa,bbb)=3
+        df = _strs(spark, ["aaa", "aab", "abb", "bbb"])
+        out = fuzzyjoin.resolve_entities(df, "s").collect()
+        assert {r["cluster_size"] for r in out} == {4}
+        assert {r["canonical"] for r in out} == {"aaa"}
