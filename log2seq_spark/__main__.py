@@ -1044,6 +1044,45 @@ def cmd_outliers(args) -> int:
     return 0
 
 
+def cmd_fill(args) -> int:
+    """Time-series gap filling (``operators/gapfill.py::fill_gaps``):
+    bucket a value column onto a per-key step grid (exact decimal sums
+    → double), densify, fill by LOCF + linear interpolation, write the
+    filled parquet and print a per-key filled/total tally to stderr."""
+    from .operators.gapfill import fill_gaps
+    spark, owns = _cli_spark("log2seq-spark-fill")
+    events = (spark.table(args.input) if args.input_kind == "table"
+              else spark.read.parquet(args.input))
+    keys = [k for k in (args.key_col.split(",") if args.key_col else [])]
+    bucketed = (events
+                .groupBy(*keys, F.date_trunc(args.trunc, F.col(args.ts_col))
+                         .alias(args.ts_col))
+                .agg(F.sum(F.col(args.value_col).cast("decimal(18,2)"))
+                      .cast("double").alias(args.value_col)))
+    if not keys:
+        bucketed = bucketed.withColumn("_k", F.lit("all"))
+        keys = ["_k"]
+    key = keys[0] if len(keys) == 1 else None
+    if key is None:
+        bucketed = bucketed.withColumn(
+            "_k", F.concat_ws("/", *[F.col(k).cast("string")
+                                     for k in keys]))
+        key = "_k"
+    filled = fill_gaps(bucketed.select(key, args.ts_col, args.value_col),
+                       key_col=key, ts_col=args.ts_col,
+                       value_col=args.value_col, step=args.step)
+    filled.write.mode("overwrite").parquet(args.out)
+    back = spark.read.parquet(args.out)
+    for r in sorted(back.groupBy(key).agg(
+            F.sum(F.col("filled").cast("long")).alias("nf"),
+            F.count("*").alias("n")).collect(), key=lambda r: str(r[key])):
+        print(f"# {r[key]}: filled {r['nf']} of {r['n']} grid rows",
+              file=sys.stderr)
+    if owns:
+        spark.stop()
+    return 0
+
+
 def cmd_render(args) -> int:
     """SFT-JSONL export (``operators/chatformat.py``): render each
     conversation of a turns table into one training sample —
@@ -1610,6 +1649,26 @@ def main(argv=None) -> int:
                    help="|modified z| cut (Iglewicz-Hoaglin default 3.5)")
     p.add_argument("--top", type=int, default=100)
     p.set_defaults(fn=cmd_outliers)
+
+    p = sub.add_parser(
+        "fill", help="densify a keyed value series onto a step grid "
+                     "(LOCF + linear interpolation)")
+    p.add_argument("--input", required=True,
+                   help="events parquet path or table")
+    p.add_argument("--input-kind", choices=["parquet", "table"],
+                   default="parquet")
+    p.add_argument("--out", required=True, help="filled parquet output")
+    p.add_argument("--ts-col", default="ts")
+    p.add_argument("--value-col", default="value")
+    p.add_argument("--key-col", default=None,
+                   help="comma-separated grouping keys "
+                        "(default: one global series)")
+    p.add_argument("--trunc", default="hour",
+                   help="date_trunc unit for bucketing (default hour)")
+    p.add_argument("--step", default="1 hour",
+                   help="grid step interval (default '1 hour'; match "
+                        "--trunc)")
+    p.set_defaults(fn=cmd_fill)
 
     p = sub.add_parser(
         "render",

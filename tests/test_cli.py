@@ -882,6 +882,28 @@ class TestOutliersCommand:
         assert "# u: 0 outliers / 3 rows" in cap.err
 
 
+class TestFillCommand:
+    def test_fills_hourly_gaps(self, spark, capsys, tmpdir_path):
+        import datetime as dt
+        src = os.path.join(tmpdir_path, "series_pq")
+        out = os.path.join(tmpdir_path, "filled_pq")
+        rows = [("a", dt.datetime(2024, 1, 1, 0, 5), 10.0),
+                ("a", dt.datetime(2024, 1, 1, 3, 40), 40.0),
+                ("b", dt.datetime(2024, 1, 1, 1, 0), 7.0)]
+        (spark.createDataFrame(rows, "k string, ts timestamp, value double")
+              .write.mode("overwrite").parquet(src))
+        capsys.readouterr()
+        assert main(["fill", "--input", src, "--out", out,
+                     "--key-col", "k"]) == 0
+        err = capsys.readouterr().err
+        assert "# a: filled 2 of 4 grid rows" in err
+        assert "# b: filled 0 of 1 grid rows" in err
+        got = {(r["k"], r["ts"].hour): r
+               for r in spark.read.parquet(out).collect()}
+        assert got[("a", 1)]["value_locf"] == 10.0
+        assert got[("a", 2)]["value_interp"] == pytest.approx(30.0)
+
+
 class TestAnnCommand:
     def _embs(self, spark, tmpdir_path, name, ids):
         import math
