@@ -1074,20 +1074,76 @@ def q_approx_distinct_users(spark, sf_dir):
     *bound*, not the estimate — if Spark's estimate ever drifts out of
     tolerance the hash comparison fails. At scale HLL is the point: a
     fixed-size sketch with map-side partial merge replaces the exact
-    path's per-group distinct expansion."""
+    path's per-group distinct expansion.
+
+    Folded kind='profile' leg
+    (``operators/expectations.py::table_profile``, exact_distinct
+    mode): the Deequ/TFDV-style per-column census of the events table
+    (count / nulls / distinct / min / max rendered as strings) — one
+    single-pass aggregate unpivoted to rows, every value
+    DuckDB-replayed exactly. ``profile_drift`` (snapshot comparison)
+    is unit-tested on top of these profiles."""
+    from log2seq_spark.operators.expectations import table_profile
     ev = _t(spark, sf_dir, "events")
     est = F.approx_count_distinct("user_id", 0.02)
     exact = F.countDistinct("user_id")
-    return (ev.groupBy("event_type")
-              .agg(exact.alias("n_exact"),
-                   ((F.abs(est - exact) / exact) <= 0.05)
-                   .alias("within_5pct")))
+    hll = (ev.groupBy("event_type")
+             .agg(exact.alias("n_exact"),
+                  ((F.abs(est - exact) / exact) <= 0.05)
+                  .alias("within_5pct"))
+             .select(F.lit("hll").alias("kind"),
+                     F.col("event_type").alias("key"),
+                     "n_exact", "within_5pct",
+                     *(F.lit(None).cast("long").alias(c)
+                       for c in ("n", "n_null", "n_distinct")),
+                     F.lit(None).cast("string").alias("min_s"),
+                     F.lit(None).cast("string").alias("max_s")))
+    cols = ["event_id", "user_id", "event_type", "value"]
+    prof = (table_profile(ev, cols, exact_distinct=True)
+            .select(F.lit("profile").alias("kind"),
+                    F.col("column").alias("key"),
+                    F.lit(None).cast("long").alias("n_exact"),
+                    F.lit(None).cast("boolean").alias("within_5pct"),
+                    "n", "n_null", "n_distinct", "min_s", "max_s"))
+    return hll.unionByName(prof)
 
 
 _SQL_APPROX_DISTINCT = """
-SELECT event_type, count(DISTINCT user_id) AS n_exact,
-       TRUE AS within_5pct
+SELECT 'hll' AS kind, event_type AS key,
+       count(DISTINCT user_id) AS n_exact, TRUE AS within_5pct,
+       CAST(NULL AS BIGINT) AS n, CAST(NULL AS BIGINT) AS n_null,
+       CAST(NULL AS BIGINT) AS n_distinct,
+       CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s
 FROM events GROUP BY event_type
+UNION ALL
+SELECT 'profile', c.col, CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN),
+       p.n, p.z, p.d, p.lo, p.hi
+FROM (VALUES ('event_id'), ('user_id'), ('event_type'), ('value')) c(col)
+JOIN (
+  SELECT 'event_id' AS col, count(*) AS n,
+         sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS z,
+         count(DISTINCT event_id) AS d,
+         cast(min(event_id) AS VARCHAR) AS lo,
+         cast(max(event_id) AS VARCHAR) AS hi FROM events
+  UNION ALL
+  SELECT 'user_id', count(*),
+         sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+         count(DISTINCT user_id),
+         cast(min(user_id) AS VARCHAR), cast(max(user_id) AS VARCHAR)
+  FROM events
+  UNION ALL
+  SELECT 'event_type', count(*),
+         sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+         count(DISTINCT event_type),
+         cast(min(event_type) AS VARCHAR), cast(max(event_type) AS VARCHAR)
+  FROM events
+  UNION ALL
+  SELECT 'value', count(*),
+         sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END),
+         count(DISTINCT value),
+         cast(min(value) AS VARCHAR), cast(max(value) AS VARCHAR)
+  FROM events
+) p ON p.col = c.col
 """
 
 

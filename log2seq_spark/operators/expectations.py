@@ -243,3 +243,81 @@ def transcript_checks(max_null_text: float = 0.01) -> List[Check]:
         row_count(1),
         satisfies("turn_key", "conv_id IS NOT NULL AND turn_idx >= 0"),
     ]
+
+
+def table_profile(df: DataFrame, cols: Sequence[str] | None = None,
+                  exact_distinct: bool = False) -> DataFrame:
+    """Per-column data profile in ONE aggregate pass — the
+    Deequ-/TFDV-style column census ops pipelines snapshot per
+    ingestion drop: ``(column, n, n_null, n_distinct, min_s, max_s)``
+    with min/max rendered as strings so one schema profiles every
+    column type.
+
+    ``n_distinct`` defaults to HLL++ (fixed-size, map-side mergeable —
+    the only shape that survives a 10^12-row column); pass
+    ``exact_distinct=True`` when the profile feeds an equality gate
+    (Spark plans the multi-column distinct as one expand, still one
+    pass). The single-row aggregate unpivots to per-column rows at the
+    end (k×6 literals — free).
+    """
+    names = list(cols) if cols is not None else [f.name for f in df.schema]
+    aggs = []
+    for c in names:
+        col = F.col(c)
+        nd = (F.countDistinct(col) if exact_distinct
+              else F.approx_count_distinct(col, 0.02))
+        aggs += [
+            F.count(F.lit(1)).alias(f"_n_{c}"),
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"_z_{c}"),
+            nd.alias(f"_d_{c}"),
+            F.min(col).cast("string").alias(f"_lo_{c}"),
+            F.max(col).cast("string").alias(f"_hi_{c}"),
+        ]
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', _n_{c}, _z_{c}, _d_{c}, _lo_{c}, _hi_{c}" for c in names)
+    return (one.select(F.expr(
+        f"stack({len(names)}, {stack}) AS "
+        "(column, n, n_null, n_distinct, min_s, max_s)"))
+        .select("column", F.col("n").cast("long").alias("n"),
+                F.col("n_null").cast("long").alias("n_null"),
+                F.col("n_distinct").cast("long").alias("n_distinct"),
+                "min_s", "max_s"))
+
+
+def profile_drift(before: DataFrame, after: DataFrame,
+                  null_frac_tol: float = 0.05,
+                  distinct_rel_tol: float = 0.5) -> DataFrame:
+    """Schema + distribution drift between two snapshots' profiles
+    (both from :func:`table_profile`): one row per column seen in
+    either, ``(column, status, n_null_frac_a, n_null_frac_b,
+    n_distinct_a, n_distinct_b)`` with status ∈ 'added' / 'removed' /
+    'null_drift' (null fraction moved more than ``null_frac_tol``
+    absolute) / 'distinct_drift' (distinct count moved more than
+    ``distinct_rel_tol`` relative) / 'ok'. The inputs are k-row
+    profiles, so this is driver-cheap by construction — the corpus
+    passes already happened in ``table_profile``."""
+    a = before.select(F.col("column"),
+                      (F.col("n_null").cast("double")
+                       / F.col("n")).alias("_fa"),
+                      F.col("n_distinct").alias("_da"))
+    b = after.select(F.col("column"),
+                     (F.col("n_null").cast("double")
+                      / F.col("n")).alias("_fb"),
+                     F.col("n_distinct").alias("_db"))
+    j = a.join(b, "column", "full_outer")
+    null_drift = (F.abs(F.col("_fb") - F.col("_fa"))
+                  > F.lit(float(null_frac_tol)))
+    dist_drift = (F.abs(F.col("_db") - F.col("_da")).cast("double")
+                  > F.lit(float(distinct_rel_tol))
+                  * F.greatest(F.col("_da").cast("double"), F.lit(1.0)))
+    status = (F.when(F.col("_fa").isNull(), F.lit("added"))
+               .when(F.col("_fb").isNull(), F.lit("removed"))
+               .when(null_drift, F.lit("null_drift"))
+               .when(dist_drift, F.lit("distinct_drift"))
+               .otherwise(F.lit("ok")))
+    return j.select("column", status.alias("status"),
+                    F.round("_fa", 6).alias("null_frac_a"),
+                    F.round("_fb", 6).alias("null_frac_b"),
+                    F.col("_da").alias("n_distinct_a"),
+                    F.col("_db").alias("n_distinct_b"))

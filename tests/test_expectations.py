@@ -105,3 +105,41 @@ class TestChecks:
     def test_in_range_requires_a_bound(self, turns):
         with pytest.raises(ValueError, match="lo and/or hi"):
             ex.in_range("turn_idx")
+
+
+class TestTableProfile:
+    def test_profile_and_drift(self, spark):
+        from log2seq_spark.operators.expectations import (profile_drift,
+                                                          table_profile)
+        a = spark.createDataFrame(
+            [(1, "x", 1.0), (2, "y", None), (3, "x", 3.0)],
+            "id long, s string, v double")
+        pa = {r["column"]: r for r in
+              table_profile(a, exact_distinct=True).collect()}
+        assert pa["id"]["n"] == 3 and pa["id"]["n_null"] == 0
+        assert pa["id"]["n_distinct"] == 3
+        assert (pa["id"]["min_s"], pa["id"]["max_s"]) == ("1", "3")
+        assert pa["v"]["n_null"] == 1 and pa["v"]["n_distinct"] == 2
+        assert pa["s"]["n_distinct"] == 2
+
+        # drift: drop a column, add one, null-out most of v
+        b = spark.createDataFrame(
+            [(1, None, "n"), (2, None, "n"), (3, 9.9, "n")],
+            "id long, v double, extra string")
+        drift = {r["column"]: r for r in profile_drift(
+            table_profile(a, exact_distinct=True),
+            table_profile(b, exact_distinct=True)).collect()}
+        assert drift["s"]["status"] == "removed"
+        assert drift["extra"]["status"] == "added"
+        assert drift["v"]["status"] == "null_drift"
+        assert drift["id"]["status"] == "ok"
+
+    def test_distinct_drift(self, spark):
+        from log2seq_spark.operators.expectations import (profile_drift,
+                                                          table_profile)
+        a = spark.createDataFrame([(i % 2,) for i in range(10)], "k long")
+        b = spark.createDataFrame([(i,) for i in range(10)], "k long")
+        d = profile_drift(table_profile(a, exact_distinct=True),
+                          table_profile(b, exact_distinct=True)).first()
+        assert d["status"] == "distinct_drift"
+        assert (d["n_distinct_a"], d["n_distinct_b"]) == (2, 10)
