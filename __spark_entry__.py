@@ -1454,7 +1454,17 @@ def q_decontaminate(spark, sf_dir):
       overlap_ratio carries the pair Jaccard, n_shingles/n_overlap the
       train set size and intersection. Catches the paraphrased leakage
       the exact leg's aggregate ratio dilutes. The oracle replays the
-      signatures, the band join, AND the Jaccard closed-form."""
+      signatures, the band join, AND the Jaccard closed-form.
+    * ``method='bloom'`` — ``bloom.bloom_contamination_report``: the
+      exact leg recomputed through a Bloom-filter prefilter (seeded
+      xxhash64 → bit_or word aggregate → codegen'd getbit probe, all
+      JVM-side) + exact confirm join that removes false positives, so
+      its rows must EQUAL the exact leg's values — the oracle replays
+      the exact CTE relabeled. This is the scale path for eval
+      vocabularies too large to ship as a broadcast join hash table
+      (~1.2 bytes/shingle of bitmap vs ~50-100 bytes/shingle of hash
+      table); the corpus-side filter is a map-only codegen'd stage
+      (plan-asserted shuffle-free in tests/test_bloom.py)."""
     docs = _tp(spark, sf_dir, "documents")
     evalset = docs.filter(F.col("doc_id") % 50 == 0)
     train = docs.filter(F.col("doc_id") % 50 != 0)
@@ -1471,7 +1481,14 @@ def q_decontaminate(spark, sf_dir):
                      "n_overlap",
                      F.col("jaccard").alias("overlap_ratio"),
                      F.lit(True).alias("contaminated")))
-    return exact.unionByName(fuzzy)
+    from log2seq_spark.operators import bloom as _bloom
+    via_bloom = (_bloom.bloom_contamination_report(train, evalset,
+                                                   threshold=0.5, fpp=0.01)
+                 .select(F.lit("bloom").alias("method"), "doc_id",
+                         F.lit(None).cast("bigint").alias("eval_id"),
+                         "n_shingles", "n_overlap", "overlap_ratio",
+                         "contaminated"))
+    return exact.unionByName(fuzzy).unionByName(via_bloom)
 
 
 _SQL_DECONTAMINATE = f"""
@@ -1528,6 +1545,12 @@ WITH norm AS (
         / (len(a.ds) + len(b.ds) - len(list_intersect(a.ds, b.ds))) >= 0.5
 )
 SELECT * FROM exact UNION ALL SELECT * FROM fuzzy
+UNION ALL
+-- the bloom leg's exact-confirm join removes every false positive, so
+-- its rows are definitionally the exact leg's rows relabeled
+SELECT 'bloom' AS method, doc_id, eval_id, n_shingles, n_overlap,
+       overlap_ratio, contaminated
+FROM exact
 """
 
 

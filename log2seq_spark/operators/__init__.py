@@ -3,12 +3,12 @@ template mining, template-anomaly surfaces (drift/rarity/bursts),
 sequence packing, range/as-of joins, sampling, multimodal plumbing,
 PII/URL scrubbing, composed corpus cleaning."""
 
-from . import (anomaly, asof, chunking, corpus, dedup, expectations,
-               funnel, layout, mixture, multimodal, packing, preference,
-               rangejoin, sampling, scrub, shards, similarity, templates,
-               textstats)
+from . import (anomaly, asof, bloom, chunking, corpus, dedup,
+               expectations, funnel, layout, mixture, multimodal, packing,
+               preference, rangejoin, sampling, scrub, shards, similarity,
+               templates, textstats)
 
-__all__ = ["anomaly", "asof", "chunking", "corpus", "dedup",
+__all__ = ["anomaly", "asof", "bloom", "chunking", "corpus", "dedup",
            "expectations", "funnel", "layout", "mixture", "multimodal",
            "packing", "preference", "rangejoin", "sampling", "scrub",
            "shards", "similarity", "templates", "textstats"]

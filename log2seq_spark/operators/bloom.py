@@ -1,0 +1,235 @@
+"""Bloom-filter semi-join prefiltering, built entirely from JVM-side
+expressions — no Python touches a row on either the build or the probe.
+
+Why this is a first-class operator at 10^12 turns: the pipeline's
+membership checks (benchmark decontamination dedup.py:585, dedup
+against an index dedup.py exact/minhash index paths, keep/drop lists)
+all reduce to "filter a huge table by membership in a smaller set".
+When the set fits a broadcast-join hash table, Spark's broadcast join
+is the right tool and this module is unnecessary. The gap is the
+middle regime — a membership set of 10^8–10^10 keys (an eval-suite
+shingle vocabulary, a cross-epoch dedup index) whose exact hash table
+is tens of GB per executor, but whose Bloom filter at 1% FPP is
+~1.2 bytes/key. A Bloom prefilter turns the full-corpus shuffle join
+into: (map-only filter that discards ~(1-FPP) of non-members) →
+(exact confirm join over the tiny surviving fraction). False positives
+are removed by the confirm join, so results are EXACTLY equal to the
+plain join — the filter only moves work off the shuffle.
+
+Spark's Catalyst injects the same trick for some shuffle joins
+(runtime bloom filters), but not across the job boundary these
+pipelines need: the membership set is built in one job (or one epoch)
+and probed by many later jobs. This module makes the filter a
+first-class, persistable value.
+
+Build: k seeded ``xxhash64`` positions per value (seed = 0..k-1 hashed
+together with the value), each mapped to (word = pos div 64,
+bit = pos mod 64); one ``bit_or`` hash aggregate over word index —
+map-side combinable, output ≤ m/64 rows regardless of input size.
+The collected filter is a plain ``list[int]`` (+ m, k), trivially
+JSON/parquet-persistable for cross-job reuse.
+
+Probe, two interchangeable shapes (equality-tested against each other):
+
+* ``might_contain_expr`` — embeds the word array as a literal and
+  tests ``getbit(element_at(words, pos div 64), pos mod 64)`` for all
+  k positions. Map-only, whole-stage-codegen'd, zero shuffle. Right
+  up to a few MB of filter (the literal lives in the serialized plan
+  every task receives — functionally a broadcast, but re-shipped per
+  plan, so keep it small).
+* ``might_contain_join`` — keeps the filter distributed as its
+  (word, bits) rows and broadcast-joins the probe's exploded
+  (word, bit) positions against it, keeping rows where all k
+  positions hit. Right when the filter is tens of MB to GBs: the
+  bitmap ships once per executor as a broadcast hash table instead
+  of once per task inside the plan.
+
+No reference counterpart (amulog/log2seq has no membership machinery);
+this is north-rule scale infrastructure for the enrich/route stages.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "bloom_parameters", "build_bloom", "might_contain_expr",
+    "might_contain_join", "bloom_contamination_report",
+]
+
+# literal-embedded probes above this many BITS refuse loudly: an
+# oversized literal bloats every serialized task. Use the join probe.
+MAX_EXPR_BITS = 1 << 26          # 8 MiB of longs
+
+
+def bloom_parameters(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Standard sizing: m = -n·ln p / ln²2 bits (rounded up to a whole
+    number of 64-bit words), k = (m/n)·ln 2 hash functions."""
+    if n_items <= 0:
+        raise ValueError("n_items must be positive")
+    if not (0.0 < fpp < 1.0):
+        raise ValueError("fpp must be in (0, 1)")
+    m = int(math.ceil(-n_items * math.log(fpp) / (math.log(2) ** 2)))
+    m = max(64, ((m + 63) // 64) * 64)
+    k = max(1, round((m / n_items) * math.log(2)))
+    return m, k
+
+
+def _col(col: Union[str, Column]) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def _pos(value: Column, seed: Column, m_bits: int) -> Column:
+    # xxhash64 over (value, seed) gives k independent 64-bit hashes;
+    # pmod keeps the position non-negative. Null values hash to the
+    # seed alone — both build and probe exclude nulls explicitly
+    # instead (membership of NULL is not a meaningful question).
+    return F.pmod(F.xxhash64(value, seed), F.lit(m_bits))
+
+
+def build_bloom(df: DataFrame, col: Union[str, Column], *,
+                n_items: Optional[int] = None, fpp: float = 0.01,
+                m_bits: Optional[int] = None,
+                k: Optional[int] = None) -> dict:
+    """Aggregate ``df[col]`` into a Bloom filter dict
+    ``{"words": list[int], "m_bits": int, "k": int, "n_items": int}``.
+
+    Distributed build: the per-value positions fan out k-way, collapse
+    to ≤ m/64 (word, bit_or) rows in ONE map-side-combinable hash
+    aggregate, and only those words reach the driver — input size
+    never does. ``n_items`` sizes the filter; when omitted it is
+    counted (one extra cheap job — pass it when you already know).
+
+    Nulls are skipped (a Bloom filter answers "have I seen this
+    value"; NULL is the absence of one)."""
+    c = _col(col)
+    vals = df.select(c.alias("_v")).where(F.col("_v").isNotNull())
+    if m_bits is None or k is None:
+        if n_items is None:
+            n_items = vals.count()
+        auto_m, auto_k = bloom_parameters(max(n_items, 1), fpp)
+        m_bits = m_bits or auto_m
+        k = k or auto_k
+    if m_bits % 64 != 0:
+        raise ValueError("m_bits must be a multiple of 64")
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("_s")
+    rows = (vals.select("_v", seeds)
+                .select(_pos(F.col("_v"), F.col("_s"), m_bits).alias("_p"))
+                .select((F.col("_p") / 64).cast("bigint").alias("_w"),
+                        F.expr("shiftleft(CAST(1 AS BIGINT), "
+                               "CAST(_p % 64 AS INT))").alias("_b"))
+                .groupBy("_w")
+                .agg(F.expr("bit_or(_b)").alias("_bits"))
+                .collect())
+    words = [0] * (m_bits // 64)
+    for r in rows:
+        words[r["_w"]] = r["_bits"]
+    return {"words": words, "m_bits": m_bits, "k": k,
+            "n_items": n_items if n_items is not None else -1}
+
+
+def might_contain_expr(col: Union[str, Column], bloom: dict) -> Column:
+    """Boolean Column: value is possibly in the set (no false
+    negatives; false positives at ~the build FPP). Pure codegen'd
+    expression — ``getbit(element_at(words, w+1), b)`` for all k
+    positions — so the probe is a map-only Filter with zero shuffle."""
+    m_bits, k = bloom["m_bits"], bloom["k"]
+    if m_bits > MAX_EXPR_BITS:
+        raise ValueError(
+            f"filter has {m_bits} bits (> {MAX_EXPR_BITS}); a literal "
+            "this large would bloat every task — use might_contain_join")
+    c = _col(col)
+    words = F.lit(bloom["words"]).cast("array<bigint>")
+    cond = None
+    for i in range(k):
+        p = _pos(c, F.lit(i), m_bits)
+        w = (p / 64).cast("int") + F.lit(1)          # element_at is 1-based
+        b = (p % 64).cast("int")
+        hit = F.getbit(F.element_at(words, w), b) == F.lit(1)
+        cond = hit if cond is None else cond & hit
+    return c.isNotNull() & cond
+
+
+def bloom_words_df(spark, bloom: dict) -> DataFrame:
+    """The filter as its sparse (word, bits) rows — the distributed
+    representation ``might_contain_join`` probes (zero-words omitted;
+    a missed lookup means bit clear). Write this as parquet to persist
+    a filter too large to JSON."""
+    rows = [(i, w) for i, w in enumerate(bloom["words"]) if w != 0]
+    return spark.createDataFrame(rows, "word bigint, bits bigint")
+
+
+def might_contain_join(df: DataFrame, col: Union[str, Column],
+                       words_df: DataFrame, m_bits: int, k: int,
+                       out_col: str = "_might_contain") -> DataFrame:
+    """``df`` + boolean ``out_col``, computed by broadcast-joining the
+    k exploded (word, bit) probe positions against the filter's sparse
+    (word, bits) rows and requiring all k to hit. No filter literal in
+    the plan, so this scales to filters far beyond ``MAX_EXPR_BITS``.
+
+    Verdicts are computed once per DISTINCT probe value (membership is
+    a function of the value alone) and joined back on the value — the
+    only shuffles are the distinct and that value-keyed join; the
+    bitmap itself ships once per executor as a broadcast hash table."""
+    c = _col(col)
+    seeds = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("_s")
+    probes = (df.select(c.alias("__bloom_v")).where(
+                  F.col("__bloom_v").isNotNull()).distinct()
+                .select("__bloom_v", seeds)
+                .select("__bloom_v",
+                        _pos(F.col("__bloom_v"), F.col("_s"),
+                             m_bits).alias("_p"))
+                .select("__bloom_v",
+                        (F.col("_p") / 64).cast("bigint").alias("word"),
+                        (F.col("_p") % 64).cast("int").alias("_b")))
+    hit = (F.col("bits").isNotNull()
+           & (F.getbit(F.col("bits"), F.col("_b")) == F.lit(1)))
+    verdicts = (probes.join(F.broadcast(words_df), "word", "left")
+                      .groupBy("__bloom_v")
+                      .agg((F.min(hit.cast("int")) == 1).alias("_all_hit")))
+    out = (df.join(verdicts, c == F.col("__bloom_v"), "left")
+             .withColumn(out_col, F.coalesce(F.col("_all_hit"),
+                                             F.lit(False)))
+             .drop("__bloom_v", "_all_hit"))
+    return out
+
+
+def bloom_contamination_report(train: DataFrame, evalset: DataFrame,
+                               text_col: str = "text",
+                               id_col: str = "doc_id",
+                               shingle_n: int = 3,
+                               threshold: float = 0.5,
+                               fpp: float = 0.01) -> DataFrame:
+    """``dedup.contamination_report`` (dedup.py:585) with the eval
+    vocabulary carried as a Bloom filter instead of a broadcast join
+    table — EXACTLY the same output (equality-tested): the map-only
+    Bloom filter discards the overwhelming non-overlapping majority of
+    training shingles before any join, and the exact confirm join over
+    the survivors removes the filter's false positives.
+
+    Scale story: the broadcast-exact path ships the full eval shingle
+    vocabulary as a join hash table (~50-100 bytes/shingle); this path
+    ships ~1.2 bytes/shingle of bitmap and joins only the ~FPP + true
+    overlap fraction — the regime where an eval suite has grown to
+    10^8+ shingles but the training corpus is 10^4× bigger still."""
+    from .dedup import shingle_rows
+
+    ev = (shingle_rows(evalset, text_col, id_col, shingle_n)
+          .select("shingle").distinct())
+    bloom = build_bloom(ev, "shingle", fpp=fpp)
+    tr = (shingle_rows(train, text_col, id_col, shingle_n)
+          .select("_id", "shingle").distinct())
+    totals = tr.groupBy("_id").agg(F.count("*").alias("n_shingles"))
+    cand = tr.where(might_contain_expr(F.col("shingle"), bloom))
+    hits = (cand.join(F.broadcast(ev), "shingle", "inner")   # kills FPs
+                .groupBy("_id").agg(F.count("*").alias("n_overlap")))
+    ratio = F.col("n_overlap") / F.col("n_shingles")
+    return (totals.join(hits, "_id", "inner")
+                  .select(F.col("_id").alias(id_col),
+                          "n_shingles", "n_overlap",
+                          F.round(ratio, 6).alias("overlap_ratio"),
+                          (ratio >= threshold).alias("contaminated")))

@@ -291,9 +291,10 @@ def _finish_swap(spark: SparkSession, dir_path: str,
     fs, _, jvm = fsio.hadoop_fs(spark, dir_path)
     HPath = jvm.org.apache.hadoop.fs.Path
     cid = manifest["id"]
+    prefix = manifest.get("prefix", "compacted")
     for name in manifest["staged"]:
         src = HPath(f"{manifest['staging']}/{name}")
-        dst = HPath(f"{dir_path}/compacted-{cid}-{name}")
+        dst = HPath(f"{dir_path}/{prefix}-{cid}-{name}")
         if fs.exists(src) and not fs.exists(dst):
             fs.rename(src, dst)
     for name in manifest["originals"]:
@@ -393,3 +394,114 @@ def compact_tree(spark: SparkSession, root: str, target_bytes: int,
         resume_compaction(spark, leaf)
         out.append(compact_dir(spark, leaf, target_bytes, small_ratio))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Copy-on-write row maintenance: redaction DELETE and keyed MERGE/upsert.
+#
+# Training corpora are not append-only in practice: takedown / redaction
+# requests ("remove every document with these ids") and correction
+# passes ("re-score / re-scrub these documents") arrive AFTER a sink was
+# written. Rewriting the whole sink for a thousand keys is absurd at
+# 100 TB; these operators rewrite ONLY the files that contain affected
+# keys — the same copy-on-write shape as Iceberg's DELETE/MERGE — found
+# with one column-pruned scan of the key column + file-path metadata.
+# They reuse compaction's resumable swap manifest (staging → manifest →
+# adopt → delete originals), so a crash mid-swap is finished by
+# resume_compaction / compact_tree, never a silent loss. Like
+# compaction, run against a directory with no concurrent reader.
+# ---------------------------------------------------------------------------
+
+
+def affected_files(spark: SparkSession, dir_path: str,
+                   keys: DataFrame, key_col: str) -> List[str]:
+    """Names of the data files in leaf directory ``dir_path`` holding at
+    least one row whose ``key_col`` appears in ``keys``. One scan that
+    parquet prunes to the key column, a broadcast semi-join against the
+    (small) key list, and a distinct over file paths — the result is
+    bounded by the file count, never the row count."""
+    if not _data_files(spark, dir_path):
+        return []
+    hits = (spark.read.parquet(dir_path)
+                 .select(F.col(key_col),
+                         F.col("_metadata.file_path").alias("_f"))
+                 .join(F.broadcast(keys.select(key_col).distinct()),
+                       key_col, "semi")
+                 .select("_f").distinct().collect())
+    return sorted({r["_f"].rsplit("/", 1)[-1] for r in hits})
+
+
+def _swap_rewrite(spark: SparkSession, dir_path: str, new_rows: DataFrame,
+                  originals: List[str], n_out: int, prefix: str) -> List[str]:
+    """Stage ``new_rows`` as ``n_out`` files, then run the manifest swap
+    that adopts them and deletes ``originals``. Returns staged names."""
+    cid = uuid.uuid4().hex[:12]
+    staging = f"{dir_path}/.{prefix}-{cid}"
+    new_rows.repartition(max(1, n_out)).write.mode(
+        "overwrite").parquet(staging)
+    staged = [f["name"] for f in _data_files(spark, staging)]
+    manifest = {"id": cid, "staging": staging, "staged": staged,
+                "originals": originals, "prefix": prefix}
+    fsio.write_text(spark, f"{dir_path}/{_MANIFEST}",
+                    json.dumps(manifest, indent=1))
+    _finish_swap(spark, dir_path, manifest)
+    return staged
+
+
+def delete_rows(spark: SparkSession, dir_path: str,
+                keys: DataFrame, key_col: str) -> dict:
+    """Copy-on-write DELETE: remove every row of the leaf directory
+    ``dir_path`` whose ``key_col`` appears in ``keys``, rewriting only
+    the affected files (surviving rows are anti-joined against the
+    broadcast key list and staged; untouched files are never read
+    again). Crash-safe via the compaction swap manifest. Returns
+    ``{"affected_files", "n_deleted", "skipped"}``."""
+    hit_names = affected_files(spark, dir_path, keys, key_col)
+    if not hit_names:
+        return {"dir": dir_path, "affected_files": 0, "n_deleted": 0,
+                "skipped": True}
+    srcs = [f"{dir_path}/{n}" for n in hit_names]
+    affected = spark.read.parquet(*srcs)
+    klist = F.broadcast(keys.select(key_col).distinct())
+    survivors = affected.join(klist, key_col, "anti")
+    n_before = affected.count()
+    n_after = survivors.count()
+    _swap_rewrite(spark, dir_path, survivors, hit_names,
+                  n_out=len(hit_names), prefix="redacted")
+    return {"dir": dir_path, "affected_files": len(hit_names),
+            "n_deleted": n_before - n_after, "skipped": False}
+
+
+def merge_upsert(spark: SparkSession, dir_path: str,
+                 updates: DataFrame, key_col: str) -> dict:
+    """Copy-on-write MERGE keyed on ``key_col``: rows of ``updates``
+    whose key exists in the directory REPLACE the stored rows; the rest
+    are inserted. Only files containing a matched key are rewritten
+    (their surviving rows + ALL updates are staged together); an
+    all-insert merge touches no existing file. ``updates`` must be
+    key-unique — a duplicate key would make "which row wins" an
+    accident of file order, so it raises instead. Crash-safe via the
+    compaction swap manifest. Returns
+    ``{"affected_files", "n_updated", "n_inserted", "skipped"}``."""
+    dup = (updates.groupBy(key_col).count()
+                  .where(F.col("count") > 1).limit(1).count())
+    if dup:
+        raise ValueError(f"updates carry duplicate {key_col} keys; "
+                         "deduplicate (last-write-wins is not implied)")
+    hit_names = affected_files(spark, dir_path, updates, key_col)
+    klist = F.broadcast(updates.select(key_col).distinct())
+    if hit_names:
+        srcs = [f"{dir_path}/{n}" for n in hit_names]
+        affected = spark.read.parquet(*srcs)
+        survivors = affected.join(klist, key_col, "anti")
+        n_updated = affected.count() - survivors.count()
+        new_rows = survivors.unionByName(updates)
+    else:
+        n_updated = 0
+        new_rows = updates
+    n_out = max(1, len(hit_names))
+    _swap_rewrite(spark, dir_path, new_rows, hit_names, n_out=n_out,
+                  prefix="merged")
+    return {"dir": dir_path, "affected_files": len(hit_names),
+            "n_updated": n_updated,
+            "n_inserted": updates.count() - n_updated, "skipped": False}

@@ -1,0 +1,123 @@
+"""Bloom-filter semi-join prefiltering (operators/bloom.py).
+
+The contract under test: NO false negatives ever (the property the
+exact-result guarantee of bloom_contamination_report rests on), false
+positives near the configured rate, both probe shapes (plan-literal
+expression vs broadcast join) agree everywhere, and the expression
+probe stays a map-only Filter — zero Exchange in its plan.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from log2seq_spark.operators import bloom, dedup
+
+
+def _member_words(n, seed=7):
+    rng = random.Random(seed)
+    return [f"tok{rng.randrange(10 ** 9)}_{i}" for i in range(n)]
+
+
+class TestParameters:
+    def test_sizing_math(self):
+        m, k = bloom.bloom_parameters(1000, 0.01)
+        # canonical 1% sizing: ~9.59 bits/key, 7 hashes
+        assert 9000 <= m <= 10240 and m % 64 == 0
+        assert k == 7
+
+    def test_rejects_bad_inputs(self):
+        with pytest.raises(ValueError):
+            bloom.bloom_parameters(0, 0.01)
+        with pytest.raises(ValueError):
+            bloom.bloom_parameters(10, 1.5)
+
+
+class TestBuildAndProbe:
+    def test_no_false_negatives_expr(self, spark):
+        members = _member_words(500)
+        df = spark.createDataFrame([(w,) for w in members], "v string")
+        filt = bloom.build_bloom(df, "v", n_items=len(members), fpp=0.01)
+        n_in = df.where(bloom.might_contain_expr("v", filt)).count()
+        assert n_in == len(members)
+
+    def test_fpr_near_configured(self, spark):
+        members = _member_words(500, seed=1)
+        df = spark.createDataFrame([(w,) for w in members], "v string")
+        filt = bloom.build_bloom(df, "v", n_items=len(members), fpp=0.01)
+        probes = spark.createDataFrame(
+            [(f"absent_{i}",) for i in range(4000)], "v string")
+        fp = probes.where(bloom.might_contain_expr("v", filt)).count()
+        assert fp / 4000 < 0.05          # 1% nominal, generous margin
+
+    def test_null_probe_is_false_and_nulls_skipped_in_build(self, spark):
+        df = spark.createDataFrame([("a",), (None,), ("b",)], "v string")
+        filt = bloom.build_bloom(df, "v", n_items=2, fpp=0.01)
+        got = (df.select(bloom.might_contain_expr("v", filt).alias("m"),
+                         "v").collect())
+        by_v = {r["v"]: r["m"] for r in got}
+        assert by_v["a"] and by_v["b"] and by_v[None] is not True
+
+    def test_join_probe_agrees_with_expr_probe(self, spark):
+        members = _member_words(300, seed=2)
+        mdf = spark.createDataFrame([(w,) for w in members], "v string")
+        filt = bloom.build_bloom(mdf, "v", n_items=len(members), fpp=0.02)
+        probes = spark.createDataFrame(
+            [(w,) for w in members[:150]]
+            + [(f"nope_{i}",) for i in range(500)] + [(None,)],
+            "v string")
+        via_expr = probes.withColumn(
+            "m", bloom.might_contain_expr("v", filt))
+        words_df = bloom.bloom_words_df(spark, filt)
+        via_join = bloom.might_contain_join(
+            probes, "v", words_df, filt["m_bits"], filt["k"], out_col="m")
+        # None sorts first via the ("" if null) key; probe verdict for a
+        # null value must be falsy on both paths
+        key = lambda r: (r["v"] or "", bool(r["m"]))
+        a = sorted((key(r) for r in via_expr.collect()))
+        b = sorted((key(r) for r in via_join.collect()))
+        assert a == b
+
+    def test_expr_probe_plan_is_map_only(self, spark):
+        members = _member_words(100, seed=3)
+        df = spark.createDataFrame([(w,) for w in members], "v string")
+        filt = bloom.build_bloom(df, "v", n_items=len(members))
+        plan = (df.where(bloom.might_contain_expr("v", filt))
+                  ._jdf.queryExecution().executedPlan().toString())
+        assert "Exchange" not in plan
+        assert "getbit" in plan.lower()
+
+    def test_oversized_literal_refused(self, spark):
+        filt = {"words": [0] * ((bloom.MAX_EXPR_BITS // 64) + 64),
+                "m_bits": bloom.MAX_EXPR_BITS + 64 * 64, "k": 3}
+        with pytest.raises(ValueError, match="might_contain_join"):
+            bloom.might_contain_expr("v", filt)
+
+
+class TestBloomContamination:
+    def _docs(self, spark):
+        rng = random.Random(11)
+        vocab = [f"w{i}" for i in range(60)]
+        rows = []
+        for i in range(120):
+            text = " ".join(rng.choice(vocab)
+                            for _ in range(rng.randrange(4, 30)))
+            rows.append((i, text))
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_equals_exact_contamination_report(self, spark):
+        docs = self._docs(spark)
+        evalset = docs.where(F.col("doc_id") % 10 == 0)
+        train = docs.where(F.col("doc_id") % 10 != 0)
+        exact = dedup.contamination_report(train, evalset, threshold=0.5)
+        via_bloom = bloom.bloom_contamination_report(
+            train, evalset, threshold=0.5, fpp=0.01)
+        key = lambda r: (r["doc_id"],)
+        a = sorted(([r["doc_id"], r["n_shingles"], r["n_overlap"],
+                     float(r["overlap_ratio"]), r["contaminated"]]
+                    for r in exact.collect()))
+        b = sorted(([r["doc_id"], r["n_shingles"], r["n_overlap"],
+                     float(r["overlap_ratio"]), r["contaminated"]]
+                    for r in via_bloom.collect()))
+        assert a == b and len(a) > 0

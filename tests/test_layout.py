@@ -200,3 +200,105 @@ class TestCompaction:
                      for r in spark.read.parquet(root)
                      .select("row_id", "v").collect())
         assert got == rows
+
+
+class TestRowMaintenance:
+    """Copy-on-write DELETE (redaction) and keyed MERGE over a leaf dir:
+    only files holding affected keys are rewritten, results are exact,
+    and an interrupted swap resumes through the shared manifest."""
+
+    def _sink(self, spark, path, n_rows=1_000, n_files=8):
+        (spark.range(n_rows).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("text-"), F.col("id")).alias("text"))
+         .repartition(n_files).write.mode("overwrite").parquet(path))
+
+    def test_delete_rows_exact_and_touches_only_affected(
+            self, spark, tmpdir_path):
+        p = os.path.join(tmpdir_path, "redact")
+        self._sink(spark, p)
+        drop = spark.createDataFrame([(7,), (423,), (999,)],
+                                     "doc_id bigint")
+        hit = layout.affected_files(spark, p, drop, "doc_id")
+        untouched = {f["name"] for f in layout._data_files(spark, p)
+                     } - set(hit)
+        rep = layout.delete_rows(spark, p, drop, "doc_id")
+        assert rep["n_deleted"] == 3 and rep["affected_files"] == len(hit)
+        after = spark.read.parquet(p)
+        assert after.count() == 997
+        assert after.where(
+            F.col("doc_id").isin(7, 423, 999)).count() == 0
+        # files with no affected key were not rewritten
+        assert untouched <= {f["name"]
+                             for f in layout._data_files(spark, p)}
+        assert fsio.read_text(spark, f"{p}/{layout._MANIFEST}") is None
+
+    def test_delete_rows_no_match_is_noop(self, spark, tmpdir_path):
+        p = os.path.join(tmpdir_path, "noop")
+        self._sink(spark, p, n_rows=100, n_files=2)
+        names = {f["name"] for f in layout._data_files(spark, p)}
+        rep = layout.delete_rows(
+            spark, p, spark.createDataFrame([(10**9,)], "doc_id bigint"),
+            "doc_id")
+        assert rep["skipped"] is True
+        assert {f["name"] for f in layout._data_files(spark, p)} == names
+
+    def test_merge_upsert_updates_and_inserts(self, spark, tmpdir_path):
+        p = os.path.join(tmpdir_path, "merge")
+        self._sink(spark, p, n_rows=500, n_files=4)
+        ups = spark.createDataFrame(
+            [(5, "patched-5"), (77, "patched-77"), (9_999, "new-9999")],
+            "doc_id bigint, text string")
+        rep = layout.merge_upsert(spark, p, ups, "doc_id")
+        assert rep["n_updated"] == 2 and rep["n_inserted"] == 1
+        after = {r["doc_id"]: r["text"]
+                 for r in spark.read.parquet(p).collect()}
+        assert len(after) == 501
+        assert after[5] == "patched-5" and after[77] == "patched-77"
+        assert after[9999] == "new-9999"
+        assert after[6] == "text-6"          # untouched row intact
+
+    def test_merge_all_inserts_keeps_existing_files(self, spark,
+                                                    tmpdir_path):
+        p = os.path.join(tmpdir_path, "insonly")
+        self._sink(spark, p, n_rows=50, n_files=2)
+        names = {f["name"] for f in layout._data_files(spark, p)}
+        ups = spark.createDataFrame([(1_000, "n1"), (1_001, "n2")],
+                                    "doc_id bigint, text string")
+        rep = layout.merge_upsert(spark, p, ups, "doc_id")
+        assert rep["affected_files"] == 0 and rep["n_inserted"] == 2
+        assert names <= {f["name"] for f in layout._data_files(spark, p)}
+        assert spark.read.parquet(p).count() == 52
+
+    def test_merge_rejects_duplicate_update_keys(self, spark,
+                                                 tmpdir_path):
+        p = os.path.join(tmpdir_path, "dupkeys")
+        self._sink(spark, p, n_rows=10, n_files=1)
+        ups = spark.createDataFrame([(1, "a"), (1, "b")],
+                                    "doc_id bigint, text string")
+        with pytest.raises(ValueError, match="duplicate"):
+            layout.merge_upsert(spark, p, ups, "doc_id")
+
+    def test_interrupted_redaction_swap_resumes(self, spark, tmpdir_path):
+        p = os.path.join(tmpdir_path, "redcrash")
+        self._sink(spark, p, n_rows=200, n_files=4)
+        drop = spark.createDataFrame([(3,), (150,)], "doc_id bigint")
+        hit = layout.affected_files(spark, p, drop, "doc_id")
+        # reproduce delete_rows up to the manifest write, then "crash"
+        srcs = [f"{p}/{n}" for n in hit]
+        survivors = (spark.read.parquet(*srcs)
+                     .join(drop, "doc_id", "anti"))
+        staging = f"{p}/.redacted-testcrash"
+        survivors.repartition(len(hit)).write.mode(
+            "overwrite").parquet(staging)
+        staged = [f["name"] for f in layout._data_files(spark, staging)]
+        fsio.write_text(spark, f"{p}/{layout._MANIFEST}", json.dumps(
+            {"id": "testcrash", "staging": staging, "staged": staged,
+             "originals": hit, "prefix": "redacted"}))
+        assert layout.resume_compaction(spark, p) is True
+        after = spark.read.parquet(p)
+        assert after.count() == 198
+        assert after.where(F.col("doc_id").isin(3, 150)).count() == 0
+        adopted = [f["name"] for f in layout._data_files(spark, p)
+                   if f["name"].startswith("redacted-testcrash-")]
+        assert adopted
