@@ -1330,6 +1330,52 @@ def cmd_zorder(args) -> int:
             spark.stop()
 
 
+def cmd_redact(args) -> int:
+    """Copy-on-write DELETE (``operators/layout.py::delete_rows``):
+    remove every row of a leaf parquet directory whose key appears in
+    the keys table, rewriting only the files that contain one. The
+    takedown path: a drop-list arrives after the sink was written."""
+    from .operators import layout
+    spark, owns = _cli_spark("log2seq-spark-redact")
+    try:
+        keys = (spark.table(args.keys) if args.keys_kind == "table"
+                else spark.read.parquet(args.keys))
+        layout.resume_compaction(spark, args.path)   # finish a crash first
+        rep = layout.delete_rows(spark, args.path, keys, args.key)
+        state = "skip (no matching keys)" if rep["skipped"] else "done"
+        print(f"# [{state}] {rep['dir']}: {rep['affected_files']} files "
+              f"rewritten, {rep['n_deleted']} rows deleted",
+              file=sys.stderr)
+        return 0
+    finally:
+        if owns:
+            spark.stop()
+
+
+def cmd_upsert(args) -> int:
+    """Copy-on-write MERGE (``operators/layout.py::merge_upsert``):
+    key-matched rows of the updates table replace stored rows, the rest
+    are inserted; only files holding a matched key are rewritten."""
+    from .operators import layout
+    spark, owns = _cli_spark("log2seq-spark-upsert")
+    try:
+        ups = (spark.table(args.updates) if args.updates_kind == "table"
+               else spark.read.parquet(args.updates))
+        layout.resume_compaction(spark, args.path)
+        try:
+            rep = layout.merge_upsert(spark, args.path, ups, args.key)
+        except ValueError as exc:
+            print(f"error: {exc}", file=sys.stderr)
+            return 2
+        print(f"# done {rep['dir']}: {rep['affected_files']} files "
+              f"rewritten, {rep['n_updated']} updated, "
+              f"{rep['n_inserted']} inserted", file=sys.stderr)
+        return 0
+    finally:
+        if owns:
+            spark.stop()
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="log2seq_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -1784,6 +1830,31 @@ def main(argv=None) -> int:
     p.add_argument("--files", type=int, default=None,
                    help="output file count (default: parallelism)")
     p.set_defaults(fn=cmd_zorder)
+
+    p = sub.add_parser(
+        "redact",
+        help="copy-on-write DELETE of keyed rows from a parquet dir")
+    p.add_argument("--path", required=True,
+                   help="leaf parquet directory to redact in place")
+    p.add_argument("--keys", required=True,
+                   help="parquet path or table holding the drop keys")
+    p.add_argument("--keys-kind", choices=["parquet", "table"],
+                   default="parquet")
+    p.add_argument("--key", required=True, help="key column name")
+    p.set_defaults(fn=cmd_redact)
+
+    p = sub.add_parser(
+        "upsert",
+        help="copy-on-write MERGE of a keyed updates table into a "
+             "parquet dir")
+    p.add_argument("--path", required=True,
+                   help="leaf parquet directory to merge into")
+    p.add_argument("--updates", required=True,
+                   help="parquet path or table of key-unique update rows")
+    p.add_argument("--updates-kind", choices=["parquet", "table"],
+                   default="parquet")
+    p.add_argument("--key", required=True, help="key column name")
+    p.set_defaults(fn=cmd_upsert)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -105,3 +105,45 @@ class TestZorder:
                      "--cols", "text"])
         assert code == 2
         assert "numeric/date/timestamp" in capsys.readouterr().err
+
+
+class TestRedactUpsertCLI:
+    @pytest.fixture()
+    def sink(self, spark, tmpdir_path):
+        p = os.path.join(tmpdir_path, "sink")
+        (spark.range(100).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("t"), F.col("id")).alias("text"))
+         .repartition(4).write.parquet(p))
+        return p
+
+    def test_redact_then_upsert_roundtrip(self, spark, sink, tmpdir_path,
+                                          capsys):
+        keys = os.path.join(tmpdir_path, "keys")
+        spark.createDataFrame([(3,), (7,)], "doc_id bigint") \
+             .write.parquet(keys)
+        assert main(["redact", "--path", sink, "--keys", keys,
+                     "--key", "doc_id"]) == 0
+        err = capsys.readouterr().err
+        assert "rows deleted" in err
+        ups = os.path.join(tmpdir_path, "ups")
+        spark.createDataFrame([(5, "patched"), (500, "new")],
+                              "doc_id bigint, text string") \
+             .write.parquet(ups)
+        assert main(["upsert", "--path", sink, "--updates", ups,
+                     "--key", "doc_id"]) == 0
+        after = {r["doc_id"]: r["text"]
+                 for r in spark.read.parquet(sink).collect()}
+        assert len(after) == 99
+        assert 3 not in after and 7 not in after
+        assert after[5] == "patched" and after[500] == "new"
+
+    def test_upsert_duplicate_keys_exit_2(self, spark, sink, tmpdir_path,
+                                          capsys):
+        ups = os.path.join(tmpdir_path, "dups")
+        spark.createDataFrame([(1, "a"), (1, "b")],
+                              "doc_id bigint, text string") \
+             .write.parquet(ups)
+        assert main(["upsert", "--path", sink, "--updates", ups,
+                     "--key", "doc_id"]) == 2
+        assert "duplicate" in capsys.readouterr().err
