@@ -1468,7 +1468,17 @@ def q_decontaminate(spark, sf_dir):
     docs = _tp(spark, sf_dir, "documents")
     evalset = docs.filter(F.col("doc_id") % 50 == 0)
     train = docs.filter(F.col("doc_id") % 50 != 0)
-    exact = (dedup.contamination_report(train, evalset, threshold=0.5)
+    # the exact + bloom legs consume the same distinct shingle feeds —
+    # materialize each once and fan out (the _FEED_CACHE discipline)
+    tr_sh = _feed(spark, ("decon_train_shingles", sf_dir), lambda: (
+        dedup.shingle_rows(train, "text", "doc_id", 3)
+             .select("_id", "shingle").distinct()))
+    ev_sh = _feed(spark, ("decon_eval_shingles", sf_dir), lambda: (
+        dedup.shingle_rows(evalset, "text", "doc_id", 3)
+             .select("shingle").distinct()))
+    exact = (dedup.contamination_report(train, evalset, threshold=0.5,
+                                        train_shingles=tr_sh,
+                                        eval_shingles=ev_sh)
              .select(F.lit("exact").alias("method"), "doc_id",
                      F.lit(None).cast("bigint").alias("eval_id"),
                      "n_shingles", "n_overlap", "overlap_ratio",
@@ -1482,8 +1492,16 @@ def q_decontaminate(spark, sf_dir):
                      F.col("jaccard").alias("overlap_ratio"),
                      F.lit(True).alias("contaminated")))
     from log2seq_spark.operators import bloom as _bloom
+    # n_items: a cheap docs-count over-estimate (×64 shingles/doc)
+    # sizes the filter without the exploded-shingle counting job; a low
+    # estimate only raises the FPR — the confirm join keeps output exact
     via_bloom = (_bloom.bloom_contamination_report(train, evalset,
-                                                   threshold=0.5, fpp=0.01)
+                                                   threshold=0.5, fpp=0.01,
+                                                   n_items=max(
+                                                       evalset.count(),
+                                                       1) * 64,
+                                                   train_shingles=tr_sh,
+                                                   eval_shingles=ev_sh)
                  .select(F.lit("bloom").alias("method"), "doc_id",
                          F.lit(None).cast("bigint").alias("eval_id"),
                          "n_shingles", "n_overlap", "overlap_ratio",

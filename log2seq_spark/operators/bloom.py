@@ -144,14 +144,18 @@ def might_contain_expr(col: Union[str, Column], bloom: dict) -> Column:
             "this large would bloat every task — use might_contain_join")
     c = _col(col)
     words = F.lit(bloom["words"]).cast("array<bigint>")
-    cond = None
-    for i in range(k):
-        p = _pos(c, F.lit(i), m_bits)
+    seeds = F.array(*[F.lit(i) for i in range(k)])
+
+    # forall over the seed array keeps the word-array literal in the
+    # plan ONCE (a per-hash conjunction would serialize it k times
+    # into every task)
+    def _hit(s):
+        p = _pos(c, s, m_bits)
         w = (p / 64).cast("int") + F.lit(1)          # element_at is 1-based
         b = (p % 64).cast("int")
-        hit = F.getbit(F.element_at(words, w), b) == F.lit(1)
-        cond = hit if cond is None else cond & hit
-    return c.isNotNull() & cond
+        return F.getbit(F.element_at(words, w), b) == F.lit(1)
+
+    return c.isNotNull() & F.forall(seeds, _hit)
 
 
 def bloom_words_df(spark, bloom: dict) -> DataFrame:
@@ -203,32 +207,74 @@ def bloom_contamination_report(train: DataFrame, evalset: DataFrame,
                                id_col: str = "doc_id",
                                shingle_n: int = 3,
                                threshold: float = 0.5,
-                               fpp: float = 0.01) -> DataFrame:
+                               fpp: float = 0.01,
+                               n_items: Optional[int] = None,
+                               broadcast_confirm: bool = True,
+                               train_shingles: Optional[DataFrame] = None,
+                               eval_shingles: Optional[DataFrame] = None
+                               ) -> DataFrame:
     """``dedup.contamination_report`` (dedup.py:585) with the eval
-    vocabulary carried as a Bloom filter instead of a broadcast join
-    table — EXACTLY the same output (equality-tested): the map-only
-    Bloom filter discards the overwhelming non-overlapping majority of
-    training shingles before any join, and the exact confirm join over
-    the survivors removes the filter's false positives.
+    vocabulary carried as a Bloom filter — EXACTLY the same output
+    (equality-tested both shapes): the bloom probe discards the
+    non-overlapping majority of training shingles before the exact
+    confirm join that removes the filter's false positives.
 
-    Scale story: the broadcast-exact path ships the full eval shingle
-    vocabulary as a join hash table (~50-100 bytes/shingle); this path
-    ships ~1.2 bytes/shingle of bitmap and joins only the ~FPP + true
-    overlap fraction — the regime where an eval suite has grown to
-    10^8+ shingles but the training corpus is 10^4× bigger still."""
+    Two confirm shapes:
+
+    * ``broadcast_confirm=True`` (default): ONE pass — the probe is
+      folded into the broadcast confirm join's condition, so the whole
+      report is one distinct + one broadcast join + one aggregate
+      (the exact path's plan with the probe added). Right while the
+      eval vocabulary still broadcasts; the probe is then belt-and-
+      braces, and this shape is the cheap one to equality-test.
+    * ``broadcast_confirm=False``: the scale shape — map-only probe
+      filter FIRST, then a shuffled semi-join confirm over only the
+      ~FPP + true-overlap survivors. Right when the eval vocabulary
+      has outgrown a broadcast hash table (~50-100 bytes/shingle as a
+      hash table vs ~1.2 bytes/shingle as a bitmap): the corpus-side
+      shuffle carries the surviving fraction, not the corpus.
+
+    ``n_items`` sizes the filter without a counting job when the
+    caller knows (or over-estimates) the eval vocabulary size —
+    oversizing only lowers the FPR. ``train_shingles`` /
+    ``eval_shingles`` take a precomputed distinct shingle feed —
+    (_id, shingle) / (shingle,) — shared with the other
+    decontamination flavors (see dedup.contamination_report)."""
     from .dedup import shingle_rows
 
-    ev = (shingle_rows(evalset, text_col, id_col, shingle_n)
-          .select("shingle").distinct())
-    bloom = build_bloom(ev, "shingle", fpp=fpp)
-    tr = (shingle_rows(train, text_col, id_col, shingle_n)
+    # bit_or is idempotent, so the build can skip the distinct shuffle
+    ev_all = (eval_shingles if eval_shingles is not None else
+              shingle_rows(evalset, text_col, id_col, shingle_n)
+              .select("shingle"))
+    bloom = build_bloom(ev_all, "shingle", fpp=fpp, n_items=n_items)
+    tr = (train_shingles if train_shingles is not None else
+          shingle_rows(train, text_col, id_col, shingle_n)
           .select("_id", "shingle").distinct())
-    totals = tr.groupBy("_id").agg(F.count("*").alias("n_shingles"))
-    cand = tr.where(might_contain_expr(F.col("shingle"), bloom))
-    hits = (cand.join(F.broadcast(ev), "shingle", "inner")   # kills FPs
-                .groupBy("_id").agg(F.count("*").alias("n_overlap")))
+    probe = might_contain_expr(F.col("shingle"), bloom)
+
+    if broadcast_confirm:
+        # probe as a PROJECTED column feeding a plain equi broadcast
+        # join — measured ~3× faster than folding the probe into the
+        # join condition, which drops its evaluation out of
+        # whole-stage codegen into the join's interpreted path
+        ev = ev_all.distinct().withColumn("_hit", F.lit(1))
+        flagged = tr.select("_id", "shingle", probe.alias("_p"))
+        confirmed = F.when(F.col("_p") & F.col("_hit").isNotNull(), 1)
+        report = (flagged.join(F.broadcast(ev), "shingle", "left")
+                         .groupBy("_id")
+                         .agg(F.count("*").alias("n_shingles"),
+                              F.count(confirmed).alias("n_overlap")))
+    else:
+        cand = tr.where(probe)
+        overlaps = (cand.join(ev_all.distinct(), "shingle", "semi")
+                        .groupBy("_id")
+                        .agg(F.count("*").alias("n_overlap")))
+        totals = tr.groupBy("_id").agg(F.count("*").alias("n_shingles"))
+        report = totals.join(overlaps, "_id", "left").na.fill(
+            {"n_overlap": 0})
+
     ratio = F.col("n_overlap") / F.col("n_shingles")
-    return (totals.join(hits, "_id", "inner")
+    return (report.filter(F.col("n_overlap") > 0)
                   .select(F.col("_id").alias(id_col),
                           "n_shingles", "n_overlap",
                           F.round(ratio, 6).alias("overlap_ratio"),

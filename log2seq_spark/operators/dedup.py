@@ -585,7 +585,10 @@ def _duplicate_clusters_impl(e: DataFrame, out_id: str, max_iter: int,
 def contamination_report(train: DataFrame, evalset: DataFrame,
                          text_col: str = "text", id_col: str = "doc_id",
                          shingle_n: int = 3,
-                         threshold: float = 0.5) -> DataFrame:
+                         threshold: float = 0.5,
+                         train_shingles: DataFrame | None = None,
+                         eval_shingles: DataFrame | None = None
+                         ) -> DataFrame:
     """Benchmark decontamination: per training document, the fraction of
     its distinct word n-grams that also occur anywhere in the evaluation
     set. Returns (id, n_shingles, n_overlap, overlap_ratio, contaminated)
@@ -595,11 +598,18 @@ def contamination_report(train: DataFrame, evalset: DataFrame,
     (benchmarks are tiny next to a training corpus), so it broadcasts —
     the training shingles take ONE distinct-shuffle and one broadcast
     join + hash aggregate; the corpus is never reshuffled against itself.
-    """
-    ev = (shingle_rows(evalset, text_col, id_col, shingle_n)
-          .select("shingle").distinct()
+
+    ``train_shingles`` / ``eval_shingles`` accept a precomputed
+    (possibly persisted) distinct shingle feed — (_id, shingle) /
+    (shingle,) — so a pipeline running several decontamination flavors
+    (this, the Bloom twin, fuzzy) materializes the explode+distinct
+    once and fans out instead of recomputing it per report."""
+    ev = ((eval_shingles if eval_shingles is not None else
+           shingle_rows(evalset, text_col, id_col, shingle_n)
+           .select("shingle").distinct())
           .withColumn("_hit", F.lit(1)))
-    tr = (shingle_rows(train, text_col, id_col, shingle_n)
+    tr = (train_shingles if train_shingles is not None else
+          shingle_rows(train, text_col, id_col, shingle_n)
           .select("_id", "shingle").distinct())
     hits = tr.join(F.broadcast(ev), "shingle", "left")
     ratio = F.col("n_overlap") / F.col("n_shingles")

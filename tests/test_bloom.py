@@ -106,18 +106,32 @@ class TestBloomContamination:
             rows.append((i, text))
         return spark.createDataFrame(rows, "doc_id bigint, text string")
 
-    def test_equals_exact_contamination_report(self, spark):
+    @pytest.mark.parametrize("broadcast_confirm", [True, False])
+    def test_equals_exact_contamination_report(self, spark,
+                                               broadcast_confirm):
         docs = self._docs(spark)
         evalset = docs.where(F.col("doc_id") % 10 == 0)
         train = docs.where(F.col("doc_id") % 10 != 0)
         exact = dedup.contamination_report(train, evalset, threshold=0.5)
         via_bloom = bloom.bloom_contamination_report(
-            train, evalset, threshold=0.5, fpp=0.01)
-        key = lambda r: (r["doc_id"],)
-        a = sorted(([r["doc_id"], r["n_shingles"], r["n_overlap"],
-                     float(r["overlap_ratio"]), r["contaminated"]]
-                    for r in exact.collect()))
-        b = sorted(([r["doc_id"], r["n_shingles"], r["n_overlap"],
-                     float(r["overlap_ratio"]), r["contaminated"]]
-                    for r in via_bloom.collect()))
+            train, evalset, threshold=0.5, fpp=0.01,
+            broadcast_confirm=broadcast_confirm)
+        rows = lambda df: sorted(
+            [r["doc_id"], r["n_shingles"], r["n_overlap"],
+             float(r["overlap_ratio"]), r["contaminated"]]
+            for r in df.collect())
+        a, b = rows(exact), rows(via_bloom)
         assert a == b and len(a) > 0
+
+    def test_undersized_n_items_still_exact(self, spark):
+        # a bad size estimate degrades FPR, never correctness
+        docs = self._docs(spark)
+        evalset = docs.where(F.col("doc_id") % 10 == 0)
+        train = docs.where(F.col("doc_id") % 10 != 0)
+        exact = dedup.contamination_report(train, evalset, threshold=0.5)
+        tiny = bloom.bloom_contamination_report(
+            train, evalset, threshold=0.5, fpp=0.01, n_items=4)
+        rows = lambda df: sorted(
+            [r["doc_id"], r["n_shingles"], r["n_overlap"]]
+            for r in df.collect())
+        assert rows(exact) == rows(tiny)
