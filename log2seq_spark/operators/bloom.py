@@ -58,7 +58,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "bloom_parameters", "build_bloom", "might_contain_expr",
-    "might_contain_join", "bloom_contamination_report",
+    "might_contain_join", "bloom_words_df", "save_bloom", "load_bloom",
+    "merge_blooms", "bloom_contamination_report",
 ]
 
 # literal-embedded probes above this many BITS refuse loudly: an
@@ -200,6 +201,51 @@ def might_contain_join(df: DataFrame, col: Union[str, Column],
                                              F.lit(False)))
              .drop("__bloom_v", "_all_hit"))
     return out
+
+
+def save_bloom(spark, bloom: dict, path: str) -> None:
+    """Persist a filter for cross-job reuse (built in one epoch, probed
+    by many): the sparse (word, bits) rows as parquet + the (m, k, n)
+    parameters in a `_bloom_meta.json` sidecar."""
+    import json as _json
+    from .. import fsio
+    bloom_words_df(spark, bloom).coalesce(1).write.mode(
+        "overwrite").parquet(path)
+    fsio.write_text(spark, f"{path}/_bloom_meta.json", _json.dumps(
+        {"m_bits": bloom["m_bits"], "k": bloom["k"],
+         "n_items": bloom["n_items"]}))
+
+
+def load_bloom(spark, path: str) -> dict:
+    """Load a ``save_bloom`` filter back into its dense dict form."""
+    import json as _json
+    from .. import fsio
+    meta = _json.loads(fsio.read_text(spark, f"{path}/_bloom_meta.json"))
+    words = [0] * (meta["m_bits"] // 64)
+    for r in spark.read.parquet(path).collect():
+        words[r["word"]] = r["bits"]
+    return {"words": words, "m_bits": meta["m_bits"], "k": meta["k"],
+            "n_items": meta.get("n_items", -1)}
+
+
+def merge_blooms(*blooms: dict) -> dict:
+    """Bitwise-OR union of same-parameter filters — the property that
+    makes Bloom filters mergeable per-partition, per-epoch, per-shard:
+    build one per data increment, OR them into the standing filter
+    (e.g. a dedup index's membership sidecar) without touching history.
+    The merged FPR is that of a filter holding the union."""
+    if not blooms:
+        raise ValueError("merge_blooms needs at least one filter")
+    m, k = blooms[0]["m_bits"], blooms[0]["k"]
+    for b in blooms[1:]:
+        if b["m_bits"] != m or b["k"] != k:
+            raise ValueError("cannot merge filters with different (m, k)")
+    words = [0] * (m // 64)
+    for b in blooms:
+        for i, w in enumerate(b["words"]):
+            words[i] |= w
+    n = sum(max(b.get("n_items", 0), 0) for b in blooms)
+    return {"words": words, "m_bits": m, "k": k, "n_items": n}
 
 
 def bloom_contamination_report(train: DataFrame, evalset: DataFrame,

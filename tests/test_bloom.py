@@ -135,3 +135,38 @@ class TestBloomContamination:
             [r["doc_id"], r["n_shingles"], r["n_overlap"]]
             for r in df.collect())
         assert rows(exact) == rows(tiny)
+
+
+class TestPersistAndMerge:
+    def test_save_load_roundtrip(self, spark, tmpdir_path):
+        import os
+        members = _member_words(200, seed=5)
+        df = spark.createDataFrame([(w,) for w in members], "v string")
+        filt = bloom.build_bloom(df, "v", n_items=len(members), fpp=0.01)
+        p = os.path.join(tmpdir_path, "bf")
+        bloom.save_bloom(spark, filt, p)
+        back = bloom.load_bloom(spark, p)
+        assert back == filt
+
+    def test_merge_is_union(self, spark):
+        a_words = _member_words(150, seed=6)
+        b_words = _member_words(150, seed=7)
+        m, k = bloom.bloom_parameters(300, 0.01)
+        mk = dict(m_bits=m, k=k)
+        da = spark.createDataFrame([(w,) for w in a_words], "v string")
+        db = spark.createDataFrame([(w,) for w in b_words], "v string")
+        fa = bloom.build_bloom(da, "v", **mk)
+        fb = bloom.build_bloom(db, "v", **mk)
+        merged = bloom.merge_blooms(fa, fb)
+        probes = spark.createDataFrame(
+            [(w,) for w in a_words + b_words], "v string")
+        n = probes.where(bloom.might_contain_expr("v", merged)).count()
+        assert n == len(a_words) + len(b_words)   # no false negatives
+        # merged filter == filter built over the union (same params)
+        both = bloom.build_bloom(da.union(db), "v", **mk)
+        assert merged["words"] == both["words"]
+
+    def test_merge_rejects_mismatched_params(self):
+        with pytest.raises(ValueError, match="different"):
+            bloom.merge_blooms({"words": [0], "m_bits": 64, "k": 3},
+                               {"words": [0, 0], "m_bits": 128, "k": 3})
