@@ -618,13 +618,27 @@ def _cmd_dedup_incremental(args, spark) -> int:
             .repartition(spark.sparkContext.defaultParallelism))
     id_type = docs.schema[args.id_col].dataType.simpleString()
     segments, deltas, nxt = _index_segments(spark, args.index_dir)
+    bloom_bits = getattr(args, "bloom_bits", 0) or 0
+    sidecar_path = f"{args.index_dir}/_bloom"
     if args.mode == "exact":
+        from .operators import bloom as bloomlib
         schema = f"text_hash string, keep_id {id_type}"
         index = (spark.read.parquet(*segments) if segments
                  else spark.createDataFrame([], schema))
+        # membership sidecar: definitely-novel hashes skip the index
+        # join entirely. A half-written/corrupt sidecar loads as None
+        # and the screen falls back to the plain join — the sidecar is
+        # an accelerator, never a correctness dependency.
+        sidecar = None
+        if bloom_bits and segments:
+            try:
+                sidecar = bloomlib.load_bloom(spark, sidecar_path)
+            except Exception:
+                sidecar = None
         decisions = dedup_against_index(docs, index,
                                         text_col=args.text_col,
-                                        id_col=args.id_col)
+                                        id_col=args.id_col,
+                                        index_bloom=sidecar)
         delta = updated_dedup_index(index, decisions, delta_only=True)
     else:
         schema = f"band int, band_hash string, keep_id {id_type}"
@@ -645,8 +659,27 @@ def _cmd_dedup_incremental(args, spark) -> int:
             F.col("match_id").alias("keep_id"))
         delta = updated_minhash_index(index, docs, signatures=sigs,
                                       delta_only=True)
-    # publish the delta FIRST: if it fails, no verdicts were emitted
-    # for a shard the index never absorbed (overwrite is safe — an
+    if args.mode == "exact" and bloom_bits:
+        # sidecar update BEFORE the delta publish: under any crash the
+        # sidecar is then a SUPERSET of the committed index — extra
+        # members are harmless false positives, while missing members
+        # would short-circuit a seen hash to "novel" and break
+        # exactness. (A crash after the save re-ingests the shard:
+        # re-merging the same hashes is idempotent.) Same (m, k) as
+        # the standing sidecar so merge_blooms applies; a fresh
+        # sidecar takes m from --bloom-bits with k=5 — near-optimal
+        # across the 7-15 bits/key loads a fixed-size filter passes
+        # through as the index grows.
+        delta = delta.persist()
+        m = sidecar["m_bits"] if sidecar else bloom_bits
+        k = sidecar["k"] if sidecar else 5
+        delta_bloom = bloomlib.build_bloom(delta, "text_hash",
+                                           m_bits=m, k=k, n_items=-1)
+        merged = (bloomlib.merge_blooms(sidecar, delta_bloom)
+                  if sidecar else delta_bloom)
+        bloomlib.save_bloom(spark, merged, sidecar_path)
+    # publish the delta: if it fails, no verdicts were emitted for a
+    # shard the index never absorbed (overwrite is safe — an
     # uncommitted gen dir can only be a crashed writer's leftovers)
     delta_path = f"{args.index_dir}/delta/gen={nxt}"
     delta.write.mode("overwrite").parquet(delta_path)
@@ -654,6 +687,8 @@ def _cmd_dedup_incremental(args, spark) -> int:
     _write_with_tally(decisions, args.out, "decision")
     if args.mode != "exact":
         sigs.unpersist()  # both consumers (delta + verdicts) are done
+    elif bloom_bits:
+        delta.unpersist()  # bloom build + publish are done
     print(f"# index: delta gen={nxt} (+{n_new} entries, "
           f"{len(segments) + 1} segments)", file=sys.stderr)
     if args.compact_every and len(deltas) + 1 > args.compact_every:
@@ -667,6 +702,20 @@ def _cmd_dedup_incremental(args, spark) -> int:
             fsio.delete(spark, p)
         print(f"# index: compacted -> base gen={nxt} "
               f"({n_total} entries)", file=sys.stderr)
+        if args.mode == "exact" and bloom_bits:
+            # compaction is the one moment the full index is rewritten
+            # anyway — rebuild the sidecar sized to 2x current entries
+            # (the incremental merges keep m fixed, so a corpus that
+            # outgrew --bloom-bits re-tightens its FPR here). Rebuild
+            # AFTER base commit is safe: until the save lands, the old
+            # sidecar is still a superset of the same logical index.
+            m_r, k_r = bloomlib.bloom_parameters(
+                max(2 * n_total, 1), 0.01)
+            m_r = min(max(m_r, bloom_bits), bloomlib.MAX_EXPR_BITS)
+            rebuilt = bloomlib.build_bloom(
+                spark.read.parquet(base_path), "text_hash",
+                m_bits=m_r, k=k_r, n_items=n_total)
+            bloomlib.save_bloom(spark, rebuilt, sidecar_path)
     return 0
 
 
@@ -1533,6 +1582,13 @@ def main(argv=None) -> int:
     p.add_argument("--compact-every", type=int, default=16,
                    help="fold delta segments into a base generation "
                         "once more than this many are live (0 = never)")
+    p.add_argument("--bloom-bits", type=int, default=1 << 20,
+                   help="exact incremental mode: initial size (bits) of "
+                        "the index's Bloom membership sidecar — "
+                        "definitely-novel hashes skip the index join. "
+                        "Start small: each compaction REBUILDS the "
+                        "sidecar at 2x the corpus's current novelty, "
+                        "so it grows with the index (0 = no sidecar)")
     p.set_defaults(fn=cmd_dedup)
 
     p = sub.add_parser(

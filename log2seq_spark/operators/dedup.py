@@ -1133,7 +1133,8 @@ def exact_dedup_index(docs: DataFrame, text_col: str = "text",
 
 def dedup_against_index(new_docs: DataFrame, index: DataFrame,
                         text_col: str = "text",
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        index_bloom: dict | None = None) -> DataFrame:
     """Incremental exact dedup of a NEW ingestion batch against the
     historical :func:`exact_dedup_index` — the production shape for a
     continuously-growing corpus: the history is never re-scanned, only
@@ -1155,6 +1156,17 @@ def dedup_against_index(new_docs: DataFrame, index: DataFrame,
     Shape at scale: one window over the batch's own hashes (batch-sized)
     + one equi-join against the index on the 32-char hash — broadcast
     when the index is small, shuffle-bucketed otherwise.
+
+    ``index_bloom`` (operators/bloom.py dict, built over — or over a
+    SUPERSET of — the index's ``text_hash`` values) short-circuits the
+    join: a batch hash that fails the probe is definitely not in the
+    index, so its rows take their within-batch decision without ever
+    entering the join — for a mostly-novel shard, the join's batch
+    side shrinks from shard-sized to (~FPP + true-dup)-sized. A
+    superset/stale-extra filter only sends more rows through the join
+    (false positives find no match and fall through correctly); a
+    filter MISSING index entries would be wrong — keep the sidecar a
+    superset (update it before publishing new index entries).
     """
     from pyspark.sql import Window
     wh = Window.partitionBy("_h")
@@ -1168,11 +1180,23 @@ def dedup_against_index(new_docs: DataFrame, index: DataFrame,
     # keep_id is null (content first seen under a null-id doc) must
     # still read as SEEN — testing _seen_keeper.isNotNull() would
     # re-keep that content in every later batch
-    joined = batch.join(
-        index.select(F.col("text_hash").alias("_h"),
-                     F.col("keep_id").alias("_seen_keeper"),
-                     F.lit(True).alias("_in_index")),
-        "_h", "left")
+    idx = index.select(F.col("text_hash").alias("_h"),
+                       F.col("keep_id").alias("_seen_keeper"),
+                       F.lit(True).alias("_in_index"))
+    if index_bloom is not None:
+        from .bloom import might_contain_expr
+        probe = might_contain_expr(F.col("_h"), index_bloom)
+        flagged = batch.withColumn("_maybe_seen", probe)
+        keep_t = index.schema["keep_id"].dataType.simpleString()
+        hot = flagged.where(F.col("_maybe_seen")).drop("_maybe_seen")
+        cold = (flagged.where(~F.col("_maybe_seen")).drop("_maybe_seen")
+                       .withColumn("_seen_keeper",
+                                   F.lit(None).cast(keep_t))
+                       .withColumn("_in_index",
+                                   F.lit(None).cast("boolean")))
+        joined = hot.join(idx, "_h", "left").unionByName(cold)
+    else:
+        joined = batch.join(idx, "_h", "left")
     # null-safe keeper comparison: a null-id row sharing content with a
     # real-id row must be drop_batch (plain != yields NULL -> would
     # fall through to a second bogus keep)

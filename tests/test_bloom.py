@@ -170,3 +170,43 @@ class TestPersistAndMerge:
         with pytest.raises(ValueError, match="different"):
             bloom.merge_blooms({"words": [0], "m_bits": 64, "k": 3},
                                {"words": [0, 0], "m_bits": 128, "k": 3})
+
+
+class TestIndexBloomShortCircuit:
+    """dedup_against_index(index_bloom=...): the probe may only ever
+    REROUTE rows around the join, never change a decision."""
+
+    def _corpus(self, spark, seed, n, vocab):
+        rng = random.Random(seed)
+        rows = [(i, f"content {rng.randrange(vocab)}") for i in range(n)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_decisions_equal_plain_join(self, spark):
+        hist = self._corpus(spark, 1, 60, 20)
+        batch = self._corpus(spark, 2, 40, 30)
+        idx = dedup.exact_dedup_index(hist)
+        filt = bloom.build_bloom(idx, "text_hash", fpp=0.01, n_items=64)
+        plain = {r["doc_id"]: (r["decision"], r["keep_id"])
+                 for r in dedup.dedup_against_index(batch, idx).collect()}
+        via = {r["doc_id"]: (r["decision"], r["keep_id"])
+               for r in dedup.dedup_against_index(
+                   batch, idx, index_bloom=filt).collect()}
+        assert via == plain
+        assert "drop_seen" in {d for d, _ in plain.values()}  # non-trivial
+
+    def test_superset_bloom_still_exact(self, spark):
+        # a sidecar carrying hashes the index no longer has (the
+        # crash-window over-approximation) must not change decisions
+        hist = self._corpus(spark, 3, 50, 15)
+        extra = self._corpus(spark, 4, 50, 500)     # mostly novel
+        batch = self._corpus(spark, 5, 40, 25)
+        idx = dedup.exact_dedup_index(hist)
+        superset = bloom.build_bloom(
+            dedup.exact_dedup_index(hist.unionByName(extra)),
+            "text_hash", fpp=0.01, n_items=128)
+        plain = {r["doc_id"]: (r["decision"], r["keep_id"])
+                 for r in dedup.dedup_against_index(batch, idx).collect()}
+        via = {r["doc_id"]: (r["decision"], r["keep_id"])
+               for r in dedup.dedup_against_index(
+                   batch, idx, index_bloom=superset).collect()}
+        assert via == plain

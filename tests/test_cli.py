@@ -1129,3 +1129,90 @@ class TestChunkCommand:
                      "--out", os.path.join(tmpdir_path, "ck_o2"),
                      "--chunk-tokens", "4", "--overlap", "4"]) == 2
         assert "overlap" in capsys.readouterr().err
+
+
+class TestDedupBloomSidecar:
+    """The exact incremental index's Bloom membership sidecar: written
+    at each publish, a superset of the index at all times, resized at
+    compaction, and NEVER a correctness dependency (corrupt sidecar →
+    plain-join fallback)."""
+
+    def _shard(self, spark, tmpdir_path, name, rows):
+        p = os.path.join(tmpdir_path, name)
+        (spark.createDataFrame(rows, "doc_id long, text string")
+         .write.mode("overwrite").parquet(p))
+        return p
+
+    def test_sidecar_written_and_superset(self, spark, capsys,
+                                          tmpdir_path):
+        from log2seq_spark.operators import bloom, dedup as dd
+        idx = os.path.join(tmpdir_path, "bs_idx")
+        s1 = self._shard(spark, tmpdir_path, "bs_s1",
+                         [(i, f"c {i % 7}") for i in range(20)])
+        out1 = os.path.join(tmpdir_path, "bs_o1")
+        assert main(["dedup", "--mode", "exact", "--input", s1,
+                     "--out", out1, "--index-dir", idx]) == 0
+        capsys.readouterr()
+        side = bloom.load_bloom(spark, f"{idx}/_bloom")
+        from log2seq_spark.__main__ import _index_segments
+        segments, _, _ = _index_segments(spark, idx)
+        hashes = spark.read.parquet(*segments).select("text_hash")
+        n_all = hashes.count()
+        n_in = hashes.where(
+            bloom.might_contain_expr("text_hash", side)).count()
+        assert n_in == n_all            # superset: no false negatives
+
+    def test_corrupt_sidecar_falls_back_correctly(self, spark, capsys,
+                                                  tmpdir_path):
+        idx = os.path.join(tmpdir_path, "cx_idx")
+        s1 = self._shard(spark, tmpdir_path, "cx_s1",
+                         [(i, f"c {i % 5}") for i in range(15)])
+        s2 = self._shard(spark, tmpdir_path, "cx_s2",
+                         [(100 + i, f"c {i % 9}") for i in range(15)])
+        out1 = os.path.join(tmpdir_path, "cx_o1")
+        out2 = os.path.join(tmpdir_path, "cx_o2")
+        assert main(["dedup", "--mode", "exact", "--input", s1,
+                     "--out", out1, "--index-dir", idx]) == 0
+        # clobber the sidecar meta — load must fail, screen must fall
+        # back to the plain join and still decide correctly
+        with open(os.path.join(idx, "_bloom", "_bloom_meta.json"),
+                  "w") as f:
+            f.write("{not json")
+        assert main(["dedup", "--mode", "exact", "--input", s2,
+                     "--out", out2, "--index-dir", idx]) == 0
+        capsys.readouterr()
+        dec = {r["doc_id"]: r["decision"]
+               for r in spark.read.parquet(out2).collect()}
+        # "c 0".."c 4" were seen in shard 1; "c 5".."c 8" are novel
+        for i in range(15):
+            expect_seen = (i % 9) < 5
+            if expect_seen:
+                assert dec[100 + i] == "drop_seen"
+        # sidecar was re-written (merged over a fresh build) and loads
+        from log2seq_spark.operators import bloom
+        assert bloom.load_bloom(spark, f"{idx}/_bloom")["k"] >= 1
+
+    def test_sidecar_resized_at_compaction(self, spark, capsys,
+                                           tmpdir_path):
+        from log2seq_spark.operators import bloom
+        idx = os.path.join(tmpdir_path, "rs_idx")
+        small_m = 1 << 10
+        for s in range(3):
+            src = self._shard(spark, tmpdir_path, f"rs_s{s}",
+                              [(s * 100 + i, f"c {s * 100 + i}")
+                               for i in range(30)])
+            out = os.path.join(tmpdir_path, f"rs_o{s}")
+            assert main(["dedup", "--mode", "exact", "--input", src,
+                         "--out", out, "--index-dir", idx,
+                         "--compact-every", "2",
+                         "--bloom-bits", str(small_m)]) == 0
+            capsys.readouterr()
+        side = bloom.load_bloom(spark, f"{idx}/_bloom")
+        # 90 distinct contents; compaction resizes m to the 2x-capacity
+        # formula, well above the deliberately tiny initial 1024 bits
+        assert side["m_bits"] > small_m
+        from log2seq_spark.__main__ import _index_segments
+        segments, _, _ = _index_segments(spark, idx)
+        hashes = spark.read.parquet(*segments).select("text_hash")
+        assert hashes.where(bloom.might_contain_expr(
+            "text_hash", side)).count() == hashes.count()
