@@ -112,9 +112,12 @@ def build_bloom(df: DataFrame, col: Union[str, Column], *,
     if m_bits is None or k is None:
         if n_items is None:
             n_items = vals.count()
-        auto_m, auto_k = bloom_parameters(max(n_items, 1), fpp)
-        m_bits = m_bits or auto_m
-        k = k or auto_k
+        n = max(n_items, 1)
+        if m_bits is None:
+            m_bits, _ = bloom_parameters(n, fpp)
+        if k is None:
+            # optimal k for the FINAL m (which may be caller-pinned)
+            k = max(1, round((m_bits / n) * math.log(2)))
     if m_bits % 64 != 0:
         raise ValueError("m_bits must be a multiple of 64")
     seeds = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("_s")
