@@ -673,10 +673,22 @@ def _cmd_dedup_incremental(args, spark) -> int:
         delta = delta.persist()
         m = sidecar["m_bits"] if sidecar else bloom_bits
         k = sidecar["k"] if sidecar else 5
-        delta_bloom = bloomlib.build_bloom(delta, "text_hash",
-                                           m_bits=m, k=k, n_items=-1)
-        merged = (bloomlib.merge_blooms(sidecar, delta_bloom)
-                  if sidecar else delta_bloom)
+        if sidecar is None and segments:
+            # no loadable sidecar over a NON-empty index (first run
+            # with the sidecar enabled, or a corrupt/half-written
+            # save): bootstrap from the FULL index ∪ delta — seeding
+            # from the delta alone would persist a SUBSET, and a
+            # subset sidecar short-circuits seen hashes to "novel" on
+            # the next shard
+            feed = index.select("text_hash").unionByName(
+                delta.select("text_hash"))
+            merged = bloomlib.build_bloom(feed, "text_hash",
+                                          m_bits=m, k=k, n_items=-1)
+        else:
+            delta_bloom = bloomlib.build_bloom(delta, "text_hash",
+                                               m_bits=m, k=k, n_items=-1)
+            merged = (bloomlib.merge_blooms(sidecar, delta_bloom)
+                      if sidecar else delta_bloom)
         bloomlib.save_bloom(spark, merged, sidecar_path)
     # publish the delta: if it fails, no verdicts were emitted for a
     # shard the index never absorbed (overwrite is safe — an

@@ -1216,3 +1216,40 @@ class TestDedupBloomSidecar:
         hashes = spark.read.parquet(*segments).select("text_hash")
         assert hashes.where(bloom.might_contain_expr(
             "text_hash", side)).count() == hashes.count()
+
+    def test_sidecar_bootstrap_covers_preexisting_index(self, spark,
+                                                        capsys,
+                                                        tmpdir_path):
+        """Enabling the sidecar on an index built WITHOUT one (or after
+        a corrupt save) must bootstrap from the full index — a
+        delta-only seed would be a subset and short-circuit seen
+        hashes to 'novel' on the following shard."""
+        from log2seq_spark.operators import bloom
+        idx = os.path.join(tmpdir_path, "bb_idx")
+        s1 = self._shard(spark, tmpdir_path, "bb_s1",
+                         [(i, f"old {i}") for i in range(12)])
+        out1 = os.path.join(tmpdir_path, "bb_o1")
+        assert main(["dedup", "--mode", "exact", "--input", s1,
+                     "--out", out1, "--index-dir", idx,
+                     "--bloom-bits", "0"]) == 0      # no sidecar yet
+        s2 = self._shard(spark, tmpdir_path, "bb_s2",
+                         [(100 + i, f"new {i}") for i in range(12)])
+        out2 = os.path.join(tmpdir_path, "bb_o2")
+        assert main(["dedup", "--mode", "exact", "--input", s2,
+                     "--out", out2, "--index-dir", idx]) == 0
+        # sidecar must now cover shard 1's hashes too
+        side = bloom.load_bloom(spark, f"{idx}/_bloom")
+        from log2seq_spark.__main__ import _index_segments
+        segments, _, _ = _index_segments(spark, idx)
+        hashes = spark.read.parquet(*segments).select("text_hash")
+        assert hashes.where(bloom.might_contain_expr(
+            "text_hash", side)).count() == hashes.count()
+        # and a replay of shard 1 screens correctly THROUGH the sidecar
+        out3 = os.path.join(tmpdir_path, "bb_o3")
+        s3 = self._shard(spark, tmpdir_path, "bb_s3",
+                         [(200 + i, f"old {i}") for i in range(12)])
+        assert main(["dedup", "--mode", "exact", "--input", s3,
+                     "--out", out3, "--index-dir", idx]) == 0
+        capsys.readouterr()
+        dec = {r["decision"] for r in spark.read.parquet(out3).collect()}
+        assert dec == {"drop_seen"}
