@@ -620,21 +620,23 @@ def _cmd_dedup_incremental(args, spark) -> int:
     segments, deltas, nxt = _index_segments(spark, args.index_dir)
     bloom_bits = getattr(args, "bloom_bits", 0) or 0
     sidecar_path = f"{args.index_dir}/_bloom"
+    from .operators import bloom as bloomlib
+    from .operators.dedup import bucket_key_expr
+    # membership sidecar: definitely-not-in-the-index keys skip the
+    # index join entirely. A half-written/corrupt sidecar loads as
+    # None and the screen falls back to the plain join — the sidecar
+    # is an accelerator, never a correctness dependency.
+    sidecar = None
+    if bloom_bits and segments:
+        try:
+            sidecar = bloomlib.load_bloom(spark, sidecar_path)
+        except Exception:
+            sidecar = None
     if args.mode == "exact":
-        from .operators import bloom as bloomlib
         schema = f"text_hash string, keep_id {id_type}"
         index = (spark.read.parquet(*segments) if segments
                  else spark.createDataFrame([], schema))
-        # membership sidecar: definitely-novel hashes skip the index
-        # join entirely. A half-written/corrupt sidecar loads as None
-        # and the screen falls back to the plain join — the sidecar is
-        # an accelerator, never a correctness dependency.
-        sidecar = None
-        if bloom_bits and segments:
-            try:
-                sidecar = bloomlib.load_bloom(spark, sidecar_path)
-            except Exception:
-                sidecar = None
+        side_key = lambda df: df.select(F.col("text_hash").alias("_k"))
         decisions = dedup_against_index(docs, index,
                                         text_col=args.text_col,
                                         id_col=args.id_col,
@@ -644,6 +646,7 @@ def _cmd_dedup_incremental(args, spark) -> int:
         schema = f"band int, band_hash string, keep_id {id_type}"
         index = (spark.read.parquet(*segments) if segments
                  else spark.createDataFrame([], schema))
+        side_key = lambda df: df.select(bucket_key_expr().alias("_k"))
         # signatures computed ONCE, shared by the screen and the
         # published novelty (the operators' documented seam)
         sigs = minhash_band_signatures(docs, text_col=args.text_col,
@@ -651,7 +654,8 @@ def _cmd_dedup_incremental(args, spark) -> int:
         verdicts = near_dup_against_index(docs, index,
                                           text_col=args.text_col,
                                           id_col=args.id_col,
-                                          signatures=sigs)
+                                          signatures=sigs,
+                                          index_bloom=sidecar)
         decisions = verdicts.select(
             args.id_col, "text_hash",
             F.when(F.col("is_near_dup"), F.lit("drop_near"))
@@ -659,7 +663,7 @@ def _cmd_dedup_incremental(args, spark) -> int:
             F.col("match_id").alias("keep_id"))
         delta = updated_minhash_index(index, docs, signatures=sigs,
                                       delta_only=True)
-    if args.mode == "exact" and bloom_bits:
+    if bloom_bits:
         # sidecar update BEFORE the delta publish: under any crash the
         # sidecar is then a SUPERSET of the committed index — extra
         # members are harmless false positives, while missing members
@@ -678,14 +682,13 @@ def _cmd_dedup_incremental(args, spark) -> int:
             # with the sidecar enabled, or a corrupt/half-written
             # save): bootstrap from the FULL index ∪ delta — seeding
             # from the delta alone would persist a SUBSET, and a
-            # subset sidecar short-circuits seen hashes to "novel" on
+            # subset sidecar short-circuits seen keys to "novel" on
             # the next shard
-            feed = index.select("text_hash").unionByName(
-                delta.select("text_hash"))
-            merged = bloomlib.build_bloom(feed, "text_hash",
+            feed = side_key(index).unionByName(side_key(delta))
+            merged = bloomlib.build_bloom(feed, "_k",
                                           m_bits=m, k=k, n_items=-1)
         else:
-            delta_bloom = bloomlib.build_bloom(delta, "text_hash",
+            delta_bloom = bloomlib.build_bloom(side_key(delta), "_k",
                                                m_bits=m, k=k, n_items=-1)
             merged = (bloomlib.merge_blooms(sidecar, delta_bloom)
                       if sidecar else delta_bloom)
@@ -699,7 +702,7 @@ def _cmd_dedup_incremental(args, spark) -> int:
     _write_with_tally(decisions, args.out, "decision")
     if args.mode != "exact":
         sigs.unpersist()  # both consumers (delta + verdicts) are done
-    elif bloom_bits:
+    if bloom_bits:
         delta.unpersist()  # bloom build + publish are done
     print(f"# index: delta gen={nxt} (+{n_new} entries, "
           f"{len(segments) + 1} segments)", file=sys.stderr)
@@ -714,7 +717,7 @@ def _cmd_dedup_incremental(args, spark) -> int:
             fsio.delete(spark, p)
         print(f"# index: compacted -> base gen={nxt} "
               f"({n_total} entries)", file=sys.stderr)
-        if args.mode == "exact" and bloom_bits:
+        if bloom_bits:
             # compaction is the one moment the full index is rewritten
             # anyway — rebuild the sidecar sized to 2x current entries
             # (the incremental merges keep m fixed, so a corpus that
@@ -725,7 +728,7 @@ def _cmd_dedup_incremental(args, spark) -> int:
                 max(2 * n_total, 1), 0.01)
             m_r = min(max(m_r, bloom_bits), bloomlib.MAX_EXPR_BITS)
             rebuilt = bloomlib.build_bloom(
-                spark.read.parquet(base_path), "text_hash",
+                side_key(spark.read.parquet(base_path)), "_k",
                 m_bits=m_r, k=k_r, n_items=n_total)
             bloomlib.save_bloom(spark, rebuilt, sidecar_path)
     return 0
@@ -1595,9 +1598,10 @@ def main(argv=None) -> int:
                    help="fold delta segments into a base generation "
                         "once more than this many are live (0 = never)")
     p.add_argument("--bloom-bits", type=int, default=1 << 20,
-                   help="exact incremental mode: initial size (bits) of "
-                        "the index's Bloom membership sidecar — "
-                        "definitely-novel hashes skip the index join. "
+                   help="incremental mode: initial size (bits) of the "
+                        "index's Bloom membership sidecar (exact: "
+                        "content hashes; near: LSH bucket keys) — "
+                        "definitely-novel keys skip the index join. "
                         "Start small: each compaction REBUILDS the "
                         "sidecar at 2x the corpus's current novelty, "
                         "so it grows with the index (0 = no sidecar)")

@@ -1271,11 +1271,20 @@ def minhash_index(docs: DataFrame, text_col: str = "text",
             .agg(F.min("_id").alias("keep_id")))
 
 
+def bucket_key_expr(band_col="band", band_hash_col="band_hash"):
+    """The composite LSH bucket identity as ONE probe-able string —
+    what the near-dup index's Bloom sidecar is built over and probed
+    with (band is a small int, so the concat is collision-free)."""
+    return F.concat_ws("#", F.col(band_col).cast("string"),
+                       F.col(band_hash_col))
+
+
 def near_dup_against_index(new_docs: DataFrame, index: DataFrame,
                            text_col: str = "text",
                            id_col: str = "doc_id", n_hashes: int = 8,
                            bands: int = 4, shingle_n: int = 3,
-                           signatures: DataFrame | None = None) -> DataFrame:
+                           signatures: DataFrame | None = None,
+                           index_bloom: dict | None = None) -> DataFrame:
     """Incremental MinHash-LSH near-dup screening of a new batch against
     the historical :func:`minhash_index` (the near-dup twin of
     :func:`dedup_against_index`; parameters must match the index's).
@@ -1305,6 +1314,14 @@ def near_dup_against_index(new_docs: DataFrame, index: DataFrame,
     :func:`minhash_band_signatures` so a caller that also feeds
     :func:`updated_minhash_index` pays the signature aggregate ONCE
     per batch, not twice (the streaming wrapper does this).
+
+    ``index_bloom`` (operators/bloom.py dict over — or over a SUPERSET
+    of — the index's :func:`bucket_key_expr` values) short-circuits
+    the bucket join exactly like :func:`dedup_against_index`'s
+    sidecar: a signature row whose bucket fails the probe cannot be
+    historically occupied, so it skips the join and keeps only its
+    batch-local collision verdict. Superset-safe / subset-wrong, same
+    contract.
     """
     from pyspark.sql import Window
     sigs = (signatures if signatures is not None
@@ -1324,11 +1341,22 @@ def near_dup_against_index(new_docs: DataFrame, index: DataFrame,
     # owner is a null-id doc carries keep_id NULL, and F.least would
     # silently drop it — the bucket would read as unoccupied and the
     # collision would be missed
-    joined = sigs.join(
-        index.select("band", "band_hash",
-                     F.col("keep_id").alias("_seen"),
-                     F.lit(True).alias("_occ")),
-        ["band", "band_hash"], "left")
+    idx = index.select("band", "band_hash",
+                       F.col("keep_id").alias("_seen"),
+                       F.lit(True).alias("_occ"))
+    if index_bloom is not None:
+        from .bloom import might_contain_expr
+        probe = might_contain_expr(bucket_key_expr(), index_bloom)
+        flagged = sigs.withColumn("_maybe_occ", probe)
+        keep_t = index.schema["keep_id"].dataType.simpleString()
+        hot = flagged.where(F.col("_maybe_occ")).drop("_maybe_occ")
+        cold = (flagged.where(~F.col("_maybe_occ")).drop("_maybe_occ")
+                       .withColumn("_seen", F.lit(None).cast(keep_t))
+                       .withColumn("_occ", F.lit(None).cast("boolean")))
+        joined = hot.join(idx, ["band", "band_hash"],
+                          "left").unionByName(cold)
+    else:
+        joined = sigs.join(idx, ["band", "band_hash"], "left")
     batch_prior = ~F.col("_sk").eqNullSafe(F.col("_bmin"))
     prior = F.least(
         F.col("_seen"),

@@ -210,3 +210,36 @@ class TestIndexBloomShortCircuit:
                for r in dedup.dedup_against_index(
                    batch, idx, index_bloom=superset).collect()}
         assert via == plain
+
+
+class TestNearIndexBloomShortCircuit:
+    """near_dup_against_index(index_bloom=...): probe over the
+    composite (band, band_hash) bucket key reroutes signature rows
+    around the bucket join without changing any verdict — including
+    the null-id and repeated-id identity cases the operator handles."""
+
+    def _corpus(self, spark, seed, n, vocab, with_nulls=False):
+        rng = random.Random(seed)
+        rows = []
+        for i in range(n):
+            text = " ".join(f"w{rng.randrange(vocab)}"
+                            for _ in range(rng.randrange(5, 15)))
+            did = None if (with_nulls and rng.random() < 0.1) else i
+            rows.append((did, text))
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_verdicts_equal_plain_join(self, spark):
+        hist = self._corpus(spark, 21, 50, 8, with_nulls=True)
+        batch = self._corpus(spark, 22, 40, 10, with_nulls=True)
+        idx = dedup.minhash_index(hist)
+        keys = idx.select(dedup.bucket_key_expr().alias("k"))
+        filt = bloom.build_bloom(keys, "k", fpp=0.01, n_items=400)
+        rows = lambda df: sorted(
+            ((r["doc_id"], r["text_hash"], r["is_near_dup"],
+              r["match_id"]) for r in df.collect()),
+            key=lambda t: (str(t[0]), t[1]))
+        plain = rows(dedup.near_dup_against_index(batch, idx))
+        via = rows(dedup.near_dup_against_index(batch, idx,
+                                                index_bloom=filt))
+        assert via == plain
+        assert any(t[2] for t in plain)        # some collisions exist

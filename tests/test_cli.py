@@ -1253,3 +1253,40 @@ class TestDedupBloomSidecar:
         capsys.readouterr()
         dec = {r["decision"] for r in spark.read.parquet(out3).collect()}
         assert dec == {"drop_seen"}
+
+    def test_near_mode_sidecar_verdicts_unchanged(self, spark, capsys,
+                                                  tmpdir_path):
+        """Near (MinHash) incremental mode with the bucket-key sidecar
+        on vs off must produce identical verdicts shard by shard."""
+        import random
+        rng = random.Random(31)
+        def mk(seed_base, n):
+            rows = []
+            for i in range(n):
+                t = " ".join(f"w{rng.randrange(12)}"
+                             for _ in range(rng.randrange(5, 12)))
+                rows.append((seed_base + i, t))
+            return rows
+        shards = [mk(0, 25), mk(100, 25)]
+        outs = {"on": [], "off": []}
+        for variant, bits in (("on", 1 << 16), ("off", 0)):
+            idx = os.path.join(tmpdir_path, f"nm_idx_{variant}")
+            rng = random.Random(31)          # same docs both variants
+            shards = [mk(0, 25), mk(100, 25)]
+            for s, rows in enumerate(shards):
+                src = os.path.join(tmpdir_path, f"nm_{variant}_s{s}")
+                (spark.createDataFrame(rows, "doc_id long, text string")
+                 .write.mode("overwrite").parquet(src))
+                out = os.path.join(tmpdir_path, f"nm_{variant}_o{s}")
+                assert main(["dedup", "--mode", "near", "--input", src,
+                             "--out", out, "--index-dir", idx,
+                             "--bloom-bits", str(bits)]) == 0
+                capsys.readouterr()
+                outs[variant] += sorted(
+                    (r["doc_id"], r["decision"], r["keep_id"])
+                    for r in spark.read.parquet(out).collect())
+        assert outs["on"] == outs["off"]
+        from log2seq_spark.operators import bloom
+        side = bloom.load_bloom(
+            spark, os.path.join(tmpdir_path, "nm_idx_on", "_bloom"))
+        assert side["m_bits"] == 1 << 16
