@@ -58,8 +58,9 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "bloom_parameters", "build_bloom", "might_contain_expr",
-    "might_contain_join", "bloom_words_df", "save_bloom", "load_bloom",
-    "merge_blooms", "bloom_contamination_report",
+    "with_might_contain", "might_contain_join", "bloom_words_df",
+    "save_bloom", "load_bloom", "merge_blooms",
+    "bloom_contamination_report",
 ]
 
 # literal-embedded probes above this many BITS refuse loudly: an
@@ -147,7 +148,13 @@ def might_contain_expr(col: Union[str, Column], bloom: dict) -> Column:
             f"filter has {m_bits} bits (> {MAX_EXPR_BITS}); a literal "
             "this large would bloat every task — use might_contain_join")
     c = _col(col)
-    words = F.lit(bloom["words"]).cast("array<bigint>")
+    # ONE Literal node of array<bigint>: F.lit over a numpy int64
+    # array. F.lit over a plain Python list builds CreateArray with
+    # m/64 child Literals instead, and CreateArray RE-MATERIALIZES the
+    # array on every evaluation — measured O(m) PER ROW (a 300k-word
+    # filter probed 500k rows in 116s; this shape: 2.3s, flat in m).
+    import numpy as _np
+    words = F.lit(_np.asarray(bloom["words"], dtype=_np.int64))
     seeds = F.array(*[F.lit(i) for i in range(k)])
 
     # forall over the seed array keeps the word-array literal in the
@@ -160,6 +167,52 @@ def might_contain_expr(col: Union[str, Column], bloom: dict) -> Column:
         return F.getbit(F.element_at(words, w), b) == F.lit(1)
 
     return c.isNotNull() & F.forall(seeds, _hit)
+
+
+# above this many WORDS, with_might_contain ships the array as a
+# single-row broadcast instead of a plan literal: F.lit of an array
+# crosses the Py4J bridge element-by-element (~10k words/s of DRIVER
+# time per expression construction — measured 30s at 300k words),
+# while a one-row createDataFrame ships in one serialized batch.
+EXPR_MAX_WORDS = 1 << 14
+
+
+def with_might_contain(df: DataFrame, col: Union[str, Column],
+                       bloom: dict,
+                       out_col: str = "_might_contain") -> DataFrame:
+    """``df`` + boolean ``out_col`` (same verdicts as
+    ``might_contain_expr``), picking the transport by filter size:
+
+    * small filters: the codegen'd literal expression — zero plan
+      changes, zero joins;
+    * large filters: the word array rides a SINGLE-ROW broadcast
+      (crossJoin) and the probe indexes the broadcast COLUMN — the
+      array crosses driver→JVM once as one serialized batch and
+      executor-side once per broadcast, never per task and never
+      element-by-element through Py4J.
+
+    The probe stays all-JVM either way."""
+    if len(bloom["words"]) <= EXPR_MAX_WORDS:
+        return df.withColumn(out_col, might_contain_expr(col, bloom))
+    import numpy as _np
+    spark = df.sparkSession
+    one = spark.createDataFrame(
+        [( [int(w) for w in bloom["words"]],)],
+        "__bloom_words array<bigint>")
+    c = _col(col)
+    m_bits, k = bloom["m_bits"], bloom["k"]
+    seeds = F.array(*[F.lit(i) for i in range(k)])
+    words = F.col("__bloom_words")
+
+    def _hit(s):
+        p = _pos(c, s, m_bits)
+        w = (p / 64).cast("int") + F.lit(1)
+        b = (p % 64).cast("int")
+        return F.getbit(F.element_at(words, w), b) == F.lit(1)
+
+    return (df.crossJoin(F.broadcast(one))
+              .withColumn(out_col, c.isNotNull() & F.forall(seeds, _hit))
+              .drop("__bloom_words"))
 
 
 def bloom_words_df(spark, bloom: dict) -> DataFrame:
@@ -299,22 +352,22 @@ def bloom_contamination_report(train: DataFrame, evalset: DataFrame,
     tr = (train_shingles if train_shingles is not None else
           shingle_rows(train, text_col, id_col, shingle_n)
           .select("_id", "shingle").distinct())
-    probe = might_contain_expr(F.col("shingle"), bloom)
-
     if broadcast_confirm:
         # probe as a PROJECTED column feeding a plain equi broadcast
         # join — measured ~3× faster than folding the probe into the
         # join condition, which drops its evaluation out of
         # whole-stage codegen into the join's interpreted path
         ev = ev_all.distinct().withColumn("_hit", F.lit(1))
-        flagged = tr.select("_id", "shingle", probe.alias("_p"))
+        flagged = with_might_contain(
+            tr.select("_id", "shingle"), "shingle", bloom, "_p")
         confirmed = F.when(F.col("_p") & F.col("_hit").isNotNull(), 1)
         report = (flagged.join(F.broadcast(ev), "shingle", "left")
                          .groupBy("_id")
                          .agg(F.count("*").alias("n_shingles"),
                               F.count(confirmed).alias("n_overlap")))
     else:
-        cand = tr.where(probe)
+        cand = (with_might_contain(tr, "shingle", bloom, "_p")
+                .where(F.col("_p")).drop("_p"))
         overlaps = (cand.join(ev_all.distinct(), "shingle", "semi")
                         .groupBy("_id")
                         .agg(F.count("*").alias("n_overlap")))

@@ -1184,9 +1184,18 @@ def dedup_against_index(new_docs: DataFrame, index: DataFrame,
                        F.col("keep_id").alias("_seen_keeper"),
                        F.lit(True).alias("_in_index"))
     if index_bloom is not None:
-        from .bloom import might_contain_expr
-        probe = might_contain_expr(F.col("_h"), index_bloom)
-        flagged = batch.withColumn("_maybe_seen", probe)
+        from .bloom import with_might_contain
+        # EAGER localCheckpoint, deliberately: (1) the batch is probed
+        # exactly once (the hot/cold branches re-read the materialized
+        # rows instead of re-running distinct+window+probe per branch),
+        # and (2) it severs the logical lineage so Catalyst's
+        # InferFiltersFromConstraints cannot copy the probe across the
+        # equi-join onto the INDEX side — measured doing exactly that,
+        # re-probing every index row for zero pruning (all members
+        # pass their own filter). Bounded by the batch, which already
+        # fits by assumption.
+        flagged = with_might_contain(batch, F.col("_h"), index_bloom,
+                                     "_maybe_seen").localCheckpoint()
         keep_t = index.schema["keep_id"].dataType.simpleString()
         hot = flagged.where(F.col("_maybe_seen")).drop("_maybe_seen")
         cold = (flagged.where(~F.col("_maybe_seen")).drop("_maybe_seen")
@@ -1345,9 +1354,15 @@ def near_dup_against_index(new_docs: DataFrame, index: DataFrame,
                        F.col("keep_id").alias("_seen"),
                        F.lit(True).alias("_occ"))
     if index_bloom is not None:
-        from .bloom import might_contain_expr
-        probe = might_contain_expr(bucket_key_expr(), index_bloom)
-        flagged = sigs.withColumn("_maybe_occ", probe)
+        from .bloom import with_might_contain
+        # eager localCheckpoint for the same two reasons as
+        # dedup_against_index: one probe pass shared by both branches,
+        # and a lineage barrier so the probe is not inferred onto the
+        # index side of the bucket join (where every member passes —
+        # all cost, no pruning)
+        flagged = with_might_contain(sigs, bucket_key_expr(),
+                                     index_bloom,
+                                     "_maybe_occ").localCheckpoint()
         keep_t = index.schema["keep_id"].dataType.simpleString()
         hot = flagged.where(F.col("_maybe_occ")).drop("_maybe_occ")
         cold = (flagged.where(~F.col("_maybe_occ")).drop("_maybe_occ")

@@ -243,3 +243,34 @@ class TestNearIndexBloomShortCircuit:
                                                 index_bloom=filt))
         assert via == plain
         assert any(t[2] for t in plain)        # some collisions exist
+
+
+class TestWithMightContainTransport:
+    def test_broadcast_transport_agrees_with_literal(self, spark):
+        """Above EXPR_MAX_WORDS the flag rides a single-row broadcast;
+        verdicts must equal the literal expression's on the same
+        filter (force both transports on one filter)."""
+        members = _member_words(400, seed=9)
+        df = spark.createDataFrame([(w,) for w in members], "v string")
+        # big m so the dispatch picks the broadcast path
+        m = (bloom.EXPR_MAX_WORDS + 1024) * 64
+        filt = bloom.build_bloom(df, "v", m_bits=m, k=5)
+        assert len(filt["words"]) > bloom.EXPR_MAX_WORDS
+        probes = spark.createDataFrame(
+            [(w,) for w in members[:200]]
+            + [(f"no_{i}",) for i in range(300)] + [(None,)], "v string")
+        via_bcast = bloom.with_might_contain(probes, "v", filt, "m")
+        via_lit = probes.withColumn(
+            "m", bloom.might_contain_expr("v", filt))
+        key = lambda r: (r["v"] or "", bool(r["m"]))
+        assert sorted(map(key, via_bcast.collect())) == \
+               sorted(map(key, via_lit.collect()))
+
+    def test_small_filter_uses_literal_no_join(self, spark):
+        members = _member_words(50, seed=10)
+        df = spark.createDataFrame([(w,) for w in members], "v string")
+        filt = bloom.build_bloom(df, "v", n_items=50)
+        out = bloom.with_might_contain(df, "v", filt, "m")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan
+        assert out.where("m").count() == 50

@@ -53,8 +53,12 @@ def main():
          .alias("text"))
     shard = dups.unionByName(novel)
 
-    index = dedup.exact_dedup_index(hist).persist()
-    index.count()                     # materialize outside timing
+    # index on DISK, like the CLI's LSM segments — the screen must pay
+    # the real read, not a cached in-memory scan
+    import tempfile
+    idx_path = tempfile.mkdtemp(prefix="soak_sidecar_") + "/index"
+    dedup.exact_dedup_index(hist).write.mode("overwrite").parquet(idx_path)
+    index = spark.read.parquet(idx_path)
     t0 = time.time()
     side = bloom.build_bloom(index, "text_hash",
                              n_items=n_index, fpp=0.01)
