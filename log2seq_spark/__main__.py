@@ -765,6 +765,35 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_substr(args) -> int:
+    """Corpus-wide exact duplicate-substring scrub
+    (``operators/substrdedup.py::scrub_duplicate_spans`` — the
+    ExactSubstr policy from Lee et al. 2022 at token k-gram
+    granularity): any run of >= ``--k`` tokens occurring at least
+    ``--min-count`` times corpus-wide is removed everywhere except its
+    canonical first occurrence. Scrubbed table written to ``--out``
+    (text re-rendered single-spaced + ``n_dropped_tokens``), tally of
+    scrubbed-vs-clean docs and the total dropped-token count to
+    stderr."""
+    from .operators.substrdedup import scrub_duplicate_spans
+    spark, owns = _cli_spark("log2seq-spark-substr")
+    try:
+        docs = (spark.read.parquet(args.input)
+                .repartition(spark.sparkContext.defaultParallelism))
+        out = (scrub_duplicate_spans(docs, text_col=args.text_col,
+                                     id_col=args.id_col, k=args.k,
+                                     min_count=args.min_count)
+               .withColumn("scrub_status",
+                           F.when(F.col("n_dropped_tokens") > 0,
+                                  F.lit("scrubbed"))
+                            .otherwise(F.lit("clean"))))
+        _write_with_tally(out, args.out, "scrub_status")
+    finally:
+        if owns:
+            spark.stop()
+    return 0
+
+
 def cmd_drift(args) -> int:
     """Two-period template drift (``operators/anomaly.py::
     template_drift``): mine templates over period A and period B and
@@ -1606,6 +1635,22 @@ def main(argv=None) -> int:
                         "sidecar at 2x the corpus's current novelty, "
                         "so it grows with the index (0 = no sidecar)")
     p.set_defaults(fn=cmd_dedup)
+
+    p = sub.add_parser(
+        "substr", help="exact duplicate-substring scrub: remove every "
+                       "corpus-duplicated run of >= k tokens except "
+                       "its first occurrence")
+    p.add_argument("--input", required=True,
+                   help="documents parquet path")
+    p.add_argument("--out", required=True)
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--k", type=int, default=20,
+                   help="minimum duplicated run length in tokens")
+    p.add_argument("--min-count", type=int, default=2,
+                   help="corpus-wide occurrences that make a k-gram "
+                        "duplicated")
+    p.set_defaults(fn=cmd_substr)
 
     p = sub.add_parser(
         "drift", help="two-period template drift: what changed between "

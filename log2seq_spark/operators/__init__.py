@@ -6,9 +6,10 @@ PII/URL scrubbing, composed corpus cleaning."""
 from . import (anomaly, asof, bloom, chunking, corpus, dedup,
                expectations, funnel, layout, mixture, multimodal, packing,
                preference, rangejoin, sampling, scrub, shards, similarity,
-               templates, textstats)
+               substrdedup, templates, textstats)
 
 __all__ = ["anomaly", "asof", "bloom", "chunking", "corpus", "dedup",
            "expectations", "funnel", "layout", "mixture", "multimodal",
            "packing", "preference", "rangejoin", "sampling", "scrub",
-           "shards", "similarity", "templates", "textstats"]
+           "shards", "similarity", "substrdedup", "templates",
+           "textstats"]

@@ -1,0 +1,188 @@
+"""Exact duplicate-substring detection and scrub — the ExactSubstr
+family from Lee et al. 2022 ("Deduplicating Training Data Makes
+Language Models Better", §4.1), re-expressed at token k-gram
+granularity so every step is a built-in Spark relational op instead of
+the paper's single-machine suffix array.
+
+Semantics: a position ``p`` in document ``d`` is *duplicated* when the
+``k``-token gram starting at ``p`` occurs at least ``min_count`` times
+across the whole corpus AND ``(d, p)`` is not the gram's canonical
+first occurrence (minimum ``(id, pos)`` lexicographically — one copy of
+every duplicated substring always survives, exactly the paper's
+retain-one policy). Maximal runs of duplicated positions merge into
+spans; the scrub drops the spanned tokens and rebuilds the text.
+
+Why no suffix array: the paper's suffix-array pass finds duplicated
+substrings of length >= L over a single flat byte buffer — inherently
+sequential construction, >= 8 bytes of index per corpus byte, and no
+cluster story. Fixed-k gram hashing finds the same spans for any
+duplicated run of >= k tokens (every window inside the run is itself
+duplicated, so the merged span recovers the full run, head-aligned to
+its first k-window) with three scale-shaped relational steps:
+
+1. gram synthesis — ``transform(sequence(...))`` + ``xxhash64`` over
+   token slices, all JVM/codegen, O(n_tokens * k) work, map-only;
+2. ONE aggregate shuffled on the 64-bit gram hash (uniform by
+   construction — no key skew regardless of text skew) computing
+   ``count(*)`` and ``min(struct(id, pos))`` per gram, both map-side
+   combinable, so even a corpus-dominating boilerplate gram folds to
+   one row per map task before the exchange;
+3. a per-document window (partitioned by id — bounded by doc length)
+   to merge adjacent duplicated positions into maximal spans.
+
+Nothing is ever all-pairs and nothing is ever collected: output of
+step 2 is bounded by the number of *distinct duplicated* grams, and
+the position join back is a shuffle equi-join on the same uniform
+hash. Winnowing (textstats.winnow_fingerprints) answers "which docs
+share substrings" probabilistically; this answers "which exact token
+spans are corpus-duplicated, and give me the text with them removed".
+
+Relation to ``dedup.duplicate_window_ownership`` /
+``dedup.drop_duplicate_spans`` (the doc-ownership span dedup that
+feeds the ``dedup_exact`` oracle's kind='span' rows): that variant
+elects one KEEPER DOCUMENT per window content (lowest doc id, window
+occurrences inside the keeper all survive — within-doc repetition is
+deliberately out of scope there) and operates on normalized text
+(lowercased, punctuation stripped). This module is the
+OCCURRENCE-granularity policy of the paper: exactly one occurrence of
+each duplicated run survives corpus-wide — within-doc boilerplate
+repeats are scrubbed too — over raw whitespace tokens (case and
+punctuation preserved), with positioned ``(start, end)`` span output
+and a ``min_count`` threshold. Use the doc-ownership variant for
+cross-doc contamination profiles; use this one to actually shrink a
+training corpus the way ExactSubstr does.
+
+No counterpart in the reference (amulog/log2seq stops at
+tokenization); this extends the dedup family the LLM-pipeline tier
+grades (exact / MinHash / SimHash / n-gram / embedding / substring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import tokens_expr
+
+__all__ = ["gram_positions", "duplicate_positions", "duplicate_spans",
+           "scrub_duplicate_spans"]
+
+
+def gram_positions(docs: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", k: int = 20) -> DataFrame:
+    """One row per token position that starts a full ``k``-gram:
+    ``(id_col, n_tok, pos, gh)`` with ``pos`` 1-based and ``gh`` the
+    xxhash64 of the k tokens joined by a single space. Tokenization is
+    the corpus-wide ``\\s+``-split-empties-dropped contract
+    (textstats.tokens_expr), so consecutive spaces/tabs cannot mint
+    phantom grams. Docs shorter than ``k`` tokens emit nothing.
+    Map-only: explode + hash in one projection, no join; the slice
+    hashing is O(n_tok * k) chars inside codegen — the same budget
+    winnow_fingerprints already spends."""
+    toks = tokens_expr(F.col(text_col))
+    base = docs.select(F.col(id_col), toks.alias("_toks")) \
+               .withColumn("_n", F.size("_toks"))
+    starts = F.when(F.col("_n") >= k,
+                    F.sequence(F.lit(1), F.col("_n") - F.lit(k - 1))) \
+              .otherwise(F.array())
+    return (base.select(id_col, F.col("_n").alias("n_tok"), "_toks",
+                        F.explode(starts).alias("pos"))
+                .select(id_col, "n_tok", "pos",
+                        F.xxhash64(F.concat_ws(
+                            " ", F.slice("_toks", F.col("pos"), k)))
+                         .alias("gh")))
+
+
+def duplicate_positions(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 20,
+                        min_count: int = 2,
+                        keep_first: bool = True) -> DataFrame:
+    """``(id_col, pos, n_tok)`` rows whose k-gram is corpus-duplicated
+    (global occurrence count >= ``min_count``). With ``keep_first``
+    (the retain-one policy) the gram's canonical first occurrence —
+    minimum ``(id, pos)`` — is exempted, so scrubbing every returned
+    position still leaves one copy of each duplicated substring in the
+    corpus. ``keep_first=False`` returns every duplicated occurrence
+    (the "flag all" analysis mode)."""
+    grams = gram_positions(docs, text_col, id_col, k)
+    # ONE shuffle on gh: count + min(struct) are both partial-agg'able
+    stats = (grams.groupBy("gh")
+                  .agg(F.count(F.lit(1)).alias("_cnt"),
+                       F.min(F.struct(F.col(id_col).alias("i"),
+                                      F.col("pos").alias("p")))
+                        .alias("_first"))
+                  .where(F.col("_cnt") >= min_count))
+    joined = grams.join(stats, "gh")
+    if keep_first:
+        joined = joined.where(
+            ~((F.col(id_col) == F.col("_first.i"))
+              & (F.col("pos") == F.col("_first.p"))))
+    return joined.select(id_col, "pos", "n_tok")
+
+
+def duplicate_spans(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 20,
+                    min_count: int = 2,
+                    keep_first: bool = True) -> DataFrame:
+    """Maximal duplicated token spans per document:
+    ``(id_col, start, end, n_tok)`` with ``start``/``end`` 1-based
+    inclusive token indices. A duplicated position ``p`` covers tokens
+    ``[p, p+k-1]``; overlapping / adjacent covers merge. Span merge is
+    interval union via a per-doc running maximum of prior cover ends
+    (classic gaps-and-islands): a new island starts where ``p`` exceeds
+    every earlier cover's end."""
+    dup = duplicate_positions(docs, text_col, id_col, k,
+                              min_count, keep_first)
+    w_prev = (Window.partitionBy(id_col).orderBy("pos")
+                    .rowsBetween(Window.unboundedPreceding, -1))
+    # (pos + k - 1) is this row's cover end; the island test compares
+    # pos against max prior end + 1 (adjacent runs merge: a cover
+    # ending at e merges with one starting at e+1)
+    prev_max_end = F.max(F.col("pos") + F.lit(k - 1)).over(w_prev)
+    is_new = (F.coalesce(F.col("pos") > prev_max_end + F.lit(1),
+                         F.lit(True))).cast("int")
+    w_run = (Window.partitionBy(id_col).orderBy("pos")
+                   .rowsBetween(Window.unboundedPreceding, 0))
+    islands = dup.withColumn("_isl", F.sum(is_new).over(w_run))
+    return (islands.groupBy(id_col, "_isl")
+                   .agg(F.min("pos").alias("start"),
+                        (F.max("pos") + F.lit(k - 1)).alias("end"),
+                        F.first("n_tok").alias("n_tok"))
+                   .select(id_col, "start",
+                           F.least("end", "n_tok").alias("end"),
+                           "n_tok"))
+
+
+def scrub_duplicate_spans(docs: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", k: int = 20,
+                          min_count: int = 2) -> DataFrame:
+    """``docs`` with duplicated spans removed from ``text_col`` (tokens
+    re-joined with single spaces — the tokenizer's inverse up to
+    whitespace normalization, same contract as the clean recipe) plus
+    ``n_dropped_tokens``. One copy of every duplicated substring
+    survives corpus-wide (``keep_first`` policy). Documents with no
+    duplicated span pass through with the same single-space
+    re-rendering, so output text is uniformly normalized."""
+    spans = duplicate_spans(docs, text_col, id_col, k, min_count,
+                            keep_first=True)
+    # per-doc span list is small (bounded by doc length / k); collect
+    # it as an array column and drop spanned tokens with one filter
+    span_sets = (spans.groupBy(id_col)
+                      .agg(F.collect_list(
+                          F.struct("start", "end")).alias("_spans")))
+    toks = tokens_expr(F.col(text_col))
+    out = (docs.join(span_sets, id_col, "left")
+               .withColumn("_toks", toks)
+               .withColumn("_spans", F.coalesce(
+                   "_spans",
+                   F.array().cast("array<struct<start:int,end:int>>")))
+               .withColumn("_kept", F.filter(
+                   "_toks",
+                   lambda t, i: ~F.exists(
+                       "_spans",
+                       lambda s: (i + 1 >= s["start"])
+                       & (i + 1 <= s["end"]))))
+               .withColumn("n_dropped_tokens",
+                           F.size("_toks") - F.size("_kept")))
+    return (out.withColumn(text_col, F.concat_ws(" ", "_kept"))
+               .drop("_toks", "_kept", "_spans"))

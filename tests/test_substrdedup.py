@@ -1,0 +1,211 @@
+"""Exact duplicate-substring detection / scrub (substrdedup.py):
+hand-built span cases, a randomized pure-Python-model equivalence
+(house style), and plan-shape gates (no crossJoin; the gram aggregate
+partial-aggregates before its exchange)."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from log2seq_spark.operators import substrdedup as sd
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+# ---------------------------------------------------------------- model
+
+def _model_spans(rows, k, min_count, keep_first=True):
+    """Direct Python replay of duplicate_spans semantics."""
+    toks = {i: t.split() for i, t in rows}
+    occ = {}
+    for i, ts in sorted(toks.items()):
+        for p in range(len(ts) - k + 1):
+            occ.setdefault(tuple(ts[p:p + k]), []).append((i, p + 1))
+    dup = {}
+    for g, places in occ.items():
+        if len(places) < min_count:
+            continue
+        first = min(places)
+        for place in places:
+            if keep_first and place == first:
+                continue
+            dup.setdefault(place[0], set()).add(place[1])
+    spans = {}
+    for i, ps in dup.items():
+        n = len(toks[i])
+        merged = []
+        for p in sorted(ps):
+            e = min(p + k - 1, n)
+            if merged and p <= merged[-1][1] + 1:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([p, e])
+        spans[i] = [tuple(m) for m in merged]
+    return spans
+
+
+def _model_scrub(rows, k, min_count):
+    spans = _model_spans(rows, k, min_count, keep_first=True)
+    out = {}
+    for i, t in rows:
+        ts = t.split()
+        drop = set()
+        for s, e in spans.get(i, []):
+            drop.update(range(s, e + 1))
+        kept = [w for j, w in enumerate(ts, start=1) if j not in drop]
+        out[i] = (" ".join(kept), len(drop))
+    return out
+
+
+# ---------------------------------------------------------------- units
+
+class TestDuplicateSpans:
+    def test_shared_run_flagged_once_kept(self, spark):
+        # 6-token run shared by two docs; k=3 -> every window inside it
+        # duplicates; doc a (first occurrence) keeps it, doc b loses it
+        run = "x1 x2 x3 x4 x5 x6"
+        docs = _docs(spark, [("a", f"alpha {run} beta"),
+                             ("b", f"gamma delta {run} epsilon zeta")])
+        spans = {(r["doc_id"], r["start"], r["end"])
+                 for r in sd.duplicate_spans(docs, k=3).collect()}
+        # doc b: run occupies tokens 3..8 -> duplicated windows start
+        # at 3..6, covers merge to [3, 8]
+        assert spans == {("b", 3, 8)}
+
+    def test_keep_first_false_flags_both(self, spark):
+        run = "x1 x2 x3 x4"
+        docs = _docs(spark, [("a", f"{run} tail0"),
+                             ("b", f"h1 {run}")])
+        spans = {(r["doc_id"], r["start"], r["end"])
+                 for r in sd.duplicate_spans(docs, k=4,
+                                             keep_first=False).collect()}
+        assert spans == {("a", 1, 4), ("b", 2, 5)}
+
+    def test_within_doc_repeat(self, spark):
+        # duplication inside ONE document counts too (min_count global
+        # occurrences, not distinct docs)
+        docs = _docs(spark, [("a", "p q r s MID p q r s")])
+        spans = {(r["doc_id"], r["start"], r["end"])
+                 for r in sd.duplicate_spans(docs, k=4).collect()}
+        assert spans == {("a", 6, 9)}
+
+    def test_adjacent_covers_merge(self, spark):
+        # two disjoint duplicated grams with adjacent covers merge into
+        # one span; separated ones stay apart
+        docs = _docs(spark, [
+            ("a", "a1 a2 b1 b2 SEPARATOR0 c1 c2"),
+            ("b", "a1 a2 b1 b2 SEPARATOR1 c1 c2"),
+        ])
+        spans = sorted((r["doc_id"], r["start"], r["end"])
+                       for r in sd.duplicate_spans(docs, k=2).collect())
+        assert spans == [("b", 1, 4), ("b", 6, 7)]
+
+    def test_short_docs_emit_nothing(self, spark):
+        docs = _docs(spark, [("a", "only two"), ("b", "only two"),
+                             ("c", ""), ("d", "   ")])
+        assert sd.duplicate_spans(docs, k=3).count() == 0
+
+    def test_whitespace_runs_do_not_mint_grams(self, spark):
+        # double spaces / tabs collapse: same tokens -> duplicated
+        docs = _docs(spark, [("a", "w1  w2\tw3   w4"),
+                             ("b", "w1 w2 w3 w4")])
+        spans = {(r["doc_id"], r["start"], r["end"])
+                 for r in sd.duplicate_spans(docs, k=4).collect()}
+        assert spans == {("b", 1, 4)}
+
+
+class TestScrub:
+    def test_one_copy_survives(self, spark):
+        run = " ".join(f"t{i}" for i in range(8))
+        docs = _docs(spark, [("a", f"{run} ua"),
+                             ("b", f"ub {run}"),
+                             ("c", f"uc0 uc1 {run}")])
+        out = {r["doc_id"]: (r["text"], r["n_dropped_tokens"])
+               for r in sd.scrub_duplicate_spans(docs, k=8).collect()}
+        assert out["a"] == (f"{run} ua", 0)         # first occurrence
+        assert out["b"] == ("ub", 8)
+        assert out["c"] == ("uc0 uc1", 8)
+
+    def test_untouched_doc_roundtrips_normalized(self, spark):
+        docs = _docs(spark, [("a", "lone  doc\twith   gaps")])
+        out = sd.scrub_duplicate_spans(docs, k=2).collect()[0]
+        assert out["text"] == "lone doc with gaps"
+        assert out["n_dropped_tokens"] == 0
+
+    def test_columns_preserved(self, spark):
+        docs = spark.createDataFrame(
+            [("a", "x y", 7), ("b", "x z", 8)],
+            "doc_id string, text string, extra int")
+        out = sd.scrub_duplicate_spans(docs, k=2)
+        assert set(out.columns) == {"doc_id", "text", "extra",
+                                    "n_dropped_tokens"}
+        assert out.where("extra = 7").count() == 1
+
+
+class TestModelEquivalence:
+    @pytest.mark.parametrize("seed", [1, 2, 3])
+    def test_random_corpus(self, spark, seed):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(12)]   # small vocab -> real dups
+        rows = []
+        for i in range(30):
+            n = rng.randint(0, 25)
+            rows.append((f"d{i:02d}",
+                         " ".join(rng.choice(vocab) for _ in range(n))))
+        k, mc = rng.choice([(3, 2), (4, 2), (3, 3)])
+        docs = _docs(spark, rows)
+
+        got_spans = {}
+        for r in sd.duplicate_spans(docs, k=k, min_count=mc).collect():
+            got_spans.setdefault(r["doc_id"], []).append(
+                (r["start"], r["end"]))
+        got_spans = {i: sorted(v) for i, v in got_spans.items()}
+        assert got_spans == _model_spans(rows, k, mc)
+
+        got_scrub = {r["doc_id"]: (r["text"], r["n_dropped_tokens"])
+                     for r in sd.scrub_duplicate_spans(
+                         docs, k=k, min_count=mc).collect()}
+        assert got_scrub == _model_scrub(rows, k, mc)
+
+
+class TestPlanShape:
+    def test_no_cartesian_and_partial_agg(self, spark):
+        docs = _docs(spark, [("a", "x y z w"), ("b", "x y z w")])
+        plan = sd.duplicate_spans(docs, k=2)._jdf.queryExecution() \
+                 .executedPlan().toString()
+        assert "Cartesian" not in plan and "NestedLoop" not in plan
+        # the gram aggregate must partial-aggregate before its exchange
+        # (count + min(struct) are both combinable)
+        assert "partial_count" in plan or "partial_min" in plan
+
+
+class TestSubstrCLI:
+    """`substr` subcommand — scrub_duplicate_spans surfaced over a
+    documents parquet table (house pattern: main() in-process)."""
+
+    def test_scrub_roundtrip_and_tally(self, spark, capsys,
+                                       tmpdir_path):
+        import os
+        from log2seq_spark.__main__ import main
+        run = " ".join(f"t{i}" for i in range(6))
+        src = os.path.join(tmpdir_path, "docs_in")
+        spark.createDataFrame(
+            [("d1", f"{run} solo1"), ("d2", f"pre {run}"),
+             ("d3", "wholly original text here")],
+            "doc_id string, text string") \
+            .write.mode("overwrite").parquet(src)
+        dest = os.path.join(tmpdir_path, "docs_scrubbed")
+        code = main(["substr", "--input", src, "--out", dest,
+                     "--k", "6"])
+        err = capsys.readouterr().err
+        assert code == 0
+        got = {r["doc_id"]: (r["text"], r["n_dropped_tokens"],
+                             r["scrub_status"])
+               for r in spark.read.parquet(dest).collect()}
+        assert got["d1"] == (f"{run} solo1", 0, "clean")
+        assert got["d2"] == ("pre", 6, "scrubbed")
+        assert got["d3"] == ("wholly original text here", 0, "clean")
+        assert "# clean: 2" in err and "# scrubbed: 1" in err
