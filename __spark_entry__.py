@@ -2690,6 +2690,36 @@ def q_dedup_exact(spark, sf_dir):
         "clean_md5",
         F.lit(None).cast("string").alias("name"),
         F.lit(None).cast("long").alias("n_matches")))
+    # fourth leg (kind='occ'): OCCURRENCE-granularity ExactSubstr
+    # profile (operators/substrdedup.py — keeper = first occurrence,
+    # within-doc repeats count, raw \s+ tokens). Oracle replays gram
+    # grouping, first-occurrence election, island merge AND the
+    # scrubbed-text rebuild, value-checked via md5.
+    from log2seq_spark.operators import substrdedup
+    from log2seq_spark.operators.textstats import tokens_expr
+    occ_counts = (substrdedup.duplicate_spans(docs, k=8)
+                  .groupBy("doc_id")
+                  .agg(F.count(F.lit(1)).alias("_nsp")))
+    occ_clean = substrdedup.scrub_duplicate_spans(docs, k=8).select(
+        "doc_id", F.md5("text").alias("clean_md5"),
+        F.col("n_dropped_tokens").cast("long").alias("dup_tokens"))
+    occ_rows = (docs.select(
+        "doc_id",
+        F.size(tokens_expr(F.col("text"))).cast("long").alias("n_toks"))
+        .join(occ_counts, "doc_id", "left")
+        .join(occ_clean, "doc_id")
+        .select(
+            F.lit("occ").alias("kind"),
+            F.lit(None).cast("string").alias("text_hash"),
+            F.lit(None).cast("long").alias("n_docs"),
+            F.lit(None).cast("long").alias("keep_id"),
+            "doc_id", "n_toks",
+            F.lit(None).cast("long").alias("n_windows"),
+            F.lit(None).cast("long").alias("n_dup_windows"),
+            F.coalesce("_nsp", F.lit(0)).cast("long").alias("n_spans"),
+            "dup_tokens", "clean_md5",
+            F.lit(None).cast("string").alias("name"),
+            F.lit(None).cast("long").alias("n_matches")))
     pairs = fuzzyjoin.fuzzy_self_pairs(
         _t(spark, sf_dir, "customer"), "c_name", max_dist=1)
     fuzzy = (pairs.select(F.col("s_a").alias("name"))
@@ -2709,7 +2739,8 @@ def q_dedup_exact(spark, sf_dir):
         F.lit(None).cast("long").alias("dup_tokens"),
         F.lit(None).cast("string").alias("clean_md5"),
         "name", "n_matches"))
-    return groups.unionByName(span_rows).unionByName(fuzzy)
+    return (groups.unionByName(span_rows).unionByName(occ_rows)
+                  .unionByName(fuzzy))
 
 
 _SQL_DEDUP_EXACT = f"""
@@ -2789,6 +2820,74 @@ SELECT 'span', cast(NULL AS VARCHAR), cast(NULL AS BIGINT),
        n_spans, dup_tokens, clean_md5,
        cast(NULL AS VARCHAR), cast(NULL AS BIGINT)
 FROM span_rows
+UNION ALL
+-- occ leg: occurrence-granularity ExactSubstr scrub (replays
+-- operators/substrdedup.py — grams grouped by CONTENT, keeper = first
+-- (doc_id, pos) occurrence via row_number, island merge with
+-- adjacent-cover fusion (gap > k), covered positions clamped to doc
+-- length, scrubbed text rebuilt single-spaced)
+SELECT 'occ', cast(NULL AS VARCHAR), cast(NULL AS BIGINT),
+       cast(NULL AS BIGINT), doc_id, n_toks, cast(NULL AS BIGINT),
+       cast(NULL AS BIGINT), n_spans, dup_tokens, clean_md5,
+       cast(NULL AS VARCHAR), cast(NULL AS BIGINT)
+FROM (
+  WITH ow AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\\s+'),
+                       t -> t <> '') AS w
+    FROM documents
+  ), og AS (
+    SELECT doc_id, u AS pos, array_to_string(w[u:u+7], ' ') AS g
+    FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS u
+          FROM ow WHERE len(w) >= 8)
+  ), odup AS (
+    SELECT doc_id, pos
+    FROM (SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS cnt,
+                 row_number() OVER (PARTITION BY g
+                                    ORDER BY doc_id, pos) AS rn
+          FROM og)
+    WHERE cnt >= 2 AND rn > 1
+  ), obrk AS (
+    SELECT doc_id, pos,
+           CASE WHEN pos - coalesce(max(pos) OVER
+                (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                -100) > 8 THEN 1 ELSE 0 END AS brk
+    FROM odup
+  ), ospans AS (
+    SELECT doc_id, cast(sum(brk) AS BIGINT) AS n_spans
+    FROM obrk GROUP BY doc_id
+  ), ocov AS (
+    SELECT DISTINCT d.doc_id, idx
+    FROM (SELECT odup.doc_id,
+                 unnest(generate_series(
+                     pos, least(pos + 7, len(ow.w)))) AS idx
+          FROM odup JOIN ow USING (doc_id)) d
+  ), otoks AS (
+    SELECT doc_id, u.i AS idx, u.t AS t
+    FROM (SELECT doc_id,
+                 unnest(list_transform(range(len(w)),
+                        i -> {{'i': i + 1, 't': w[i+1]}})) AS u
+          FROM ow)
+  ), okept AS (
+    SELECT t.doc_id, t.idx, t.t
+    FROM otoks t LEFT JOIN ocov c
+      ON t.doc_id = c.doc_id AND t.idx = c.idx
+    WHERE c.idx IS NULL
+  ), oclean AS (
+    SELECT doc_id, string_agg(t, ' ' ORDER BY idx) AS ct
+    FROM okept GROUP BY doc_id
+  )
+  SELECT ow.doc_id, cast(len(ow.w) AS BIGINT) AS n_toks,
+         coalesce(os.n_spans, 0) AS n_spans,
+         cast(coalesce(cv.n_cov, 0) AS BIGINT) AS dup_tokens,
+         md5(coalesce(ocl.ct, '')) AS clean_md5
+  FROM ow
+  LEFT JOIN ospans os USING (doc_id)
+  LEFT JOIN (SELECT doc_id, count(*) AS n_cov
+             FROM ocov GROUP BY doc_id) cv USING (doc_id)
+  LEFT JOIN oclean ocl USING (doc_id)
+)
 UNION ALL
 -- fuzzy leg: FastSS delete-1 blocking + exact levenshtein verification
 -- (replays operators/fuzzyjoin.py::fuzzy_self_pairs)
