@@ -2642,7 +2642,7 @@ SELECT * FROM ({_SQL_BURSTS})
 
 
 def q_dedup_exact(spark, sf_dir):
-    """Exact dedup at both granularities in one labeled row set:
+    """Exact dedup at four granularities in one labeled row set:
     kind='group' is whole-document hash dedup
     (``operators/dedup.py::exact_duplicates``); kind='span' is the
     per-doc exact duplicate-SUBSTRING profile (Lee et al. 2022-style
@@ -2652,7 +2652,11 @@ def q_dedup_exact(spark, sf_dir):
     oracle value-checks window hashing, keeper election, interval merge
     AND token reassembly end-to-end.
 
-    Third leg (kind='fuzzy'): entity-resolution census over customer
+    kind='occ' is the OCCURRENCE-granularity ExactSubstr scrub
+    (``operators/substrdedup.py`` — keeper is the first occurrence, so
+    within-doc repeats scrub too; see that leg's inline comment).
+
+    Fourth leg (kind='fuzzy'): entity-resolution census over customer
     names — per name, how many other names sit within Levenshtein
     distance 1 (``operators/fuzzyjoin.py::fuzzy_self_pairs``,
     FastSS/SymSpell deletion-neighborhood blocking: complete candidate
