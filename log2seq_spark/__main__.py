@@ -774,20 +774,60 @@ def cmd_substr(args) -> int:
     canonical first occurrence. Scrubbed table written to ``--out``
     (text re-rendered single-spaced + ``n_dropped_tokens``), tally of
     scrubbed-vs-clean docs and the total dropped-token count to
-    stderr."""
-    from .operators.substrdedup import scrub_duplicate_spans
+    stderr.
+
+    With ``--index-dir`` the input is ONE new shard screened against
+    (and absorbed into) a persisted cross-shard gram index — history
+    text is never re-read; the keeper policy becomes arrival order
+    (grams already in the index scrub from every batch copy). The
+    index reuses the delta/base LSM layout of ``dedup --index-dir``;
+    segments hold partial ``(gh, n_occ)`` counts and readers fold them
+    with one sum. Scrubbed output commits BEFORE the delta publish:
+    a crash in between re-runs cleanly (output overwrite is
+    idempotent), whereas screening a shard against an index that had
+    already absorbed it would scrub away the shard's own keeper
+    copies. Single-writer, like the other incremental surfaces."""
+    from .operators.substrdedup import (scrub_against_index,
+                                        scrub_duplicate_spans,
+                                        substr_index)
     spark, owns = _cli_spark("log2seq-spark-substr")
     try:
         docs = (spark.read.parquet(args.input)
                 .repartition(spark.sparkContext.defaultParallelism))
-        out = (scrub_duplicate_spans(docs, text_col=args.text_col,
-                                     id_col=args.id_col, k=args.k,
-                                     min_count=args.min_count)
-               .withColumn("scrub_status",
-                           F.when(F.col("n_dropped_tokens") > 0,
-                                  F.lit("scrubbed"))
-                            .otherwise(F.lit("clean"))))
-        _write_with_tally(out, args.out, "scrub_status")
+        status = F.when(F.col("n_dropped_tokens") > 0,
+                        F.lit("scrubbed")).otherwise(F.lit("clean"))
+        if args.index_dir is None:
+            out = scrub_duplicate_spans(
+                docs, text_col=args.text_col, id_col=args.id_col,
+                k=args.k, min_count=args.min_count)
+            _write_with_tally(out.withColumn("scrub_status", status),
+                              args.out, "scrub_status")
+            return 0
+        segments, deltas, nxt = _index_segments(spark, args.index_dir)
+        index = (spark.read.parquet(*segments)
+                 .groupBy("gh").agg(F.sum("n_occ").alias("n_occ"))
+                 if segments else
+                 spark.createDataFrame([], "gh bigint, n_occ bigint"))
+        out = scrub_against_index(
+            docs, index, text_col=args.text_col, id_col=args.id_col,
+            k=args.k, min_count=args.min_count)
+        _write_with_tally(out.withColumn("scrub_status", status),
+                          args.out, "scrub_status")
+        delta = substr_index(docs, text_col=args.text_col,
+                             id_col=args.id_col, k=args.k)
+        delta_path = f"{args.index_dir}/delta/gen={nxt}"
+        delta.write.mode("overwrite").parquet(delta_path)
+        n_new = spark.read.parquet(delta_path).count()
+        print(f"# index: delta gen={nxt} (+{n_new} gram rows, "
+              f"{len(segments) + 1} segments)", file=sys.stderr)
+        if args.compact_every and len(deltas) + 1 > args.compact_every:
+            base_path = f"{args.index_dir}/base/gen={nxt}"
+            (spark.read.parquet(*(segments + [delta_path]))
+                  .groupBy("gh").agg(F.sum("n_occ").alias("n_occ"))
+                  .write.mode("overwrite").parquet(base_path))
+            n_total = spark.read.parquet(base_path).count()
+            print(f"# index: compacted -> base gen={nxt} "
+                  f"({n_total} grams)", file=sys.stderr)
     finally:
         if owns:
             spark.stop()
@@ -1650,6 +1690,15 @@ def main(argv=None) -> int:
     p.add_argument("--min-count", type=int, default=2,
                    help="corpus-wide occurrences that make a k-gram "
                         "duplicated")
+    p.add_argument("--index-dir", default=None,
+                   help="incremental mode: screen --input (one new "
+                        "shard) against the persisted cross-shard "
+                        "gram index in this directory and publish the "
+                        "shard's gram counts as the next delta/gen=N "
+                        "segment; history text is never re-read")
+    p.add_argument("--compact-every", type=int, default=16,
+                   help="fold delta segments into a base generation "
+                        "once more than this many are live (0 = never)")
     p.set_defaults(fn=cmd_substr)
 
     p = sub.add_parser(

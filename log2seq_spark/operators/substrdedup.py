@@ -65,7 +65,9 @@ from pyspark.sql import functions as F
 from .textstats import tokens_expr
 
 __all__ = ["gram_positions", "duplicate_positions", "duplicate_spans",
-           "scrub_duplicate_spans"]
+           "scrub_duplicate_spans", "substr_index",
+           "updated_substr_index", "duplicate_positions_against_index",
+           "duplicate_spans_against_index", "scrub_against_index"]
 
 
 def gram_positions(docs: DataFrame, text_col: str = "text",
@@ -133,6 +135,14 @@ def duplicate_spans(docs: DataFrame, text_col: str = "text",
     every earlier cover's end."""
     dup = duplicate_positions(docs, text_col, id_col, k,
                               min_count, keep_first)
+    return _spans_from_positions(dup, id_col, k)
+
+
+def _spans_from_positions(dup: DataFrame, id_col: str,
+                          k: int) -> DataFrame:
+    """Island merge of ``(id_col, pos, n_tok)`` duplicated positions
+    into maximal clamped spans (shared by the batch and the
+    against-index paths)."""
     w_prev = (Window.partitionBy(id_col).orderBy("pos")
                     .rowsBetween(Window.unboundedPreceding, -1))
     # (pos + k - 1) is this row's cover end; the island test compares
@@ -155,16 +165,20 @@ def duplicate_spans(docs: DataFrame, text_col: str = "text",
 
 def scrub_duplicate_spans(docs: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", k: int = 20,
-                          min_count: int = 2) -> DataFrame:
+                          min_count: int = 2,
+                          spans: DataFrame | None = None) -> DataFrame:
     """``docs`` with duplicated spans removed from ``text_col`` (tokens
     re-joined with single spaces — the tokenizer's inverse up to
     whitespace normalization, same contract as the clean recipe) plus
     ``n_dropped_tokens``. One copy of every duplicated substring
     survives corpus-wide (``keep_first`` policy). Documents with no
     duplicated span pass through with the same single-space
-    re-rendering, so output text is uniformly normalized."""
-    spans = duplicate_spans(docs, text_col, id_col, k, min_count,
-                            keep_first=True)
+    re-rendering, so output text is uniformly normalized. ``spans``
+    lets a caller substitute a precomputed span frame (e.g. the
+    against-index screen) for the batch computation."""
+    if spans is None:
+        spans = duplicate_spans(docs, text_col, id_col, k, min_count,
+                                keep_first=True)
     # per-doc span list is small (bounded by doc length / k); collect
     # it as an array column and drop spanned tokens with one filter
     span_sets = (spans.groupBy(id_col)
@@ -186,3 +200,97 @@ def scrub_duplicate_spans(docs: DataFrame, text_col: str = "text",
                            F.size("_toks") - F.size("_kept")))
     return (out.withColumn(text_col, F.concat_ws(" ", "_kept"))
                .drop("_toks", "_kept", "_spans"))
+
+# --------------------------------------------------------------- index
+
+def substr_index(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = 20) -> DataFrame:
+    """Persistable gram index for incremental scrubbing: one
+    ``(gh, n_occ)`` row per distinct k-gram hash with its corpus
+    occurrence count. The index is the aggregate's output — bounded by
+    distinct grams, never positions — and is what cross-shard
+    screening joins against; history text is never re-read. Write it
+    bucketed/partitioned on ``gh`` ranges if the deployment wants
+    co-located screen joins."""
+    return (gram_positions(docs, text_col, id_col, k)
+            .groupBy("gh")
+            .agg(F.count(F.lit(1)).alias("n_occ")))
+
+
+def updated_substr_index(index: DataFrame, new_docs: DataFrame,
+                         text_col: str = "text",
+                         id_col: str = "doc_id",
+                         k: int = 20) -> DataFrame:
+    """The index after absorbing ``new_docs``: occurrence counts sum
+    gram-wise (union + one re-aggregate — O(index + batch grams), the
+    LSM-style alternative being to publish the batch's own
+    ``substr_index`` as a delta segment and fold at compaction)."""
+    delta = substr_index(new_docs, text_col, id_col, k)
+    return (index.unionByName(delta)
+                 .groupBy("gh")
+                 .agg(F.sum("n_occ").alias("n_occ")))
+
+
+def duplicate_positions_against_index(new_docs: DataFrame,
+                                      index: DataFrame,
+                                      text_col: str = "text",
+                                      id_col: str = "doc_id",
+                                      k: int = 20,
+                                      min_count: int = 2) -> DataFrame:
+    """Incremental screen: duplicated ``(id_col, pos, n_tok)`` rows of
+    ``new_docs`` given the history summarized by ``index``
+    (:func:`substr_index` output). Arrival order is the keeper policy:
+    any gram already in the index keeps its history copy, so EVERY
+    batch occurrence of it is duplicated; grams new to the corpus
+    elect their first batch occurrence exactly like the batch path.
+    With history ids ordering below batch ids this equals the batch
+    recompute over history ∪ batch restricted to batch docs (the
+    invariant the tests assert); under arbitrary id ordering it is the
+    arrival-order policy an append-only pipeline wants.
+
+    Shape: the batch's gram stats aggregate (one shuffle on gh) left
+    joins the index on the same uniform hash — both sides keyed on gh,
+    no broadcast assumption, history positions never touched."""
+    grams = gram_positions(new_docs, text_col, id_col, k)
+    bstats = (grams.groupBy("gh")
+                   .agg(F.count(F.lit(1)).alias("_bcnt"),
+                        F.min(F.struct(F.col(id_col).alias("i"),
+                                       F.col("pos").alias("p")))
+                         .alias("_bfirst")))
+    stats = (bstats.join(index.select("gh",
+                                      F.col("n_occ").alias("_hcnt")),
+                         "gh", "left")
+                   .withColumn("_hcnt", F.coalesce("_hcnt", F.lit(0)))
+                   .where(F.col("_bcnt") + F.col("_hcnt")
+                          >= min_count))
+    joined = grams.join(stats, "gh")
+    # exempt the batch-first occurrence only when history holds no copy
+    exempt = ((F.col("_hcnt") == 0)
+              & (F.col(id_col) == F.col("_bfirst.i"))
+              & (F.col("pos") == F.col("_bfirst.p")))
+    return joined.where(~exempt).select(id_col, "pos", "n_tok")
+
+
+def duplicate_spans_against_index(new_docs: DataFrame, index: DataFrame,
+                                  text_col: str = "text",
+                                  id_col: str = "doc_id", k: int = 20,
+                                  min_count: int = 2) -> DataFrame:
+    """Maximal duplicated spans of ``new_docs`` under the incremental
+    (arrival-order) policy — see
+    :func:`duplicate_positions_against_index`."""
+    dup = duplicate_positions_against_index(new_docs, index, text_col,
+                                            id_col, k, min_count)
+    return _spans_from_positions(dup, id_col, k)
+
+
+def scrub_against_index(new_docs: DataFrame, index: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 20, min_count: int = 2) -> DataFrame:
+    """Incremental scrub of one new shard against a persisted gram
+    index: ``new_docs`` with history-or-batch-duplicated spans removed
+    (same output contract as :func:`scrub_duplicate_spans`). Pair with
+    :func:`updated_substr_index` to absorb the shard afterwards."""
+    spans = duplicate_spans_against_index(new_docs, index, text_col,
+                                          id_col, k, min_count)
+    return scrub_duplicate_spans(new_docs, text_col, id_col, k,
+                                 min_count, spans=spans)

@@ -209,3 +209,105 @@ class TestSubstrCLI:
         assert got["d2"] == ("pre", 6, "scrubbed")
         assert got["d3"] == ("wholly original text here", 0, "clean")
         assert "# clean: 2" in err and "# scrubbed: 1" in err
+
+
+class TestAgainstIndex:
+    """Incremental screen vs persisted gram index: with history ids
+    ordering below batch ids, incremental ≡ batch recompute over
+    history ∪ batch restricted to batch docs; updated index ≡
+    from-scratch index (house invariant for every *_against_index)."""
+
+    def _gen(self, seed, n_hist, n_batch):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(10)]
+        mk = lambda: " ".join(rng.choice(vocab)
+                              for _ in range(rng.randint(0, 20)))
+        hist = [(f"a{i:03d}", mk()) for i in range(n_hist)]
+        batch = [(f"z{i:03d}", mk()) for i in range(n_batch)]
+        return hist, batch
+
+    @pytest.mark.parametrize("seed", [11, 12])
+    def test_incremental_equals_batch_recompute(self, spark, seed):
+        hist, batch = self._gen(seed, 25, 15)
+        k, mc = 3, 2
+        hist_df, batch_df = _docs(spark, hist), _docs(spark, batch)
+        idx = sd.substr_index(hist_df, k=k)
+
+        inc = {r["doc_id"]: (r["text"], r["n_dropped_tokens"])
+               for r in sd.scrub_against_index(
+                   batch_df, idx, k=k, min_count=mc).collect()}
+        full = {r["doc_id"]: (r["text"], r["n_dropped_tokens"])
+                for r in sd.scrub_duplicate_spans(
+                    _docs(spark, hist + batch), k=k,
+                    min_count=mc).collect()
+                if r["doc_id"].startswith("z")}
+        assert inc == full
+
+        got_idx = {(r["gh"], r["n_occ"]) for r in
+                   sd.updated_substr_index(idx, batch_df, k=k).collect()}
+        want_idx = {(r["gh"], r["n_occ"]) for r in
+                    sd.substr_index(_docs(spark, hist + batch),
+                                    k=k).collect()}
+        assert got_idx == want_idx
+
+    def test_history_gram_scrubs_every_batch_copy(self, spark):
+        run = "h1 h2 h3 h4"
+        idx = sd.substr_index(_docs(spark, [("a0", run)]), k=4)
+        batch = _docs(spark, [("z0", f"{run} tailz"),
+                              ("z1", f"lead {run}")])
+        out = {r["doc_id"]: (r["text"], r["n_dropped_tokens"])
+               for r in sd.scrub_against_index(batch, idx,
+                                               k=4).collect()}
+        # history holds the keeper -> both batch copies go
+        assert out == {"z0": ("tailz", 4), "z1": ("lead", 4)}
+
+    def test_novel_gram_keeps_batch_first(self, spark):
+        idx = sd.substr_index(_docs(spark, [("a0", "old stuff only")]),
+                              k=3)
+        run = "n1 n2 n3"
+        batch = _docs(spark, [("z0", f"{run} t0"), ("z1", f"{run} t1")])
+        out = {r["doc_id"]: r["text"]
+               for r in sd.scrub_against_index(batch, idx,
+                                               k=3).collect()}
+        assert out == {"z0": f"{run} t0", "z1": "t1"}
+
+
+class TestSubstrIndexCLI:
+    def test_sharded_equals_batch_and_compacts(self, spark, capsys,
+                                               tmpdir_path):
+        import os
+        from log2seq_spark.__main__ import main
+        rng = random.Random(7)
+        vocab = [f"w{i}" for i in range(8)]
+        mk = lambda: " ".join(rng.choice(vocab)
+                              for _ in range(rng.randint(0, 15)))
+        shards = [[(f"s{s}d{i:02d}", mk()) for i in range(12)]
+                  for s in range(3)]
+        idx = os.path.join(tmpdir_path, "gidx")
+        outs = []
+        for s, rows in enumerate(shards):
+            src = os.path.join(tmpdir_path, f"in{s}")
+            spark.createDataFrame(rows, "doc_id string, text string") \
+                 .write.mode("overwrite").parquet(src)
+            dest = os.path.join(tmpdir_path, f"out{s}")
+            code = main(["substr", "--input", src, "--out", dest,
+                         "--k", "3", "--index-dir", idx,
+                         "--compact-every", "2"])
+            assert code == 0
+            outs.append(dest)
+        err = capsys.readouterr().err
+        assert "delta gen=1" in err and "compacted -> base" in err
+
+        got = {}
+        for dest in outs:
+            for r in spark.read.parquet(dest).collect():
+                got[r["doc_id"]] = (r["text"], r["n_dropped_tokens"])
+        # shard ids order s0 < s1 < s2, so arrival order == id order
+        # and the incremental run must equal one batch scrub
+        all_rows = [r for sh in shards for r in sh]
+        batch = {r["doc_id"]: (r["text"], r["n_dropped_tokens"])
+                 for r in sd.scrub_duplicate_spans(
+                     spark.createDataFrame(
+                         all_rows, "doc_id string, text string"),
+                     k=3).collect()}
+        assert got == batch
