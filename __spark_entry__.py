@@ -2714,11 +2714,8 @@ def q_dedup_exact(spark, sf_dir):
         .join(occ_sets, "doc_id", "left")
         .withColumn("_sp", F.coalesce(
             "_sp", F.array().cast("array<struct<start:int,end:int>>")))
-        .withColumn("_kept", F.filter(
-            "_toks",
-            lambda t, i: ~F.exists(
-                "_sp", lambda s: (i + 1 >= s["start"])
-                & (i + 1 <= s["end"]))))
+        .withColumn("_kept", substrdedup.kept_tokens_expr(
+            F.col("_toks"), F.col("_sp")))
         .select(
             F.lit("occ").alias("kind"),
             F.lit(None).cast("string").alias("text_hash"),

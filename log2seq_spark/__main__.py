@@ -803,21 +803,63 @@ def cmd_substr(args) -> int:
             _write_with_tally(out.withColumn("scrub_status", status),
                               args.out, "scrub_status")
             return 0
+        import hashlib
+        from . import fsio
+        from .operators.substrdedup import gram_positions
         segments, deltas, nxt = _index_segments(spark, args.index_dir)
-        index = (spark.read.parquet(*segments)
+        # replay guard (claim-then-publish): before publishing, the
+        # shard's input path claims its gen number in _shards/. A
+        # re-run of a shard whose delta already committed must NOT
+        # screen against its own grams — that would scrub the shard's
+        # keeper copies — nor publish a second, double-counting delta.
+        # Claim written BEFORE the delta commit, so there is no window
+        # where a committed delta is untracked; a claim with an
+        # uncommitted gen is a crashed pre-publish run and is safely
+        # re-claimed. Single-writer, like the other index surfaces.
+        claim_path = (f"{args.index_dir}/_shards/"
+                      f"{hashlib.md5(args.input.encode()).hexdigest()}")
+        claimed = fsio.read_text(spark, claim_path)
+        prior = None
+        if claimed is not None:
+            base_gen = max([0] + [int(p.rsplit("=", 1)[1])
+                                  for p in segments if "/base/" in p])
+            if int(claimed) <= base_gen:
+                print(f"error: input {args.input!r} was already "
+                      f"ingested (gen {claimed}) and compacted into "
+                      f"base gen={base_gen}; re-screening it against "
+                      "the folded index would scrub its keeper "
+                      "copies. Refusing.", file=sys.stderr)
+                return 2
+            prior = next((p for p in segments
+                          if p.endswith(f"delta/gen={claimed}")), None)
+        screen_segs = [p for p in segments if p != prior]
+        index = (spark.read.parquet(*screen_segs)
                  .groupBy("gh").agg(F.sum("n_occ").alias("n_occ"))
-                 if segments else
+                 if screen_segs else
                  spark.createDataFrame([], "gh bigint, n_occ bigint"))
+        # ONE tokenize+hash pass shared by screen and publish (the
+        # signatures-computed-once discipline of dedup --index-dir)
+        grams = gram_positions(docs, text_col=args.text_col,
+                               id_col=args.id_col, k=args.k).persist()
         out = scrub_against_index(
             docs, index, text_col=args.text_col, id_col=args.id_col,
-            k=args.k, min_count=args.min_count)
+            k=args.k, min_count=args.min_count, grams=grams)
         _write_with_tally(out.withColumn("scrub_status", status),
                           args.out, "scrub_status")
-        delta = substr_index(docs, text_col=args.text_col,
-                             id_col=args.id_col, k=args.k)
+        if prior is not None:
+            grams.unpersist()
+            print(f"# index: delta for this input already committed "
+                  f"({prior}); skipping publish", file=sys.stderr)
+            return 0
+        delta = substr_index(docs, k=args.k, grams=grams)
         delta_path = f"{args.index_dir}/delta/gen={nxt}"
+        # claim BEFORE publish: a claim pointing at an uncommitted gen
+        # is a crashed pre-publish run (safely re-claimed); a claim
+        # pointing at a committed gen is the replay guard's signal
+        fsio.write_text(spark, claim_path, str(nxt))
         delta.write.mode("overwrite").parquet(delta_path)
         n_new = spark.read.parquet(delta_path).count()
+        grams.unpersist()
         print(f"# index: delta gen={nxt} (+{n_new} gram rows, "
               f"{len(segments) + 1} segments)", file=sys.stderr)
         if args.compact_every and len(deltas) + 1 > args.compact_every:
@@ -826,6 +868,10 @@ def cmd_substr(args) -> int:
                   .groupBy("gh").agg(F.sum("n_occ").alias("n_occ"))
                   .write.mode("overwrite").parquet(base_path))
             n_total = spark.read.parquet(base_path).count()
+            # base committed — superseded segments are dead to every
+            # future reader; deletion is cleanup, not correctness
+            for p in segments + [delta_path]:
+                fsio.delete(spark, p)
             print(f"# index: compacted -> base gen={nxt} "
                   f"({n_total} grams)", file=sys.stderr)
     finally:

@@ -65,9 +65,21 @@ from pyspark.sql import functions as F
 from .textstats import tokens_expr
 
 __all__ = ["gram_positions", "duplicate_positions", "duplicate_spans",
-           "scrub_duplicate_spans", "substr_index",
+           "scrub_duplicate_spans", "kept_tokens_expr", "substr_index",
            "updated_substr_index", "duplicate_positions_against_index",
            "duplicate_spans_against_index", "scrub_against_index"]
+
+
+def kept_tokens_expr(toks_col, spans_col):
+    """Tokens of array column ``toks_col`` whose 1-based position is
+    covered by NO ``(start, end)`` inclusive span in ``spans_col`` —
+    the single definition of span containment every scrub consumer
+    (operator and oracle-feeding entry leg alike) must share."""
+    return F.filter(
+        toks_col,
+        lambda t, i: ~F.exists(
+            spans_col, lambda s: (i + 1 >= s["start"])
+            & (i + 1 <= s["end"])))
 
 
 def gram_positions(docs: DataFrame, text_col: str = "text",
@@ -190,12 +202,9 @@ def scrub_duplicate_spans(docs: DataFrame, text_col: str = "text",
                .withColumn("_spans", F.coalesce(
                    "_spans",
                    F.array().cast("array<struct<start:int,end:int>>")))
-               .withColumn("_kept", F.filter(
-                   "_toks",
-                   lambda t, i: ~F.exists(
-                       "_spans",
-                       lambda s: (i + 1 >= s["start"])
-                       & (i + 1 <= s["end"]))))
+               .withColumn("_kept",
+                           kept_tokens_expr(F.col("_toks"),
+                                            F.col("_spans")))
                .withColumn("n_dropped_tokens",
                            F.size("_toks") - F.size("_kept")))
     return (out.withColumn(text_col, F.concat_ws(" ", "_kept"))
@@ -204,17 +213,20 @@ def scrub_duplicate_spans(docs: DataFrame, text_col: str = "text",
 # --------------------------------------------------------------- index
 
 def substr_index(docs: DataFrame, text_col: str = "text",
-                 id_col: str = "doc_id", k: int = 20) -> DataFrame:
+                 id_col: str = "doc_id", k: int = 20,
+                 grams: DataFrame | None = None) -> DataFrame:
     """Persistable gram index for incremental scrubbing: one
     ``(gh, n_occ)`` row per distinct k-gram hash with its corpus
     occurrence count. The index is the aggregate's output — bounded by
     distinct grams, never positions — and is what cross-shard
     screening joins against; history text is never re-read. Write it
     bucketed/partitioned on ``gh`` ranges if the deployment wants
-    co-located screen joins."""
-    return (gram_positions(docs, text_col, id_col, k)
-            .groupBy("gh")
-            .agg(F.count(F.lit(1)).alias("n_occ")))
+    co-located screen joins. ``grams`` substitutes a precomputed
+    (ideally persisted) :func:`gram_positions` frame so one ingestion
+    can share the tokenize+hash pass between screen and publish."""
+    if grams is None:
+        grams = gram_positions(docs, text_col, id_col, k)
+    return grams.groupBy("gh").agg(F.count(F.lit(1)).alias("n_occ"))
 
 
 def updated_substr_index(index: DataFrame, new_docs: DataFrame,
@@ -236,7 +248,9 @@ def duplicate_positions_against_index(new_docs: DataFrame,
                                       text_col: str = "text",
                                       id_col: str = "doc_id",
                                       k: int = 20,
-                                      min_count: int = 2) -> DataFrame:
+                                      min_count: int = 2,
+                                      grams: DataFrame | None = None) \
+        -> DataFrame:
     """Incremental screen: duplicated ``(id_col, pos, n_tok)`` rows of
     ``new_docs`` given the history summarized by ``index``
     (:func:`substr_index` output). Arrival order is the keeper policy:
@@ -250,8 +264,11 @@ def duplicate_positions_against_index(new_docs: DataFrame,
 
     Shape: the batch's gram stats aggregate (one shuffle on gh) left
     joins the index on the same uniform hash — both sides keyed on gh,
-    no broadcast assumption, history positions never touched."""
-    grams = gram_positions(new_docs, text_col, id_col, k)
+    no broadcast assumption, history positions never touched.
+    ``grams`` substitutes a precomputed batch gram frame (see
+    :func:`substr_index`)."""
+    if grams is None:
+        grams = gram_positions(new_docs, text_col, id_col, k)
     bstats = (grams.groupBy("gh")
                    .agg(F.count(F.lit(1)).alias("_bcnt"),
                         F.min(F.struct(F.col(id_col).alias("i"),
@@ -274,23 +291,28 @@ def duplicate_positions_against_index(new_docs: DataFrame,
 def duplicate_spans_against_index(new_docs: DataFrame, index: DataFrame,
                                   text_col: str = "text",
                                   id_col: str = "doc_id", k: int = 20,
-                                  min_count: int = 2) -> DataFrame:
+                                  min_count: int = 2,
+                                  grams: DataFrame | None = None) \
+        -> DataFrame:
     """Maximal duplicated spans of ``new_docs`` under the incremental
     (arrival-order) policy — see
     :func:`duplicate_positions_against_index`."""
     dup = duplicate_positions_against_index(new_docs, index, text_col,
-                                            id_col, k, min_count)
+                                            id_col, k, min_count,
+                                            grams=grams)
     return _spans_from_positions(dup, id_col, k)
 
 
 def scrub_against_index(new_docs: DataFrame, index: DataFrame,
                         text_col: str = "text", id_col: str = "doc_id",
-                        k: int = 20, min_count: int = 2) -> DataFrame:
+                        k: int = 20, min_count: int = 2,
+                        grams: DataFrame | None = None) -> DataFrame:
     """Incremental scrub of one new shard against a persisted gram
     index: ``new_docs`` with history-or-batch-duplicated spans removed
     (same output contract as :func:`scrub_duplicate_spans`). Pair with
     :func:`updated_substr_index` to absorb the shard afterwards."""
     spans = duplicate_spans_against_index(new_docs, index, text_col,
-                                          id_col, k, min_count)
+                                          id_col, k, min_count,
+                                          grams=grams)
     return scrub_duplicate_spans(new_docs, text_col, id_col, k,
                                  min_count, spans=spans)

@@ -311,3 +311,101 @@ class TestSubstrIndexCLI:
                          all_rows, "doc_id string, text string"),
                      k=3).collect()}
         assert got == batch
+
+
+class TestHypothesisModelEquivalence:
+    """Property fuzz: arbitrary ASCII docs (mixed whitespace runs,
+    tiny vocab for real collisions) — Spark spans/scrub must equal the
+    pure-Python model on every draw. One Spark job per example is too
+    slow, so each example is a whole corpus and examples are few."""
+
+    def test_fuzz_corpora(self, spark):
+        import re
+        from hypothesis import given, settings, strategies as st
+
+        token = st.sampled_from(["a", "bb", "c1", "dd", "e"])
+        ws = st.sampled_from([" ", "  ", "\t", " \t ", "\n"])
+        doc = st.lists(st.tuples(ws, token), min_size=0,
+                       max_size=18).map(
+            lambda ps: "".join(w + t for w, t in ps))
+        corpus = st.lists(doc, min_size=1, max_size=12)
+
+        @settings(max_examples=25, deadline=None)
+        @given(texts=corpus, k=st.integers(2, 4))
+        def check(texts, k):
+            rows = [(f"d{i:02d}", t) for i, t in enumerate(texts)]
+            # model tokenizes exactly like tokens_expr: ASCII \s+ split
+            model_rows = [(i, " ".join(re.split(r"\s+", t)).strip())
+                          for i, t in rows]
+            df = _docs(spark, rows)
+            got_spans = {}
+            for r in sd.duplicate_spans(df, k=k).collect():
+                got_spans.setdefault(r["doc_id"], []).append(
+                    (r["start"], r["end"]))
+            got_spans = {i: sorted(v) for i, v in got_spans.items()}
+            assert got_spans == _model_spans(model_rows, k, 2)
+            got = {r["doc_id"]: (r["text"], r["n_dropped_tokens"])
+                   for r in sd.scrub_duplicate_spans(df, k=k).collect()}
+            assert got == _model_scrub(model_rows, k, 2)
+
+        check()
+
+
+class TestSubstrReplayGuard:
+    def _write(self, spark, tmpdir_path, name, rows):
+        import os
+        src = os.path.join(tmpdir_path, name)
+        spark.createDataFrame(rows, "doc_id string, text string") \
+             .write.mode("overwrite").parquet(src)
+        return src
+
+    def test_replay_after_publish_skips_and_matches(self, spark,
+                                                    capsys,
+                                                    tmpdir_path):
+        import os
+        from log2seq_spark.__main__ import main
+        idx = os.path.join(tmpdir_path, "ridx")
+        run = "r1 r2 r3"
+        src = self._write(spark, tmpdir_path, "in0",
+                          [("a0", f"{run} x0"), ("a1", f"{run} x1")])
+        out1 = os.path.join(tmpdir_path, "o1")
+        assert main(["substr", "--input", src, "--out", out1,
+                     "--k", "3", "--index-dir", idx]) == 0
+        first = {r["doc_id"]: (r["text"], r["n_dropped_tokens"])
+                 for r in spark.read.parquet(out1).collect()}
+        assert first["a0"] == (f"{run} x0", 0)   # keeper survives
+
+        # replay the SAME input (simulates a crash after the delta
+        # committed): output must be identical — the shard's own delta
+        # is excluded from the screen — and no second delta publishes
+        out2 = os.path.join(tmpdir_path, "o2")
+        assert main(["substr", "--input", src, "--out", out2,
+                     "--k", "3", "--index-dir", idx]) == 0
+        err = capsys.readouterr().err
+        assert "already committed" in err
+        second = {r["doc_id"]: (r["text"], r["n_dropped_tokens"])
+                  for r in spark.read.parquet(out2).collect()}
+        assert second == first
+        from log2seq_spark.__main__ import _index_segments
+        segments, _, _ = _index_segments(spark, idx)
+        assert len(segments) == 1            # no double publish
+
+    def test_replay_after_compaction_refuses(self, spark, capsys,
+                                             tmpdir_path):
+        import os
+        from log2seq_spark.__main__ import main
+        idx = os.path.join(tmpdir_path, "cidx")
+        srcs = [self._write(spark, tmpdir_path, f"cin{i}",
+                            [(f"c{i}d", f"t{i}a t{i}b t{i}c")])
+                for i in range(2)]
+        for src in srcs:   # compact_every=1 -> compaction after 2nd
+            assert main(["substr", "--input", src,
+                         "--out", os.path.join(tmpdir_path, "co"),
+                         "--k", "3", "--index-dir", idx,
+                         "--compact-every", "1"]) == 0
+        capsys.readouterr()
+        rc = main(["substr", "--input", srcs[0],
+                   "--out", os.path.join(tmpdir_path, "co2"),
+                   "--k", "3", "--index-dir", idx])
+        assert rc == 2
+        assert "compacted" in capsys.readouterr().err

@@ -48,10 +48,13 @@ def shard_docs(spark, shard: int, n: int):
         lambda i: F.concat(F.lit("u"),
                            F.pmod(F.col("doc_id") * 131 + i * 17,
                                   F.lit(1_000_000_007)).cast("string")))
+    # block chooser decorrelated from the has_block stride (doc_id%5):
+    # floor(doc_id/5) % N_BLOCKS cycles through ALL N_BLOCKS blocks
     block = F.transform(
         F.sequence(F.lit(1), F.lit(BLOCK_TOKENS)),
         lambda i: F.concat(F.lit("b"),
-                           (F.pmod("doc_id", F.lit(N_BLOCKS)) * 100
+                           (F.pmod(F.floor(F.col("doc_id") / 5),
+                                   F.lit(N_BLOCKS)) * 100
                             + i).cast("string")))
     has_block = F.pmod("doc_id", F.lit(5)) == 0
     toks = F.when(
@@ -90,7 +93,7 @@ def run(n_shards: int = 6, per_shard: int = 250_000, k: int = 8,
               f"index={index_sizes[-1]} ({len(segments)} segments)",
               file=sys.stderr)
     # shard 0 screens an empty index; flatness is judged warm-vs-warm
-    flat = walls[-1] / max(walls[1], 1e-9)
+    flat = (walls[-1] / max(walls[1], 1e-9)) if len(walls) > 1 else 1.0
     toks_per_doc = UNIQUE_TOKENS + BLOCK_TOKENS / 5
     thr = int(n_shards * per_shard * toks_per_doc / sum(walls))
     print(json.dumps({
