@@ -67,7 +67,8 @@ from .textstats import tokens_expr
 __all__ = ["gram_positions", "duplicate_positions", "duplicate_spans",
            "scrub_duplicate_spans", "kept_tokens_expr", "substr_index",
            "updated_substr_index", "duplicate_positions_against_index",
-           "duplicate_spans_against_index", "scrub_against_index"]
+           "duplicate_spans_against_index", "scrub_against_index",
+           "scrub_turn_boilerplate"]
 
 
 def kept_tokens_expr(toks_col, spans_col):
@@ -316,3 +317,35 @@ def scrub_against_index(new_docs: DataFrame, index: DataFrame,
                                           grams=grams)
     return scrub_duplicate_spans(new_docs, text_col, id_col, k,
                                  min_count, spans=spans)
+
+
+def scrub_turn_boilerplate(turns: DataFrame, conv_col: str = "conv_id",
+                           idx_col: str = "turn_idx",
+                           text_col: str = "text", k: int = 20,
+                           min_count: int = 2) -> DataFrame:
+    """Turn-level ExactSubstr scrub over the north-rule transcripts
+    table ``(conv_id, turn_idx, role, text, tool, ts)``: agent
+    transcripts repeat system prompts / tool preambles verbatim across
+    millions of conversations, and this removes every such run of
+    >= ``k`` tokens except its canonical first occurrence — the
+    occurrence in the lexicographically-first ``(conv_id,
+    zero-padded turn_idx)``. All other columns pass through; text is
+    re-rendered single-spaced with ``n_dropped_tokens`` appended.
+
+    The per-occurrence key is ``conv_id || '#' || lpad(turn_idx, 9)``,
+    so keeper election orders by conversation then turn. Conversation
+    ids containing ``'#'`` could alias keys across conversations —
+    acceptable for keeper CHOICE (any deterministic canonical copy
+    works) but rename such ids if exact first-conversation semantics
+    matter. Same plan shape as :func:`scrub_duplicate_spans` — turns
+    are the documents, nothing conversation-global is materialized."""
+    if "__sb_tid" in turns.columns:
+        raise ValueError("input frame already has internal column "
+                         "'__sb_tid'; rename it before "
+                         "scrub_turn_boilerplate")
+    key = F.concat_ws("#", F.col(conv_col),
+                      F.lpad(F.col(idx_col).cast("string"), 9, "0"))
+    staged = turns.withColumn("__sb_tid", key)
+    return scrub_duplicate_spans(staged, text_col=text_col,
+                                 id_col="__sb_tid", k=k,
+                                 min_count=min_count).drop("__sb_tid")

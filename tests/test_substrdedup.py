@@ -409,3 +409,48 @@ class TestSubstrReplayGuard:
                    "--k", "3", "--index-dir", idx])
         assert rc == 2
         assert "compacted" in capsys.readouterr().err
+
+
+class TestTurnBoilerplate:
+    def test_system_prompt_scrubbed_except_first(self, spark):
+        import datetime as dt
+        sysrun = "you are a helpful agent follow the rules below"  # 9 toks
+        rows = []
+        for c in ("c1", "c2", "c3"):
+            rows.append((c, 0, "system", sysrun, None,
+                         dt.datetime(2026, 1, 1)))
+            rows.append((c, 1, "user", f"question from {c} here",
+                         None, dt.datetime(2026, 1, 1, 0, 1)))
+        turns = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, "
+                  "text string, tool string, ts timestamp")
+        out = sd.scrub_turn_boilerplate(turns, k=9)
+        got = {(r["conv_id"], r["turn_idx"]):
+               (r["text"], r["n_dropped_tokens"], r["role"])
+               for r in out.collect()}
+        assert got[("c1", 0)] == (sysrun, 0, "system")   # keeper
+        assert got[("c2", 0)] == ("", 9, "system")
+        assert got[("c3", 0)] == ("", 9, "system")
+        for c in ("c1", "c2", "c3"):                     # untouched
+            assert got[(c, 1)][1] == 0
+        assert set(out.columns) == {"conv_id", "turn_idx", "role",
+                                    "text", "tool", "ts",
+                                    "n_dropped_tokens"}
+
+    def test_turn_order_decides_keeper_within_conv(self, spark):
+        run = "b1 b2 b3 b4"
+        turns = spark.createDataFrame(
+            [("c1", 2, f"{run} late"), ("c1", 10, f"{run} later")],
+            "conv_id string, turn_idx int, text string")
+        got = {r["turn_idx"]: r["n_dropped_tokens"]
+               for r in sd.scrub_turn_boilerplate(turns, k=4).collect()}
+        # zero-padded key: turn 2 < turn 10 (plain string '10' < '2'
+        # would invert this)
+        assert got == {2: 0, 10: 4}
+
+    def test_collision_guard(self, spark):
+        turns = spark.createDataFrame(
+            [("c", 0, "x", "y")],
+            "conv_id string, turn_idx int, __sb_tid string, text string")
+        with pytest.raises(ValueError):
+            sd.scrub_turn_boilerplate(turns)
