@@ -821,9 +821,18 @@ def cmd_substr(args) -> int:
         claimed = fsio.read_text(spark, claim_path)
         prior = None
         if claimed is not None:
+            try:
+                claimed_gen = int(claimed)
+            except ValueError:
+                print(f"error: unreadable shard claim {claim_path!r} "
+                      f"(contents {claimed!r}) — torn write from a "
+                      "crashed run; inspect the index before "
+                      "re-ingesting this input. Refusing.",
+                      file=sys.stderr)
+                return 2
             base_gen = max([0] + [int(p.rsplit("=", 1)[1])
                                   for p in segments if "/base/" in p])
-            if int(claimed) <= base_gen:
+            if claimed_gen <= base_gen:
                 print(f"error: input {args.input!r} was already "
                       f"ingested (gen {claimed}) and compacted into "
                       f"base gen={base_gen}; re-screening it against "
@@ -831,7 +840,8 @@ def cmd_substr(args) -> int:
                       "copies. Refusing.", file=sys.stderr)
                 return 2
             prior = next((p for p in segments
-                          if p.endswith(f"delta/gen={claimed}")), None)
+                          if p.endswith(f"delta/gen={claimed_gen}")),
+                         None)
         screen_segs = [p for p in segments if p != prior]
         index = (spark.read.parquet(*screen_segs)
                  .groupBy("gh").agg(F.sum("n_occ").alias("n_occ"))

@@ -454,3 +454,23 @@ class TestTurnBoilerplate:
             "conv_id string, turn_idx int, __sb_tid string, text string")
         with pytest.raises(ValueError):
             sd.scrub_turn_boilerplate(turns)
+
+
+class TestTornClaim:
+    def test_garbage_claim_refuses(self, spark, capsys, tmpdir_path):
+        import hashlib, os
+        from log2seq_spark import fsio
+        from log2seq_spark.__main__ import main
+        idx = os.path.join(tmpdir_path, "tidx")
+        src = os.path.join(tmpdir_path, "tin")
+        spark.createDataFrame([("d", "a b c")],
+                              "doc_id string, text string") \
+             .write.mode("overwrite").parquet(src)
+        claim = (f"{idx}/_shards/"
+                 f"{hashlib.md5(src.encode()).hexdigest()}")
+        fsio.write_text(spark, claim, "garb\x00age")
+        rc = main(["substr", "--input", src,
+                   "--out", os.path.join(tmpdir_path, "to"),
+                   "--k", "3", "--index-dir", idx])
+        assert rc == 2
+        assert "unreadable shard claim" in capsys.readouterr().err
