@@ -10,6 +10,7 @@ from .stream import (streaming_parse, streaming_sink_counts,
                      streaming_near_dup_with_index,
                      streaming_clean_corpus,
                      streaming_line_dedup_with_index,
+                     streaming_substr_scrub,
                      streaming_ann_ingest,
                      streaming_heavy_hitters, current_heavy_hitters)
 from .stateful import conversation_summaries, CONV_SUMMARY_SCHEMA
@@ -23,6 +24,7 @@ __all__ = ["streaming_parse", "streaming_sink_counts",
            "streaming_rare_lines",
            "streaming_near_dup_with_index", "streaming_clean_corpus",
            "streaming_line_dedup_with_index",
+           "streaming_substr_scrub",
            "streaming_ann_ingest",
            "streaming_heavy_hitters", "current_heavy_hitters",
            "conversation_summaries", "CONV_SUMMARY_SCHEMA"]

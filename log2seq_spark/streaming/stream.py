@@ -1010,3 +1010,65 @@ drop_duplicate_lines_against_index` against the persistent
 
     return (docs.writeStream.foreachBatch(_write)
                 .option("checkpointLocation", checkpoint_dir))
+
+
+def streaming_substr_scrub(docs: DataFrame, out_dir: str,
+                           checkpoint_dir: str, index_dir: str,
+                           text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 20,
+                           min_count: int = 2, keep_epochs: int = 3):
+    """Streaming occurrence-granularity ExactSubstr scrub with an
+    UNBOUNDED horizon: every micro-batch is scrubbed against the
+    persisted corpus gram index (:func:`~log2seq_spark.operators.\
+substrdedup.scrub_against_index` — arrival-order keepers: any run of
+    >= ``k`` tokens already in the index scrubs from every batch copy;
+    novel runs keep their first batch occurrence). Scrubbed rows land
+    under ``out_dir/batch_id=<epoch>`` with ``n_dropped_tokens``; the
+    index for epoch ``b`` (full merged (gh, n_occ) counts) commits to
+    ``index_dir/epoch=b`` AFTER the scrubbed rows — the shared
+    idempotent-epoch protocol, so a crashed/replayed micro-batch
+    recomputes from exactly the state its first attempt saw. This is
+    the streaming twin of CLI ``substr --index-dir`` (which needs its
+    claim-file replay guard only because a CLI re-run has no epoch id
+    to anchor idempotence to; here the epoch IS the guard).
+
+    Scale shape: the index holds one row per DISTINCT gram ever seen —
+    novelty-bounded, not stream-bounded — and each micro-batch costs
+    one gram pass (persisted, shared by screen and index update) plus
+    one equi-join on the uniform 64-bit hash."""
+    import os
+
+    from ..operators.substrdedup import (gram_positions,
+                                         scrub_against_index)
+
+    params = {"text_col": text_col, "id_col": id_col, "k": k,
+              "min_count": min_count}
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _check_epoch_params(index_dir, params, spark=spark)
+        idx = _read_prior_epoch(spark, index_dir, batch_id,
+                                "gh bigint, n_occ bigint")
+        grams = gram_positions(batch_df, text_col, id_col, k).persist()
+        try:
+            out = (scrub_against_index(batch_df, idx, text_col, id_col,
+                                       k, min_count, grams=grams)
+                   .withColumn("batch_id", F.lit(int(batch_id))))
+            (out.write.mode("overwrite")
+                .parquet(os.path.join(out_dir,
+                                      f"batch_id={batch_id}")))
+            new_idx = (idx.unionByName(
+                           grams.groupBy("gh")
+                                .agg(F.count(F.lit(1)).alias("n_occ")))
+                          .groupBy("gh")
+                          .agg(F.sum("n_occ").alias("n_occ")))
+            (new_idx.write.mode("overwrite")
+                    .parquet(os.path.join(index_dir,
+                                          f"epoch={batch_id}")))
+        finally:
+            grams.unpersist()
+        _prune_epochs(index_dir, batch_id, keep_epochs, spark=spark)
+
+    return (docs.writeStream.foreachBatch(_write)
+                .option("checkpointLocation", checkpoint_dir))
+
