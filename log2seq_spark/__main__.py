@@ -816,6 +816,26 @@ def cmd_substr(args) -> int:
         # where a committed delta is untracked; a claim with an
         # uncommitted gen is a crashed pre-publish run and is safely
         # re-claimed. Single-writer, like the other index surfaces.
+        # gram-space stamp: an index built with a different tokenizer
+        # column or k is a DIFFERENT hash space — mixing them would
+        # silently miss every historical duplicate. Stamped on first
+        # publish, refused on drift (same discipline as the streaming
+        # epoch state and templates --state-dir).
+        import json as _json
+        stamp_path = f"{args.index_dir}/_params.json"
+        stamp = {"text_col": args.text_col, "k": args.k}
+        prior_stamp = fsio.read_text(spark, stamp_path)
+        if prior_stamp is not None:
+            try:
+                prior_params = _json.loads(prior_stamp)
+            except ValueError:
+                prior_params = None
+            if prior_params != stamp:
+                print(f"error: index {args.index_dir!r} was built "
+                      f"with params {prior_stamp} but this run uses "
+                      f"{_json.dumps(stamp)}; the gram spaces are "
+                      "incompatible. Refusing.", file=sys.stderr)
+                return 2
         claim_path = (f"{args.index_dir}/_shards/"
                       f"{hashlib.md5(args.input.encode()).hexdigest()}")
         claimed = fsio.read_text(spark, claim_path)
@@ -863,6 +883,8 @@ def cmd_substr(args) -> int:
             return 0
         delta = substr_index(docs, k=args.k, grams=grams)
         delta_path = f"{args.index_dir}/delta/gen={nxt}"
+        if prior_stamp is None:
+            fsio.write_text(spark, stamp_path, _json.dumps(stamp))
         # claim BEFORE publish: a claim pointing at an uncommitted gen
         # is a crashed pre-publish run (safely re-claimed); a claim
         # pointing at a committed gen is the replay guard's signal

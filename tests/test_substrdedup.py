@@ -474,3 +474,27 @@ class TestTornClaim:
                    "--k", "3", "--index-dir", idx])
         assert rc == 2
         assert "unreadable shard claim" in capsys.readouterr().err
+
+
+class TestParamsStamp:
+    def test_k_drift_refused(self, spark, capsys, tmpdir_path):
+        import os
+        from log2seq_spark.__main__ import main
+        idx = os.path.join(tmpdir_path, "pidx")
+        src = os.path.join(tmpdir_path, "pin")
+        spark.createDataFrame([("d", "a b c d e")],
+                              "doc_id string, text string") \
+             .write.mode("overwrite").parquet(src)
+        assert main(["substr", "--input", src,
+                     "--out", os.path.join(tmpdir_path, "po"),
+                     "--k", "3", "--index-dir", idx]) == 0
+        capsys.readouterr()
+        src2 = os.path.join(tmpdir_path, "pin2")
+        spark.createDataFrame([("e", "f g h i j")],
+                              "doc_id string, text string") \
+             .write.mode("overwrite").parquet(src2)
+        rc = main(["substr", "--input", src2,
+                   "--out", os.path.join(tmpdir_path, "po2"),
+                   "--k", "4", "--index-dir", idx])
+        assert rc == 2
+        assert "incompatible" in capsys.readouterr().err
