@@ -796,6 +796,20 @@ def cmd_substr(args) -> int:
                 .repartition(spark.sparkContext.defaultParallelism))
         status = F.when(F.col("n_dropped_tokens") > 0,
                         F.lit("scrubbed")).otherwise(F.lit("clean"))
+        if args.turns:
+            if args.index_dir is not None:
+                print("error: --turns and --index-dir cannot combine "
+                      "(turn-level incremental scrub is not "
+                      "implemented)", file=sys.stderr)
+                return 2
+            from .operators.substrdedup import scrub_turn_boilerplate
+            out = scrub_turn_boilerplate(
+                docs, conv_col=args.conv_col, idx_col=args.idx_col,
+                text_col=args.text_col, k=args.k,
+                min_count=args.min_count)
+            _write_with_tally(out.withColumn("scrub_status", status),
+                              args.out, "scrub_status")
+            return 0
         if args.index_dir is None:
             out = scrub_duplicate_spans(
                 docs, text_col=args.text_col, id_col=args.id_col,
@@ -1777,6 +1791,13 @@ def main(argv=None) -> int:
     p.add_argument("--compact-every", type=int, default=16,
                    help="fold delta segments into a base generation "
                         "once more than this many are live (0 = never)")
+    p.add_argument("--turns", action="store_true",
+                   help="treat --input as the transcripts turns table "
+                        "(conv_id/turn_idx/text): scrub repeated "
+                        "system prompts / tool preambles turn-level, "
+                        "keeper = first (conv, turn) occurrence")
+    p.add_argument("--conv-col", default="conv_id")
+    p.add_argument("--idx-col", default="turn_idx")
     p.set_defaults(fn=cmd_substr)
 
     p = sub.add_parser(

@@ -498,3 +498,29 @@ class TestParamsStamp:
                    "--k", "4", "--index-dir", idx])
         assert rc == 2
         assert "incompatible" in capsys.readouterr().err
+
+
+class TestSubstrTurnsCLI:
+    def test_turns_mode_and_index_conflict(self, spark, capsys,
+                                           tmpdir_path):
+        import os
+        from log2seq_spark.__main__ import main
+        src = os.path.join(tmpdir_path, "turns_in")
+        run = "same system prompt text here"
+        spark.createDataFrame(
+            [("c1", 0, run), ("c2", 0, run), ("c1", 1, "unique one")],
+            "conv_id string, turn_idx int, text string") \
+            .write.mode("overwrite").parquet(src)
+        dest = os.path.join(tmpdir_path, "turns_out")
+        assert main(["substr", "--input", src, "--out", dest,
+                     "--turns", "--k", "5"]) == 0
+        err = capsys.readouterr().err
+        assert "# clean: 2" in err and "# scrubbed: 1" in err
+        got = {(r["conv_id"], r["turn_idx"]): r["n_dropped_tokens"]
+               for r in spark.read.parquet(dest).collect()}
+        assert got == {("c1", 0): 0, ("c2", 0): 5, ("c1", 1): 0}
+        # --turns + --index-dir refused
+        rc = main(["substr", "--input", src, "--out", dest,
+                   "--turns", "--index-dir",
+                   os.path.join(tmpdir_path, "x")])
+        assert rc == 2
