@@ -68,7 +68,7 @@ __all__ = ["gram_positions", "duplicate_positions", "duplicate_spans",
            "scrub_duplicate_spans", "kept_tokens_expr", "substr_index",
            "updated_substr_index", "duplicate_positions_against_index",
            "duplicate_spans_against_index", "scrub_against_index",
-           "scrub_turn_boilerplate"]
+           "scrub_turn_boilerplate", "eval_contaminated_spans"]
 
 
 def kept_tokens_expr(toks_col, spans_col):
@@ -349,3 +349,39 @@ def scrub_turn_boilerplate(turns: DataFrame, conv_col: str = "conv_id",
     return scrub_duplicate_spans(staged, text_col=text_col,
                                  id_col="__sb_tid", k=k,
                                  min_count=min_count).drop("__sb_tid")
+
+
+def eval_contaminated_spans(train: DataFrame,
+                            evalset: DataFrame | None = None,
+                            text_col: str = "text",
+                            id_col: str = "doc_id", k: int = 20,
+                            eval_text_col: str | None = None,
+                            eval_id_col: str | None = None,
+                            index: DataFrame | None = None) -> DataFrame:
+    """Maximal spans of ``train`` documents covered by any ``k``-token
+    run that appears VERBATIM in ``evalset`` — ExactSubstr-style
+    benchmark decontamination with positioned evidence (Lee et al.
+    2022 apply the same machinery to eval leakage). Complements the
+    shingle-count ``dedup.contamination_report`` (how MUCH overlaps)
+    and the MinHash ``dedup.fuzzy_contamination`` (near-duplicate
+    docs): this says exactly WHERE the leaked text sits, so the fix
+    can be span redaction (compose with
+    ``scrub_duplicate_spans(train, spans=...)``) instead of dropping
+    whole documents.
+
+    Every train occurrence is flagged — no keeper exemption: eval text
+    must not survive in training data anywhere. ``index`` substitutes
+    a precomputed :func:`substr_index` of the eval corpus (persist it
+    once, screen many training corpora — the eval side is read only
+    through its gram index). Plan: eval-side gram aggregate + one
+    equi-join on the uniform 64-bit hash + the per-doc island merge;
+    never all-pairs."""
+    if index is None:
+        if evalset is None:
+            raise ValueError("pass evalset or a precomputed index")
+        index = substr_index(evalset, eval_text_col or text_col,
+                             eval_id_col or id_col, k)
+    grams = gram_positions(train, text_col, id_col, k)
+    hits = (grams.join(index.select("gh"), "gh")
+                 .select(id_col, "pos", "n_tok"))
+    return _spans_from_positions(hits, id_col, k)
