@@ -794,6 +794,21 @@ def cmd_substr(args) -> int:
     try:
         docs = (spark.read.parquet(args.input)
                 .repartition(spark.sparkContext.defaultParallelism))
+        if args.top is not None:
+            from .operators.substrdedup import top_duplicated_runs
+            rows = top_duplicated_runs(
+                docs, text_col=args.text_col, id_col=args.id_col,
+                k=args.k, min_count=args.min_count,
+                top=args.top).collect()
+            for r in rows:
+                print(f"{r['n_occ']}\t{r['n_docs']}\t{r['example']}")
+            print(f"# {len(rows)} duplicated runs (k={args.k})",
+                  file=sys.stderr)
+            return 0
+        if args.out is None:
+            print("error: --out is required (except with --top)",
+                  file=sys.stderr)
+            return 2
         status = F.when(F.col("n_dropped_tokens") > 0,
                         F.lit("scrubbed")).otherwise(F.lit("clean"))
         if args.turns:
@@ -1774,7 +1789,13 @@ def main(argv=None) -> int:
                        "its first occurrence")
     p.add_argument("--input", required=True,
                    help="documents parquet path")
-    p.add_argument("--out", required=True)
+    p.add_argument("--out", default=None,
+                   help="scrubbed-table output (required except with "
+                        "--top)")
+    p.add_argument("--top", type=int, default=None,
+                   help="report mode: print the N most frequent "
+                        "duplicated runs (n_occ<TAB>n_docs<TAB>text) "
+                        "instead of scrubbing")
     p.add_argument("--text-col", default="text")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--k", type=int, default=20,

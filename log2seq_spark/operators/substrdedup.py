@@ -68,7 +68,8 @@ __all__ = ["gram_positions", "duplicate_positions", "duplicate_spans",
            "scrub_duplicate_spans", "kept_tokens_expr", "substr_index",
            "updated_substr_index", "duplicate_positions_against_index",
            "duplicate_spans_against_index", "scrub_against_index",
-           "scrub_turn_boilerplate", "eval_contaminated_spans"]
+           "scrub_turn_boilerplate", "eval_contaminated_spans",
+           "top_duplicated_runs"]
 
 
 def kept_tokens_expr(toks_col, spans_col):
@@ -385,3 +386,52 @@ def eval_contaminated_spans(train: DataFrame,
     hits = (grams.join(index.select("gh"), "gh")
                  .select(id_col, "pos", "n_tok"))
     return _spans_from_positions(hits, id_col, k)
+
+
+def top_duplicated_runs(docs: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 20,
+                        min_count: int = 2, top: int = 100) -> DataFrame:
+    """The ``top`` most frequent duplicated k-token runs with an
+    example rendering: ``(gh, n_occ, n_docs, example)`` ordered by
+    ``n_occ`` descending — the "what boilerplate dominates this
+    corpus" inspection report (sub-turn complement of
+    ``agentqa.boilerplate_turns``, which ranks whole turns).
+
+    Two passes so gram TEXT never rides the big shuffle: pass 1
+    aggregates counts over the 64-bit hashes only (the cheap plan
+    every other consumer uses); the ``top`` winning hashes — a
+    driver-bounded list — then broadcast-filter a second gram pass
+    that re-renders the k tokens only for matches, and one tiny
+    aggregate picks each winner's example (min by (id, pos), i.e. the
+    canonical first occurrence). O(corpus tokens) twice, O(top)
+    driver rows, no payload strings shuffled."""
+    grams = gram_positions(docs, text_col, id_col, k)
+    stats = (grams.groupBy("gh")
+                  .agg(F.count(F.lit(1)).alias("n_occ"),
+                       F.count_distinct(F.col(id_col)).alias("n_docs"))
+                  .where(F.col("n_occ") >= min_count)
+                  .orderBy(F.desc("n_occ"), "gh")
+                  .limit(top))
+    winners = {r["gh"] for r in stats.select("gh").collect()}
+    if not winners:
+        return stats.withColumn("example", F.lit(None).cast("string"))
+    toks = tokens_expr(F.col(text_col))
+    base = docs.select(F.col(id_col), toks.alias("_toks")) \
+               .withColumn("_n", F.size("_toks"))
+    starts = F.when(F.col("_n") >= k,
+                    F.sequence(F.lit(1), F.col("_n") - F.lit(k - 1))) \
+              .otherwise(F.array())
+    rendered = (base.select(id_col, "_toks",
+                            F.explode(starts).alias("pos"))
+                    .withColumn("_txt", F.concat_ws(
+                        " ", F.slice("_toks", F.col("pos"), k)))
+                    .withColumn("gh", F.xxhash64("_txt"))
+                    .where(F.col("gh").isin(list(winners)))
+                    .groupBy("gh")
+                    .agg(F.min(F.struct(
+                        F.col(id_col).alias("i"),
+                        F.col("pos").alias("p"),
+                        F.col("_txt").alias("t")))["t"]
+                        .alias("example")))
+    return (stats.join(rendered, "gh", "left")
+                 .orderBy(F.desc("n_occ"), "gh"))

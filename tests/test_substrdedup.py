@@ -569,3 +569,39 @@ class TestEvalContamination:
         assert spans == [(2, 5)]
         with pytest.raises(ValueError):
             sd.eval_contaminated_spans(train, k=4)
+
+
+class TestTopRuns:
+    def test_counts_examples_and_order(self, spark, capsys):
+        run_a = "a1 a2 a3"            # 3 occurrences, 2 docs
+        run_b = "b1 b2 b3"            # 2 occurrences, 2 docs
+        docs = _docs(spark, [
+            ("d0", f"{run_a} mid0 {run_a}"),
+            ("d1", f"{run_a} mid1 {run_b}"),
+            ("d2", f"pad2a pad2b {run_b}"),
+        ])
+        rows = sd.top_duplicated_runs(docs, k=3, top=10).collect()
+        got = [(r["n_occ"], r["n_docs"], r["example"]) for r in rows]
+        assert got[0] == (3, 2, run_a)
+        assert (2, 2, run_b) in got
+        assert got == sorted(got, key=lambda t: -t[0])[:len(got)]
+
+    def test_empty_corpus(self, spark):
+        docs = _docs(spark, [("d", "all tokens unique here")])
+        assert sd.top_duplicated_runs(docs, k=3).count() == 0
+
+    def test_cli_report_mode(self, spark, capsys, tmpdir_path):
+        import os
+        from log2seq_spark.__main__ import main
+        src = os.path.join(tmpdir_path, "topin")
+        spark.createDataFrame(
+            [("x", "r1 r2 r3 pad"), ("y", "lead r1 r2 r3")],
+            "doc_id string, text string") \
+            .write.mode("overwrite").parquet(src)
+        assert main(["substr", "--input", src, "--top", "3",
+                     "--k", "3"]) == 0
+        cap = capsys.readouterr()
+        assert "2\t2\tr1 r2 r3" in cap.out
+        assert "# 1 duplicated runs" in cap.err
+        # --out required otherwise
+        assert main(["substr", "--input", src, "--k", "3"]) == 2
