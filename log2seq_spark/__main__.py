@@ -795,9 +795,22 @@ def cmd_substr(args) -> int:
         docs = (spark.read.parquet(args.input)
                 .repartition(spark.sparkContext.defaultParallelism))
         if args.top is not None:
-            from .operators.substrdedup import top_duplicated_runs
+            if args.index_dir is not None:
+                print("error: --top reports over --input only; it "
+                      "does not read an --index-dir (a corpus-wide "
+                      "report would be silently misleading)",
+                      file=sys.stderr)
+                return 2
+            from .operators.substrdedup import (top_duplicated_runs,
+                                                turn_key_expr)
+            feed, id_col = docs, args.id_col
+            if args.turns:
+                feed = docs.withColumn(
+                    "__sb_tid", turn_key_expr(args.conv_col,
+                                              args.idx_col))
+                id_col = "__sb_tid"
             rows = top_duplicated_runs(
-                docs, text_col=args.text_col, id_col=args.id_col,
+                feed, text_col=args.text_col, id_col=id_col,
                 k=args.k, min_count=args.min_count,
                 top=args.top).collect()
             for r in rows:
@@ -865,6 +878,18 @@ def cmd_substr(args) -> int:
                       f"{_json.dumps(stamp)}; the gram spaces are "
                       "incompatible. Refusing.", file=sys.stderr)
                 return 2
+        elif segments:
+            # committed segments but no stamp: the gram space that
+            # built them is unknowable, and adopting THIS run's params
+            # would accept exactly the drift the stamp exists to
+            # reject (a mismatched k joins nothing and silently
+            # misses every historical duplicate)
+            print(f"error: index {args.index_dir!r} has committed "
+                  "segments but no _params.json (pre-stamp index or "
+                  "torn write); record the original text_col/k in "
+                  "_params.json by hand before ingesting more "
+                  "shards. Refusing.", file=sys.stderr)
+            return 2
         claim_path = (f"{args.index_dir}/_shards/"
                       f"{hashlib.md5(args.input.encode()).hexdigest()}")
         claimed = fsio.read_text(spark, claim_path)
@@ -897,30 +922,36 @@ def cmd_substr(args) -> int:
                  if screen_segs else
                  spark.createDataFrame([], "gh bigint, n_occ bigint"))
         # ONE tokenize+hash pass shared by screen and publish (the
-        # signatures-computed-once discipline of dedup --index-dir)
+        # signatures-computed-once discipline of dedup --index-dir);
+        # try/finally so a failed write never strands the cached
+        # grams in a caller-owned session
         grams = gram_positions(docs, text_col=args.text_col,
                                id_col=args.id_col, k=args.k).persist()
-        out = scrub_against_index(
-            docs, index, text_col=args.text_col, id_col=args.id_col,
-            k=args.k, min_count=args.min_count, grams=grams)
-        _write_with_tally(out.withColumn("scrub_status", status),
-                          args.out, "scrub_status")
-        if prior is not None:
+        try:
+            out = scrub_against_index(
+                docs, index, text_col=args.text_col,
+                id_col=args.id_col, k=args.k,
+                min_count=args.min_count, grams=grams)
+            _write_with_tally(out.withColumn("scrub_status", status),
+                              args.out, "scrub_status")
+            if prior is not None:
+                print(f"# index: delta for this input already "
+                      f"committed ({prior}); skipping publish",
+                      file=sys.stderr)
+                return 0
+            delta = substr_index(docs, k=args.k, grams=grams)
+            delta_path = f"{args.index_dir}/delta/gen={nxt}"
+            if prior_stamp is None:
+                fsio.write_text(spark, stamp_path, _json.dumps(stamp))
+            # claim BEFORE publish: a claim pointing at an uncommitted
+            # gen is a crashed pre-publish run (safely re-claimed); a
+            # claim pointing at a committed gen is the replay guard's
+            # signal
+            fsio.write_text(spark, claim_path, str(nxt))
+            delta.write.mode("overwrite").parquet(delta_path)
+            n_new = spark.read.parquet(delta_path).count()
+        finally:
             grams.unpersist()
-            print(f"# index: delta for this input already committed "
-                  f"({prior}); skipping publish", file=sys.stderr)
-            return 0
-        delta = substr_index(docs, k=args.k, grams=grams)
-        delta_path = f"{args.index_dir}/delta/gen={nxt}"
-        if prior_stamp is None:
-            fsio.write_text(spark, stamp_path, _json.dumps(stamp))
-        # claim BEFORE publish: a claim pointing at an uncommitted gen
-        # is a crashed pre-publish run (safely re-claimed); a claim
-        # pointing at a committed gen is the replay guard's signal
-        fsio.write_text(spark, claim_path, str(nxt))
-        delta.write.mode("overwrite").parquet(delta_path)
-        n_new = spark.read.parquet(delta_path).count()
-        grams.unpersist()
         print(f"# index: delta gen={nxt} (+{n_new} gram rows, "
               f"{len(segments) + 1} segments)", file=sys.stderr)
         if args.compact_every and len(deltas) + 1 > args.compact_every:

@@ -68,7 +68,8 @@ __all__ = ["gram_positions", "duplicate_positions", "duplicate_spans",
            "scrub_duplicate_spans", "kept_tokens_expr", "substr_index",
            "updated_substr_index", "duplicate_positions_against_index",
            "duplicate_spans_against_index", "scrub_against_index",
-           "scrub_turn_boilerplate", "eval_contaminated_spans",
+           "turn_key_expr", "scrub_turn_boilerplate",
+           "eval_contaminated_spans",
            "top_duplicated_runs"]
 
 
@@ -85,7 +86,8 @@ def kept_tokens_expr(toks_col, spans_col):
 
 
 def gram_positions(docs: DataFrame, text_col: str = "text",
-                   id_col: str = "doc_id", k: int = 20) -> DataFrame:
+                   id_col: str = "doc_id", k: int = 20,
+                   with_text: bool = False) -> DataFrame:
     """One row per token position that starts a full ``k``-gram:
     ``(id_col, n_tok, pos, gh)`` with ``pos`` 1-based and ``gh`` the
     xxhash64 of the k tokens joined by a single space. Tokenization is
@@ -94,19 +96,26 @@ def gram_positions(docs: DataFrame, text_col: str = "text",
     phantom grams. Docs shorter than ``k`` tokens emit nothing.
     Map-only: explode + hash in one projection, no join; the slice
     hashing is O(n_tok * k) chars inside codegen — the same budget
-    winnow_fingerprints already spends."""
+    winnow_fingerprints already spends. ``with_text`` appends the
+    rendered gram as ``gtext`` (payload through every downstream
+    shuffle — reporting only, never the dedup path); text and hash
+    come from ONE definition here, so consumers that re-find grams by
+    hash can never drift from the renderer."""
     toks = tokens_expr(F.col(text_col))
     base = docs.select(F.col(id_col), toks.alias("_toks")) \
                .withColumn("_n", F.size("_toks"))
     starts = F.when(F.col("_n") >= k,
                     F.sequence(F.lit(1), F.col("_n") - F.lit(k - 1))) \
               .otherwise(F.array())
-    return (base.select(id_col, F.col("_n").alias("n_tok"), "_toks",
-                        F.explode(starts).alias("pos"))
-                .select(id_col, "n_tok", "pos",
-                        F.xxhash64(F.concat_ws(
-                            " ", F.slice("_toks", F.col("pos"), k)))
-                         .alias("gh")))
+    rows = base.select(id_col, F.col("_n").alias("n_tok"), "_toks",
+                       F.explode(starts).alias("pos"))
+    gtext = F.concat_ws(" ", F.slice("_toks", F.col("pos"), k))
+    if with_text:
+        return rows.select(id_col, "n_tok", "pos",
+                           gtext.alias("gtext"),
+                           F.xxhash64(gtext).alias("gh"))
+    return rows.select(id_col, "n_tok", "pos",
+                       F.xxhash64(gtext).alias("gh"))
 
 
 def duplicate_positions(docs: DataFrame, text_col: str = "text",
@@ -234,12 +243,15 @@ def substr_index(docs: DataFrame, text_col: str = "text",
 def updated_substr_index(index: DataFrame, new_docs: DataFrame,
                          text_col: str = "text",
                          id_col: str = "doc_id",
-                         k: int = 20) -> DataFrame:
+                         k: int = 20,
+                         grams: DataFrame | None = None) -> DataFrame:
     """The index after absorbing ``new_docs``: occurrence counts sum
     gram-wise (union + one re-aggregate — O(index + batch grams), the
     LSM-style alternative being to publish the batch's own
-    ``substr_index`` as a delta segment and fold at compaction)."""
-    delta = substr_index(new_docs, text_col, id_col, k)
+    ``substr_index`` as a delta segment and fold at compaction).
+    ``grams`` shares a precomputed batch gram pass (see
+    :func:`substr_index`)."""
+    delta = substr_index(new_docs, text_col, id_col, k, grams=grams)
     return (index.unionByName(delta)
                  .groupBy("gh")
                  .agg(F.sum("n_occ").alias("n_occ")))
@@ -320,6 +332,27 @@ def scrub_against_index(new_docs: DataFrame, index: DataFrame,
                                  min_count, spans=spans)
 
 
+def turn_key_expr(conv_col: str = "conv_id",
+                  idx_col: str = "turn_idx"):
+    """Single-column occurrence key for a (conversation, turn) pair,
+    ordering by conversation then turn. Null-safe and width-safe:
+    a null conversation id maps to a ``\\x00``-prefixed sentinel
+    (``concat_ws`` would silently DROP the null and collide distinct
+    turns onto one key), a null turn index to ``\\x00``-prefixed
+    ``#null`` (sorting before every real index), and the index is
+    zero-padded to 12 digits (covers int64 up to 10^12-scale turn
+    counts without the truncation ``lpad`` applies past its width;
+    negative indices are outside the transcripts contract). Distinct
+    (conv, turn) pairs always get distinct keys."""
+    conv = F.coalesce(F.col(conv_col).cast("string"),
+                      F.lit("\x00null"))
+    idx = F.coalesce(
+        F.concat(F.lit("#"),
+                 F.lpad(F.col(idx_col).cast("string"), 12, "0")),
+        F.lit("\x00#null"))
+    return F.concat(conv, idx)
+
+
 def scrub_turn_boilerplate(turns: DataFrame, conv_col: str = "conv_id",
                            idx_col: str = "turn_idx",
                            text_col: str = "text", k: int = 20,
@@ -333,8 +366,9 @@ def scrub_turn_boilerplate(turns: DataFrame, conv_col: str = "conv_id",
     zero-padded turn_idx)``. All other columns pass through; text is
     re-rendered single-spaced with ``n_dropped_tokens`` appended.
 
-    The per-occurrence key is ``conv_id || '#' || lpad(turn_idx, 9)``,
-    so keeper election orders by conversation then turn. Conversation
+    The per-occurrence key is :func:`turn_key_expr` — distinct
+    (conv, turn) pairs get distinct keys (null-safe, width-safe) and
+    keeper election orders by conversation then turn. Conversation
     ids containing ``'#'`` could alias keys across conversations —
     acceptable for keeper CHOICE (any deterministic canonical copy
     works) but rename such ids if exact first-conversation semantics
@@ -344,9 +378,8 @@ def scrub_turn_boilerplate(turns: DataFrame, conv_col: str = "conv_id",
         raise ValueError("input frame already has internal column "
                          "'__sb_tid'; rename it before "
                          "scrub_turn_boilerplate")
-    key = F.concat_ws("#", F.col(conv_col),
-                      F.lpad(F.col(idx_col).cast("string"), 9, "0"))
-    staged = turns.withColumn("__sb_tid", key)
+    staged = turns.withColumn("__sb_tid",
+                              turn_key_expr(conv_col, idx_col))
     return scrub_duplicate_spans(staged, text_col=text_col,
                                  id_col="__sb_tid", k=k,
                                  min_count=min_count).drop("__sb_tid")
@@ -405,33 +438,30 @@ def top_duplicated_runs(docs: DataFrame, text_col: str = "text",
     aggregate picks each winner's example (min by (id, pos), i.e. the
     canonical first occurrence). O(corpus tokens) twice, O(top)
     driver rows, no payload strings shuffled."""
+    spark = docs.sparkSession
     grams = gram_positions(docs, text_col, id_col, k)
-    stats = (grams.groupBy("gh")
-                  .agg(F.count(F.lit(1)).alias("n_occ"),
-                       F.count_distinct(F.col(id_col)).alias("n_docs"))
-                  .where(F.col("n_occ") >= min_count)
-                  .orderBy(F.desc("n_occ"), "gh")
-                  .limit(top))
-    winners = {r["gh"] for r in stats.select("gh").collect()}
-    if not winners:
+    # winners collected ONCE; the stats side of the final join is
+    # rebuilt from the collected rows (a re-evaluation of the
+    # un-persisted aggregate plan would re-run the corpus pass)
+    win_rows = (grams.groupBy("gh")
+                .agg(F.count(F.lit(1)).alias("n_occ"),
+                     F.count_distinct(F.col(id_col)).alias("n_docs"))
+                .where(F.col("n_occ") >= min_count)
+                .orderBy(F.desc("n_occ"), "gh")
+                .limit(top).collect())
+    stats = spark.createDataFrame(
+        win_rows, "gh bigint, n_occ bigint, n_docs bigint")
+    if not win_rows:
         return stats.withColumn("example", F.lit(None).cast("string"))
-    toks = tokens_expr(F.col(text_col))
-    base = docs.select(F.col(id_col), toks.alias("_toks")) \
-               .withColumn("_n", F.size("_toks"))
-    starts = F.when(F.col("_n") >= k,
-                    F.sequence(F.lit(1), F.col("_n") - F.lit(k - 1))) \
-              .otherwise(F.array())
-    rendered = (base.select(id_col, "_toks",
-                            F.explode(starts).alias("pos"))
-                    .withColumn("_txt", F.concat_ws(
-                        " ", F.slice("_toks", F.col("pos"), k)))
-                    .withColumn("gh", F.xxhash64("_txt"))
-                    .where(F.col("gh").isin(list(winners)))
-                    .groupBy("gh")
-                    .agg(F.min(F.struct(
-                        F.col(id_col).alias("i"),
-                        F.col("pos").alias("p"),
-                        F.col("_txt").alias("t")))["t"]
-                        .alias("example")))
+    winners = [r["gh"] for r in win_rows]
+    rendered = (gram_positions(docs, text_col, id_col, k,
+                               with_text=True)
+                .where(F.col("gh").isin(winners))
+                .groupBy("gh")
+                .agg(F.min(F.struct(
+                    F.col(id_col).alias("i"),
+                    F.col("pos").alias("p"),
+                    F.col("gtext").alias("t")))["t"]
+                    .alias("example")))
     return (stats.join(rendered, "gh", "left")
                  .orderBy(F.desc("n_occ"), "gh"))

@@ -1039,7 +1039,8 @@ substrdedup.scrub_against_index` — arrival-order keepers: any run of
     import os
 
     from ..operators.substrdedup import (gram_positions,
-                                         scrub_against_index)
+                                         scrub_against_index,
+                                         updated_substr_index)
 
     params = {"text_col": text_col, "id_col": id_col, "k": k,
               "min_count": min_count}
@@ -1057,11 +1058,8 @@ substrdedup.scrub_against_index` — arrival-order keepers: any run of
             (out.write.mode("overwrite")
                 .parquet(os.path.join(out_dir,
                                       f"batch_id={batch_id}")))
-            new_idx = (idx.unionByName(
-                           grams.groupBy("gh")
-                                .agg(F.count(F.lit(1)).alias("n_occ")))
-                          .groupBy("gh")
-                          .agg(F.sum("n_occ").alias("n_occ")))
+            new_idx = updated_substr_index(idx, batch_df, text_col,
+                                           id_col, k, grams=grams)
             (new_idx.write.mode("overwrite")
                     .parquet(os.path.join(index_dir,
                                           f"epoch={batch_id}")))

@@ -605,3 +605,63 @@ class TestTopRuns:
         assert "# 1 duplicated runs" in cap.err
         # --out required otherwise
         assert main(["substr", "--input", src, "--k", "3"]) == 2
+
+
+class TestReviewHardening:
+    def test_stampless_index_with_segments_refused(self, spark,
+                                                   capsys,
+                                                   tmpdir_path):
+        import os
+        from log2seq_spark import fsio
+        from log2seq_spark.__main__ import main
+        idx = os.path.join(tmpdir_path, "sidx")
+        src = os.path.join(tmpdir_path, "sin")
+        spark.createDataFrame([("d", "a b c d")],
+                              "doc_id string, text string") \
+             .write.mode("overwrite").parquet(src)
+        assert main(["substr", "--input", src,
+                     "--out", os.path.join(tmpdir_path, "so"),
+                     "--k", "3", "--index-dir", idx]) == 0
+        # simulate a pre-stamp index: delete the stamp, keep segments
+        fsio.delete(spark, f"{idx}/_params.json")
+        capsys.readouterr()
+        spark.createDataFrame([("e", "x y z")],
+                              "doc_id string, text string") \
+             .write.mode("overwrite").parquet(src + "2")
+        rc = main(["substr", "--input", src + "2",
+                   "--out", os.path.join(tmpdir_path, "so2"),
+                   "--k", "3", "--index-dir", idx])
+        assert rc == 2
+        assert "no _params.json" in capsys.readouterr().err
+
+    def test_top_with_turns_and_index_conflict(self, spark, capsys,
+                                               tmpdir_path):
+        import os
+        from log2seq_spark.__main__ import main
+        src = os.path.join(tmpdir_path, "ttin")
+        run = "system preamble tokens here"
+        spark.createDataFrame(
+            [("c1", 0, run), ("c2", 0, run)],
+            "conv_id string, turn_idx int, text string") \
+            .write.mode("overwrite").parquet(src)
+        assert main(["substr", "--input", src, "--top", "3",
+                     "--turns", "--k", "4"]) == 0
+        cap = capsys.readouterr()
+        assert "2\t2\tsystem preamble tokens here" in cap.out
+        assert main(["substr", "--input", src, "--top", "3",
+                     "--k", "4", "--index-dir",
+                     os.path.join(tmpdir_path, "ti")]) == 2
+
+    def test_turn_key_null_and_width_safety(self, spark):
+        from pyspark.sql import functions as F
+        from log2seq_spark.operators.substrdedup import turn_key_expr
+        rows = [(None, 5), (None, 5), ("a", None), ("a", None),
+                ("a", 1000000000), ("a", 1000000001), ("a", 2)]
+        df = spark.createDataFrame(rows, "conv_id string, turn_idx long")
+        keys = [r[0] for r in
+                df.select(turn_key_expr().alias("k")).collect()]
+        # identical pairs share a key; DISTINCT pairs never collide
+        assert keys[0] == keys[1] and keys[2] == keys[3]
+        assert len(set(keys)) == 5
+        # ordering: turn 2 sorts before turn 1000000000 under the pad
+        assert keys[6] < keys[4] < keys[5]
