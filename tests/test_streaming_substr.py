@@ -54,3 +54,24 @@ class TestStreamingSubstr:
                         spark.createDataFrame(r1 + r2, schema),
                         k=3).collect()}
         assert got_idx == want_idx
+
+    def test_param_drift_refused_across_restart(self, spark,
+                                                tmpdir_path):
+        import pytest
+        inp = os.path.join(tmpdir_path, "din")
+        out = os.path.join(tmpdir_path, "dout")
+        ix = os.path.join(tmpdir_path, "dix")
+        schema = "doc_id string, text string"
+        self._run(spark, inp, out, os.path.join(tmpdir_path, "dck1"),
+                  ix, [("a", "x y z w")], schema)
+
+        # same state dir, different k -> the guard must refuse
+        (spark.createDataFrame([("b", "p q r s")], schema)
+              .coalesce(1).write.mode("append").parquet(inp))
+        stream = spark.readStream.schema(schema).parquet(inp)
+        q = (streaming_substr_scrub(
+                stream, out, os.path.join(tmpdir_path, "dck2"), ix,
+                k=4)
+             .trigger(availableNow=True).start())
+        with pytest.raises(Exception, match="[Pp]aram"):
+            q.awaitTermination(120)
