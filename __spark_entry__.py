@@ -3198,7 +3198,8 @@ def q_stratified_sample_counts(spark, sf_dir):
     leak = (sp.join(clusters, "doc_id")
             .groupBy("cluster_id")
             .agg(F.countDistinct("split").alias("ns"))
-            .agg(F.sum(F.when(F.col("ns") > 1, 1).otherwise(0))
+            .agg(F.coalesce(F.sum(F.when(F.col("ns") > 1, 1)
+                                   .otherwise(0)), F.lit(0))
                   .cast("bigint").alias("n_docs"))
             .select(F.lit("leak").alias("kind"),
                     F.lit("straddle").alias("key"), "n_docs"))
@@ -3344,8 +3345,12 @@ SELECT 'weighted' AS kind, cast(doc_id AS VARCHAR) AS key,
        cast(n_chars AS BIGINT) AS n_docs
 FROM (
   SELECT doc_id, n_chars,
-         ln((('0x' || substr(md5('0#' || doc_id), 1, 13))::BIGINT + 0.5)
-            / 4503599627370496.0) / cast(n_chars AS DOUBLE) AS es_key
+         -- round(.,9): ln differs by 1 ulp between JVM and glibc libm
+         -- (~20% of values); the coarse grid makes the rank-20 cut
+         -- engine-independent (ties resolve via the doc_id order-by)
+         round(ln((('0x' || substr(md5('0#' || doc_id), 1, 13))::BIGINT
+                   + 0.5)
+            / 4503599627370496.0) / cast(n_chars AS DOUBLE), 9) AS es_key
   FROM documents WHERE n_chars > 0
   ORDER BY es_key DESC, doc_id ASC LIMIT 20
 )

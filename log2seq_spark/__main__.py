@@ -258,6 +258,40 @@ def cmd_parse(args) -> int:
                 sep=args.multiline_sep)
             df = rec.select("_ord", "text")
 
+    # --verbose: reference-parity per-line rule trace (reference
+    # _common.py:85-116 / statement.py:44-54 print the trace from inside
+    # the parse loop). The vectorized result stays authoritative; the
+    # trace is produced by re-running the per-line ORACLE engine on each
+    # REPORTED line (the engine's verbose prints are byte-format-matched
+    # to the reference's) and routed to stderr so stdout stays pipeable —
+    # the reference's own --help documents stderr even though its
+    # implementation uses bare print().
+    tracer = None
+    if getattr(args, "verbose", False):
+        import contextlib
+        import io
+
+        def tracer(line: str) -> None:
+            from .rules.engine import (LineEngine, compile_actions,
+                                       tokenize_statement)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                try:
+                    if args.statement:
+                        tokenize_statement(
+                            compile_actions(program.actions), line,
+                            verbose=True)
+                    else:
+                        yr = args.year
+                        if yr is None and ts_col is None:
+                            import datetime as _dt
+                            yr = _dt.datetime.now().year
+                        LineEngine(program, default_year=yr) \
+                            .parse_line(line, verbose=True)
+                except Exception:
+                    pass  # the vectorized path already reported it
+            sys.stderr.write(buf.getvalue())
+
     nonempty = F.col("text") != ""
     if args.statement:
         tok = tokenize_statement_udf(tuple(program.actions))
@@ -307,6 +341,8 @@ def cmd_parse(args) -> int:
 
     # failures + progress to stderr (reference: parse failed: {line!r})
     for line in fail_rows:
+        if tracer:
+            tracer(line)
         print(f"parse failed: {line!r}", file=sys.stderr)
     if 0 < args.max_failures < n_fail:
         print("... (further failures suppressed; "
@@ -339,6 +375,8 @@ def cmd_parse(args) -> int:
             for i, row in enumerate(it):
                 if args.sample is not None and i >= args.sample:
                     break
+                if tracer:
+                    tracer(row["text"])
                 if args.show_input:
                     print(row["text"], file=f_out)
                 print(fmt(row), file=f_out)
@@ -1262,25 +1300,27 @@ def cmd_bursts(args) -> int:
     base_n/base_windows<TAB>BURST?`` rows."""
     from .operators.anomaly import burst_windows
     spark, owns = _cli_spark("log2seq-spark-bursts")
-    events = (spark.table(args.input) if args.input_kind == "table"
-              else spark.read.parquet(args.input))
-    out = burst_windows(events, args.ts_col, key_col=args.key_col,
-                        window=args.window, trailing=args.trailing,
-                        mult=args.mult, min_windows=args.min_windows)
-    if args.bursts_only:
-        out = out.filter("is_burst")
-    key_cols = [args.key_col] if args.key_col else []
-    rows = (out.orderBy("window_start", *key_cols)
-               .limit(args.top).collect())
-    for r in rows:
-        key = "\t".join(str(r[k]) for k in key_cols)
-        parts = [str(r["window_start"])] + ([key] if key else [])
-        parts += [str(r["n"]), f"{r['base_n']}/{r['base_windows']}",
-                  "BURST" if r["is_burst"] else "-"]
-        print("\t".join(parts))
-    if owns:
-        spark.stop()
-    return 0
+    try:
+        events = (spark.table(args.input) if args.input_kind == "table"
+                  else spark.read.parquet(args.input))
+        out = burst_windows(events, args.ts_col, key_col=args.key_col,
+                            window=args.window, trailing=args.trailing,
+                            mult=args.mult, min_windows=args.min_windows)
+        if args.bursts_only:
+            out = out.filter("is_burst")
+        key_cols = [args.key_col] if args.key_col else []
+        rows = (out.orderBy("window_start", *key_cols)
+                   .limit(args.top).collect())
+        for r in rows:
+            key = "\t".join(str(r[k]) for k in key_cols)
+            parts = [str(r["window_start"])] + ([key] if key else [])
+            parts += [str(r["n"]), f"{r['base_n']}/{r['base_windows']}",
+                      "BURST" if r["is_burst"] else "-"]
+            print("\t".join(parts))
+        return 0
+    finally:
+        if owns:
+            spark.stop()
 
 
 def cmd_outliers(args) -> int:
@@ -1290,29 +1330,33 @@ def cmd_outliers(args) -> int:
     per-key tally to stderr."""
     from .operators.anomaly import robust_outliers
     spark, owns = _cli_spark("log2seq-spark-outliers")
-    events = (spark.table(args.input) if args.input_kind == "table"
-              else spark.read.parquet(args.input))
-    keys = tuple(args.key_col.split(",")) if args.key_col else ()
-    out = robust_outliers(events, args.value_col, keys,
-                          threshold=args.threshold)
-    flagged = (out.filter("is_outlier")
-                  .orderBy(F.abs(F.col("robust_z")).desc())
-                  .limit(args.top).collect())
-    for r in flagged:
-        key = "\t".join(str(r[k]) for k in keys)
-        parts = ([key] if key else []) + [str(r[args.value_col]),
-                                          f"{r['robust_z']:.3f}"]
-        print("\t".join(parts))
-    tally = (out.groupBy(*keys)
-                .agg(F.sum(F.col("is_outlier").cast("long")).alias("n"),
-                     F.count("*").alias("total")).collect())
-    for r in sorted(tally, key=lambda r: tuple(str(r[k]) for k in keys)):
-        key = ",".join(str(r[k]) for k in keys) or "(all)"
-        print(f"# {key}: {r['n']} outliers / {r['total']} rows",
-              file=sys.stderr)
-    if owns:
-        spark.stop()
-    return 0
+    try:
+        events = (spark.table(args.input) if args.input_kind == "table"
+                  else spark.read.parquet(args.input))
+        keys = tuple(args.key_col.split(",")) if args.key_col else ()
+        out = robust_outliers(events, args.value_col, keys,
+                              threshold=args.threshold)
+        flagged = (out.filter("is_outlier")
+                      .orderBy(F.abs(F.col("robust_z")).desc())
+                      .limit(args.top).collect())
+        for r in flagged:
+            key = "\t".join(str(r[k]) for k in keys)
+            parts = ([key] if key else []) + [str(r[args.value_col]),
+                                              f"{r['robust_z']:.3f}"]
+            print("\t".join(parts))
+        tally = (out.groupBy(*keys)
+                    .agg(F.sum(F.col("is_outlier").cast("long"))
+                          .alias("n"),
+                         F.count("*").alias("total")).collect())
+        for r in sorted(tally,
+                        key=lambda r: tuple(str(r[k]) for k in keys)):
+            key = ",".join(str(r[k]) for k in keys) or "(all)"
+            print(f"# {key}: {r['n']} outliers / {r['total']} rows",
+                  file=sys.stderr)
+        return 0
+    finally:
+        if owns:
+            spark.stop()
 
 
 def cmd_fill(args) -> int:
@@ -1322,36 +1366,43 @@ def cmd_fill(args) -> int:
     filled parquet and print a per-key filled/total tally to stderr."""
     from .operators.gapfill import fill_gaps
     spark, owns = _cli_spark("log2seq-spark-fill")
-    events = (spark.table(args.input) if args.input_kind == "table"
-              else spark.read.parquet(args.input))
-    keys = [k for k in (args.key_col.split(",") if args.key_col else [])]
-    bucketed = (events
-                .groupBy(*keys, F.date_trunc(args.trunc, F.col(args.ts_col))
-                         .alias(args.ts_col))
-                .agg(F.sum(F.col(args.value_col).cast("decimal(18,2)"))
-                      .cast("double").alias(args.value_col)))
-    if not keys:
-        bucketed = bucketed.withColumn("_k", F.lit("all"))
-        keys = ["_k"]
-    key = keys[0] if len(keys) == 1 else None
-    if key is None:
-        bucketed = bucketed.withColumn(
-            "_k", F.concat_ws("/", *[F.col(k).cast("string")
-                                     for k in keys]))
-        key = "_k"
-    filled = fill_gaps(bucketed.select(key, args.ts_col, args.value_col),
-                       key_col=key, ts_col=args.ts_col,
-                       value_col=args.value_col, step=args.step)
-    filled.write.mode("overwrite").parquet(args.out)
-    back = spark.read.parquet(args.out)
-    for r in sorted(back.groupBy(key).agg(
-            F.sum(F.col("filled").cast("long")).alias("nf"),
-            F.count("*").alias("n")).collect(), key=lambda r: str(r[key])):
-        print(f"# {r[key]}: filled {r['nf']} of {r['n']} grid rows",
-              file=sys.stderr)
-    if owns:
-        spark.stop()
-    return 0
+    try:
+        events = (spark.table(args.input) if args.input_kind == "table"
+                  else spark.read.parquet(args.input))
+        keys = [k for k in (args.key_col.split(",")
+                            if args.key_col else [])]
+        bucketed = (events
+                    .groupBy(*keys,
+                             F.date_trunc(args.trunc, F.col(args.ts_col))
+                             .alias(args.ts_col))
+                    .agg(F.sum(F.col(args.value_col)
+                               .cast("decimal(18,2)"))
+                          .cast("double").alias(args.value_col)))
+        if not keys:
+            bucketed = bucketed.withColumn("_k", F.lit("all"))
+            keys = ["_k"]
+        key = keys[0] if len(keys) == 1 else None
+        if key is None:
+            bucketed = bucketed.withColumn(
+                "_k", F.concat_ws("/", *[F.col(k).cast("string")
+                                         for k in keys]))
+            key = "_k"
+        filled = fill_gaps(bucketed.select(key, args.ts_col,
+                                           args.value_col),
+                           key_col=key, ts_col=args.ts_col,
+                           value_col=args.value_col, step=args.step)
+        filled.write.mode("overwrite").parquet(args.out)
+        back = spark.read.parquet(args.out)
+        for r in sorted(back.groupBy(key).agg(
+                F.sum(F.col("filled").cast("long")).alias("nf"),
+                F.count("*").alias("n")).collect(),
+                key=lambda r: str(r[key])):
+            print(f"# {r[key]}: filled {r['nf']} of {r['n']} grid rows",
+                  file=sys.stderr)
+        return 0
+    finally:
+        if owns:
+            spark.stop()
 
 
 def cmd_render(args) -> int:
@@ -1522,11 +1573,13 @@ def cmd_compact(args) -> int:
     try:
         target = int(args.target_mb * (1 << 20))
         if args.dry_run:
-            fs_plans = []
-            for leaf in [args.path]:
-                fs_plans.append(layout.plan_compaction(
-                    spark, leaf, target, args.small_ratio))
-            plans = fs_plans
+            # walk the SAME leaf set the real run rewrites (a
+            # partitioned sink compacts per leaf — planning only the
+            # root would report zero rewrites while --apply rewrites
+            # many); dry-run must not mutate, so no resume_compaction
+            plans = [layout.plan_compaction(spark, leaf, target,
+                                            args.small_ratio)
+                     for leaf in layout.leaf_dirs(spark, args.path)]
         else:
             plans = layout.compact_tree(spark, args.path, target,
                                         args.small_ratio)
@@ -1683,6 +1736,13 @@ def main(argv=None) -> int:
                    help="max failed lines to report to stderr (0 unlimited)")
     p.add_argument("-i", "--show-input", action="store_true",
                    help="prefix each successful result with the input line")
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="per-line rule trace to stderr for every reported "
+                        "line: which header rule matched/mismatched and "
+                        "the token state after each statement action "
+                        "(reference __main__.py --verbose; trace produced "
+                        "by the per-line oracle engine, so use on bounded "
+                        "debugging inputs, not production corpora)")
     p.add_argument("--sample", type=int, default=None,
                    help="print at most N successful results (default: all)")
     p.add_argument("--multiline-start", default=None, metavar="REGEX",

@@ -363,14 +363,13 @@ def expire_partitions(spark: SparkSession, root: str,
     return out
 
 
-def compact_tree(spark: SparkSession, root: str, target_bytes: int,
-                 small_ratio: float = 0.5) -> List[dict]:
-    """Compact every leaf directory under ``root`` (a partitioned sink
-    like ``out/sink=.../bucket=...``): finish any interrupted swap
-    first, then bin-pack each leaf. The per-leaf rewrites are
-    independent Spark jobs over only the undersized bytes — at sink
-    scale the total rewritten volume is bounded by the small-file mass,
-    not the table size."""
+def leaf_dirs(spark: SparkSession, root: str) -> List[str]:
+    """Leaf data directories of a (possibly partitioned) sink: every
+    directory under ``root`` that holds at least one data file or has
+    no subdirectories. This is the directory set ``compact_tree``
+    rewrites — exposed separately so dry-run planning (CLI
+    ``compact --dry-run``) walks the exact same leaves as the real
+    run instead of planning only the root."""
     fs, jroot, _ = fsio.hadoop_fs(spark, root)
     if not fs.exists(jroot):
         return []
@@ -389,6 +388,18 @@ def compact_tree(spark: SparkSession, root: str, target_bytes: int,
             walk(st.getPath())
 
     walk(jroot)
+    return leaves
+
+
+def compact_tree(spark: SparkSession, root: str, target_bytes: int,
+                 small_ratio: float = 0.5) -> List[dict]:
+    """Compact every leaf directory under ``root`` (a partitioned sink
+    like ``out/sink=.../bucket=...``): finish any interrupted swap
+    first, then bin-pack each leaf. The per-leaf rewrites are
+    independent Spark jobs over only the undersized bytes — at sink
+    scale the total rewritten volume is bounded by the small-file mass,
+    not the table size."""
+    leaves = leaf_dirs(spark, root)
     out = []
     for leaf in leaves:
         resume_compaction(spark, leaf)

@@ -171,14 +171,21 @@ def retrieval_metrics(results: DataFrame, truth: DataFrame, k: int = 10,
         m = dcg.join(idcg, part, "left").join(nrel, part, "left")
     else:
         m = dcg.crossJoin(idcg).crossJoin(nrel)  # three 1-row frames
+    # zero-relevant queries (no truth rows with _rel > 0): every metric
+    # is DEFINED as 0.0 — before this, recall_at_k came out NULL (the
+    # left-joined n_relevant was missing, so the division nulled) while
+    # mrr/ndcg were coalesced to 0, an inconsistent answer to the same
+    # edge case
+    n_rel = F.coalesce(F.col("n_relevant"), F.lit(0)).cast("bigint")
     return m.select(
         *part,
-        F.round(F.col("_hits").cast("double")
-                / F.col("n_relevant").cast("double"), 9)
-         .alias("recall_at_k"),
+        F.when(n_rel > 0,
+               F.round(F.col("_hits").cast("double")
+                       / n_rel.cast("double"), 9))
+         .otherwise(F.lit(0.0)).alias("recall_at_k"),
         F.coalesce(F.round(F.lit(1.0)
                            / F.col("_first").cast("double"), 9),
                    F.lit(0.0)).alias("mrr"),
         F.coalesce(F.round(F.col("_dcg") / F.col("_idcg"), 9),
                    F.lit(0.0)).alias("ndcg_at_k"),
-        "n_relevant")
+        n_rel.alias("n_relevant"))

@@ -121,23 +121,62 @@ def gram_positions(docs: DataFrame, text_col: str = "text",
 def duplicate_positions(docs: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 20,
                         min_count: int = 2,
-                        keep_first: bool = True) -> DataFrame:
+                        keep_first: bool = True,
+                        confirm: bool = False) -> DataFrame:
     """``(id_col, pos, n_tok)`` rows whose k-gram is corpus-duplicated
     (global occurrence count >= ``min_count``). With ``keep_first``
     (the retain-one policy) the gram's canonical first occurrence —
     minimum ``(id, pos)`` — is exempted, so scrubbing every returned
     position still leaves one copy of each duplicated substring in the
     corpus. ``keep_first=False`` returns every duplicated occurrence
-    (the "flag all" analysis mode)."""
-    grams = gram_positions(docs, text_col, id_col, k)
-    # ONE shuffle on gh: count + min(struct) are both partial-agg'able
-    stats = (grams.groupBy("gh")
-                  .agg(F.count(F.lit(1)).alias("_cnt"),
-                       F.min(F.struct(F.col(id_col).alias("i"),
-                                      F.col("pos").alias("p")))
-                        .alias("_first"))
-                  .where(F.col("_cnt") >= min_count))
-    joined = grams.join(stats, "gh")
+    (the "flag all" analysis mode).
+
+    Collision budget: gram identity is the 64-bit ``xxhash64`` of the
+    gram text. By the birthday bound, ``G`` distinct grams collide
+    somewhere with probability ~``G^2 / 2^65``: negligible below ~1e8
+    distinct grams (~3e-4), even odds at ~5e9, and EXPECTED at the
+    module's advertised 1e12-token scale — a collision makes a
+    non-duplicated span count as duplicated and silently deletes
+    unique text. For large corpora pass ``confirm=True``: a second,
+    candidates-only aggregate re-groups the 64-bit survivors by their
+    actual gram TEXT, so a hash collision can no longer conflate two
+    different grams (false scrubs from hashing drop to zero). Cost is
+    one extra shuffle whose payload is the gram text of DUPLICATE
+    CANDIDATES only — the prefilter keeps the full-corpus pass on the
+    8-byte hash, so total cost stays ~the unconfirmed plan unless the
+    corpus is mostly duplicated (in which case you want the scrub
+    anyway). The incremental against-index path stays 64-bit (the
+    published index stores hashes only); size ``k``/``min_count``
+    there with the bound above in mind."""
+    grams = gram_positions(docs, text_col, id_col, k,
+                           with_text=confirm)
+    if not confirm:
+        # ONE shuffle on gh: count + min(struct) both partial-agg'able
+        stats = (grams.groupBy("gh")
+                      .agg(F.count(F.lit(1)).alias("_cnt"),
+                           F.min(F.struct(F.col(id_col).alias("i"),
+                                          F.col("pos").alias("p")))
+                            .alias("_first"))
+                      .where(F.col("_cnt") >= min_count))
+        joined = grams.join(stats, "gh")
+    else:
+        # phase 1 — hash-only prefilter (count is a superset of any
+        # text's count when hashes collide, so no true dup is lost)
+        cand = (grams.groupBy("gh")
+                     .agg(F.count(F.lit(1)).alias("_c0"))
+                     .where(F.col("_c0") >= min_count)
+                     .select("gh"))
+        # phase 2 — candidates only, keyed by the gram text itself:
+        # colliding grams now land in separate groups and re-test
+        # min_count on their true occurrence counts
+        cg = grams.join(cand, "gh")
+        stats = (cg.groupBy("gh", "gtext")
+                   .agg(F.count(F.lit(1)).alias("_cnt"),
+                        F.min(F.struct(F.col(id_col).alias("i"),
+                                       F.col("pos").alias("p")))
+                         .alias("_first"))
+                   .where(F.col("_cnt") >= min_count))
+        joined = cg.join(stats, ["gh", "gtext"])
     if keep_first:
         joined = joined.where(
             ~((F.col(id_col) == F.col("_first.i"))
@@ -148,7 +187,8 @@ def duplicate_positions(docs: DataFrame, text_col: str = "text",
 def duplicate_spans(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id", k: int = 20,
                     min_count: int = 2,
-                    keep_first: bool = True) -> DataFrame:
+                    keep_first: bool = True,
+                    confirm: bool = False) -> DataFrame:
     """Maximal duplicated token spans per document:
     ``(id_col, start, end, n_tok)`` with ``start``/``end`` 1-based
     inclusive token indices. A duplicated position ``p`` covers tokens
@@ -157,7 +197,7 @@ def duplicate_spans(docs: DataFrame, text_col: str = "text",
     (classic gaps-and-islands): a new island starts where ``p`` exceeds
     every earlier cover's end."""
     dup = duplicate_positions(docs, text_col, id_col, k,
-                              min_count, keep_first)
+                              min_count, keep_first, confirm=confirm)
     return _spans_from_positions(dup, id_col, k)
 
 
@@ -189,7 +229,8 @@ def _spans_from_positions(dup: DataFrame, id_col: str,
 def scrub_duplicate_spans(docs: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id", k: int = 20,
                           min_count: int = 2,
-                          spans: DataFrame | None = None) -> DataFrame:
+                          spans: DataFrame | None = None,
+                          confirm: bool = False) -> DataFrame:
     """``docs`` with duplicated spans removed from ``text_col`` (tokens
     re-joined with single spaces — the tokenizer's inverse up to
     whitespace normalization, same contract as the clean recipe) plus
@@ -198,10 +239,13 @@ def scrub_duplicate_spans(docs: DataFrame, text_col: str = "text",
     duplicated span pass through with the same single-space
     re-rendering, so output text is uniformly normalized. ``spans``
     lets a caller substitute a precomputed span frame (e.g. the
-    against-index screen) for the batch computation."""
+    against-index screen) for the batch computation. ``confirm=True``
+    verifies duplicate candidates by gram TEXT before scrubbing — see
+    :func:`duplicate_positions` for the 64-bit collision budget that
+    motivates it at >~1e9 distinct grams."""
     if spans is None:
         spans = duplicate_spans(docs, text_col, id_col, k, min_count,
-                                keep_first=True)
+                                keep_first=True, confirm=confirm)
     # per-doc span list is small (bounded by doc length / k); collect
     # it as an array column and drop spanned tokens with one filter
     span_sets = (spans.groupBy(id_col)
@@ -391,7 +435,8 @@ def eval_contaminated_spans(train: DataFrame,
                             id_col: str = "doc_id", k: int = 20,
                             eval_text_col: str | None = None,
                             eval_id_col: str | None = None,
-                            index: DataFrame | None = None) -> DataFrame:
+                            index: DataFrame | None = None,
+                            confirm: bool = False) -> DataFrame:
     """Maximal spans of ``train`` documents covered by any ``k``-token
     run that appears VERBATIM in ``evalset`` — ExactSubstr-style
     benchmark decontamination with positioned evidence (Lee et al.
@@ -409,7 +454,26 @@ def eval_contaminated_spans(train: DataFrame,
     once, screen many training corpora — the eval side is read only
     through its gram index). Plan: eval-side gram aggregate + one
     equi-join on the uniform 64-bit hash + the per-doc island merge;
-    never all-pairs."""
+    never all-pairs.
+
+    ``confirm=True`` (needs ``evalset``, not a hash-only ``index``)
+    joins on the gram TEXT as well as the hash, so a 64-bit collision
+    between an eval gram and an unrelated train gram cannot flag a
+    spurious span — see :func:`duplicate_positions` for the birthday
+    bound that makes this matter beyond ~1e9 distinct grams."""
+    if confirm:
+        if evalset is None:
+            raise ValueError("confirm=True verifies by gram text and "
+                             "needs evalset (the index stores hashes "
+                             "only)")
+        ev = (gram_positions(evalset, eval_text_col or text_col,
+                             eval_id_col or id_col, k, with_text=True)
+              .select("gh", "gtext").distinct())
+        grams = gram_positions(train, text_col, id_col, k,
+                               with_text=True)
+        hits = (grams.join(ev, ["gh", "gtext"])
+                     .select(id_col, "pos", "n_tok"))
+        return _spans_from_positions(hits, id_col, k)
     if index is None:
         if evalset is None:
             raise ValueError("pass evalset or a precomputed index")

@@ -68,6 +68,31 @@ class TestReferenceParity:
         assert "suppressed" in err
         assert "1 ok, 3 failed" in err
 
+    def test_verbose_rule_trace(self, run_cli):
+        # reference __main__.py --verbose: per-line rule trace — which
+        # header rule matched and the token state after each statement
+        # action (reference _common.py:103-106, statement.py:44-54
+        # formats); routed to stderr so stdout stays pipeable
+        code, out, err = run_cli(["-v", "--year", "2024"], LINES)
+        assert code == 0
+        assert "header rule 0: match" in err
+        assert "Statement: system[1]: ok one" in err
+        # action trace lines use the reference class names and the
+        # #fixed# / 'unknown' part markers
+        assert "Split: 'system', '1', ':', 'ok', 'one'" in err
+        # the failing line traces every rule as mismatch before the
+        # parse-failed report
+        assert "header rule 0: mismatch" in err
+        assert "parse failed:" in err
+        # stdout carries only the parsed results
+        assert "header rule" not in out
+
+    def test_verbose_statement_mode(self, run_cli):
+        code, out, err = run_cli(["-s", "-v", "-t", "words"], "a(b) c\n")
+        assert code == 0
+        assert "Statement: a(b) c" in err
+        assert "Split:" in err
+
     def test_show_input_prefixes_lines(self, run_cli):
         code, out, err = run_cli(["-t", "words", "-i"],
                                  "Jan  1 12:34:56 host app[1]: ok one\n")

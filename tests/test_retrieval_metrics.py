@@ -75,6 +75,24 @@ class TestRetrievalMetrics:
         assert m["recall_at_k"] == 0.0
         assert m["mrr"] == 0.0 and m["ndcg_at_k"] == 0.0
 
+    def test_zero_relevant_query_all_metrics_zero(self, spark):
+        # a query with NO relevant rows in truth: every metric is
+        # defined as 0.0 and n_relevant as 0 — recall used to come out
+        # NULL (missing n_relevant after the left join) while mrr/ndcg
+        # were coalesced to 0, inconsistent handling of the same edge
+        res = spark.createDataFrame(
+            [("a", 1, 2.0), ("b", 2, 2.0)],
+            "q string, doc_id long, score double")
+        truth = spark.createDataFrame(
+            [("a", 1, 1.0), ("b", 9, 0.0)],
+            "q string, doc_id long, rel double")
+        m = {r["q"]: r for r in retrieval.retrieval_metrics(
+            res, truth, k=5, query_col="q").collect()}
+        assert m["b"]["n_relevant"] == 0
+        assert m["b"]["recall_at_k"] == 0.0
+        assert m["b"]["mrr"] == 0.0 and m["b"]["ndcg_at_k"] == 0.0
+        assert m["a"]["recall_at_k"] == 1.0  # unaffected query
+
     def test_per_query(self, spark):
         res = spark.createDataFrame(
             [("a", 1, 2.0), ("a", 2, 1.0), ("b", 3, 2.0)],

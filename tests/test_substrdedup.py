@@ -171,6 +171,55 @@ class TestModelEquivalence:
         assert got_scrub == _model_scrub(rows, k, mc)
 
 
+class TestConfirmMode:
+    """confirm=True re-verifies 64-bit-hash duplicate candidates by
+    gram TEXT (collision insurance at >~1e9 distinct grams). Absent a
+    hash collision — unconstructible on purpose — it must be a strict
+    no-op, on every policy knob."""
+
+    @pytest.mark.parametrize("seed", [11, 12])
+    def test_confirm_equals_unconfirmed(self, spark, seed):
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(10)]
+        rows = [(f"d{i:02d}",
+                 " ".join(rng.choice(vocab)
+                          for _ in range(rng.randint(0, 22))))
+                for i in range(25)]
+        docs = _docs(spark, rows)
+        for keep_first in (True, False):
+            base = sorted(map(tuple, sd.duplicate_positions(
+                docs, k=3, min_count=2,
+                keep_first=keep_first).collect()))
+            conf = sorted(map(tuple, sd.duplicate_positions(
+                docs, k=3, min_count=2, keep_first=keep_first,
+                confirm=True).collect()))
+            assert base == conf
+        s0 = {r["doc_id"]: (r["text"], r["n_dropped_tokens"])
+              for r in sd.scrub_duplicate_spans(
+                  docs, k=3, min_count=2).collect()}
+        s1 = {r["doc_id"]: (r["text"], r["n_dropped_tokens"])
+              for r in sd.scrub_duplicate_spans(
+                  docs, k=3, min_count=2, confirm=True).collect()}
+        assert s0 == s1
+
+    def test_eval_confirm_equals_unconfirmed_and_needs_evalset(
+            self, spark):
+        train = _docs(spark, [
+            ("t1", "a b c d e f g"),
+            ("t2", "x y z a b c d"),
+        ])
+        ev = _docs(spark, [("e1", "a b c d q r s")])
+        base = sorted(map(tuple, sd.eval_contaminated_spans(
+            train, ev, k=3).collect()))
+        conf = sorted(map(tuple, sd.eval_contaminated_spans(
+            train, ev, k=3, confirm=True).collect()))
+        assert base == conf and base  # non-empty: the leak is found
+        with pytest.raises(ValueError, match="confirm"):
+            sd.eval_contaminated_spans(
+                train, index=sd.substr_index(ev, k=3), k=3,
+                confirm=True)
+
+
 class TestPlanShape:
     def test_no_cartesian_and_partial_agg(self, spark):
         docs = _docs(spark, [("a", "x y z w"), ("b", "x y z w")])
