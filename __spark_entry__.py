@@ -2168,9 +2168,14 @@ def q_range_join_windows(spark, sf_dir):
     j = range_join(facts, wins, on=["user_id"], fact_ts="ts",
                    win_start="w_start", win_end="w_end",
                    granule_sec=1800)
+    # decimal-exact sum (the q_event_stats discipline): double addition
+    # is order-dependent, and Spark's partition order differs from
+    # DuckDB's scan order — summing the 2-decimal values as
+    # decimal(18,2) makes the total integer-exact in both engines
     return (j.groupBy("window_id")
              .agg(F.count("*").alias("n_events"),
-                  F.round(F.sum("value"), 6).alias("sum_value")))
+                  F.round(F.sum(F.col("value").cast("decimal(18,2)"))
+                           .cast("double"), 6).alias("sum_value")))
 
 
 _SQL_RANGE_JOIN = """
@@ -2180,7 +2185,8 @@ WITH w AS (
   FROM events WHERE event_type = 'purchase'
 )
 SELECT w.window_id, count(*) AS n_events,
-       round(sum(e.value), 6) AS sum_value
+       round(CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE), 6)
+         AS sum_value
 FROM w JOIN events e
   ON e.user_id = w.user_id AND e.ts >= w.w_start AND e.ts < w.w_end
 GROUP BY w.window_id
@@ -2193,20 +2199,33 @@ def q_pivot_event_values(spark, sf_dir):
     at 100 TB that pass is a full shuffle you pay before the real one."""
     ev = _tp(spark, sf_dir, "events")
     kinds = ["click", "error", "purchase", "signup", "view"]
+    # decimal-exact per-cell sums — same determinism rationale as the
+    # range-join leg above
     out = (ev.groupBy("user_id")
              .pivot("event_type", kinds)
-             .agg(F.round(F.sum("value"), 6)))
+             .agg(F.round(F.sum(F.col("value").cast("decimal(18,2)"))
+                           .cast("double"), 6)))
     return out.select("user_id",
                       *[F.col(k).alias(f"v_{k}") for k in kinds])
 
 
 _SQL_PIVOT = """
 SELECT user_id,
-       round(sum(value) FILTER (event_type = 'click'), 6)    AS v_click,
-       round(sum(value) FILTER (event_type = 'error'), 6)    AS v_error,
-       round(sum(value) FILTER (event_type = 'purchase'), 6) AS v_purchase,
-       round(sum(value) FILTER (event_type = 'signup'), 6)   AS v_signup,
-       round(sum(value) FILTER (event_type = 'view'), 6)     AS v_view
+       round(CAST(sum(CAST(value AS DECIMAL(18,2)))
+                  FILTER (event_type = 'click') AS DOUBLE), 6)
+         AS v_click,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2)))
+                  FILTER (event_type = 'error') AS DOUBLE), 6)
+         AS v_error,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2)))
+                  FILTER (event_type = 'purchase') AS DOUBLE), 6)
+         AS v_purchase,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2)))
+                  FILTER (event_type = 'signup') AS DOUBLE), 6)
+         AS v_signup,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2)))
+                  FILTER (event_type = 'view') AS DOUBLE), 6)
+         AS v_view
 FROM events GROUP BY user_id
 """
 

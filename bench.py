@@ -102,6 +102,44 @@ def time_pipeline(spark, turns_path: str) -> dict:
             "n_ok": res.metrics["n_ok"], "n_fail": res.metrics["n_fail"]}
 
 
+def time_extras(spark, turns_path: str) -> dict:
+    """Bench-only rows for the two operator families with no oracle
+    row (VERDICT r4 gap list): the BPE trainer's iterative-argmax loop
+    and the pipeline's unbounded-vocab token mode.
+
+    * ``bpe``: distributed-engine ``bpe_train`` (per-merge Spark
+      aggregates — the 10^12-token scale path, forced even though the
+      sf vocab would fit the driver loop) + ``bpe_encode`` over the
+      documents table, counted to execution.
+    * ``pipeline_heavy``: ONE pipeline run with ``tokens_heavy_k=50``
+      (Misra-Gries heavy-hitter token aggregate replacing the exact
+      per-token groupBy — the mode that survives unbounded vocab).
+      Single measured run right after the warmed main pipeline pair,
+      so JIT/worker costs are already paid; compare against the main
+      ``pipeline`` row to price the mode switch."""
+    from log2seq_spark.operators.bpe import bpe_encode, bpe_train
+    from log2seq_spark.plans.pipeline import PipelineConfig, run_pipeline
+    out: dict = {}
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    t0 = time.monotonic()
+    merges = bpe_train(docs, n_merges=64, engine="distributed")
+    n_pieces = (bpe_encode(docs, merges)
+                .selectExpr("sum(size(bpe_pieces)) AS n").first()["n"])
+    out["bpe"] = round(time.monotonic() - t0, 3)
+    out["bpe_pieces"] = int(n_pieces)
+    heavy_dir = os.path.join(DATA_DIR, "bench_out_heavy")
+    shutil.rmtree(heavy_dir, ignore_errors=True)
+    turns = spark.read.parquet(turns_path)
+    cfg = PipelineConfig(out_dir=heavy_dir, n_buckets=64,
+                         partitions=CPUS * 2, input_id=turns_path,
+                         tokens_heavy_k=50)
+    t0 = time.monotonic()
+    run_pipeline(spark, turns, cfg, resume=False)
+    out["pipeline_heavy"] = round(time.monotonic() - t0, 3)
+    shutil.rmtree(heavy_dir, ignore_errors=True)
+    return out
+
+
 def time_queries(spark, passes: int | None = None) -> tuple[dict, dict]:
     """Time every driver query ``passes`` times as FULL PASSES over the
     query list (not back-to-back repeats) and report the per-query MIN.
@@ -129,7 +167,8 @@ def time_queries(spark, passes: int | None = None) -> tuple[dict, dict]:
 
 
 def compact_line(pipe: dict, queries: dict, calib: list,
-                 sf_dir: str = SF_DIR, cpus: int = CPUS) -> str:
+                 sf_dir: str = SF_DIR, cpus: int = CPUS,
+                 extras: dict | None = None) -> str:
     """The ONE stdout JSON line the driver records.
 
     The driver keeps only the last ~2000 chars of stdout and parses the
@@ -152,6 +191,12 @@ def compact_line(pipe: dict, queries: dict, calib: list,
         "turns_per_sec": pipe["turns_per_sec"],
         "calib_lines_per_sec": calib,
     }
+    if extras:
+        # bench-only rows (BPE trainer, heavy-hitter pipeline mode) —
+        # reported beside, not inside, the headline total so the
+        # cross-round `value` series stays an apples-to-apples
+        # pipeline+queries number
+        line["extras"] = extras
     out = json.dumps(line)
     assert len(out) < 1900, f"bench stdout line too long: {len(out)}"
     return out
@@ -168,9 +213,11 @@ def main():
         turns_path = ensure_turns(spark, BENCH_TURNS)
         pipe = time_pipeline(spark, turns_path)
         queries, query_samples = time_queries(spark)
+        extras = time_extras(spark, turns_path)
         calib1 = cpu_calibration()
         detail = {
             "pipeline": pipe,
+            "extras": extras,
             "query_samples": query_samples,
             # host-speed anchors (single-core regex lines/s) taken before
             # and after the timed section: the sandbox's effective clock
@@ -189,7 +236,8 @@ def main():
         except OSError:
             pass
         print(json.dumps(detail), file=sys.stderr)
-        print(compact_line(pipe, queries, [calib0, calib1]))
+        print(compact_line(pipe, queries, [calib0, calib1],
+                           extras=extras))
     finally:
         spark.stop()
 

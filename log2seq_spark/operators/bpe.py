@@ -131,46 +131,49 @@ def _distributed_train(wc: DataFrame, n_merges: int,
                        min_count: int = 2) -> list:
     """Merge loop over a word-count DataFrame that never collects the
     word table: per iteration one adjacent-pair sum aggregate, one
-    1-row argmax collect, one JVM-side fold applying the merge. The
-    frame is re-persisted each iteration (and the lineage cut) so the
-    plan does not grow with the merge count."""
+    1-row argmax collect, one JVM-side fold applying the merge.
+
+    Each iteration ends in ``localCheckpoint(eager=True)``, which
+    replaces the logical plan with the materialized RDD. ``persist``
+    is NOT enough here: it caches the DATA but leaves the ever-nesting
+    ``aggregate``-lambda plan in place, and Catalyst re-analyzes the
+    whole accumulated tree every iteration — measured on this rig the
+    loop was ~0.5 s/iteration for the first handful of merges and
+    blew past 10 minutes before reaching 24 (the round-5 bench row
+    caught it). With the checkpoint the plan depth is constant and
+    every iteration costs the same."""
     cur = (wc.select(F.split("word", "").alias("p"), "wn")
-             .persist())
+             .localCheckpoint(eager=True))
     merges: list = []
-    try:
-        for _ in range(n_merges):
-            n = F.size("p")
-            pairs = (cur.filter(n >= 2)
-                        .select(F.explode(F.arrays_zip(
-                            F.slice("p", 1, n - 1).alias("a"),
-                            F.slice("p", 2, n - 1).alias("b")))
-                            .alias("pr"), "wn")
-                        .groupBy(F.col("pr.a").alias("a"),
-                                 F.col("pr.b").alias("b"))
-                        .agg(F.sum("wn").alias("n")))
-            best = (pairs.orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
-                         .limit(1).collect())
-            if not best or best[0]["n"] < min_count:
-                break
-            a, b = best[0]["a"], best[0]["b"]
-            merges.append((a, b))
-            # greedy leftmost fold: append t, or replace the last
-            # element when (last, t) == (a, b)
-            merged = F.aggregate(
-                "p", F.array().cast("array<string>"),
-                lambda acc, t: F.when(
-                    (F.size(acc) > 0)
-                    & (F.element_at(acc, -1) == F.lit(a))
-                    & (t == F.lit(b)),
-                    F.concat(F.slice(acc, 1, F.size(acc) - 1),
-                             F.array(F.lit(a + b))))
-                 .otherwise(F.concat(acc, F.array(t))))
-            nxt = cur.select(merged.alias("p"), "wn").persist()
-            nxt.count()  # materialize before dropping the parent
-            cur.unpersist()
-            cur = nxt
-    finally:
-        cur.unpersist()
+    for _ in range(n_merges):
+        n = F.size("p")
+        pairs = (cur.filter(n >= 2)
+                    .select(F.explode(F.arrays_zip(
+                        F.slice("p", 1, n - 1).alias("a"),
+                        F.slice("p", 2, n - 1).alias("b")))
+                        .alias("pr"), "wn")
+                    .groupBy(F.col("pr.a").alias("a"),
+                             F.col("pr.b").alias("b"))
+                    .agg(F.sum("wn").alias("n")))
+        best = (pairs.orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+                     .limit(1).collect())
+        if not best or best[0]["n"] < min_count:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        # greedy leftmost fold: append t, or replace the last
+        # element when (last, t) == (a, b)
+        merged = F.aggregate(
+            "p", F.array().cast("array<string>"),
+            lambda acc, t: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (t == F.lit(b)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                         F.array(F.lit(a + b))))
+             .otherwise(F.concat(acc, F.array(t))))
+        cur = (cur.select(merged.alias("p"), "wn")
+                  .localCheckpoint(eager=True))
     return merges
 
 

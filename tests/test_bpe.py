@@ -45,6 +45,25 @@ class TestBpeTrain:
         dist = bpe.bpe_train(df, "text", n_merges=8, engine="distributed")
         assert dist == drv
 
+    def test_distributed_long_run_stays_flat(self, spark):
+        # regression: the loop used persist() to "cut lineage", but
+        # persist caches data while the aggregate-lambda PLAN keeps
+        # nesting — Catalyst re-analysis grew superlinearly and a
+        # 24-merge run took >10 minutes before the localCheckpoint
+        # fix (~0.3 s/iteration after). The timeout is generous for a
+        # loaded CI box; pre-fix this ran effectively forever.
+        import time
+        docs = _random_corpus(7, n_docs=60)
+        df = (spark.createDataFrame([(d,) for d in docs], "text string")
+                   .repartition(4))
+        t0 = time.monotonic()
+        dist = bpe.bpe_train(df, "text", n_merges=24,
+                             engine="distributed")
+        wall = time.monotonic() - t0
+        drv = bpe.bpe_train(df, "text", n_merges=24, engine="driver")
+        assert dist == drv
+        assert wall < 120, f"distributed merge loop took {wall:.0f}s"
+
     def test_auto_gate_selects_distributed(self, spark):
         docs = _random_corpus(5, n_docs=20)
         df = spark.createDataFrame([(d,) for d in docs], "text string")
