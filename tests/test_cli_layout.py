@@ -65,6 +65,34 @@ class TestCompact:
         assert spark.read.parquet(p).count() == 2000
 
 
+    def test_dry_run_walks_partitioned_leaves_like_apply(
+            self, spark, capsys, tmpdir_path):
+        # regression: --dry-run planned only [args.path], so on a
+        # partitioned sink (the documented use case) it reported ZERO
+        # rewrites while --apply rewrote many — the decide-before-
+        # acting flag lied. Dry-run must now walk the same leaf set.
+        root = os.path.join(tmpdir_path, "part")
+        (spark.range(2000).select(
+            F.col("id").alias("row_id"),
+            F.pmod("id", F.lit(3)).cast("string").alias("sink"))
+         .repartition(12).write.partitionBy("sink").parquet(root))
+        code = main(["compact", "--path", root, "--target-mb", "1",
+                     "--dry-run"])
+        err = capsys.readouterr().err
+        plan_lines = [ln for ln in err.splitlines()
+                      if ln.startswith("# [plan]")]
+        assert code == 0 and len(plan_lines) == 3  # one per sink leaf
+        planned_total = err.splitlines()[-1]
+        code = main(["compact", "--path", root, "--target-mb", "1"])
+        err = capsys.readouterr().err
+        done_lines = [ln for ln in err.splitlines()
+                      if ln.startswith("# [")]
+        assert code == 0 and len(done_lines) == 3
+        # identical plan: same total files -> bins line
+        assert err.splitlines()[-1] == planned_total
+        assert spark.read.parquet(root).count() == 2000
+
+
 class TestExpire:
     def test_dry_run_then_apply(self, spark, capsys, tmpdir_path):
         root = os.path.join(tmpdir_path, "ret")
