@@ -14,6 +14,9 @@ Usage: python tools/seed_sweep.py [N_SEEDS] [ROWSCALE] [query ...]
   N_SEEDS   default 10
   ROWSCALE  default 1.0 (sf0.01-equivalent row counts)
   query     optional subset of query names (default: all)
+  env SEED_SWEEP_START  first seed (default 1) — sweep covers
+                        [START, START+N_SEEDS), so successive runs can
+                        sample disjoint seed ranges
 
 Exit 1 if any (seed, query) pair fails; per-seed results printed and a
 summary at the end. Run before committing any entry-file change (the
@@ -22,6 +25,7 @@ pre-commit note in BENCH/DELTAS.md records the sweep for each round).
 
 from __future__ import annotations
 
+import os
 import shutil
 import sys
 import tempfile
@@ -31,6 +35,7 @@ def main():
     n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     rowscale = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
     only = set(sys.argv[3:]) or None
+    start = int(os.environ.get("SEED_SWEEP_START", "1"))
 
     sys.path.insert(0, "/root/repo")
     sys.path.insert(0, "/root/repo/tools")
@@ -46,7 +51,7 @@ def main():
     bad = {}
     root = tempfile.mkdtemp(prefix="seed_sweep_")
     try:
-        for seed in range(1, n_seeds + 1):
+        for seed in range(start, start + n_seeds):
             sf_dir = f"{root}/seed{seed}"
             gen(sf_dir, seed, rowscale)
             fails = check_dir(spark, sf_dir, only, tag=f"s{seed:02d} ")
