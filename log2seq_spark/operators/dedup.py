@@ -279,7 +279,8 @@ def plane_sign_table(n_planes: int, dim: int) -> list[list[int]]:
 
 def hyperplane_signatures(embs: DataFrame, vec_col: str = "embedding",
                           id_col: str = "vec_id", n_planes: int = 16,
-                          bands: int = 4, dim: int | None = None) -> DataFrame:
+                          bands: int = 4, dim: int | None = None,
+                          carry: "list[tuple] | None" = None) -> DataFrame:
     """Sign-random-projection LSH signatures: (_id, band, band_key) rows.
 
     Plane ``j``'s component at dimension ``d`` is ±1 derived from
@@ -330,14 +331,17 @@ def hyperplane_signatures(embs: DataFrame, vec_col: str = "embedding",
     qvec = F.transform(checked,
                        lambda x: F.round(x.cast("double") * 1e6)
                                   .cast("bigint"))
-    base = embs.select(F.col(id_col).alias("_id"), qvec.alias("_q"))
+    carry = carry or []
+    carry_names = [name for name, _ in carry]
+    base = embs.select(F.col(id_col).alias("_id"), qvec.alias("_q"),
+                       *[col.alias(name) for name, col in carry])
 
     def proj(j: int):
         arr = F.array(*[F.lit(s) for s in signs[j]])
         return F.aggregate(F.zip_with("_q", arr, lambda x, y: x * y),
                            F.lit(0).cast("bigint"), lambda a, v: a + v)
 
-    agg = base.select("_id",
+    agg = base.select("_id", *carry_names,
                       *[proj(j).alias(f"_p{j}") for j in range(n_planes)])
     band_structs = []
     for b in range(bands):
@@ -347,8 +351,10 @@ def hyperplane_signatures(embs: DataFrame, vec_col: str = "embedding",
         band_structs.append(F.struct(
             F.lit(b).alias("band"),
             F.md5(F.concat(F.lit(f"{b}#"), bits)).alias("band_key")))
-    return (agg.select("_id", F.explode(F.array(*band_structs)).alias("_bk"))
-               .select("_id", F.col("_bk.band").alias("band"),
+    return (agg.select("_id", *carry_names,
+                       F.explode(F.array(*band_structs)).alias("_bk"))
+               .select("_id", *carry_names,
+                       F.col("_bk.band").alias("band"),
                        F.col("_bk.band_key").alias("band_key")))
 
 
@@ -385,19 +391,22 @@ def embedding_near_duplicates(embs: DataFrame, vec_col: str = "embedding",
     input is counted first and anything above the cap raises
     ``ValueError`` (telling the caller to use the LSH path). ``None``
     disables the guard (you are asserting the input is small)."""
+    from . import veccand
     from .similarity import dot_expr, norm_expr
     # norm computed ONCE per vector before the pair join (per-pair norm
     # recomputation tripled the work at bench scale)
     e = embs.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
                     norm_expr(F.col(vec_col)).alias("_norm"))
     if n_planes > 0:
-        sig = hyperplane_signatures(embs, vec_col, id_col, n_planes, bands)
-        # pairs WITHIN each band bucket via collect_list + in-bucket
-        # expansion: the signature subtree is computed once (a self-join
-        # would evaluate it per side) and the only shuffle is the tiny
-        # bucket groupBy. The HOF pair expansion runs on one row per
-        # bucket, so interpreted evaluation is irrelevant; bucket sizes
-        # bound the quadratic term by design.
+        # vectors ride INTO the band buckets (carry) so the per-bucket
+        # pairwise scoring runs as one NumPy matmul per bucket instead
+        # of |bucket|² interpreted lambda folds; only the margin-safe
+        # SURVIVORS (veccand contract: provable candidate superset,
+        # degenerate rows force-paired) reach the distinct + exact
+        # re-score, so the shuffle after the buckets carries ~output
+        # rows, not all colliding pairs (guide §2.3/§4.2).
+        sig = hyperplane_signatures(embs, vec_col, id_col, n_planes,
+                                    bands, carry=[("_v", F.col(vec_col))])
         # bucket-size prefilter BEFORE collect_list: a window count over
         # the same keys shares the groupBy's hash partitioning (one
         # shuffle total, no extra exchange), and rows of an over-cap
@@ -408,43 +417,38 @@ def embedding_near_duplicates(embs: DataFrame, vec_col: str = "embedding",
         keep = F.col("_n") > 1
         if max_bucket_size is not None:
             keep = keep & (F.col("_n") <= max_bucket_size)
-        ids = F.array_sort(F.collect_list("_id"))
+        # NULL ids never paired (collect_list dropped them); the window
+        # count above still sees them, exactly as before
         buckets = (sig.withColumn("_n", nbkt).filter(keep)
-                      .groupBy("band", "band_key").agg(ids.alias("ids")))
-        pair_arr = F.flatten(F.transform(
-            F.col("ids"),
-            lambda a, i: F.transform(
-                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
-                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")))))
-        cand = (buckets.select(F.explode(pair_arr).alias("p"))
-                       .select(F.col("p.id_a").alias("id_a"),
-                               F.col("p.id_b").alias("id_b"))
-                       .distinct())
-        pairs = (cand
-                 .join(e.select(F.col("_id").alias("id_a"),
-                                F.col("_v").alias("va"),
-                                F.col("_norm").alias("na")), "id_a")
-                 .join(e.select(F.col("_id").alias("id_b"),
-                                F.col("_v").alias("vb"),
-                                F.col("_norm").alias("nb")), "id_b"))
+                      .filter(F.col("_id").isNotNull())
+                      .groupBy("band", "band_key")
+                      .agg(F.collect_list(F.struct("_id", "_v"))
+                            .alias("items")))
+        cand = veccand.bucket_pair_candidates(
+            buckets, threshold).distinct()
+        pairs = veccand.attach_pair_vectors(cand, e)
     else:
         if max_brute_rows is not None:
-            # limit(cap+1) bounds the guard's work to cap+1 rows (scan
-            # stops early) instead of eagerly evaluating the full input
-            # plan once before the crossJoin scans it again
-            n = embs.limit(max_brute_rows + 1).count()
-            if n > max_brute_rows:
-                raise ValueError(
-                    f"embedding_near_duplicates(n_planes=0) is the exact "
-                    f"O(n²) crossJoin baseline; input exceeds "
-                    f"max_brute_rows={max_brute_rows}. Use n_planes>0 "
-                    f"(banded hyperplane LSH) at scale, or raise/disable "
-                    f"max_brute_rows if the input really is small.")
-        a = e.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"),
-                     F.col("_norm").alias("na"))
-        b = e.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"),
-                     F.col("_norm").alias("nb"))
-        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+            # bounded input (the guard counts it): score all pairs as
+            # distributed float64 BLAS blocks over a broadcast matrix,
+            # then exact-rescore the margin survivors — same contract
+            # as the bucket path. Falls back to the legacy crossJoin
+            # when equivalence can't be guaranteed (ragged vectors,
+            # unorderable ids).
+            cand = veccand.brute_pair_candidates(e, threshold,
+                                                 max_brute_rows)
+        else:
+            cand = None   # unbounded input asserted small: legacy path
+        if cand is not None:
+            pairs = veccand.attach_pair_vectors(cand, e)
+        else:
+            a = e.select(F.col("_id").alias("id_a"),
+                         F.col("_v").alias("va"),
+                         F.col("_norm").alias("na"))
+            b = e.select(F.col("_id").alias("id_b"),
+                         F.col("_v").alias("vb"),
+                         F.col("_norm").alias("nb"))
+            pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     # one dot product per pair; norms carried from the join inputs
     pairs = pairs.withColumn("cosine",
                              dot_expr(F.col("va"), F.col("vb"))

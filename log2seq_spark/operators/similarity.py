@@ -458,18 +458,35 @@ def semantic_duplicates(embs: DataFrame,
     and a hot cell lands on one reducer: size the centroid list so
     cells stay in the 10²-10³ range and leave AQE skew-join on (both
     already required for the quadratic bound to hold at all)."""
+    from .veccand import cell_score_candidates
+    # Candidate nomination (NumPy, margin-safe superset: every cell
+    # within MARGIN of a vector's best score × every pair clearing
+    # threshold − MARGIN, degenerate rows force-paired) — then the
+    # EXACT argmax assignment and the exact cosine expression decide,
+    # so results are bit-identical to the legacy per-pair evaluation
+    # while the |cell|² interpreted folds collapse to one matmul per
+    # cell (guide §4.2). Norms are computed once per ROW (norm_expr on
+    # the same column ⇒ the same doubles cosine_expr derived per pair).
+    cand = cell_score_candidates(embs, centroids, vec_col, id_col,
+                                 threshold).distinct()
     a = assign_centroid(embs, centroids, vec_col).select(
         F.col("centroid"), F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("_sem_va"))
+        F.col(vec_col).alias("_sem_va"),
+        norm_expr(F.col(vec_col)).alias("_sem_na"))
     b = assign_centroid(embs, centroids, vec_col).select(
         F.col("centroid"), F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("_sem_vb"))
-    cos = cosine_expr(F.col("_sem_va"), F.col("_sem_vb"))
-    return (a.join(b, "centroid")
-             .filter(F.col("id_a") < F.col("id_b"))
-             .withColumn("cosine", cos)
-             .filter(F.col("cosine") >= F.lit(float(threshold)))
-             .select("centroid", "id_a", "id_b", "cosine"))
+        F.col(vec_col).alias("_sem_vb"),
+        norm_expr(F.col(vec_col)).alias("_sem_nb"))
+    j1 = a.join(F.broadcast(cand), ["centroid", "id_a"])
+    j2 = b.join(F.broadcast(j1), ["centroid", "id_b"])
+    denom = F.col("_sem_na") * F.col("_sem_nb")
+    cos = F.when(denom > 0,
+                 dot_expr(F.col("_sem_va"), F.col("_sem_vb")) / denom) \
+           .otherwise(F.lit(0.0))
+    return (j2.filter(F.col("id_a") < F.col("id_b"))
+              .withColumn("cosine", cos)
+              .filter(F.col("cosine") >= F.lit(float(threshold)))
+              .select("centroid", "id_a", "id_b", "cosine"))
 
 
 def semantic_drop_list(pairs: DataFrame) -> DataFrame:
