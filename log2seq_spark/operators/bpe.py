@@ -142,38 +142,72 @@ def _distributed_train(wc: DataFrame, n_merges: int,
     blew past 10 minutes before reaching 24 (the round-5 bench row
     caught it). With the checkpoint the plan depth is constant and
     every iteration costs the same."""
+    # ``DataFrame.unpersist`` cannot free a localCheckpoint (it is not
+    # registered with the CacheManager), so track the checkpointed RDD
+    # ids via the SparkContext registry and unpersist a superseded
+    # iteration's copy explicitly — otherwise a long merge loop holds
+    # up to n_merges cached copies of the word table and the last one
+    # outlives the (shared) session's bench run.
+    sc = wc.sparkSession.sparkContext
+
+    def _persisted_ids() -> set:
+        it = sc._jsc.sc().getPersistentRDDs().keysIterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
+    def _unpersist_ids(ids: set) -> None:
+        reg = sc._jsc.sc().getPersistentRDDs()
+        for rid in ids:
+            opt = reg.get(rid)
+            if not opt.isEmpty():
+                opt.get().unpersist(False)
+
+    before = _persisted_ids()
     cur = (wc.select(F.split("word", "").alias("p"), "wn")
              .localCheckpoint(eager=True))
+    cur_ids = _persisted_ids() - before
     merges: list = []
-    for _ in range(n_merges):
-        n = F.size("p")
-        pairs = (cur.filter(n >= 2)
-                    .select(F.explode(F.arrays_zip(
-                        F.slice("p", 1, n - 1).alias("a"),
-                        F.slice("p", 2, n - 1).alias("b")))
-                        .alias("pr"), "wn")
-                    .groupBy(F.col("pr.a").alias("a"),
-                             F.col("pr.b").alias("b"))
-                    .agg(F.sum("wn").alias("n")))
-        best = (pairs.orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
-                     .limit(1).collect())
-        if not best or best[0]["n"] < min_count:
-            break
-        a, b = best[0]["a"], best[0]["b"]
-        merges.append((a, b))
-        # greedy leftmost fold: append t, or replace the last
-        # element when (last, t) == (a, b)
-        merged = F.aggregate(
-            "p", F.array().cast("array<string>"),
-            lambda acc, t: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(a))
-                & (t == F.lit(b)),
-                F.concat(F.slice(acc, 1, F.size(acc) - 1),
-                         F.array(F.lit(a + b))))
-             .otherwise(F.concat(acc, F.array(t))))
-        cur = (cur.select(merged.alias("p"), "wn")
-                  .localCheckpoint(eager=True))
+    try:
+        for _ in range(n_merges):
+            n = F.size("p")
+            pairs = (cur.filter(n >= 2)
+                        .select(F.explode(F.arrays_zip(
+                            F.slice("p", 1, n - 1).alias("a"),
+                            F.slice("p", 2, n - 1).alias("b")))
+                            .alias("pr"), "wn")
+                        .groupBy(F.col("pr.a").alias("a"),
+                                 F.col("pr.b").alias("b"))
+                        .agg(F.sum("wn").alias("n")))
+            best = (pairs.orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+                         .limit(1).collect())
+            if not best or best[0]["n"] < min_count:
+                break
+            a, b = best[0]["a"], best[0]["b"]
+            merges.append((a, b))
+            # greedy leftmost fold: append t, or replace the last
+            # element when (last, t) == (a, b)
+            merged = F.aggregate(
+                "p", F.array().cast("array<string>"),
+                lambda acc, t: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.lit(a))
+                    & (t == F.lit(b)),
+                    F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                             F.array(F.lit(a + b))))
+                 .otherwise(F.concat(acc, F.array(t))))
+            prev_ids = cur_ids
+            before = _persisted_ids()
+            cur = (cur.select(merged.alias("p"), "wn")
+                      .localCheckpoint(eager=True))
+            cur_ids = _persisted_ids() - before
+            # the new eager checkpoint has materialized; free the
+            # previous iteration's copy NOW rather than waiting for
+            # the ContextCleaner
+            _unpersist_ids(prev_ids)
+    finally:
+        _unpersist_ids(cur_ids)
     return merges
 
 
