@@ -64,14 +64,20 @@ class TestLogfmt:
         with pytest.raises(ValueError, match="__logfmt_entries"):
             with_logfmt(df)
 
-    def test_single_regex_scan_in_plan(self, spark):
-        # staging discipline: the tokenizing regex must appear ONCE in
-        # the physical plan (captured expression trees re-evaluate per
-        # lambda element — the repetition_stats lesson)
-        df = spark.createDataFrame([("a=1",)], "text string")
-        out = with_logfmt(df, keys=["a"])
-        plan = out._jdf.queryExecution().executedPlan().toString()
-        assert plan.count("regexp_extract_all") == 1
+    def test_bounded_regex_scans_in_plan(self, spark):
+        # staging discipline: exactly TWO tokenizing scans (key group +
+        # value group — the split that keeps the per-element lambda
+        # free of ltrim/instr/substring splitting), and the count must
+        # NOT grow with the number of lifted keys (captured expression
+        # trees re-evaluate per lambda element — the repetition_stats
+        # lesson)
+        df = spark.createDataFrame([("a=1 b=2 c=3",)], "text string")
+        plan1 = with_logfmt(df, keys=["a"]) \
+            ._jdf.queryExecution().executedPlan().toString()
+        plan3 = with_logfmt(df, keys=["a", "b", "c"]) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert plan1.count("regexp_extract_all") == 2
+        assert plan3.count("regexp_extract_all") == 2
 
     def test_matches_pure_python_model(self, spark):
         # randomized (seeded) corpus vs an independent pure-Python
