@@ -334,6 +334,34 @@ class TestChunking:
             chunking.chunk_documents(df, chunk_tokens=4, overlap=4)
         with pytest.raises(ValueError):
             chunking.chunk_documents(df, chunk_tokens=0)
+        with pytest.raises(ValueError):
+            chunking.chunk_census(df, chunk_tokens=4, overlap=4)
+        with pytest.raises(ValueError):
+            chunking.chunk_census(df, chunk_tokens=0)
+
+    def test_census_equals_chunk_documents_aggregate(self, spark):
+        # the census's closed-form window sizes must agree with an
+        # aggregate over the materialized chunk_documents windows on a
+        # boundary-heavy corpus (empty doc, < window, == window,
+        # == window+1, mid-stride, exact multiple, whitespace runs)
+        import pyspark.sql.functions as F
+        sizes = [0, 1, 7, 8, 9, 12, 13, 20, 25, 26, 40]
+        df = spark.createDataFrame(
+            [(i, "  ".join(f"t{j}" for j in range(n)) + ("  " if i % 2
+                                                         else ""))
+             for i, n in enumerate(sizes)],
+            "doc_id long, text string")
+        for ct, ov in ((8, 3), (13, 0), (5, 4)):
+            ref = sorted(tuple(r) for r in chunking.chunk_documents(
+                df, chunk_tokens=ct, overlap=ov)
+                .groupBy("chunk_idx")
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+                     F.min("doc_id").alias("first_doc"),
+                     F.max("doc_id").alias("last_doc")).collect())
+            got = sorted(tuple(r) for r in chunking.chunk_census(
+                df, chunk_tokens=ct, overlap=ov).collect())
+            assert got == ref
 
 
 class TestPlanShapes:
