@@ -47,14 +47,30 @@ def assemble_context(turns: DataFrame, *, max_turns: int = 8,
         F.col(text_col).alias("_t"), ntok.alias("_n"))).over(w))
     staged = turns.withColumn("_hist", hist)
     h = F.col("_hist")
-    m = F.size(h)
     # keep element i (0-based) iff the suffix starting at it fits the
     # budget — equivalent to the walk-backwards-and-stop fold because
-    # token counts are non-negative (suffix sums are non-increasing)
-    kept = F.filter(
-        h, lambda x, i: F.aggregate(
-            F.slice(h, i + 1, m - i), F.lit(0),
-            lambda acc, y: acc + y["_n"]) <= F.lit(max_tokens))
+    # token counts are non-negative (suffix sums are non-increasing).
+    # Suffix sums come from ONE reversed fold (O(max_turns) interpreted
+    # steps per row) instead of an aggregate-over-slice per element
+    # (O(max_turns²)); integer addition is associative, so the sums are
+    # identical whatever the order — including NULL poisoning: a null
+    # token count nulls exactly the suffixes containing it on both
+    # formulations, and a null predicate drops the element either way.
+    # prepending while folding the REVERSED history yields the suffix
+    # sums already in forward index order: after step j the head is
+    # the sum of the last j+1 elements
+    ss = F.aggregate(
+        F.reverse(h), F.array().cast("array<int>"),
+        lambda acc, y: F.concat(
+            F.array(F.when(F.size(acc) == 0, y["_n"])
+                     .otherwise(F.element_at(acc, F.lit(1)) + y["_n"])),
+            acc))
+    kept = F.transform(
+        F.filter(
+            F.zip_with(h, ss,
+                       lambda x, s: F.struct(x.alias("e"), s.alias("s"))),
+            lambda p: p["s"] <= F.lit(max_tokens)),
+        lambda p: p["e"])
     out = (staged
            .withColumn("_kept", kept)
            .withColumn("n_ctx_turns", F.size("_kept"))
