@@ -735,7 +735,7 @@ def q_json_props_extract(spark, sf_dir):
       key = tool/arg, n_a = occurrences among well-formed payloads.
     """
     from log2seq_spark.operators import toolargs
-    ev = _t(spark, sf_dir, "events")
+    ev = _tp(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
     props = (ev.select(k.alias("k"), "value")
              .groupBy("k")
@@ -837,7 +837,7 @@ def q_variant_props_stats(spark, sf_dir):
     per path). At 100 TB with many extracted paths, that single-parse
     property is the difference. Grouped stats over the extracted field:
     k-decade buckets with exact decimal value sums."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _tp(spark, sf_dir, "events")
     v = F.parse_json("props")
     k = F.try_variant_get(v, "$.k", "int")
     return (ev.select(k.alias("k"), "value")
@@ -880,7 +880,7 @@ def q_csv_line_parse(spark, sf_dir):
     round-trip is lossless; the oracle replays the identical aggregate
     under each tag. One narrow projection + one map-side-combined
     shuffle per leg."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _tp(spark, sf_dir, "events")
     vdec = F.col("value").cast("decimal(18,2)")
 
     csv_line = F.concat_ws(",", F.col("event_id").cast("string"),
@@ -967,7 +967,7 @@ def q_xml_event_parse(spark, sf_dir):
     back with a typed schema (attributes surface as ``_name`` fields),
     aggregated on the parsed values. Completes the semi-structured
     matrix: JSON path, VARIANT binary, CSV, XML."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _tp(spark, sf_dir, "events")
     vdec = F.col("value").cast("decimal(18,2)")
     xml = F.concat(F.lit('<event id="'), F.col("event_id").cast("string"),
                    F.lit('" type="'), F.col("event_type"),
@@ -1601,7 +1601,7 @@ def q_pack_training_chunks(spark, sf_dir):
       token mass of window i, id boundaries). Any off-by-one in the
       stride/window arithmetic moves a count."""
     from log2seq_spark.operators import chunking, packing, shards, textstats
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tp(spark, sf_dir, "documents")
     toks = docs.select("doc_id",
                        textstats.bpe_ish_token_count(F.col("text"))
                        .alias("n_tokens"))
@@ -2509,7 +2509,7 @@ def q_rare_template_assign(spark, sf_dir):
     non-rare rows verify template_lines == the group-by line count,
     the single '<rare>' row verifies the count of distinct rare
     templates reached per line."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _tp(spark, sf_dir, "events")
     slot = F.pmod("event_id", F.lit(50))
     n13 = F.pmod("event_id", F.lit(13)).cast("string")
     text = (F.when(slot <= 46, F.concat(F.lit("login ok user "), n13))
