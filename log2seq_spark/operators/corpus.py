@@ -139,7 +139,7 @@ def drop_reason_expr(text_col: str, is_dup, quality_min: float | None):
     whose duplicated lines were all removed reassembles to bare
     newlines — that must classify as empty, not ship to training."""
     empty = (F.coalesce(
-        F.regexp_replace(F.col(text_col), r"\s", ""), F.lit("")) == "")
+        F.regexp_replace(F.col(text_col), r"\s+", ""), F.lit("")) == "")
     reason = (F.when(empty, F.lit("empty"))
                .when(is_dup, F.lit("exact_dup")))
     if quality_min is not None:

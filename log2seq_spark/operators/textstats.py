@@ -58,7 +58,10 @@ def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     n_tokens = F.size(toks)
     n_chars = F.length(text_col)
     mean_tok_len = (n_chars - (n_tokens - 1)) / F.greatest(n_tokens, F.lit(1))
-    n_punct = F.length(F.regexp_replace(text_col, r"[A-Za-z0-9\s]", ""))
+    # run-form class: deleting maximal runs equals deleting chars
+    # one-by-one, and the per-char form fires the replace machinery
+    # once per character (nearly every char matches here)
+    n_punct = F.length(F.regexp_replace(text_col, r"[A-Za-z0-9\s]+", ""))
     punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
     stop_hits = F.size(F.filter(
         toks, lambda t: F.lower(t).isin(EN_STOPWORDS)))
