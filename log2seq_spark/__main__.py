@@ -1742,7 +1742,13 @@ def main(argv=None) -> int:
                         "the token state after each statement action "
                         "(reference __main__.py --verbose; trace produced "
                         "by the per-line oracle engine, so use on bounded "
-                        "debugging inputs, not production corpora)")
+                        "debugging inputs, not production corpora). "
+                        "Ordering diverges from the reference: failure "
+                        "traces are emitted in a batch before success "
+                        "traces (the reference interleaves in input "
+                        "order), and with a .parquet --output success "
+                        "traces are skipped (results are not re-read "
+                        "back through the reporter)")
     p.add_argument("--sample", type=int, default=None,
                    help="print at most N successful results (default: all)")
     p.add_argument("--multiline-start", default=None, metavar="REGEX",

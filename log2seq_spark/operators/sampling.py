@@ -124,6 +124,15 @@ def weighted_sample(df: DataFrame, k: int, weight_col: str,
     390k+ probe values incl. negatives) before ranking; grid ties
     resolve identically everywhere via the ``id_col`` tie-break.
 
+    WEIGHT-MAGNITUDE BOUND: the absolute 9-decimal grid assumes keys
+    of roughly |ln(u)/w| >= ~1e-6, i.e. weights up to ~1e6. For
+    w >> 1e7 every key collapses onto a handful of grid values and the
+    ascending ``id_col`` tie-break dominates — the "weighted" sample
+    silently degenerates toward lowest-id rows. Rescale such weights
+    (divide by their max; inclusion probabilities are scale-invariant)
+    before calling, or sample on the unrounded key if cross-engine
+    replay is not needed.
+
     Scale shape: a narrow map-side key + ``orderBy().limit(k)``, which
     plans TakeOrderedAndProject (per-partition heap + k-row merge) —
     no global sort, no shuffle beyond the k-row collect."""
