@@ -329,16 +329,30 @@ def _synth_turns(spark, sf_dir):
     def _build():
         from pyspark.sql import Window
         ev = _t(spark, sf_dir, "events")
-        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         m3 = F.pmod("event_id", F.lit(3))
         role = (F.when(m3 == 0, "user").when(m3 == 1, "assistant")
                  .otherwise("tool"))
         text = F.concat(F.col("event_type"), F.lit(" "),
                         F.expr("repeat('tok ', cast(event_id % 9 AS INT))"),
                         F.lit("e"), F.col("event_id").cast("string"))
-        return ev.select(F.col("user_id").cast("string").alias("conv_id"),
-                         F.row_number().over(w).alias("turn_idx"),
-                         role.alias("role"), text.alias("text"))
+        # The window partitions on conv_id (the string) rather than
+        # user_id: user_id -> cast(user_id as string) is injective, so
+        # the per-partition row_number over (ts, event_id) is
+        # IDENTICAL, but the persisted feed's output partitioning is
+        # now hashpartitioning(conv_id) — the exact distribution every
+        # downstream conversation leg (window/groupBy on conv_id)
+        # requires, so their per-leg Exchanges of the full turn corpus
+        # collapse into this one (guide §2.4: operations keyed the same
+        # way share one exchange). The explicit sortWithinPartitions on
+        # (conv_id, turn_idx) likewise lets each leg's window reuse the
+        # feed's sort order instead of re-sorting per leg.
+        w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
+        return (ev.select(F.col("user_id").cast("string").alias("conv_id"),
+                          "ts", "event_id", role.alias("role"),
+                          text.alias("text"))
+                  .withColumn("turn_idx", F.row_number().over(w))
+                  .select("conv_id", "turn_idx", "role", "text")
+                  .sortWithinPartitions("conv_id", "turn_idx"))
     return _feed(spark, ("synth-turns", sf_dir), _build)
 
 
