@@ -2313,7 +2313,7 @@ def q_template_mining(spark, sf_dir):
     line = F.when(F.col("event_type") == "error",
                   F.concat(base, F.lit(" retrying"))).otherwise(base)
     lines = ev.select(line.alias("text"))
-    out = templates.mine_templates(lines, "text")
+    out = templates.mine_templates(lines, "text", dedup_lines=True)
     raw = out.select(F.lit("text").alias("source"),
                      "template", "n_lines", "n_groups")
     # second tokenization path in the SAME driver row (keeps the
@@ -2412,7 +2412,8 @@ def q_template_mining_words(spark, sf_dir):
     """
     parsed = _parsed_preset_feed(spark, sf_dir)
     words = parsed.select(F.col("parsed.words").alias("words"))
-    out = templates.mine_templates(words, tokens_col="words")
+    out = templates.mine_templates(words, tokens_col="words",
+                                   dedup_lines=True)
     return out.select("template", "n_lines", "n_groups")
 
 
@@ -2459,7 +2460,7 @@ def q_template_drift(spark, sf_dir):
     ev = _tp(spark, sf_dir, "events")
     a = ev.select(_drift_line_expr("a").alias("text"))
     b = ev.select(_drift_line_expr("b").alias("text"))
-    return anomaly.template_drift(a, b, factor=4)
+    return anomaly.template_drift(a, b, factor=4, dedup_lines=True)
 
 
 def _sql_drift_lines(corpus: str) -> str:
@@ -2533,7 +2534,10 @@ def q_rare_template_assign(spark, sf_dir):
                                  F.col("event_id").cast("string"),
                                  F.lit(" sector bad"))))
     lines = ev.select(text.alias("text"))
-    out = anomaly.rare_template_lines(lines, "text", max_lines=1)
+    out = anomaly.rare_template_lines(
+        lines, "text", max_lines=1,
+        profile=templates.position_profiles(lines, "text",
+                                            dedup_lines=True))
     templ_key = (F.when(F.col("is_rare"), F.lit("<rare>"))
                   .otherwise(F.col("template")))
     src = F.concat(F.lit("rare:"), F.col("is_rare").cast("string"))

@@ -146,7 +146,8 @@ position_profiles` table (e.g. the epoch state kept by
 def template_drift(lines_a: DataFrame, lines_b: DataFrame,
                    text_col: str = "text",
                    tokens_col: str | None = None,
-                   factor: int = 4) -> DataFrame:
+                   factor: int = 4,
+                   dedup_lines: bool = False) -> DataFrame:
     """What changed between two log periods: mine templates over each
     corpus and compare per-template line counts. Returns one row per
     template seen in either period: ``(template, n_a, n_b, status)``
@@ -168,9 +169,11 @@ def template_drift(lines_a: DataFrame, lines_b: DataFrame,
     single-partition window, so a million-template table still
     compares in parallel.
     """
-    a = (mine_templates(lines_a, text_col, tokens_col=tokens_col)
+    a = (mine_templates(lines_a, text_col, tokens_col=tokens_col,
+                        dedup_lines=dedup_lines)
          .select("template", F.col("n_lines").alias("n_a")))
-    b = (mine_templates(lines_b, text_col, tokens_col=tokens_col)
+    b = (mine_templates(lines_b, text_col, tokens_col=tokens_col,
+                        dedup_lines=dedup_lines)
          .select("template", F.col("n_lines").alias("n_b")))
     j = (a.join(b, "template", "full_outer")
           .select("template",

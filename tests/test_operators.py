@@ -1062,6 +1062,28 @@ class TestTemplates:
         out = self._mine(spark, lines)
         assert out == {t: (n, g) for t, (n, g) in expected.items()}
 
+    def test_dedup_lines_profile_equals_default(self, spark):
+        # dedup_lines=True pre-aggregates identical token arrays before
+        # the explode — the profile (and every downstream product) must
+        # be identical. Corpus mixes heavy repeats, unique lines, blank
+        # and NULL text, and a numeric-head family.
+        from log2seq_spark.operators import templates
+        lines = (["conn from 10.0.0.1 closed"] * 40
+                 + ["conn from 10.0.0.2 closed"] * 2
+                 + [f"{i} bytes sent" for i in range(25)]
+                 + ["heartbeat ok"] * 17
+                 + ["", "   ", None, "lone singleton line here"])
+        df = spark.createDataFrame([(t,) for t in lines], "text string")
+        base = sorted(map(tuple, templates.position_profiles(
+            df, "text").collect()))
+        dd = sorted(map(tuple, templates.position_profiles(
+            df, "text", dedup_lines=True).collect()))
+        assert dd == base
+        m = lambda o: {r["template"]: (r["n_lines"], r["n_groups"])
+                       for r in o.collect()}
+        assert m(templates.mine_templates(df, dedup_lines=True)) == \
+            m(templates.mine_templates(df))
+
     def test_blank_lines_contribute_nothing(self, spark):
         # zero-token lines (blank / whitespace-only / NULL) must neither
         # crash (ANSI element_at on the empty token array threw before
