@@ -416,9 +416,13 @@ def q_sessionize(spark, sf_dir):
                       F.col("n_sessions").cast("bigint").alias("n_a"),
                       F.col("n_events").alias("n_b"),
                       F.lit(None).cast("string").alias("digest")))
-    ctx = context.assemble_context(_synth_turns(spark, sf_dir),
-                                   max_turns=5, max_tokens=24)
-    dig = (context.context_digest(ctx)
+    # fused per-conversation digest ≡ context_digest(assemble_context)
+    # (pinned by tests/test_context.py::test_conv_digest_equals_composite)
+    # — avoids the per-ROW sliding collect_list window + second
+    # conv-level collect by computing every turn's context from slices
+    # of one sorted per-conversation array
+    dig = (context.context_conv_digest(_synth_turns(spark, sf_dir),
+                                       max_turns=5, max_tokens=24)
            .select(F.lit("context").alias("kind"),
                    F.col("conv_id").alias("id"),
                    F.col("n_turns").alias("n_a"),
@@ -1616,9 +1620,13 @@ def q_pack_training_chunks(spark, sf_dir):
       stride/window arithmetic moves a count."""
     from log2seq_spark.operators import chunking, packing, shards, textstats
     docs = _tp(spark, sf_dir, "documents")
-    toks = docs.select("doc_id",
-                       textstats.bpe_ish_token_count(F.col("text"))
-                       .alias("n_tokens"))
+    # three of the four legs (pack/shard/phase) consume the same per-doc
+    # BPE-ish token count — persist the tiny (doc_id, n_tokens) frame so
+    # the regexp token pass over the corpus runs once, not three times
+    # (the _FEED_CACHE discipline; 2 narrow columns, #docs rows)
+    toks = _feed(spark, ("pack_toks", sf_dir), lambda: docs.select(
+        "doc_id",
+        textstats.bpe_ish_token_count(F.col("text")).alias("n_tokens")))
     out = packing.chunk_summary(toks, "n_tokens", "doc_id", budget=2048)
     pack = out.select(
         F.lit("pack").alias("kind"), "chunk_id", "n_docs",
