@@ -4020,9 +4020,12 @@ def q_textstats_quality(spark, sf_dir):
             textstats.token_stats(_docfeat_feed(spark, sf_dir))))
     lown = _feed(spark, ("line_own", sf_dir),
                  lambda: dedup.line_ownership(docs))
-    lstats = dedup.line_dedup_stats(docs, ownership=lown)
-    clean = (dedup.drop_duplicate_lines(docs, ownership=lown)
-                  .select("doc_id", F.md5("clean_text").alias("clean_md5")))
+    # stats + clean ride ONE aggregate over the persisted ownership
+    # feed (≡ line_dedup_stats ⋈ drop_duplicate_lines — pinned by
+    # tests/test_operators.py::test_line_profile_equals_composite)
+    lprof = (dedup.line_dedup_profile(docs, ownership=lown)
+                  .withColumn("clean_md5", F.md5("clean_text"))
+                  .drop("clean_text"))
     # LM-perplexity leg (operators/lm.py): bigram stupid-backoff quality
     # scoring, trained on the corpus itself — the CCNet-style filter.
     # The bigram table is consumed four times inside perplexity()
@@ -4037,7 +4040,7 @@ def q_textstats_quality(spark, sf_dir):
         "stopword_ratio", "quality_score", "ws_tokens", "bpe_tokens",
         "predicted_lang", "fingerprint",
         "dup_trigram_ratio", "dup_line_ratio")
-        .join(lstats, "doc_id").join(clean, "doc_id")
+        .join(lprof, "doc_id")
         .join(lmcols, "doc_id"))
 
 

@@ -847,6 +847,38 @@ repetition_stats`'s WITHIN-doc ``dup_line_ratio``). Returns
                .withColumnRenamed("_id", id_col))
 
 
+def line_dedup_profile(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       ownership: DataFrame | None = None,
+                       sep: str = "\n") -> DataFrame:
+    """:func:`line_dedup_stats` + :func:`drop_duplicate_lines`'s
+    ``clean_text`` in ONE aggregate over the ownership feed — equal to
+    the two-operator inner join on ``id_col`` for every doc that emits
+    at least one line row (any non-NULL text; NULL-text docs have no
+    ownership rows, and the composite's inner join dropped them via
+    the missing stats row anyway). The composite paid a second
+    aggregation pass over the (corpus-line-sized) ownership feed plus
+    two joins; here stats and the kept-line reassembly ride one
+    groupBy — collect_list skips the NULL the keep-condition CASE
+    leaves on removed lines."""
+    own = (_checked_ownership(ownership, sep) if ownership is not None
+           else line_ownership(docs, text_col, id_col, sep))
+    keep = (F.col("_ndocs").isNull()
+            | (F.col("_ndocs") == 1)
+            | (F.col("_id") == F.col("_keeper")))
+    return (own.groupBy("_id")
+               .agg(F.count("*").alias("n_lines"),
+                    F.sum(F.when(F.col("_ndocs") > 1, 1).otherwise(0))
+                     .alias("n_corpus_dup_lines"),
+                    F.array_sort(F.collect_list(
+                        F.when(keep, F.struct("pos", "line"))))
+                     .alias("_arr"))
+               .select(F.col("_id").alias(id_col), "n_lines",
+                       "n_corpus_dup_lines",
+                       F.concat_ws(sep, F.col("_arr.line"))
+                        .alias("clean_text")))
+
+
 def drop_duplicate_lines(docs: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id",
                          ownership: DataFrame | None = None,

@@ -754,6 +754,28 @@ class TestDedup:
         assert clean[3] == "short doc"
         assert set(clean) == {0, 1, 2, 3}
 
+    def test_line_profile_equals_composite(self, spark):
+        # fused line profile ≡ line_dedup_stats ⋈ drop_duplicate_lines
+        # for docs with non-NULL text (NULL-text docs emit no ownership
+        # rows; the composite's inner join dropped them too)
+        rows = [
+            (0, "shared line\nunique zero\nshared line"),
+            (1, "shared line\nunique one"),
+            (2, "shared line"),                  # fully removable
+            (3, ""),                             # one empty line
+            (4, "\n\n"),                         # only empty lines
+            (5, "solo doc no dups at all"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        comp = (dedup.line_dedup_stats(docs)
+                .join(dedup.drop_duplicate_lines(docs), "doc_id"))
+        cols = ["doc_id", "n_lines", "n_corpus_dup_lines", "clean_text"]
+        exp = sorted(tuple(r[c] for c in cols) for r in comp.collect())
+        got = sorted(tuple(r[c] for c in cols)
+                     for r in dedup.line_dedup_profile(docs).collect())
+        assert got == exp
+        assert len(got) == len(rows)
+
     def test_span_profile_equals_composite(self, spark):
         # the fused per-doc profile must equal the inner join of the
         # two row-shaped operators on every id — boundary-heavy corpus:
