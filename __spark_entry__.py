@@ -416,13 +416,9 @@ def q_sessionize(spark, sf_dir):
                       F.col("n_sessions").cast("bigint").alias("n_a"),
                       F.col("n_events").alias("n_b"),
                       F.lit(None).cast("string").alias("digest")))
-    # fused per-conversation digest ≡ context_digest(assemble_context)
-    # (pinned by tests/test_context.py::test_conv_digest_equals_composite)
-    # — avoids the per-ROW sliding collect_list window + second
-    # conv-level collect by computing every turn's context from slices
-    # of one sorted per-conversation array
-    dig = (context.context_conv_digest(_synth_turns(spark, sf_dir),
-                                       max_turns=5, max_tokens=24)
+    ctx = context.assemble_context(_synth_turns(spark, sf_dir),
+                                   max_turns=5, max_tokens=24)
+    dig = (context.context_digest(ctx)
            .select(F.lit("context").alias("kind"),
                    F.col("conv_id").alias("id"),
                    F.col("n_turns").alias("n_a"),

@@ -86,70 +86,6 @@ def assemble_context(turns: DataFrame, *, max_turns: int = 8,
     return out
 
 
-def context_conv_digest(turns: DataFrame, *, max_turns: int = 8,
-                        max_tokens: int = 512,
-                        conv_col: str = "conv_id",
-                        idx_col: str = "turn_idx",
-                        role_col: str = "role",
-                        text_col: str = "text",
-                        sep: str = "\n") -> DataFrame:
-    """``context_digest(assemble_context(...))`` fused into ONE
-    per-conversation aggregate — identical rows for unique
-    ``(conv, idx)`` pairs (the transcripts contract; pinned by
-    tests/test_context.py::test_conv_digest_equals_composite).
-
-    The composite shape pays a per-ROW sliding ``collect_list`` window
-    (every turn materializes its own ≤max_turns struct array with full
-    text copies) plus a second conv-level collect/sort for the digest.
-    But the digest only needs conversation-level state: collect each
-    conversation ONCE, and compute every turn's context from slices of
-    that one sorted array (the history of turn *i* is exactly elements
-    ``[max(1, i-max_turns), i-1]``). Same suffix-sum keep rule, same
-    separator, same md5 input — element for element."""
-    ntok = F.size(tokens_expr(F.col(text_col)))
-    arr = (turns.groupBy(conv_col)
-                .agg(F.array_sort(F.collect_list(F.struct(
-                    F.col(idx_col).alias("_i"),
-                    F.col(role_col).alias("_r"),
-                    F.col(text_col).alias("_t"),
-                    ntok.alias("_n")))).alias("_a")))
-    a = F.col("_a")
-
-    def ctx_for(i):
-        start = F.greatest(i - F.lit(max_turns), F.lit(1))
-        h = F.slice(a, start, i - start)
-        # identical suffix-sum/keep/render pipeline to assemble_context
-        ss = F.aggregate(
-            F.reverse(h), F.array().cast("array<int>"),
-            lambda acc, y: F.concat(
-                F.array(F.when(F.size(acc) == 0, y["_n"])
-                         .otherwise(F.element_at(acc, F.lit(1)) + y["_n"])),
-                acc))
-        kept = F.transform(
-            F.filter(
-                F.zip_with(h, ss,
-                           lambda x, s: F.struct(x.alias("e"),
-                                                 s.alias("s"))),
-                lambda p: p["s"] <= F.lit(max_tokens)),
-            lambda p: p["e"])
-        text = F.concat_ws(sep, F.transform(
-            kept, lambda x: F.concat(x["_r"], F.lit(": "), x["_t"])))
-        toks = F.aggregate(kept, F.lit(0), lambda acc, y: acc + y["_n"])
-        return F.struct(text.alias("_c"), toks.alias("_k"))
-
-    per = F.transform(F.sequence(F.lit(1), F.size(a)), ctx_for)
-    staged = arr.withColumn("_p", per)
-    p = F.col("_p")
-    return staged.select(
-        conv_col,
-        F.size(a).cast("long").alias("n_turns"),
-        F.aggregate(p, F.lit(0).cast("bigint"),
-                    lambda acc, x: acc + x["_k"])
-         .alias("total_ctx_tokens"),
-        F.md5(F.concat_ws("\x1e", F.transform(p, lambda x: x["_c"])))
-         .alias("ctx_md5"))
-
-
 def context_digest(ctx: DataFrame, *, conv_col: str = "conv_id",
                    idx_col: str = "turn_idx") -> DataFrame:
     """Per-conversation digest of assembled contexts —

@@ -105,22 +105,3 @@ class TestAssembleContext:
             assert dig[c]["total_ctx_tokens"] == sum(
                 v[1] for _, v in items)
 
-    def test_conv_digest_equals_composite(self, spark):
-        # the fused per-conversation digest must equal
-        # context_digest(assemble_context(...)) row for row, across
-        # budget shapes (tight, loose, single-turn histories) and the
-        # empty-text / NULL-text edges
-        rows = ROWS + [
-            ("c", 1, "user", None),                 # NULL text
-            ("c", 2, "assistant", "after null"),
-            ("c", 3, "user", "x " * 30),            # over-budget turn
-            ("c", 4, "tool", "tail"),
-        ]
-        t = _turns(spark, rows)
-        for mt, mk in ((3, 8), (5, 24), (1, 100), (8, 512)):
-            comp = sorted(map(tuple, context.context_digest(
-                context.assemble_context(
-                    t, max_turns=mt, max_tokens=mk)).collect()))
-            fused = sorted(map(tuple, context.context_conv_digest(
-                t, max_turns=mt, max_tokens=mk).collect()))
-            assert fused == comp, (mt, mk)
