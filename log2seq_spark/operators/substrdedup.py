@@ -151,14 +151,24 @@ def duplicate_positions(docs: DataFrame, text_col: str = "text",
     grams = gram_positions(docs, text_col, id_col, k,
                            with_text=confirm)
     if not confirm:
-        # ONE shuffle on gh: count + min(struct) both partial-agg'able
-        stats = (grams.groupBy("gh")
-                      .agg(F.count(F.lit(1)).alias("_cnt"),
-                           F.min(F.struct(F.col(id_col).alias("i"),
-                                          F.col("pos").alias("p")))
-                            .alias("_first"))
-                      .where(F.col("_cnt") >= min_count))
-        joined = grams.join(stats, "gh")
+        # ONE window pass on gh: the earlier groupBy + join-back shape
+        # evaluated the tokenize/slice/hash gram subtree TWICE (once per
+        # join side) and shuffled every gram row a second time for the
+        # join — the same single-subtree reshape as
+        # dedup.duplicate_window_ownership (measured 2.6s → 1.6s at
+        # 2.8M grams for identical rows). Skew exposure is unchanged: a
+        # hyper-duplicated gram concentrated all its occurrences in one
+        # join partition before and lands in one (spillable) window
+        # partition now.
+        from pyspark.sql import Window
+        wh = Window.partitionBy("gh")
+        joined = (grams
+                  .withColumn("_cnt", F.count(F.lit(1)).over(wh))
+                  .withColumn("_first",
+                              F.min(F.struct(F.col(id_col).alias("i"),
+                                             F.col("pos").alias("p")))
+                               .over(wh))
+                  .where(F.col("_cnt") >= min_count))
     else:
         # phase 1 — hash-only prefilter (count is a superset of any
         # text's count when hashes collide, so no true dup is lost)
